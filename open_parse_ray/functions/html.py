@@ -1,0 +1,537 @@
+"""HTML → elements: boilerplate strip + deterministic synthetic layout.
+
+This is the web-scale payload path (BASELINE.json input_hint: Common-Crawl
+style pages). Real HTML has no coordinates, so this module gives each page a
+deterministic synthetic layout (US-letter, bottom-left y-up coordinates —
+the reference's coordinate system, src/openparse/consts.py:5) and feeds the
+resulting char streams through the *same* span/line/element machinery the
+PDF path defines (functions/spans.py ← reference text/pdfminer/core.py).
+Everything here is a pure function of the HTML bytes: same input → same
+elements, at any batch size or parallelism.
+
+Boilerplate stripping maps the reference's positional heuristics
+(RemoveMetadataElements / RemoveRepeatedElements,
+reference: src/openparse/processing/basic_transforms.py:204-258) onto DOM
+structure: <script>/<style>/<nav>/<aside>/... subtrees are dropped outright;
+<header>/<footer> content is *placed* in the top/bottom 10% page bands so the
+reference's positional band filter removes it exactly like PDF headers and
+footers.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+from open_parse_ray import consts
+from open_parse_ray.functions.spans import CharElement, group_chars_into_spans
+from open_parse_ray.functions.tables import output_to_markdown
+from open_parse_ray.model import Bbox, LineElement, TableElement, TextElement
+
+# Subtrees that are never content.
+_DROP_TAGS = {
+    "script",
+    "style",
+    "noscript",
+    "template",
+    "iframe",
+    "svg",
+    "canvas",
+    "button",
+    "form",
+    "input",
+    "select",
+    "option",
+    "textarea",
+    "nav",
+    "aside",
+    "head",
+}
+
+# class/id patterns marking boilerplate containers (deterministic rule list).
+_BOILERPLATE_RE = re.compile(
+    r"(cookie|consent|banner|advert|\bads?\b|promo|sidebar|menu|breadcrumb"
+    r"|social|share|comment|popup|modal|subscribe|newsletter|related|widget)",
+    re.IGNORECASE,
+)
+
+_HEADER_RE = re.compile(r"(page-header|site-header|masthead)", re.IGNORECASE)
+_FOOTER_RE = re.compile(r"(page-footer|site-footer|colophon)", re.IGNORECASE)
+_FULLPAGE_RE = re.compile(r"(watermark|fullpage|full-page)", re.IGNORECASE)
+
+_BLOCK_TAGS = {
+    "p",
+    "div",
+    "section",
+    "article",
+    "main",
+    "body",
+    "h1",
+    "h2",
+    "h3",
+    "h4",
+    "h5",
+    "h6",
+    "li",
+    "ul",
+    "ol",
+    "blockquote",
+    "pre",
+    "figcaption",
+    "dt",
+    "dd",
+    "header",
+    "footer",
+}
+
+_HEADING_SIZES = {"h1": 24.0, "h2": 20.0, "h3": 18.0, "h4": 16.0, "h5": 14.0, "h6": 13.0}
+_DEFAULT_SIZE = 12.0
+
+_FONT_STYLE_RE = re.compile(r"font-size\s*:\s*(\d+(?:\.\d+)?)px", re.IGNORECASE)
+_BOLD_STYLE_RE = re.compile(r"font-weight\s*:\s*(bold|[7-9]00)", re.IGNORECASE)
+_WS_RE = re.compile(r"\s+")
+
+
+class _Block:
+    __slots__ = ("kind", "runs", "placement", "gap", "headers", "rows")
+
+    def __init__(self, kind="text", placement="flow", gap=18.0):
+        self.kind = kind  # text | table | pagebreak
+        self.runs: List[Tuple[str, bool, bool, float]] = []
+        self.placement = placement  # flow | top | bottom | full
+        self.gap = gap
+        self.headers: List[str] = []
+        self.rows: List[List[str]] = []
+
+
+class _Extractor(HTMLParser):
+    """Single-pass DOM walk producing styled text blocks + table grids."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[_Block] = []
+        self._cur: Optional[_Block] = None
+        self._drop_depth = 0
+        # style stack entries: (bold, italic, size)
+        self._style: List[Tuple[bool, bool, float]] = [(False, False, _DEFAULT_SIZE)]
+        self._placement_stack: List[str] = ["flow"]
+        self._list_stack: List[Tuple[bool, int]] = []  # (ordered, counter)
+        # table state
+        self._table: Optional[_Block] = None
+        self._row: Optional[List[str]] = None
+        self._cell: Optional[List[str]] = None
+        self._cell_is_header = False
+        self._row_has_header = False
+
+    # -- helpers ---------------------------------------------------------
+    def _attrs_text(self, attrs) -> str:
+        vals = [v for k, v in attrs if k in ("class", "id") and v]
+        return " ".join(vals)
+
+    def _open_block(self, placement=None, gap=18.0, bullet: Optional[str] = None):
+        self._flush_block()
+        blk = _Block(placement=placement or self._placement_stack[-1], gap=gap)
+        if bullet:
+            b, i, s = self._style[-1]
+            blk.runs.append((bullet, b, i, s))
+        self._cur = blk
+
+    def _flush_block(self):
+        if self._cur is not None and (
+            self._cur.kind != "text" or any(r[0].strip() for r in self._cur.runs)
+        ):
+            # trim leading/trailing whitespace across runs
+            runs = self._cur.runs
+            while runs and not runs[0][0].strip():
+                runs.pop(0)
+            while runs and not runs[-1][0].strip():
+                runs.pop()
+            if runs:
+                t, b, i, s = runs[0]
+                runs[0] = (t.lstrip(), b, i, s)
+                t, b, i, s = runs[-1]
+                runs[-1] = (t.rstrip(), b, i, s)
+            self.blocks.append(self._cur)
+        self._cur = None
+
+    # -- HTMLParser hooks ------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if self._drop_depth:
+            self._drop_depth += 1
+            return
+        attr_text = self._attrs_text(attrs)
+        if tag in _DROP_TAGS or _BOILERPLATE_RE.search(attr_text):
+            self._drop_depth = 1
+            return
+
+        style_attr = dict(attrs).get("style", "") or ""
+        bold, italic, size = self._style[-1]
+        if tag in ("b", "strong"):
+            bold = True
+        if tag in ("i", "em"):
+            italic = True
+        if tag in _HEADING_SIZES:
+            size = _HEADING_SIZES[tag]
+            bold = True
+        m = _FONT_STYLE_RE.search(style_attr)
+        if m:
+            size = float(m.group(1))
+        if _BOLD_STYLE_RE.search(style_attr):
+            bold = True
+        self._style.append((bold, italic, size))
+
+        if tag == "hr":
+            self._flush_block()
+            self.blocks.append(_Block(kind="pagebreak"))
+            return
+        if tag == "br":
+            if self._cell is not None:
+                self._cell.append("\n")
+            elif self._cur is not None:
+                self._cur.runs.append(("\n", *self._style[-1]))
+            return
+
+        if tag == "table":
+            self._flush_block()
+            self._table = _Block(kind="table", placement=self._placement_stack[-1])
+            return
+        if self._table is not None:
+            if tag == "tr":
+                self._row = []
+                self._row_has_header = False
+            elif tag in ("td", "th"):
+                self._cell = []
+                self._cell_is_header = tag == "th"
+            return
+
+        placement = None
+        if tag == "header" or _HEADER_RE.search(attr_text):
+            placement = "top"
+        elif tag == "footer" or _FOOTER_RE.search(attr_text):
+            placement = "bottom"
+        elif _FULLPAGE_RE.search(attr_text):
+            placement = "full"
+
+        if tag in ("ul", "ol"):
+            self._flush_block()
+            self._list_stack.append((tag == "ol", 0))
+            if placement:
+                self._placement_stack.append(placement)
+            return
+
+        if tag in _BLOCK_TAGS:
+            bullet = None
+            gap = 18.0
+            if tag == "li":
+                gap = 4.0  # list items sit close → spatial combine can merge them
+                if self._list_stack:
+                    ordered, n = self._list_stack[-1]
+                    n += 1
+                    self._list_stack[-1] = (ordered, n)
+                    bullet = f"{n}. " if ordered else "- "
+                else:
+                    bullet = "- "
+            if placement:
+                self._placement_stack.append(placement)
+            if tag in _HEADING_SIZES:
+                gap = 14.0
+            self._open_block(placement=placement, gap=gap, bullet=bullet)
+
+    def handle_endtag(self, tag):
+        if self._drop_depth:
+            self._drop_depth -= 1
+            return
+        if len(self._style) > 1:
+            self._style.pop()
+
+        if tag == "table" and self._table is not None:
+            self.blocks.append(self._table)
+            self._table = None
+            return
+        if self._table is not None:
+            if tag in ("td", "th") and self._cell is not None:
+                text = _WS_RE.sub(" ", "".join(self._cell)).strip()
+                if self._cell_is_header:
+                    self._table.headers.append(text)
+                    self._row_has_header = True
+                elif self._row is not None:
+                    self._row.append(text)
+                else:
+                    self._table.headers.append(text)
+                self._cell = None
+            elif tag == "tr" and self._row is not None:
+                if self._row:
+                    self._table.rows.append(self._row)
+                self._row = None
+            return
+
+        if tag in ("ul", "ol") and self._list_stack:
+            self._list_stack.pop()
+            self._flush_block()
+        if tag in ("header", "footer") and len(self._placement_stack) > 1:
+            self._placement_stack.pop()
+        if tag in _BLOCK_TAGS:
+            self._flush_block()
+            if len(self._placement_stack) > 1 and self._placement_stack[-1] in (
+                "top",
+                "bottom",
+                "full",
+            ):
+                # positioned div closed
+                self._placement_stack.pop()
+
+    def handle_data(self, data):
+        if self._drop_depth:
+            return
+        if self._cell is not None:
+            self._cell.append(data)
+            return
+        if self._table is not None:
+            return
+        text = _WS_RE.sub(" ", data)
+        if not text:
+            return
+        if self._cur is None:
+            if not text.strip():
+                return
+            self._open_block()
+        self._cur.runs.append((text, *self._style[-1]))
+
+    def close(self):
+        super().close()
+        self._flush_block()
+
+
+def _fontname(bold: bool, italic: bool) -> str:
+    if bold and italic:
+        return "Synth-BoldItalic"
+    if bold:
+        return "Synth-Bold"
+    if italic:
+        return "Synth-Italic"
+    return "Synth"
+
+
+def _char_width(size: float) -> float:
+    return 0.5 * size
+
+
+class _Layout:
+    """Deterministic top-down flow layout over US-letter pages."""
+
+    def __init__(self):
+        self.page = 0
+        self.cursor = consts.PAGE_TOP_Y
+        self.top_cursor = consts.PAGE_HEIGHT - 24.0
+        self.bottom_cursor = 40.0
+        self.elements: List = []
+        self.max_width = consts.PAGE_WIDTH - 2 * consts.PAGE_MARGIN_X
+
+    def new_page(self):
+        self.page += 1
+        self.cursor = consts.PAGE_TOP_Y
+        self.top_cursor = consts.PAGE_HEIGHT - 24.0
+        self.bottom_cursor = 40.0
+
+    def _wrap(self, runs) -> List[List[Tuple[str, str, float]]]:
+        """Greedy word-wrap of styled runs into lines of char tuples."""
+        # tokenize runs into words (keeping style per char)
+        lines: List[List[Tuple[str, str, float]]] = []
+        cur: List[Tuple[str, str, float]] = []
+        cur_w = 0.0
+
+        def flush_line():
+            nonlocal cur, cur_w
+            if cur:
+                lines.append(cur)
+            cur = []
+            cur_w = 0.0
+
+        for text, bold, italic, size in runs:
+            font = _fontname(bold, italic)
+            cw = _char_width(size)
+            for piece in re.split(r"(\n)", text):
+                if piece == "\n":
+                    flush_line()
+                    continue
+                for word in re.split(r"( )", piece):
+                    if not word:
+                        continue
+                    w = len(word) * cw
+                    if word != " " and cur_w + w > self.max_width and cur:
+                        # drop a trailing space before wrapping
+                        while cur and cur[-1][0] == " ":
+                            cur.pop()
+                        flush_line()
+                    if word == " " and not cur:
+                        continue  # no leading spaces on wrapped lines
+                    for ch in word:
+                        cur.append((ch, font, size))
+                    cur_w += w
+        flush_line()
+        return lines
+
+    def _emit_text_element(self, line_elems: List[LineElement], texts: List[str]):
+        if not line_elems:
+            return
+        x0 = min(le.bbox[0] for le in line_elems)
+        y0 = min(le.bbox[1] for le in line_elems)
+        x1 = max(le.bbox[2] for le in line_elems)
+        y1 = max(le.bbox[3] for le in line_elems)
+        self.elements.append(
+            TextElement(
+                text="\n".join(texts),
+                lines=tuple(line_elems),
+                bbox=Bbox(
+                    page=self.page,
+                    page_height=consts.PAGE_HEIGHT,
+                    page_width=consts.PAGE_WIDTH,
+                    x0=x0,
+                    y0=y0,
+                    x1=x1,
+                    y1=y1,
+                ),
+            )
+        )
+
+    def _make_line(self, chars, y1: float) -> LineElement:
+        max_size = max((c[2] for c in chars), default=_DEFAULT_SIZE)
+        width = sum(_char_width(c[2]) for c in chars)
+        bbox = (
+            consts.PAGE_MARGIN_X,
+            y1 - max_size,
+            consts.PAGE_MARGIN_X + width,
+            y1,
+        )
+        spans = group_chars_into_spans(
+            [CharElement(text=t, fontname=f, size=s) for t, f, s in chars]
+        )
+        return LineElement(bbox=bbox, spans=tuple(spans))
+
+    def place_text_block(self, block: _Block):
+        lines = self._wrap(block.runs)
+        if not lines:
+            return
+        if block.placement == "top":
+            les = []
+            for chars in lines:
+                le = self._make_line(chars, self.top_cursor)
+                self.top_cursor -= max((c[2] for c in chars), default=12.0) * 1.2
+                les.append(le)
+            self._emit_text_element(les, [le.text for le in les])
+            return
+        if block.placement == "bottom":
+            les = []
+            for chars in lines:
+                le = self._make_line(chars, self.bottom_cursor)
+                self.bottom_cursor -= max((c[2] for c in chars), default=12.0) * 1.2
+                les.append(le)
+            self._emit_text_element(les, [le.text for le in les])
+            return
+        if block.placement == "full":
+            # one element spanning most of the page (watermark / full-page stub)
+            all_chars = [c for line in lines for c in line]
+            spans = group_chars_into_spans(
+                [CharElement(text=t, fontname=f, size=s) for t, f, s in all_chars]
+            )
+            bbox = (36.0, 60.0, consts.PAGE_WIDTH - 36.0, consts.PAGE_HEIGHT - 36.0)
+            le = LineElement(bbox=bbox, spans=tuple(spans))
+            self.elements.append(
+                TextElement(
+                    text=le.text,
+                    lines=(le,),
+                    bbox=Bbox(
+                        page=self.page,
+                        page_height=consts.PAGE_HEIGHT,
+                        page_width=consts.PAGE_WIDTH,
+                        x0=bbox[0],
+                        y0=bbox[1],
+                        x1=bbox[2],
+                        y1=bbox[3],
+                    ),
+                )
+            )
+            return
+
+        # normal flow
+        les: List[LineElement] = []
+        for chars in lines:
+            line_h = max((c[2] for c in chars), default=12.0)
+            if self.cursor - line_h < consts.PAGE_BOTTOM_Y:
+                # page break: close the element on this page, continue on next
+                self._emit_text_element(les, [le.text for le in les])
+                les = []
+                self.new_page()
+            le = self._make_line(chars, self.cursor)
+            self.cursor -= round(line_h * 1.2, 2)
+            les.append(le)
+        self._emit_text_element(les, [le.text for le in les])
+        self.cursor -= block.gap
+
+    def place_table_block(self, block: _Block):
+        n_rows = len(block.rows) + 1
+        height = n_rows * 16.0 + 8.0
+        if self.cursor - height < consts.PAGE_BOTTOM_Y:
+            self.new_page()
+        text = output_to_markdown(block.headers, block.rows)
+        y1 = self.cursor
+        y0 = max(consts.PAGE_BOTTOM_Y, y1 - height)
+        self.elements.append(
+            TableElement(
+                text=text,
+                bbox=Bbox(
+                    page=self.page,
+                    page_height=consts.PAGE_HEIGHT,
+                    page_width=consts.PAGE_WIDTH,
+                    x0=consts.PAGE_MARGIN_X,
+                    y0=y0,
+                    x1=consts.PAGE_WIDTH - consts.PAGE_MARGIN_X,
+                    y1=y1,
+                ),
+            )
+        )
+        self.cursor = y0 - 18.0
+
+
+def html_to_elements(html) -> List:
+    """Parse + strip + lay out one HTML document into elements.
+
+    Pure and deterministic: the per-url byte-identity contract starts here.
+    """
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", "replace")
+    extractor = _Extractor()
+    extractor.feed(html)
+    extractor.close()
+
+    layout = _Layout()
+    for block in extractor.blocks:
+        if block.kind == "pagebreak":
+            layout.new_page()
+        elif block.kind == "table":
+            layout.place_table_block(block)
+        else:
+            layout.place_text_block(block)
+    return layout.elements
+
+
+def visible_text(html) -> str:
+    """Raw visible text of the page (boilerplate stripped), for the
+    ``text`` input column and quick heuristics."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", "replace")
+    extractor = _Extractor()
+    extractor.feed(html)
+    extractor.close()
+    parts = []
+    for block in extractor.blocks:
+        if block.kind == "text":
+            parts.append("".join(r[0] for r in block.runs))
+        elif block.kind == "table":
+            parts.append(
+                " ".join(block.headers)
+                + " "
+                + " ".join(c for row in block.rows for c in row)
+            )
+    return "\n".join(p.strip() for p in parts if p.strip())

@@ -1,0 +1,130 @@
+"""Char-stream → span grouping.
+
+Re-implements the reference's pdfminer char pipeline semantics
+(reference: src/openparse/text/pdfminer/core.py:23-157) over plain tuples.
+The HTML layout engine (functions/html.py) emits the same char stream shape,
+so one grouping kernel serves both payloads. Whitespace handling — multi-
+space compression and the trailing-single-space rule — is part of the
+byte-identity contract (core.py:107-123).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Tuple
+
+from open_parse_ray.model import LineElement, TextSpan
+
+
+class CharElement:
+    """One character + font info (reference: text/pdfminer/core.py:23-40).
+
+    ``size`` is rounded to 2 decimals at construction (core.py:36-39);
+    bold/italic are inferred from the fontname substring (core.py:28-34).
+    """
+
+    __slots__ = ("text", "fontname", "size")
+
+    def __init__(self, text: str, fontname: str, size: float):
+        self.text = text
+        self.fontname = fontname
+        self.size = round(size, 2)
+
+    @property
+    def is_bold(self) -> bool:
+        return "Bold" in self.fontname or "bold" in self.fontname
+
+    @property
+    def is_italic(self) -> bool:
+        return "Italic" in self.fontname or "italic" in self.fontname
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, CharElement)
+            and self.text == other.text
+            and self.fontname == other.fontname
+            and self.size == other.size
+        )
+
+    def __repr__(self):
+        return f"CharElement({self.text!r}, {self.fontname!r}, {self.size})"
+
+
+def extract_chars(
+    raw_chars: Iterable[Tuple[str, Optional[str], Optional[float]]],
+) -> List[CharElement]:
+    """Build CharElements from (text, fontname, size) triples.
+
+    Entries with fontname/size of None are annotation characters that
+    inherit the most recent real char's font (reference: core.py:43-67,
+    including the rule that leading annotations take the *first* real
+    char's font).
+    """
+    raw_chars = list(raw_chars)
+    chars: List[CharElement] = []
+    last_fontname = next((f for _, f, _ in raw_chars if f is not None), "")
+    last_size = next((s for _, _, s in raw_chars if s is not None), 0.0)
+    for text, fontname, size in raw_chars:
+        if fontname is not None:
+            last_fontname = fontname
+            last_size = size
+        chars.append(CharElement(text=text, fontname=last_fontname, size=last_size))
+    return chars
+
+
+def group_chars_into_spans(chars: Iterable[CharElement]) -> List[TextSpan]:
+    """Run-length group chars by (bold, italic, size) (reference: core.py:99-140)."""
+    spans: List[TextSpan] = []
+    current_text = ""
+    current_style = (False, False, 0.0)
+
+    for char in chars:
+        char_style = (char.is_bold, char.is_italic, char.size)
+        if char.text.isspace():
+            # compress runs of whitespace to one space; style unchanged
+            if not current_text.endswith(" "):
+                current_text += " "
+            continue
+        if char_style != current_style and current_text:
+            spans.append(
+                TextSpan(
+                    text=current_text.rstrip()
+                    + (" " if current_text.endswith(" ") else ""),
+                    is_bold=current_style[0],
+                    is_italic=current_style[1],
+                    size=current_style[2],
+                )
+            )
+            current_text = char.text
+        else:
+            current_text += char.text
+        current_style = char_style
+
+    if current_text:
+        spans.append(
+            TextSpan(
+                text=current_text.rstrip()
+                + (" " if current_text.endswith(" ") else ""),
+                is_bold=current_style[0],
+                is_italic=current_style[1],
+                size=current_style[2],
+            )
+        )
+    return spans
+
+
+def create_line_element(
+    chars: List[CharElement], bbox: Tuple[float, float, float, float]
+) -> LineElement:
+    """Line from a char stream + geometry (reference: core.py:143-148)."""
+    spans = group_chars_into_spans(chars)
+    return LineElement(bbox=bbox, spans=tuple(spans))
+
+
+def lines_bbox(lines: List[LineElement]) -> Tuple[float, float, float, float]:
+    """min/max bbox over lines (reference: core.py:151-157)."""
+    return (
+        min(line.bbox[0] for line in lines),
+        min(line.bbox[1] for line in lines),
+        max(line.bbox[2] for line in lines),
+        max(line.bbox[3] for line in lines),
+    )

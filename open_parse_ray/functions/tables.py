@@ -1,0 +1,98 @@
+"""Table grid renderers + bbox geometry.
+
+Re-implements the reference's golden-tested grid → markdown/html renderers
+(reference: src/openparse/tables/pymupdf/parse.py:4-51) and bbox intersection
+(reference: src/openparse/tables/table_transformers/geometry.py:4-41). Pure
+functions used inside extraction kernels.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+
+def output_to_html(
+    headers: Sequence[Optional[str]], rows: Sequence[Sequence[Optional[str]]]
+) -> str:
+    """Grid → html string; falsy cells become a single space
+    (reference: tables/pymupdf/parse.py:4-21)."""
+    parts = ['<table border="1">\n', "<tr>"]
+    for header in headers:
+        parts.append(f"<th>{header}</th>")
+    parts.append("</tr>\n")
+    for row in rows:
+        parts.append("<tr>")
+        for cell in row:
+            parts.append(f'<td>{cell or " "}</td>')
+        parts.append("</tr>\n")
+    parts.append("</table>")
+    return "".join(parts)
+
+
+def output_to_markdown(
+    headers: Sequence[Optional[str]], rows: Sequence[Sequence[Optional[str]]]
+) -> str:
+    """Grid → markdown; None/empty cells pad to a space, embedded newlines
+    become spaces (reference: tables/pymupdf/parse.py:24-40)."""
+    out = ""
+    if headers is not None:
+        for header in headers:
+            safe_header = "" if header is None else header
+            out += "| " + safe_header + " "
+    out += "|\n"
+    out += "|---" * len(headers) + "|\n"
+    for row in rows:
+        processed_row = [
+            " " if cell in (None, "") else cell.replace("\n", " ") for cell in row
+        ]
+        out += "| " + " | ".join(processed_row) + " |\n"
+    return out
+
+
+def combine_header_and_table_bboxes(
+    bbox1: Tuple[float, float, float, float], bbox2: Tuple[float, float, float, float]
+) -> Tuple[float, float, float, float]:
+    """Union of two bboxes (reference: tables/pymupdf/parse.py:43-51)."""
+    return (
+        min(bbox1[0], bbox2[0]),
+        min(bbox1[1], bbox2[1]),
+        max(bbox1[2], bbox2[2]),
+        max(bbox1[3], bbox2[3]),
+    )
+
+
+def calc_bbox_intersection(
+    bbox1, bbox2, safety_margin: float = 5.0
+) -> Optional[Tuple[float, float, float, float]]:
+    """Safety-margin bbox intersection, None when empty
+    (reference: tables/table_transformers/geometry.py:4-41)."""
+    if safety_margin < 0:
+        raise ValueError("Safety margin cannot be negative.")
+    if (
+        bbox1[2] <= bbox1[0]
+        or bbox1[3] <= bbox1[1]
+        or bbox2[2] <= bbox2[0]
+        or bbox2[3] <= bbox2[1]
+    ):
+        raise ValueError("Bounding boxes must have non-zero width and height.")
+
+    x1_expanded_min = min(bbox1[0], bbox2[0]) - safety_margin
+    y1_expanded_min = min(bbox1[1], bbox2[1]) - safety_margin
+    x2_expanded_max = max(bbox1[2], bbox2[2]) + safety_margin
+    y2_expanded_max = max(bbox1[3], bbox2[3]) + safety_margin
+
+    if (
+        x2_expanded_max <= max(bbox1[0], bbox2[0])
+        or x1_expanded_min >= min(bbox1[2], bbox2[2])
+        or y2_expanded_max <= max(bbox1[1], bbox2[1])
+        or y1_expanded_min >= min(bbox1[3], bbox2[3])
+    ):
+        return None
+
+    x1 = max(bbox1[0], bbox2[0])
+    y1 = max(bbox1[1], bbox2[1])
+    x2 = min(bbox1[2], bbox2[2])
+    y2 = min(bbox1[3], bbox2[3])
+    if x2 > x1 and y2 > y1:
+        return (x1, y1, x2, y2)
+    return None

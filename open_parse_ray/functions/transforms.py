@@ -1,0 +1,359 @@
+"""Node-list transforms — the per-document "relational" layer.
+
+Re-implements every ProcessingStep of the reference
+(reference: src/openparse/processing/basic_transforms.py,
+src/openparse/processing/ingest.py) as pure kernels over our Node model.
+All steps are strictly per-document: they run *inside* a ``map_batches``
+batch on one document's node list, never across documents, so they
+parallelize embarrassingly and need no shuffle. Order-sensitive steps
+(CombineNodesSpatially is an order-dependent O(n²) fold,
+basic_transforms.py:299-327) must receive reading-order-sorted input —
+the pipeline re-sorts before every step exactly like the reference
+(ingest.py:37-44).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Literal, Optional
+
+from open_parse_ray.model import Bbox, ImageElement, Node, TextElement
+
+
+class ProcessingStep:
+    """User extension surface: subclass and implement ``process``
+    (reference: basic_transforms.py:23-29)."""
+
+    def process(self, nodes: List[Node]) -> List[Node]:
+        raise NotImplementedError("Subclasses must implement this method.")
+
+
+class RemoveTextInsideTables(ProcessingStep):
+    """Per-page spatial anti-semi-join: drop TextElements whose bbox
+    intersects any same-page table bbox (reference: basic_transforms.py:122-171).
+    Tables per document are tiny, so the build side is a per-page dict —
+    a broadcast-small-side join *within the row*."""
+
+    def process(self, nodes: List[Node]) -> List[Node]:
+        tables_by_page: Dict[int, List[Bbox]] = {}
+        for node in nodes:
+            if node.variant == {"table"}:
+                for el in node.elements:
+                    tables_by_page.setdefault(el.page, []).append(el.bbox)
+
+        updated_nodes = []
+        for node in nodes:
+            if node.variant == {"table"}:
+                updated_nodes.append(node)
+                continue
+            new_elements = []
+            for element in node.elements:
+                inside = isinstance(element, TextElement) and any(
+                    self._intersects(element.bbox, tb)
+                    for tb in tables_by_page.get(element.page, ())
+                )
+                if not inside:
+                    new_elements.append(element)
+            if new_elements and len(new_elements) != len(node.elements):
+                updated_nodes.append(Node(elements=tuple(new_elements)))
+            elif len(new_elements) == len(node.elements):
+                updated_nodes.append(node)
+        return updated_nodes
+
+    @staticmethod
+    def _intersects(text_bbox: Bbox, table_bbox: Bbox) -> bool:
+        # border contact counts as inside (basic_transforms.py:164-171)
+        return (
+            text_bbox.x1 > table_bbox.x0
+            and text_bbox.x0 < table_bbox.x1
+            and text_bbox.y1 > table_bbox.y0
+            and text_bbox.y0 < table_bbox.y1
+        )
+
+
+class CombineSlicedImages(ProcessingStep):
+    """Re-join images sliced by the source format (reference:
+    basic_transforms.py:32-119). Pixel stitching needs an image library
+    which this container lacks; the grouping + node-rewrite plumbing is
+    real, and the stitch is a deterministic byte-concat fallback (the
+    actor-pool decode stage in stages/multimodal.py owns real decoding)."""
+
+    def _combine_images_in_group(self, image_elements) -> ImageElement:
+        if not image_elements:
+            raise ValueError("No images to combine.")
+        stitched = b"".join(e.image for e in image_elements)
+        return ImageElement(
+            bbox=image_elements[0].bbox,
+            image=stitched,
+            image_mimetype="image/png",
+            text="",
+        )
+
+    def _group_overlapping_images(self, image_elements, buffer: float = 1.0):
+        groups = []
+        used = set()
+        for i, elem1 in enumerate(image_elements):
+            if i in used:
+                continue
+            group = [elem1]
+            used.add(i)
+            queue = [elem1]
+            while queue:
+                current = queue.pop()
+                for j, elem2 in enumerate(image_elements):
+                    if j in used:
+                        continue
+                    if current.overlaps(elem2, buffer=buffer):
+                        group.append(elem2)
+                        used.add(j)
+                        queue.append(elem2)
+            groups.append(group)
+        return groups
+
+    def process(self, nodes: List[Node]) -> List[Node]:
+        nodes_by_page: Dict[int, List[Node]] = {}
+        for node in nodes:
+            for page in {e.bbox.page for e in node.elements}:
+                nodes_by_page.setdefault(page, []).append(node)
+
+        new_nodes = []
+        for page, page_nodes in nodes_by_page.items():
+            image_nodes = [n for n in page_nodes if n.variant == {"image"}]
+            if image_nodes:
+                image_elements = [
+                    e
+                    for n in image_nodes
+                    for e in n.elements
+                    if isinstance(e, ImageElement)
+                ]
+                text_elements = [
+                    e
+                    for n in page_nodes
+                    for e in n.elements
+                    if isinstance(e, TextElement)
+                ]
+                combined_image = self._combine_images_in_group(image_elements)
+                new_nodes.append(Node(elements=(combined_image, *text_elements)))
+            else:
+                new_nodes.extend(page_nodes)
+        return new_nodes
+
+
+class RemoveFullPageStubs(ProcessingStep):
+    """Drop single-page stub nodes covering >= max_area_pct of the page
+    (reference: basic_transforms.py:174-201)."""
+
+    def __init__(self, max_area_pct: float):
+        assert 0 <= max_area_pct <= 1, "max_area_pct must be between 0 and 1."
+        self.max_area_pct = max_area_pct
+
+    def process(self, nodes: List[Node]) -> List[Node]:
+        res = []
+        for node in nodes:
+            node_bbox = node.bbox[0]
+            page_area = node_bbox.page_width * node_bbox.page_height
+            if node.num_pages > 1:
+                res.append(node)
+            elif node_bbox.area / page_area < self.max_area_pct:
+                res.append(node)
+            elif not node.is_stub:
+                res.append(node)
+        return res
+
+
+class RemoveMetadataElements(ProcessingStep):
+    """Boilerplate strip: drop stub nodes outside the [10%, 90%] vertical
+    band — headers, footers, page numbers (reference: basic_transforms.py:204-232)."""
+
+    def __init__(self, min_y0_pct: float = 0.1, max_y0_pct: float = 0.90):
+        self.min_y0_pct = min_y0_pct
+        self.max_y0_pct = max_y0_pct
+
+    def process(self, nodes: List[Node]) -> List[Node]:
+        res = []
+        for node in nodes:
+            if not node.elements:
+                continue
+            first_bbox = node.elements[0].bbox
+            last_bbox = node.elements[-1].bbox
+            if first_bbox.page != last_bbox.page:
+                continue  # multi-page nodes are ignored (dropped), per reference
+            is_within_allowed_range = (
+                first_bbox.y0 >= first_bbox.page_height * self.min_y0_pct
+                and last_bbox.y1 <= first_bbox.page_height * self.max_y0_pct
+            )
+            if is_within_allowed_range or not node.is_stub:
+                res.append(node)
+        return res
+
+
+class RemoveRepeatedElements(ProcessingStep):
+    """Group-by text → count → drop ALL copies where count > threshold
+    (reference: basic_transforms.py:235-258 — drop-all, not keep-first).
+    Scope is one document; a corpus-level variant lives in stages/dedup.py."""
+
+    def __init__(self, threshold: int = 2):
+        self.threshold = threshold
+
+    def process(self, nodes: List[Node]) -> List[Node]:
+        text_counts: Dict[str, int] = {}
+        for node in nodes:
+            if node.text:
+                text_counts[node.text] = text_counts.get(node.text, 0) + 1
+        repeated = {t for t, c in text_counts.items() if c > self.threshold}
+        return [n for n in nodes if not n.text or n.text not in repeated]
+
+
+class RemoveNodesBelowNTokens(ProcessingStep):
+    """Drop nodes with tokens <= min unless they contain an image
+    (reference: basic_transforms.py:261-275)."""
+
+    def __init__(self, min_tokens: int):
+        self.min_tokens = min_tokens
+
+    def process(self, nodes: List[Node]) -> List[Node]:
+        return [
+            n
+            for n in nodes
+            if not (n.tokens <= self.min_tokens and "image" not in n.variant)
+        ]
+
+
+class CombineNodesSpatially(ProcessingStep):
+    """Order-sensitive iterative pairwise merge of spatially-close nodes
+    (reference: basic_transforms.py:278-327). Never parallelize within a
+    document: the result depends on iteration order."""
+
+    def __init__(
+        self,
+        x_error_margin: float = 0,
+        y_error_margin: float = 0,
+        criteria: Literal["both_small", "either_stub"] = "both_small",
+    ):
+        self.x_error_margin = x_error_margin
+        self.y_error_margin = y_error_margin
+        self.criteria = criteria
+
+    def process(self, nodes: List[Node]) -> List[Node]:
+        nodes = list(nodes)  # the fold consumes its input
+        combined_nodes: List[Node] = []
+        while nodes:
+            current_node = nodes.pop(0)
+            combined = False
+            for i, target_node in enumerate(combined_nodes):
+                if self.criteria == "both_small":
+                    criteria_bool = current_node.is_small and target_node.is_small
+                elif self.criteria == "either_stub":
+                    criteria_bool = current_node.is_stub or target_node.is_stub
+                else:
+                    criteria_bool = False
+                if (
+                    current_node.overlaps(
+                        target_node, self.x_error_margin, self.y_error_margin
+                    )
+                    and criteria_bool
+                ):
+                    combined_nodes[i] = Node(
+                        elements=target_node.elements + current_node.elements
+                    )
+                    combined = True
+                    break
+            if not combined:
+                combined_nodes.append(current_node)
+        return combined_nodes
+
+
+class CombineBullets(ProcessingStep):
+    """Sequential merge of adjacent nodes when prev ends with a bullet and
+    next starts with one (reference: basic_transforms.py:330-349)."""
+
+    def process(self, nodes: List[Node]) -> List[Node]:
+        combined_nodes = []
+        i = 0
+        while i < len(nodes):
+            current_combination = nodes[i]
+            while (
+                i + 1 < len(nodes)
+                and current_combination.ends_with_bullet
+                and nodes[i + 1].starts_with_bullet
+            ):
+                current_combination = current_combination + nodes[i + 1]
+                i += 1
+            combined_nodes.append(current_combination)
+            i += 1
+        return combined_nodes
+
+
+class CombineHeadingsWithClosestText(ProcessingStep):
+    """Merge a heading node with the immediately-following non-heading node
+    (reference: basic_transforms.py:352-377)."""
+
+    def process(self, nodes: List[Node]) -> List[Node]:
+        res = []
+        i = 0
+        while i < len(nodes) - 1:
+            current_node = nodes[i]
+            if current_node.is_heading:
+                next_node = nodes[i + 1]
+                if not next_node.is_heading:
+                    res.append(current_node + next_node)
+                    i += 2
+                    continue
+            res.append(current_node)
+            i += 1
+        if i == len(nodes) - 1:
+            res.append(nodes[i])
+        return res
+
+
+# ---------------------------------------------------------------------------
+# Pipelines (reference: src/openparse/processing/ingest.py:25-136)
+# ---------------------------------------------------------------------------
+
+
+class IngestionPipeline:
+    """Fold of transforms with a reading-order re-sort before every step
+    (reference: ingest.py:37-44 — the re-sort is part of the contract)."""
+
+    def __init__(self, transformations: Optional[List[ProcessingStep]] = None):
+        self.transformations: List[ProcessingStep] = transformations or []
+
+    def run(self, nodes: List[Node]) -> List[Node]:
+        nodes = sorted(nodes)
+        for transform in self.transformations:
+            nodes = transform.process(sorted(nodes))
+        return nodes
+
+    def append_transform(self, transform: ProcessingStep) -> None:
+        self.transformations.append(transform)
+
+
+class NoOpIngestionPipeline(IngestionPipeline):
+    def __init__(self):
+        super().__init__([])
+
+
+class BasicIngestionPipeline(IngestionPipeline):
+    """The canonical 12-step chain with exact parameters
+    (reference: ingest.py:65-92 — the parameters are part of the contract)."""
+
+    def __init__(self):
+        super().__init__(
+            [
+                RemoveTextInsideTables(),
+                CombineSlicedImages(),
+                RemoveFullPageStubs(max_area_pct=0.35),
+                CombineNodesSpatially(
+                    x_error_margin=10, y_error_margin=4, criteria="both_small"
+                ),
+                CombineHeadingsWithClosestText(),
+                CombineBullets(),
+                CombineNodesSpatially(
+                    x_error_margin=0, y_error_margin=10, criteria="both_small"
+                ),
+                RemoveMetadataElements(),
+                CombineNodesSpatially(criteria="either_stub"),
+                RemoveRepeatedElements(threshold=2),
+                RemoveNodesBelowNTokens(min_tokens=50),
+                CombineBullets(),
+            ]
+        )

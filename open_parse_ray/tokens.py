@@ -1,0 +1,41 @@
+"""Deterministic token counting.
+
+The reference counts tokens with tiktoken's ``cl100k_base`` encoding
+(reference: src/openparse/utils.py:6-10), re-fetching the encoder on every
+call. tiktoken needs a network fetch for its BPE vocabulary, which this
+hermetic engine cannot do, so we use a deterministic BPE-ish regex
+approximation: words/number-runs/punctuation-runs are one token each, with
+long alphanumeric runs charged one extra token per 8 characters (mirroring
+BPE's splitting of long words). The count is a pure function of the string,
+identical across processes and parallelism levels, which is what the node
+thresholds (stub < 50, small < 256, large > 1024) require.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+# One match per token-ish unit: common English contractions, a space-prefixed
+# word, a digit run, a punctuation run, or residual whitespace (newlines).
+_TOKEN_RE = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"| ?[A-Za-zÀ-ɏ]+"
+    r"| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9À-ɏ]+"
+    r"|\s+"
+)
+
+# Long runs are split by BPE; charge one token per 8 chars beyond the first 8.
+_LONG_RUN = 8
+
+
+def num_tokens(string: Optional[str]) -> int:
+    """Deterministic token count (reference semantics: utils.py:6-10)."""
+    if not string:
+        return 0
+    n = 0
+    for m in _TOKEN_RE.finditer(string):
+        length = m.end() - m.start()
+        n += 1 + (length - 1) // _LONG_RUN
+    return n

@@ -1,0 +1,149 @@
+"""Span/line markdown formatting + node semantics
+(reference: src/tests/test_schemas.py and src/openparse/schemas.py)."""
+
+from open_parse_ray import consts
+from open_parse_ray.model import (
+    Bbox,
+    LineElement,
+    Node,
+    TableElement,
+    TextElement,
+    TextSpan,
+    clean_markdown_formatting,
+)
+
+
+def _bbox(x0=0, y0=0, x1=10, y1=10, page=0):
+    return Bbox(
+        page=page, page_height=792.0, page_width=612.0, x0=x0, y0=y0, x1=x1, y1=y1
+    )
+
+
+def test_formatted_text_boundaries():
+    bold = TextSpan(text="bold", is_bold=True, is_italic=False, size=12)
+    plain = TextSpan(text="plain", is_bold=False, is_italic=False, size=12)
+    italic = TextSpan(text="ital", is_bold=False, is_italic=True, size=12)
+
+    assert bold.formatted_text(None, None) == "**bold**"
+    assert italic.formatted_text(None, None) == "*ital*"
+    # adjacent same-style spans suppress interior markers
+    assert bold.formatted_text(bold, bold) == "bold"
+    assert bold.formatted_text(None, bold) == "**bold"
+    assert bold.formatted_text(bold, None) == "bold**"
+    assert plain.formatted_text(bold, bold) == "plain"
+
+
+def test_bold_italic_combined_markers():
+    bi = TextSpan(text="x", is_bold=True, is_italic=True, size=12)
+    assert bi.formatted_text(None, None) == "***x***"
+
+
+def test_line_text_joins_spans_with_markdown():
+    line = LineElement(
+        bbox=(0, 0, 100, 10),
+        spans=(
+            TextSpan(text="Hello ", is_bold=True, is_italic=False, size=12),
+            TextSpan(text="World", is_bold=False, is_italic=False, size=12),
+        ),
+    )
+    # reference quirk: the cleanup regex `\s+(\*\*|__)` eats the space
+    # before the closing marker entirely (schemas.py:171-174)
+    assert line.text == "**Hello**World"
+
+
+def test_clean_markdown_formatting_space_rules():
+    assert clean_markdown_formatting("** bold**") == "**bold**"
+    assert clean_markdown_formatting("**bold **") == "**bold**"
+    assert clean_markdown_formatting("* ital*") == "*ital*"
+    assert clean_markdown_formatting("****") == "** **"
+
+
+def test_line_bbox_rounded_2dp():
+    line = LineElement(bbox=(0.12345, 1.999, 2.345, 3.0001), spans=())
+    assert line.bbox == (0.12, 2.0, 2.35, 3.0)
+
+
+def test_line_heading_ignores_trailing_span():
+    spans = (
+        TextSpan(text="Head", is_bold=True, is_italic=False, size=18),
+        TextSpan(text=" ", is_bold=False, is_italic=False, size=9),  # weird trailing
+    )
+    line = LineElement(bbox=(0, 0, 10, 10), spans=spans)
+    assert line.is_heading is True
+    assert line.is_bold is True
+
+
+def test_node_text_assembly_relationships():
+    # elements sorted by (page, -y1, x0); relationship from y0 deltas
+    e_top = TextElement(text="Top", lines=(), bbox=_bbox(y0=100, y1=110))
+    e_sameline = TextElement(text="Right", lines=(), bbox=_bbox(x0=50, y0=100.5, y1=110))
+    e_para = TextElement(text="Para", lines=(), bbox=_bbox(y0=90, y1=99))
+    e_far = TextElement(text="Far", lines=(), bbox=_bbox(y0=20, y1=30))
+    node = Node(elements=(e_far, e_top, e_para, e_sameline))
+    assert node.text == "Top Right\nPara" + consts.ELEMENT_DELIMITER + "Far"
+
+
+def test_node_text_table_breaks_relationship():
+    e1 = TextElement(text="Text", lines=(), bbox=_bbox(y0=100, y1=110))
+    t1 = TableElement(text="| a |", bbox=_bbox(y0=95, y1=99))
+    node = Node(elements=(e1, t1))
+    assert node.text == "Text" + consts.ELEMENT_DELIMITER + "| a |"
+
+
+def test_reading_order_sort():
+    n1 = Node(elements=(TextElement(text="low", lines=(), bbox=_bbox(y0=10, y1=20)),))
+    n2 = Node(elements=(TextElement(text="high", lines=(), bbox=_bbox(y0=700, y1=710)),))
+    n3 = Node(
+        elements=(TextElement(text="page2", lines=(), bbox=_bbox(y0=700, y1=710, page=1)),)
+    )
+    assert sorted([n3, n1, n2]) == [n2, n1, n3]
+
+
+def test_node_bbox_per_page():
+    e1 = TextElement(text="a", lines=(), bbox=_bbox(x0=0, y0=0, x1=10, y1=10, page=0))
+    e2 = TextElement(text="b", lines=(), bbox=_bbox(x0=5, y0=5, x1=20, y1=20, page=0))
+    e3 = TextElement(text="c", lines=(), bbox=_bbox(x0=1, y0=1, x1=2, y1=2, page=1))
+    node = Node(elements=(e1, e2, e3))
+    assert len(node.bbox) == 2
+    b0 = node.bbox[0]
+    assert (b0.x0, b0.y0, b0.x1, b0.y1) == (0, 0, 20, 20)
+    assert node.num_pages == 2
+    assert node.start_page == 0 and node.end_page == 1
+
+
+def test_bullet_predicates():
+    n = Node(
+        elements=(
+            TextElement(
+                text=f"intro:{consts.ELEMENT_DELIMITER}- bullet", lines=(), bbox=_bbox()
+            ),
+        )
+    )
+    assert n.ends_with_bullet is True
+    assert n.starts_with_bullet is False
+    n2 = Node(elements=(TextElement(text="1. numbered", lines=(), bbox=_bbox()),))
+    assert n2.starts_with_bullet is True
+    n3 = Node(elements=(TextElement(text="(a) lettered", lines=(), bbox=_bbox()),))
+    assert n3.starts_with_bullet is True
+    n4 = Node(elements=(TextElement(text="**bold** not bullet", lines=(), bbox=_bbox()),))
+    assert n4.starts_with_bullet is False
+
+
+def test_node_add_combines_elements():
+    a = Node(elements=(TextElement(text="a", lines=(), bbox=_bbox()),))
+    b = Node(elements=(TextElement(text="b", lines=(), bbox=_bbox()),))
+    c = a + b
+    assert len(c.elements) == 2
+    assert c.variant == {"text"}
+
+
+def test_node_tokens_sum_and_stub():
+    short = Node(elements=(TextElement(text="hi", lines=(), bbox=_bbox()),))
+    assert short.is_stub is True
+    long_node = Node(
+        elements=(TextElement(text="word " * 300, lines=(), bbox=_bbox()),)
+    )
+    assert long_node.is_stub is False
+    assert long_node.is_large is False
+    # 300 words + 1 trailing-whitespace token
+    assert long_node.tokens == 301
