@@ -1,44 +1,217 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
+- ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+  the scale additions: dedup, similarity, text analysis, multimodal).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+  query, same column names, over the pre-registered testdata views.
+  Extraction/minhash/simhash/ANN/langid/multimodal queries are not
+  SQL-expressible → rows-only checks (their correctness gate is the
+  pytest byte-identity harness in tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from open_parse_ray.stages import analysis, dedup, relational, similarity
+from open_parse_ray.stages.similarity import default_query_vectors
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: synthetic Common-Crawl-style pages →
+    streaming extraction → per-document nodes summary."""
+    from open_parse_ray.pipelines.extraction import extract
+    from open_parse_ray.sources.pages import read_pages
+
+    ds = read_pages("/root/testdata/sf0.001")
+    return extract(ds, pipeline="basic", output="docs")
+
+
+def _q_extract_docs(sf_dir: str):
+    from open_parse_ray.pipelines.extraction import extract
+    from open_parse_ray.sources.pages import read_pages
+
+    return extract(read_pages(sf_dir), pipeline="basic", output="docs")
+
+
+def _q_extract_nodes(sf_dir: str):
+    from open_parse_ray.pipelines.extraction import extract
+    from open_parse_ray.sources.pages import read_pages
+
+    return extract(read_pages(sf_dir), pipeline="basic", output="nodes").drop_columns(
+        ["bbox"]
+    )
+
+
+def _q_extract_semantic(sf_dir: str):
+    from open_parse_ray.pipelines.extraction import extract
+    from open_parse_ray.sources.pages import read_pages
+
+    # semantic chain is heavier; run on the en subset (prune at the read)
+    return extract(read_pages(sf_dir), pipeline="semantic", output="docs", lang="en")
+
+
+def _q_multimodal(sf_dir: str):
+    from open_parse_ray.stages.multimodal import decode_meta_pipeline
+
+    return decode_meta_pipeline(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # -- extraction (pages corpus; oracle = pytest identity harness) --
+        "extract_docs": _q_extract_docs,
+        "extract_nodes": _q_extract_nodes,
+        "extract_semantic": _q_extract_semantic,
+        # -- text analysis over documents --
+        "doc_stats_by_lang": analysis.doc_stats_by_lang,
+        "token_counts": analysis.token_counts,
+        "fingerprints": analysis.fingerprints,
+        "quality_scores": analysis.quality_scores,
+        "langid_preds": analysis.langid_preds,
+        # -- dedup family --
+        "exact_dedup": dedup.exact_dedup_groups,
+        "char_jaccard_pairs": dedup.char_jaccard_pairs,
+        "minhash_neardup": dedup.minhash_neardup_pairs,
+        "simhash_neardup": dedup.simhash_neardup_pairs,
+        # -- similarity search over embeddings --
+        "knn_topk": similarity.knn_brute_force,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "embedding_neardup": similarity.embedding_neardup_pairs,
+        # -- relational / windowed --
+        "revenue_by_returnflag": relational.revenue_by_returnflag,
+        "customers_by_region": relational.customers_by_region,
+        "events_hourly": relational.events_hourly,
+        "sessions_per_user": relational.sessions_per_user,
+        "orders_topk": relational.orders_topk_by_value,
+        # -- multimodal plumbing (stubbed decode, real Ray stages) --
+        "multimodal_meta": _q_multimodal,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
+
+def _knn_oracle(k: int = 10) -> str:
+    q = default_query_vectors(1)[0]
+    lit = "[" + ", ".join(repr(float(v)) for v in q) + "]"
+    return f"""
+    WITH sims AS (
+      SELECT vec_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), {lit}) AS sim
+      FROM embeddings
+    )
+    SELECT CAST(0 AS BIGINT) AS query_id,
+           CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+           vec_id
+    FROM sims
+    ORDER BY sim DESC, vec_id
+    LIMIT {k}
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats_by_lang": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "fingerprints": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "quality_scores": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_words,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "char_jaccard_pairs": """
+            SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+                   jaccard(q.text, d.text) AS jac
+            FROM documents q JOIN documents d
+              ON q.lang = d.lang AND q.doc_id <> d.doc_id
+            WHERE q.doc_id % 50 = 0
+              AND jaccard(q.text, d.text) >= 0.5
+        """,
+        "knn_topk": _knn_oracle(10),
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "revenue_by_returnflag": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "customers_by_region": """
+            SELECT r.r_name AS r_name,
+                   count(*) AS n_customers,
+                   CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_acctbal_cents
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessions_per_user": """
+            WITH gaps AS (
+              SELECT user_id,
+                     epoch(ts) - lag(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS gap_s
+              FROM events
+            )
+            SELECT user_id,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sessions
+            FROM gaps GROUP BY user_id
+        """,
+        "orders_topk": """
+            SELECT CAST(row_number() OVER (
+                     ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                              o_orderkey
+                   ) AS BIGINT) AS rank,
+                   o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders
+            ORDER BY price_cents DESC, o_orderkey
+            LIMIT 20
+        """,
+    }

@@ -1,0 +1,243 @@
+"""Flagship pipeline: pages → elements → transform chain → nodes/docs tables.
+
+The reference's ``DocumentParser.parse`` (reference: src/openparse/
+doc_parser.py:83-126) is a single-process per-file loop; here the same
+per-document kernel runs inside ``map_batches`` over zero-copy Arrow
+batches of a streaming ``ray.data.Dataset``. Per-row try/except converts
+poison documents into ``status``/``error`` columns instead of failing the
+block (at 10^12 rows a single bad doc must not kill a task — the reference
+aborts, we must not). Node ids are deterministic hashes of (url, index):
+the reference's uuid4 ids (schemas.py:428-432) would break byte-identical
+replay and resume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+
+from open_parse_ray.functions.embed import make_semantic_pipeline
+from open_parse_ray.functions.html import html_to_elements
+from open_parse_ray.functions.transforms import (
+    BasicIngestionPipeline,
+    IngestionPipeline,
+    NoOpIngestionPipeline,
+)
+from open_parse_ray.model import Node
+
+DOC_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("status", pa.string()),
+        ("error", pa.string()),
+        ("n_nodes", pa.int32()),
+        ("n_pages", pa.int32()),
+        ("total_tokens", pa.int64()),
+        ("node_texts", pa.list_(pa.string())),
+        ("extracted_text", pa.string()),
+    ]
+)
+
+NODE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("node_idx", pa.int32()),
+        ("node_id", pa.string()),
+        ("variants", pa.list_(pa.string())),
+        ("text", pa.string()),
+        ("tokens", pa.int64()),
+        ("start_page", pa.int32()),
+        ("end_page", pa.int32()),
+        ("n_elements", pa.int32()),
+        (
+            "bbox",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("page", pa.int32()),
+                        ("page_height", pa.float64()),
+                        ("page_width", pa.float64()),
+                        ("x0", pa.float64()),
+                        ("y0", pa.float64()),
+                        ("x1", pa.float64()),
+                        ("y1", pa.float64()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def make_pipeline(name: str) -> IngestionPipeline:
+    if name == "basic":
+        return BasicIngestionPipeline()
+    if name == "noop":
+        return NoOpIngestionPipeline()
+    if name == "semantic":
+        return make_semantic_pipeline()
+    raise ValueError(f"unknown pipeline {name!r}")
+
+
+def node_id(url: str, idx: int) -> str:
+    return hashlib.sha1(f"{url}:{idx}".encode()).hexdigest()[:16]
+
+
+def parse_page(html, pipeline: Optional[IngestionPipeline] = None) -> List[Node]:
+    """Single-document pure-python kernel: HTML → processed node list.
+
+    This is the oracle the Ray pipeline must match byte-for-byte per url
+    (pytest gate in tests/test_pipeline_identity.py).
+    """
+    if pipeline is None:
+        pipeline = BasicIngestionPipeline()
+    elements = html_to_elements(html)
+    nodes = [Node(elements=(e,)) for e in elements]
+    return pipeline.run(nodes)
+
+
+def doc_row(url: str, nodes: List[Node]) -> Dict:
+    node_texts = [n.text for n in nodes]
+    return {
+        "url": url,
+        "status": "ok",
+        "error": "",
+        "n_nodes": len(nodes),
+        "n_pages": (max((n.end_page for n in nodes), default=-1) + 1),
+        "total_tokens": sum(n.tokens for n in nodes),
+        "node_texts": node_texts,
+        "extracted_text": "\n\n".join(node_texts),
+    }
+
+
+def _err_row(url: str, exc: Exception) -> Dict:
+    return {
+        "url": url,
+        "status": "error",
+        "error": f"{type(exc).__name__}: {exc}"[:500],
+        "n_nodes": 0,
+        "n_pages": 0,
+        "total_tokens": 0,
+        "node_texts": [],
+        "extracted_text": "",
+    }
+
+
+class ExtractDocs:
+    """map_batches kernel: pages batch → one doc-summary row per page.
+
+    A callable class so stateful use (actor pool) is available; the
+    pipeline object and compiled regexes are built once per actor in
+    ``__init__`` rather than per batch. Stateless task mode also works
+    (Ray constructs it per task) — the constructor is cheap by design.
+    """
+
+    def __init__(self, pipeline: str = "basic"):
+        self.pipeline_name = pipeline
+        self.pipeline = make_pipeline(pipeline)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        rows = []
+        for url, html in zip(urls, htmls):
+            try:
+                nodes = parse_page(html, self.pipeline)
+                rows.append(doc_row(url, nodes))
+            except Exception as exc:  # poison-doc isolation
+                rows.append(_err_row(url, exc))
+        return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+
+
+class ExtractNodes:
+    """map_batches kernel: pages batch → one row per extracted node."""
+
+    def __init__(self, pipeline: str = "basic"):
+        self.pipeline = make_pipeline(pipeline)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            try:
+                nodes = parse_page(html, self.pipeline)
+            except Exception:
+                continue
+            for idx, n in enumerate(nodes):
+                rows.append(
+                    {
+                        "url": url,
+                        "node_idx": idx,
+                        "node_id": node_id(url, idx),
+                        "variants": sorted(n.variant),
+                        "text": n.text,
+                        "tokens": n.tokens,
+                        "start_page": n.start_page,
+                        "end_page": n.end_page,
+                        "n_elements": len(n.elements),
+                        "bbox": [
+                            {
+                                "page": b.page,
+                                "page_height": b.page_height,
+                                "page_width": b.page_width,
+                                "x0": b.x0,
+                                "y0": b.y0,
+                                "x1": b.x1,
+                                "y1": b.y1,
+                            }
+                            for b in n.bbox
+                        ],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=NODE_SCHEMA)
+
+
+def extract(
+    ds,
+    pipeline: str = "basic",
+    output: str = "docs",
+    batch_size: int = 32,
+    skew_split_bytes: Optional[int] = 200_000,
+    lang: Optional[str] = None,
+    concurrency=None,
+):
+    """Build the streaming extraction pipeline over a pages Dataset.
+
+    Skew handling (north rule): documents larger than ``skew_split_bytes``
+    are routed to a dedicated branch with ``batch_size=1`` so one 100x
+    document never stalls a 32-doc batch; the two branches are unioned.
+    Both branches are stateless map_batches tasks — elastic, no pool to
+    starve other stages. ``lang`` applies a vectorized Arrow filter before
+    parsing (prune early).
+    """
+    import pyarrow.compute as pc
+
+    kernel_cls = ExtractDocs if output == "docs" else ExtractNodes
+    kw = {"batch_format": "pyarrow"}
+    if concurrency is not None:
+        kw["concurrency"] = concurrency
+
+    if lang is not None:
+        ds = ds.map_batches(
+            lambda t, _l=lang: t.filter(pc.equal(t["lang"], _l)),
+            batch_format="pyarrow",
+        )
+
+    if skew_split_bytes:
+        thr = skew_split_bytes
+        small = ds.map_batches(
+            lambda t: t.filter(pc.less_equal(pc.binary_length(t["html"]), thr)),
+            batch_format="pyarrow",
+        )
+        large = ds.map_batches(
+            lambda t: t.filter(pc.greater(pc.binary_length(t["html"]), thr)),
+            batch_format="pyarrow",
+        )
+        out_small = small.map_batches(
+            kernel_cls(pipeline), batch_size=batch_size, **kw
+        )
+        out_large = large.map_batches(kernel_cls(pipeline), batch_size=1, **kw)
+        return out_small.union(out_large)
+
+    return ds.map_batches(kernel_cls(pipeline), batch_size=batch_size, **kw)

@@ -1,0 +1,389 @@
+"""Corpus-level deduplication: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, char-set Jaccard.
+
+Scale shapes (the part that matters at 100 TB):
+- exact: hash in a vectorized map (shrinks the shuffle key from full text
+  to 16 bytes) → ``groupby(fp)`` → per-group first. One shuffle, keyed on
+  a short uniform hash — no skew.
+- MinHash-LSH: per-batch numpy signatures → explode to (band, band_hash,
+  doc_id) rows → ``groupby`` on the band key → candidate pairs per bucket
+  → signature-estimated Jaccard filter. The only all-to-all is over the
+  tiny band table (bands × docs rows of 3 ints), never the texts.
+- SimHash: 64-bit signature per doc, 4×16-bit band blocking for
+  hamming<=3-style candidates, same explode/groupby shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _md5_64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+def _word_shingles(text: str, k: int = 3) -> np.ndarray:
+    """Hashed k-word shingles (uint64)."""
+    words = text.split()
+    if len(words) < k:
+        return np.array([_md5_64(text)], dtype=np.uint64) if words else np.array([], dtype=np.uint64)
+    return np.array(
+        [_md5_64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)],
+        dtype=np.uint64,
+    )
+
+
+class MinHasher:
+    """num_perm universal-hash minhash signatures; (a*x+b) mod p family.
+    Permutation parameters derive from a fixed seed → deterministic
+    everywhere. Built once per actor."""
+
+    def __init__(self, num_perm: int = 128, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (P, S) matrix of hashed values, min over shingles
+        x = shingles.astype(np.object_)  # exact modular arithmetic via python ints
+        sig = np.empty(self.num_perm, dtype=np.uint64)
+        for p in range(self.num_perm):
+            vals = (int(self.a[p]) * x + int(self.b[p])) % _MERSENNE
+            sig[p] = np.uint64(min(vals))
+        return sig
+
+
+class FastMinHasher(MinHasher):
+    """Vectorized variant using float-safe 32-bit hashing: h = (a*x+b)
+    mod p with 31-bit ranges so uint64 arithmetic never overflows."""
+
+    def __init__(self, num_perm: int = 128, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        p = np.uint64((1 << 31) - 1)
+        self.p = p
+        self.a = rng.randint(1, int(p), size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, int(p), size=num_perm, dtype=np.uint64)
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = (shingles % self.p)[None, :]  # (1, S) values < 2^31
+        h = (self.a[:, None] * x + self.b[:, None]) % self.p  # fits in uint64
+        return h.min(axis=1)
+
+
+def minhash_band_rows(
+    batch: pd.DataFrame,
+    hasher: FastMinHasher,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> pd.DataFrame:
+    """doc rows → (band_id, band_hash, doc_id) rows (LSH banding)."""
+    rows_band, rows_hash, rows_doc = [], [], []
+    rpb = hasher.num_perm // bands
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        sig = hasher.signature(_word_shingles(text, shingle_k))
+        for b in range(bands):
+            chunk = sig[b * rpb : (b + 1) * rpb]
+            bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+            rows_band.append(b)
+            rows_hash.append(bh)
+            rows_doc.append(doc_id)
+    return pd.DataFrame(
+        {"band_id": rows_band, "band_hash": rows_hash, "doc_id": rows_doc}
+    )
+
+
+def minhash_signatures(batch: pd.DataFrame, hasher: FastMinHasher, shingle_k=3):
+    sigs = [
+        hasher.signature(_word_shingles(t, shingle_k)).tobytes()
+        for t in batch["text"]
+    ]
+    return pd.DataFrame({"doc_id": batch["doc_id"], "sig": sigs})
+
+
+def estimate_jaccard(sig_a: bytes, sig_b: bytes) -> float:
+    a = np.frombuffer(sig_a, dtype=np.uint64)
+    b = np.frombuffer(sig_b, dtype=np.uint64)
+    return float((a == b).mean())
+
+
+def simhash64(text: str) -> int:
+    """Classic 64-bit SimHash over word features."""
+    v = np.zeros(64, dtype=np.int64)
+    for w in text.split():
+        h = _md5_64(w)
+        for bit in range(64):
+            v[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if v[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    sh = [simhash64(t) for t in batch["text"]]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "simhash": np.array(sh, dtype=np.uint64).astype(np.int64),  # arrow int64
+        }
+    )
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa = set(zip(*[a.split()[i:] for i in range(k)])) if len(a.split()) >= k else {a}
+    sb = set(zip(*[b.split()[i:] for i in range(k)])) if len(b.split()) >= k else {b}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def char_jaccard(a: str, b: str) -> float:
+    """Character-set Jaccard — matches DuckDB's jaccard() exactly."""
+    sa, sb = set(a), set(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level operators
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(sf_dir: str):
+    """(doc_id = min id per distinct text, n_copies). Hash-partition
+    shuffle on a 32-char fp, not the text."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "fp": [hashlib.md5(t.encode()).hexdigest() for t in batch["text"]],
+            }
+        )
+
+    hashed = ds.map_batches(add_fp, batch_format="pandas", batch_size=8192)
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [int(g["doc_id"].min())], "n_copies": [len(g)]}
+        )
+
+    return hashed.groupby("fp").map_groups(
+        first_per_group, batch_format="pandas"
+    ).select_columns(["doc_id", "n_copies"])
+
+
+def minhash_neardup_pairs(
+    sf_dir: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+):
+    """Candidate pairs from LSH banding, verified by signature-estimated
+    Jaccard >= threshold. Returns (doc_a, doc_b, est_jaccard)."""
+    import ray.data as rd
+
+    hasher = FastMinHasher(num_perm)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    sigs = ds.map_batches(
+        lambda b: minhash_signatures(b, hasher, shingle_k),
+        batch_format="pandas",
+        batch_size=4096,
+    )
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        rpb = num_perm // bands
+        out_b, out_h, out_d, out_s = [], [], [], []
+        for doc_id, sig in zip(batch["doc_id"], batch["sig"]):
+            arr = np.frombuffer(sig, dtype=np.uint64)
+            for b in range(bands):
+                chunk = arr[b * rpb : (b + 1) * rpb]
+                out_b.append(b)
+                out_h.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
+                out_d.append(doc_id)
+                out_s.append(sig)
+        return pd.DataFrame(
+            {"band_id": out_b, "band_hash": out_h, "doc_id": out_d, "sig": out_s}
+        )
+
+    banded = sigs.map_batches(band_rows, batch_format="pandas", batch_size=4096)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "est_jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        sigs_ = g["sig"].tolist()
+        ra, rb, rj = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                ej = estimate_jaccard(sigs_[i], sigs_[j])
+                if ej >= threshold:
+                    ra.append(ids[i])
+                    rb.append(ids[j])
+                    rj.append(ej)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(ra, dtype="int64"),
+                "doc_b": pd.Series(rb, dtype="int64"),
+                "est_jaccard": pd.Series(rj, dtype="float64"),
+            }
+        )
+
+    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+
+    # dedupe pairs found in multiple bands: groupby pair key, keep first
+    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .map_groups(first_pair, batch_format="pandas")
+        .select_columns(["doc_a", "doc_b", "est_jaccard"])
+    )
+
+
+def simhash_table(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pandas", batch_size=4096)
+
+
+def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3):
+    """4×16-bit band blocking: any pair with hamming <= 3 shares at least
+    one exact 16-bit band (pigeonhole). Returns (doc_a, doc_b, hamming)."""
+    import ray.data as rd
+
+    sh = simhash_table(sf_dir)
+
+    def bands(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for doc_id, h in zip(batch["doc_id"], batch["simhash"]):
+            h = int(np.uint64(h))
+            for b in range(4):
+                out.append(
+                    {
+                        "band_id": b,
+                        "band_val": (h >> (16 * b)) & 0xFFFF,
+                        "doc_id": doc_id,
+                        "simhash": h if h < (1 << 63) else h - (1 << 64),
+                    }
+                )
+        return pd.DataFrame(out)
+
+    banded = sh.map_batches(bands, batch_format="pandas", batch_size=4096)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        hs = [int(np.uint64(v)) for v in g["simhash"]]
+        ra, rb, rh = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(hs[i] ^ hs[j]).count("1")
+                if d <= max_hamming and ids[i] != ids[j]:
+                    ra.append(ids[i])
+                    rb.append(ids[j])
+                    rh.append(d)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(ra, dtype="int64"),
+                "doc_b": pd.Series(rb, dtype="int64"),
+                "hamming": pd.Series(rh, dtype="int64"),
+            }
+        )
+
+    cand = banded.groupby(["band_id", "band_val"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    return (
+        cand.groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .select_columns(["doc_a", "doc_b", "hamming"])
+    )
+
+
+def char_jaccard_pairs(sf_dir: str, sample_mod: int = 50, threshold: float = 0.5):
+    """Broadcast-join near-dup check: a small sample of query docs
+    (doc_id % sample_mod == 0) is broadcast via ray.put once; every batch
+    compares its rows against the sample without any shuffle. Matches the
+    DuckDB jaccard() oracle exactly (char-set Jaccard, same-lang pairs)."""
+    import ray
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    # the sample side is tiny (n/sample_mod rows); at 100 TB this would be
+    # a predicate-pushdown read from a sample store — here a direct read
+    sample_tbl = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    sample_tbl = sample_tbl[sample_tbl["doc_id"] % sample_mod == 0]
+    sample_ref = ray.put(
+        [(int(r.doc_id), r.text, r.lang, set(r.text)) for r in sample_tbl.itertuples()]
+    )
+
+    class CompareToSample:
+        def __init__(self, ref):
+            self.sample = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            qa, qb, jj = [], [], []
+            for doc_id, text, lang in zip(
+                batch["doc_id"], batch["text"], batch["lang"]
+            ):
+                cs = set(text)
+                for qid, qtext, qlang, qset in self.sample:
+                    if qid == doc_id or qlang != lang:
+                        continue
+                    j = len(qset & cs) / len(qset | cs)
+                    if j >= threshold:
+                        qa.append(qid)
+                        qb.append(int(doc_id))
+                        jj.append(j)
+            return pd.DataFrame({"query_id": qa, "doc_id": qb, "jac": jj})
+
+    return docs.map_batches(
+        CompareToSample,
+        fn_constructor_args=(sample_ref,),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )

@@ -1,0 +1,182 @@
+"""Relational / windowed operators over the TPC-H-ish tables.
+
+Corpus-metrics-style aggregations demonstrating the scale patterns:
+partial aggregation before any groupby, broadcast joins for small
+dimension tables (ray.put once, lookup per batch — no shuffle), and
+groupby+map_groups windowing for the events stream. Money amounts are
+emitted as integer cents (CAST(ROUND(x*100)) both here and in the SQL
+oracle) so float summation order can never flip the value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _cents(x: pd.Series) -> pd.Series:
+    # round-half-AWAY-from-zero to match SQL round() (numpy rounds half to
+    # even, which flips exact .5 cents like 95046.5 systematically)
+    v = np.asarray(x, dtype=np.float64) * 100
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+
+
+def revenue_by_returnflag(sf_dir: str):
+    """lineitem: per (l_returnflag, l_linestatus): count, sum qty,
+    revenue cents. Partial-aggregates inside map_batches first."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            rev_cents=_cents(b["l_extendedprice"] * (1 - b["l_discount"])),
+            qty=b["l_quantity"].astype(np.int64),
+            n=np.int64(1),
+        )
+        return b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n_items=("n", "sum"), sum_qty=("qty", "sum"), revenue_cents=("rev_cents", "sum")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
+    )
+
+
+def customers_by_region(sf_dir: str):
+    """Broadcast join: region ⋈ nation are tiny — shipped to every batch
+    via ray.put; customer streams through with a dict lookup. Returns
+    (r_name, n_customers, total_acctbal_cents)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    nk_to_region = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(
+                dict(zip(region["r_regionkey"], region["r_name"]))
+            ),
+        )
+    )
+    ref = ray.put(nk_to_region)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+
+    class JoinAndPartial:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b.assign(
+                r_name=b["c_nationkey"].map(self.lookup),
+                bal_cents=_cents(b["c_acctbal"]),
+                n=np.int64(1),
+            )
+            return b.groupby("r_name", as_index=False).agg(
+                n_customers=("n", "sum"), total_acctbal_cents=("bal_cents", "sum")
+            )
+
+    partials = ds.map_batches(
+        JoinAndPartial,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        batch_size=65536,
+        concurrency=(1, 4),
+    )
+    return partials.groupby("r_name").aggregate(
+        Sum("n_customers", alias_name="n_customers"),
+        Sum("total_acctbal_cents", alias_name="total_acctbal_cents"),
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1h window per event_type: (event_type, hour_epoch,
+    n_events, total_value_cents)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            hour_epoch=(b["ts"].values.astype("datetime64[s]").astype(np.int64) // 3600)
+            * 3600,
+            v_cents=_cents(b["value"]),
+            n=np.int64(1),
+        )
+        return b.groupby(["event_type", "hour_epoch"], as_index=False).agg(
+            n_events=("n", "sum"), total_value_cents=("v_cents", "sum")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return partials.groupby(["event_type", "hour_epoch"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("total_value_cents", alias_name="total_value_cents"),
+    )
+
+
+def sessions_per_user(sf_dir: str, gap_minutes: int = 30):
+    """Session windows: a new session starts when the gap to the previous
+    event (per user, ordered by ts then event_id) exceeds ``gap_minutes``.
+    groupby(user_id).map_groups does the per-key ordered scan — the
+    documented partitioning assumption is that one user's events fit in
+    one group (true by construction of a keyed shuffle)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds()
+        n_sessions = int((gaps.isna() | (gaps > gap_minutes * 60)).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [np.int64(len(g))],
+                "n_sessions": [np.int64(n_sessions)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def orders_topk_by_value(sf_dir: str, k: int = 20):
+    """Top-k orders by total price: per-batch partial top-k, then a tiny
+    global sort+limit — never a full sort of the table."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(price_cents=_cents(b["o_totalprice"]))
+        top = b.nlargest(k, "price_cents")
+        return top[["o_orderkey", "price_cents"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    top = partials.sort(["price_cents", "o_orderkey"], descending=[True, False]).limit(k)
+
+    def add_rank(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        b["rank"] = np.arange(1, len(b) + 1, dtype=np.int64)
+        return b[["rank", "o_orderkey", "price_cents"]]
+
+    # coalesce the k rows into ONE block so the rank is global
+    return top.repartition(1).map_batches(add_rank, batch_format="pandas", batch_size=k)

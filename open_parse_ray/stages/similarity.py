@@ -1,0 +1,220 @@
+"""Similarity search over the ``embeddings`` table.
+
+- Brute-force cosine top-k: the query matrix is broadcast with ``ray.put``
+  once; every batch does one numpy matmul against it and emits only its
+  per-batch top-k partials; the final reduce sees batches×k tiny rows.
+  This is the 100 TB shape: no full-table materialization, no shuffle.
+- LSH-bucketed ANN: random-hyperplane signatures bucket the vectors
+  (groupby on a small int key); queries probe only their bucket(s).
+- Embedding near-dup: same-label blocking + per-group pairwise cosine.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+
+def default_query_vectors(n: int = 1, dim: int = 64) -> np.ndarray:
+    """Deterministic query vectors: sin-wave family, unit-normalized.
+    Reproducible in SQL as literal lists (floats repr round-trip)."""
+    q = np.array(
+        [[math.sin(0.1 * (i + 1) * (j + 1)) for j in range(dim)] for i in range(n)],
+        dtype=np.float64,
+    )
+    return q
+
+
+def knn_brute_force(
+    sf_dir: str,
+    queries: Optional[np.ndarray] = None,
+    k: int = 10,
+):
+    """Top-k by cosine for each query vector. Returns
+    (query_id, rank, vec_id) — ids/ranks only, so the DuckDB oracle
+    compares exactly (float sims differ in the last ulp between engines).
+    """
+    import ray
+    import ray.data as rd
+
+    if queries is None:
+        queries = default_query_vectors(1)
+    qref = ray.put(np.ascontiguousarray(queries, dtype=np.float64))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    class PartialTopK:
+        def __init__(self, qref, k):
+            self.q = ray.get(qref)  # (Q, D)
+            self.qn = self.q / np.linalg.norm(self.q, axis=1, keepdims=True)
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            emb = np.array([np.asarray(e, dtype=np.float64) for e in batch["embedding"]])
+            vec_ids = np.asarray(batch["vec_id"], dtype=np.int64)
+            norms = np.linalg.norm(emb, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (emb / norms[:, None]) @ self.qn.T  # (B, Q)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(sims.shape[1]):
+                col = sims[:, qi]
+                top = np.argsort(-col, kind="stable")[: self.k]
+                out_q.extend([qi] * len(top))
+                out_v.extend(vec_ids[top].tolist())
+                out_s.extend(col[top].tolist())
+            return pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "sim": out_s}
+            )
+
+    partials = ds.map_batches(
+        PartialTopK,
+        fn_constructor_args=(qref, k),
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=(1, 8),
+    )
+
+    # final reduce: batches×k rows — tiny, safe to collect per query group
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "vec_id": g["vec_id"].astype(np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures for cosine LSH (deterministic seed)."""
+
+    def __init__(self, dim: int = 64, n_bits: int = 12, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((dim, n_bits))
+        self.n_bits = n_bits
+
+    def bucket(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes) > 0  # (N, n_bits)
+        weights = (1 << np.arange(self.n_bits)).astype(np.int64)
+        return bits @ weights
+
+
+def ann_lsh_topk(
+    sf_dir: str,
+    queries: Optional[np.ndarray] = None,
+    k: int = 10,
+    n_bits: int = 8,
+):
+    """Approximate top-k: vectors bucketed by hyperplane LSH; each query
+    probes its own bucket plus all buckets at hamming distance 1 (the
+    standard multi-probe trick). Returns (query_id, rank, vec_id) —
+    approximate, verified against brute force by recall in tests."""
+    import ray
+    import ray.data as rd
+
+    if queries is None:
+        queries = default_query_vectors(1)
+    lsh = HyperplaneLSH(dim=queries.shape[1], n_bits=n_bits)
+    qbuckets = lsh.bucket(queries)  # (Q,)
+    probe_sets: List[set] = []
+    for qb in qbuckets:
+        probes = {int(qb)}
+        for bit in range(n_bits):
+            probes.add(int(qb) ^ (1 << bit))
+        probe_sets.append(probes)
+    all_probes = set().union(*probe_sets)
+    qref = ray.put((np.ascontiguousarray(queries, dtype=np.float64), probe_sets))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    class ProbeBuckets:
+        def __init__(self, qref, lsh_seed, n_bits, dim, k, all_probes):
+            self.q, self.probe_sets = ray.get(qref)
+            self.qn = self.q / np.linalg.norm(self.q, axis=1, keepdims=True)
+            self.lsh = HyperplaneLSH(dim=dim, n_bits=n_bits, seed=lsh_seed)
+            self.k = k
+            self.all_probes = all_probes
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            emb = np.array([np.asarray(e, dtype=np.float64) for e in batch["embedding"]])
+            vec_ids = np.asarray(batch["vec_id"], dtype=np.int64)
+            buckets = self.lsh.bucket(emb)
+            mask = np.isin(buckets, list(self.all_probes))
+            if not mask.any():
+                return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+            emb, vec_ids, buckets = emb[mask], vec_ids[mask], buckets[mask]
+            norms = np.linalg.norm(emb, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (emb / norms[:, None]) @ self.qn.T
+            out_q, out_v, out_s = [], [], []
+            for qi, probes in enumerate(self.probe_sets):
+                sel = np.isin(buckets, list(probes))
+                if not sel.any():
+                    continue
+                col = sims[sel, qi]
+                ids = vec_ids[sel]
+                top = np.argsort(-col, kind="stable")[: self.k]
+                out_q.extend([qi] * len(top))
+                out_v.extend(ids[top].tolist())
+                out_s.extend(col[top].tolist())
+            return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "sim": out_s})
+
+    partials = ds.map_batches(
+        ProbeBuckets,
+        fn_constructor_args=(qref, 42, n_bits, queries.shape[1], k, all_probes),
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=(1, 8),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype(np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "vec_id": g["vec_id"].astype(np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3):
+    """Same-label blocking + per-group pairwise cosine >= threshold.
+    Returns (id_a, id_b) int pairs (no floats → exact oracle compare)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        emb = np.array([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+        ids = np.asarray(g["vec_id"], dtype=np.int64)
+        order = np.argsort(ids)
+        emb, ids = emb[order], ids[order]
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        nm = emb / norms[:, None]
+        sims = nm @ nm.T
+        ia, ib = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(ids[ia], dtype="int64"),
+                "id_b": pd.Series(ids[ib], dtype="int64"),
+            }
+        )
+
+    return ds.groupby("label").map_groups(pairs, batch_format="pandas")
