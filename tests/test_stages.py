@@ -1,0 +1,144 @@
+"""Unit tests for the corpus-level stages (dedup / similarity / analysis /
+multimodal kernels) — pure-kernel level, no Ray session needed."""
+
+import numpy as np
+import pandas as pd
+
+from open_parse_ray.stages.analysis import (
+    LangId,
+    n_tokens_sql_semantics,
+    quality_batch,
+    rolling_fingerprint_batch,
+)
+from open_parse_ray.stages.dedup import (
+    FastMinHasher,
+    char_jaccard,
+    estimate_jaccard,
+    ngram_jaccard,
+    simhash64,
+    _word_shingles,
+)
+from open_parse_ray.stages.multimodal import (
+    DecodeMedia,
+    ResizeStub,
+    frame_sample,
+    make_payload,
+)
+from open_parse_ray.stages.similarity import HyperplaneLSH, default_query_vectors
+
+
+def test_token_count_sql_semantics():
+    assert n_tokens_sql_semantics("") == 0
+    assert n_tokens_sql_semantics("   ") == 0
+    assert n_tokens_sql_semantics("one") == 1
+    assert n_tokens_sql_semantics("  a  b\tc\nd ") == 4
+
+
+def test_quality_batch_counts():
+    df = quality_batch(
+        pd.DataFrame({"doc_id": [1], "text": ["Abc 12 X! yz"]})
+    )
+    r = df.iloc[0]
+    assert r.n_chars == 12
+    assert r.n_words == 4
+    assert r.n_alpha == 6
+    assert r.n_digit == 2
+    assert r.n_upper == 2
+
+
+def test_rolling_fingerprint_deterministic():
+    b = pd.DataFrame({"doc_id": [1, 2], "text": ["hello world " * 10, "abc"]})
+    a = rolling_fingerprint_batch(b)
+    c = rolling_fingerprint_batch(b)
+    assert list(a.rolling_fp) == list(c.rolling_fp)
+    assert a.rolling_fp[0] != a.rolling_fp[1]
+
+
+def test_langid_heuristic():
+    lid = LangId()
+    assert lid.predict("the cat sat on the mat and the dog in the house") == "en"
+    assert lid.predict("der hund und die katze in dem haus mit der maus") == "de"
+    assert lid.predict("le chat et le chien pour la maison avec le lait") == "fr"
+    assert lid.predict("一二三四五六七 一二三 四五六七 一二三四 五六七") == "zh"
+    assert lid.predict("zzz qqq vvv www") == "xx"
+
+
+def test_minhash_similar_docs_share_signature_bits():
+    h = FastMinHasher(128)
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = a.replace("lazy", "sleepy")
+    c = "completely different words entirely unrelated content here " * 10
+    sa = h.signature(_word_shingles(a)).tobytes()
+    sb = h.signature(_word_shingles(b)).tobytes()
+    sc = h.signature(_word_shingles(c)).tobytes()
+    assert estimate_jaccard(sa, sb) > 0.3
+    assert estimate_jaccard(sa, sc) < 0.1
+    # estimate tracks true jaccard roughly
+    true_j = ngram_jaccard(a, b)
+    assert abs(estimate_jaccard(sa, sb) - true_j) < 0.25
+
+
+def test_simhash_hamming_tracks_similarity():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("dog", "cat")
+    c = "totally different text with other words " * 5
+    ha, hb, hc = simhash64(a), simhash64(b), simhash64(c)
+    d_ab = bin(ha ^ hb).count("1")
+    d_ac = bin(ha ^ hc).count("1")
+    assert d_ab < d_ac
+    assert simhash64(a) == ha  # deterministic
+
+
+def test_char_jaccard_matches_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    for a, b in [("abc", "bcd"), ("hello world", "hellish"), ("x", "x")]:
+        expect = con.sql(f"SELECT jaccard('{a}', '{b}')").fetchone()[0]
+        assert abs(char_jaccard(a, b) - expect) < 1e-15
+
+
+def test_hyperplane_lsh_buckets_similar_vectors_together():
+    lsh = HyperplaneLSH(dim=8, n_bits=4)
+    v = np.random.RandomState(0).standard_normal((1, 8))
+    v2 = v + 0.01
+    assert lsh.bucket(v)[0] == lsh.bucket(v2)[0]
+    assert lsh.bucket(v)[0] == lsh.bucket(v)[0]
+
+
+def test_default_query_vectors_deterministic():
+    assert np.array_equal(default_query_vectors(2), default_query_vectors(2))
+
+
+def test_multimodal_decode_roundtrip():
+    import pyarrow as pa
+
+    payloads = [make_payload(i) for i in range(5)]
+    batch = pa.Table.from_arrays(
+        [pa.array(list(range(5)), pa.int64()), pa.array(payloads, pa.binary())],
+        names=["media_id", "payload"],
+    )
+    out = DecodeMedia()(batch)
+    assert out.column("status").to_pylist() == ["ok"] * 5
+    assert out.column("width").to_pylist()[0] == 8
+    # corrupt payload → error row, not an exception
+    bad = pa.Table.from_arrays(
+        [pa.array([9], pa.int64()), pa.array([b"nope"], pa.binary())],
+        names=["media_id", "payload"],
+    )
+    out2 = DecodeMedia()(bad)
+    assert out2.column("status").to_pylist()[0].startswith("error:")
+
+
+def test_multimodal_resize_and_frames():
+    import pyarrow as pa
+
+    payloads = [make_payload(i) for i in range(3)]
+    batch = pa.Table.from_arrays(
+        [pa.array(list(range(3)), pa.int64()), pa.array(payloads, pa.binary())],
+        names=["media_id", "payload"],
+    )
+    thumbs = ResizeStub(32)(batch)
+    assert all(len(t) == 32 for t in thumbs.column("thumb").to_pylist())
+    frames = frame_sample(batch, stride=1)
+    assert frames.num_rows >= 3
