@@ -1,0 +1,186 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ...}
+
+``bench.py --scaling`` runs the flagship extraction pipeline twice in
+FRESH processes (num_cpus=8 then num_cpus=32 — the N / 4N cluster-size
+proxy, see BASELINE.md) on the same input and reports both throughputs
+plus scaling efficiency = (T_4N / T_N) / 4.
+
+This script OWNS its Ray session (the only places allowed to call
+ray.init are bench.py, CLI entry points, and the test fixture).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _consume(res) -> int:
+    """Fully execute a pipeline result; return its row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return res.count()  # ray.data.Dataset — streams to completion
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import ray
+
+    import __ray_entry__ as entrymod
+    from open_parse_ray.sources.pages import ensure_pages_parquet, sf_from_dir
+
+    sf = sf_from_dir(sf_dir)
+    # pre-materialize the synthetic pages corpus so generation cost is not
+    # attributed to the first extraction query
+    ensure_pages_parquet(sf)
+
+    qmap = entrymod.queries()
+    bench_queries = [
+        "extract_docs",
+        "extract_nodes",
+        "doc_stats_by_lang",
+        "quality_scores",
+        "fingerprints",
+        "exact_dedup",
+        "minhash_neardup",
+        "simhash_neardup",
+        "knn_topk",
+        "ann_lsh_topk",
+        "revenue_by_returnflag",
+        "customers_by_region",
+        "events_hourly",
+        "sessions_per_user",
+        "orders_topk",
+    ]
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name in bench_queries:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        counts[name] = _consume(fn(sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    n_docs = counts.get("extract_docs", 0)
+    extract_s = timings.get("extract_docs", float("nan"))
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "open_parse_ray bench suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "docs_per_sec": round(n_docs / extract_s, 2) if extract_s else None,
+        "rows": counts,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling_worker(sf_dir: str, num_cpus: int) -> None:
+    """Child process: flagship extraction at one parallelism level."""
+    _init_ray(num_cpus)
+    import ray
+
+    from open_parse_ray.pipelines.extraction import extract
+    from open_parse_ray.sources.pages import (
+        ensure_pages_parquet,
+        read_pages,
+        sf_from_dir,
+    )
+
+    sf = sf_from_dir(sf_dir)
+    ensure_pages_parquet(sf)  # warm cache outside the timed region
+    t0 = time.perf_counter()
+    n = extract(read_pages(sf), pipeline="basic", output="docs").count()
+    elapsed = time.perf_counter() - t0
+    ray.shutdown()
+    print(
+        json.dumps(
+            {"num_cpus": num_cpus, "docs": n, "sec": round(elapsed, 3),
+             "docs_per_sec": round(n / elapsed, 2)}
+        )
+    )
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job, same input, two parallelism levels in fresh processes
+    (sandbox proxy for the N → 4N node cluster-size criterion)."""
+    levels = [8, 32]
+    results = []
+    for cpus in levels:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_scaling-worker",
+             str(cpus), sf_dir],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results.append(json.loads(line))
+    t_n, t_4n = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
+    factor = levels[1] / levels[0]
+    eff = round((t_4n / t_n) / factor, 3)
+    return {
+        "metric": "extraction scaling efficiency (8→32 CPUs, fresh sessions)",
+        "value": eff,
+        "unit": "efficiency",
+        "levels": results,
+        "sf": sf_from_dir_safe(sf_dir),
+        "num_cpus": levels[1],
+    }
+
+
+def sf_from_dir_safe(sf_dir: str) -> float:
+    from open_parse_ray.sources.pages import sf_from_dir
+
+    return sf_from_dir(sf_dir)
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--_scaling-worker":
+        run_scaling_worker(argv[2], int(argv[1]))
+        return
+    if argv and argv[0] == "--scaling":
+        print(json.dumps(run_scaling(SF_DIR)))
+        return
+    print(json.dumps(run_benchmarks(SF_DIR, NUM_CPUS)))
+
+
+if __name__ == "__main__":
+    main()

@@ -230,13 +230,15 @@ def ensure_pages_parquet(sf: float, seed: int = SEED) -> str:
 
     num_blocks = max(4, min(64, n // 250))
     ds = rd.range(n, override_num_blocks=num_blocks)
+    # batch_size=None → one batch per block → one output file per block,
+    # so the corpus has real shards for shard-granular resume (lineage.py)
     ds = ds.map_batches(
         lambda b: gen_pages_batch(b["id"], seed),
         batch_format="numpy",
-        batch_size=256,
+        batch_size=None,
         zero_copy_batch=True,
     )
-    ds.write_parquet(tmp_dir)
+    ds.write_parquet(tmp_dir, row_group_size=1024)
     try:
         os.rename(tmp_dir, out_dir)
         with open(marker, "w") as f:
