@@ -25,7 +25,7 @@ from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
 from open_parse_ray import consts
-from open_parse_ray.functions.spans import CharElement, group_chars_into_spans
+from open_parse_ray.functions.spans import group_char_items_into_spans
 from open_parse_ray.functions.tables import output_to_markdown
 from open_parse_ray.model import Bbox, LineElement, TableElement, TextElement
 
@@ -366,8 +366,7 @@ class _Layout:
                         flush_line()
                     if word == " " and not cur:
                         continue  # no leading spaces on wrapped lines
-                    for ch in word:
-                        cur.append((ch, font, size))
+                    cur.append((word, font, size))
                     cur_w += w
         flush_line()
         return lines
@@ -397,16 +396,14 @@ class _Layout:
 
     def _make_line(self, chars, y1: float) -> LineElement:
         max_size = max((c[2] for c in chars), default=_DEFAULT_SIZE)
-        width = sum(_char_width(c[2]) for c in chars)
+        width = sum(len(c[0]) * _char_width(c[2]) for c in chars)
         bbox = (
             consts.PAGE_MARGIN_X,
             y1 - max_size,
             consts.PAGE_MARGIN_X + width,
             y1,
         )
-        spans = group_chars_into_spans(
-            [CharElement(text=t, fontname=f, size=s) for t, f, s in chars]
-        )
+        spans = group_char_items_into_spans(chars)
         return LineElement(bbox=bbox, spans=tuple(spans))
 
     def place_text_block(self, block: _Block):
@@ -432,9 +429,7 @@ class _Layout:
         if block.placement == "full":
             # one element spanning most of the page (watermark / full-page stub)
             all_chars = [c for line in lines for c in line]
-            spans = group_chars_into_spans(
-                [CharElement(text=t, fontname=f, size=s) for t, f, s in all_chars]
-            )
+            spans = group_char_items_into_spans(all_chars)
             bbox = (36.0, 60.0, consts.PAGE_WIDTH - 36.0, consts.PAGE_HEIGHT - 36.0)
             le = LineElement(bbox=bbox, spans=tuple(spans))
             self.elements.append(

@@ -71,19 +71,55 @@ def extract_chars(
     return chars
 
 
-def group_chars_into_spans(chars: Iterable[CharElement]) -> List[TextSpan]:
-    """Run-length group chars by (bold, italic, size) (reference: core.py:99-140)."""
+_FONT_STYLE_CACHE: dict = {}
+
+
+def _font_style(fontname: str) -> Tuple[bool, bool]:
+    st = _FONT_STYLE_CACHE.get(fontname)
+    if st is None:
+        st = (
+            "Bold" in fontname or "bold" in fontname,
+            "Italic" in fontname or "italic" in fontname,
+        )
+        _FONT_STYLE_CACHE[fontname] = st
+    return st
+
+
+def _iter_char_items(items):
+    """Expand any item whose text mixes whitespace with non-whitespace into
+    per-char items; pure-word and pure-whitespace items pass through (their
+    char-wise processing collapses to one step — see group_char_items)."""
+    for text, fontname, size in items:
+        if len(text) == 1 or text.isspace() or not any(ch.isspace() for ch in text):
+            yield text, fontname, size
+        else:
+            for ch in text:
+                yield ch, fontname, size
+
+
+def group_char_items_into_spans(
+    items: Iterable[Tuple[str, str, float]],
+) -> List[TextSpan]:
+    """Run-length group (text, fontname, size) items by (bold, italic, size)
+    (reference: core.py:99-140).
+
+    Char-for-char equivalent to feeding individual CharElements: a
+    multi-char word item shares one style, so the style-boundary test fires
+    only at its first char; a whitespace item of N chars compresses to the
+    same single trailing space as N whitespace chars would.
+    """
     spans: List[TextSpan] = []
     current_text = ""
     current_style = (False, False, 0.0)
 
-    for char in chars:
-        char_style = (char.is_bold, char.is_italic, char.size)
-        if char.text.isspace():
+    for text, fontname, size in _iter_char_items(items):
+        if text.isspace():
             # compress runs of whitespace to one space; style unchanged
             if not current_text.endswith(" "):
                 current_text += " "
             continue
+        bold, italic = _font_style(fontname)
+        char_style = (bold, italic, round(size, 2))
         if char_style != current_style and current_text:
             spans.append(
                 TextSpan(
@@ -94,9 +130,9 @@ def group_chars_into_spans(chars: Iterable[CharElement]) -> List[TextSpan]:
                     size=current_style[2],
                 )
             )
-            current_text = char.text
+            current_text = text
         else:
-            current_text += char.text
+            current_text += text
         current_style = char_style
 
     if current_text:
@@ -110,6 +146,11 @@ def group_chars_into_spans(chars: Iterable[CharElement]) -> List[TextSpan]:
             )
         )
     return spans
+
+
+def group_chars_into_spans(chars: Iterable[CharElement]) -> List[TextSpan]:
+    """Run-length group chars by (bold, italic, size) (reference: core.py:99-140)."""
+    return group_char_items_into_spans((c.text, c.fontname, c.size) for c in chars)
 
 
 def create_line_element(

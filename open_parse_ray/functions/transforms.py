@@ -234,31 +234,88 @@ class CombineNodesSpatially(ProcessingStep):
         self.criteria = criteria
 
     def process(self, nodes: List[Node]) -> List[Node]:
-        nodes = list(nodes)  # the fold consumes its input
+        # Semantically identical to the reference's order-sensitive fold
+        # (pop head; merge into the FIRST earlier node that overlaps and
+        # meets the criteria; else append), but indexed so the inner scan
+        # only visits candidates that could possibly merge:
+        #   - overlaps() requires a shared page → per-page index
+        #   - "both_small" requires BOTH small → skip non-small currents
+        #     entirely and keep a per-target small flag
+        #   - "either_stub" with a non-stub current requires a stub target
+        # Skipped pairs are exactly those where the reference's
+        # criteria_bool/overlaps conjunction is False, so the first-match
+        # index — and therefore the result — is unchanged. The naive loop
+        # is O(n² · pages²); on 1000-node documents (the skew tail) this
+        # is the extraction hot spot.
+        from bisect import insort
+
         combined_nodes: List[Node] = []
-        while nodes:
-            current_node = nodes.pop(0)
-            combined = False
-            for i, target_node in enumerate(combined_nodes):
-                if self.criteria == "both_small":
-                    criteria_bool = current_node.is_small and target_node.is_small
-                elif self.criteria == "either_stub":
-                    criteria_bool = current_node.is_stub or target_node.is_stub
-                else:
-                    criteria_bool = False
-                if (
-                    current_node.overlaps(
-                        target_node, self.x_error_margin, self.y_error_margin
-                    )
-                    and criteria_bool
-                ):
-                    combined_nodes[i] = Node(
-                        elements=target_node.elements + current_node.elements
-                    )
-                    combined = True
-                    break
-            if not combined:
+        flags: List[bool] = []  # is_small / is_stub per combined node
+        by_page: Dict[int, List[int]] = {}  # page → ascending indices
+
+        both_small = self.criteria == "both_small"
+        either_stub = self.criteria == "either_stub"
+
+        def _flag(n: Node) -> bool:
+            return n.is_small if both_small else (n.is_stub if either_stub else False)
+
+        def _register(idx: int, n: Node) -> None:
+            for b in n.bbox:
+                lst = by_page.setdefault(b.page, [])
+                if not lst or lst[-1] < idx:
+                    lst.append(idx)
+                elif idx not in lst:
+                    insort(lst, idx)
+
+        for current_node in nodes:
+            cur_small = current_node.is_small if both_small else False
+            cur_stub = current_node.is_stub if either_stub else False
+            if (both_small and not cur_small) or not (both_small or either_stub):
+                # criteria can never hold → reference would append directly
+                idx = len(combined_nodes)
                 combined_nodes.append(current_node)
+                flags.append(_flag(current_node))
+                _register(idx, current_node)
+                continue
+
+            cur_pages = [b.page for b in current_node.bbox]
+            if len(cur_pages) == 1:
+                candidates = by_page.get(cur_pages[0], ())
+            else:
+                seen = set()
+                candidates = []
+                for p in cur_pages:
+                    for i in by_page.get(p, ()):
+                        if i not in seen:
+                            seen.add(i)
+                            candidates.append(i)
+                candidates.sort()
+
+            merged_at = -1
+            for i in candidates:
+                if both_small:
+                    if not flags[i]:
+                        continue
+                elif either_stub and not cur_stub and not flags[i]:
+                    continue
+                if current_node.overlaps(
+                    combined_nodes[i], self.x_error_margin, self.y_error_margin
+                ):
+                    merged_at = i
+                    break
+
+            if merged_at >= 0:
+                new = Node(
+                    elements=combined_nodes[merged_at].elements + current_node.elements
+                )
+                combined_nodes[merged_at] = new
+                flags[merged_at] = _flag(new)
+                _register(merged_at, new)
+            else:
+                idx = len(combined_nodes)
+                combined_nodes.append(current_node)
+                flags.append(_flag(current_node))
+                _register(idx, current_node)
         return combined_nodes
 
 
