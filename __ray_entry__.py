@@ -32,7 +32,7 @@ def entry() -> Any:
     from open_parse_ray.pipelines.extraction import extract
     from open_parse_ray.sources.pages import read_pages
 
-    ds = read_pages("/root/testdata/sf0.001")
+    ds = read_pages("/root/testdata/sf0.001", columns=["url", "html"])
     return extract(ds, pipeline="basic", output="docs")
 
 
@@ -40,14 +40,14 @@ def _q_extract_docs(sf_dir: str):
     from open_parse_ray.pipelines.extraction import extract
     from open_parse_ray.sources.pages import read_pages
 
-    return extract(read_pages(sf_dir), pipeline="basic", output="docs")
+    return extract(read_pages(sf_dir, columns=["url", "html"]), pipeline="basic", output="docs")
 
 
 def _q_extract_nodes(sf_dir: str):
     from open_parse_ray.pipelines.extraction import extract
     from open_parse_ray.sources.pages import read_pages
 
-    return extract(read_pages(sf_dir), pipeline="basic", output="nodes").drop_columns(
+    return extract(read_pages(sf_dir, columns=["url", "html"]), pipeline="basic", output="nodes").drop_columns(
         ["bbox"]
     )
 
@@ -57,7 +57,21 @@ def _q_extract_semantic(sf_dir: str):
     from open_parse_ray.sources.pages import read_pages
 
     # semantic chain is heavier; run on the en subset (prune at the read)
-    return extract(read_pages(sf_dir), pipeline="semantic", output="docs", lang="en")
+    return extract(
+        read_pages(sf_dir, columns=["url", "html", "lang"]),
+        pipeline="semantic",
+        output="docs",
+        lang="en",
+    )
+
+
+def _q_extract_linked(sf_dir: str):
+    from open_parse_ray.pipelines.extraction import extract
+    from open_parse_ray.sources.pages import read_pages
+
+    return extract(
+        read_pages(sf_dir, columns=["url", "html"]), pipeline="basic", output="linked_nodes"
+    )
 
 
 def _q_multimodal(sf_dir: str):
@@ -72,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs": _q_extract_docs,
         "extract_nodes": _q_extract_nodes,
         "extract_semantic": _q_extract_semantic,
+        "extract_linked_nodes": _q_extract_linked,
         # -- text analysis over documents --
         "doc_stats_by_lang": analysis.doc_stats_by_lang,
         "token_counts": analysis.token_counts,
@@ -81,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup family --
         "exact_dedup": dedup.exact_dedup_groups,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_neardup": dedup.minhash_neardup_pairs,
         "simhash_neardup": dedup.simhash_neardup_pairs,
         # -- similarity search over embeddings --
@@ -156,6 +172,26 @@ def oracle_sql() -> dict[str, str]:
               ON q.lang = d.lang AND q.doc_id <> d.doc_id
             WHERE q.doc_id % 50 = 0
               AND jaccard(q.text, d.text) >= 0.5
+        """,
+        "ngram_jaccard_pairs": """
+            WITH tok AS (
+              SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') w
+              FROM documents
+            ), ng AS (
+              SELECT doc_id, lang,
+                     list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> array_to_string(list_slice(w, i, i + 2), ' ')
+                     )) g
+              FROM tok WHERE len(w) >= 3
+            ), pairs AS (
+              SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
+                     len(list_intersect(a.g, b.g))::DOUBLE
+                       / len(list_distinct(list_concat(a.g, b.g))) AS jac
+              FROM ng a JOIN ng b
+                ON a.doc_id % 50 = 0 AND a.doc_id <> b.doc_id AND a.lang = b.lang
+            )
+            SELECT query_id, doc_id, jac FROM pairs WHERE jac >= 0.2
         """,
         "knn_topk": _knn_oracle(10),
         "embedding_neardup": """

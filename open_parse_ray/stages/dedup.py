@@ -339,6 +339,77 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3):
     )
 
 
+def ngram_jaccard_pairs(
+    sf_dir: str, sample_mod: int = 50, threshold: float = 0.2, k: int = 3
+):
+    """Word k-gram Jaccard near-dup vs a broadcast sample of query docs
+    (same no-shuffle design as char_jaccard_pairs). Tokenization is
+    SQL-compatible: split trim(text) on runs of whitespace, so the DuckDB
+    list-function oracle reproduces it exactly. Returns
+    (query_id, doc_id, jac) for same-lang pairs with jac >= threshold."""
+    import re as _re
+
+    import ray
+    import ray.data as rd
+
+    ws = _re.compile(r"\s+")
+
+    def shingles(text: str):
+        words = ws.split(text.strip()) if text.strip() else []
+        if len(words) < k:
+            return None
+        return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    sample_tbl = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    sample_tbl = sample_tbl[sample_tbl["doc_id"] % sample_mod == 0]
+    sample = [
+        (int(r.doc_id), r.lang, shingles(r.text))
+        for r in sample_tbl.itertuples()
+    ]
+    sample_ref = ray.put([s for s in sample if s[2] is not None])
+
+    class CompareNgrams:
+        def __init__(self, ref):
+            self.sample = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            qa, qb, jj = [], [], []
+            for doc_id, text, lang in zip(
+                batch["doc_id"], batch["text"], batch["lang"]
+            ):
+                cs = shingles(text)
+                if cs is None:
+                    continue
+                for qid, qlang, qset in self.sample:
+                    if qid == doc_id or qlang != lang:
+                        continue
+                    j = len(qset & cs) / len(qset | cs)
+                    if j >= threshold:
+                        qa.append(qid)
+                        qb.append(int(doc_id))
+                        jj.append(j)
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(qa, dtype="int64"),
+                    "doc_id": pd.Series(qb, dtype="int64"),
+                    "jac": pd.Series(jj, dtype="float64"),
+                }
+            )
+
+    return docs.map_batches(
+        CompareNgrams,
+        fn_constructor_args=(sample_ref,),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+
 def char_jaccard_pairs(sf_dir: str, sample_mod: int = 50, threshold: float = 0.5):
     """Broadcast-join near-dup check: a small sample of query docs
     (doc_id % sample_mod == 0) is broadcast via ray.put once; every batch

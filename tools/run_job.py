@@ -1,0 +1,63 @@
+"""Extraction job entrypoint — what `ray job submit` runs on the cluster.
+
+Usage:
+    python tools/run_job.py --input /root/testdata/sf0.01 --out /tmp/opr_out
+    # resume after a crash: identical command; committed shards are skipped
+    python tools/run_job.py --input ... --out ...  # again
+
+Replaces the reference's sequential eval loop (reference:
+src/evals/run_evals.py:10-27) with a resumable shard-granular Ray Data job
+(open_parse_ray/state/lineage.py). This script OWNS the Ray session
+(guarded init — under `ray job submit` the session may already exist).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="directory of pages parquet")
+    ap.add_argument("--out", required=True, help="output dir (partitioned)")
+    ap.add_argument("--pipeline", default="basic", choices=["basic", "semantic", "noop"])
+    ap.add_argument("--shard-size", type=int, default=1, help="input files per shard")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+    from open_parse_ray.state import lineage
+
+    t0 = time.perf_counter()
+    res = lineage.run_job(
+        args.input,
+        args.out,
+        pipeline=args.pipeline,
+        shard_size=args.shard_size,
+        batch_size=args.batch_size,
+    )
+    metrics = lineage.job_metrics(args.out)
+    metrics["job_wall_s"] = round(time.perf_counter() - t0, 3)
+    metrics["resumed_parts_skipped"] = len(res["skipped"])
+    print(json.dumps(metrics))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
