@@ -161,9 +161,39 @@ def char_jaccard(a: str, b: str) -> float:
 # ---------------------------------------------------------------------------
 
 
+def salted_groupby(ds, salt_of, fn, num_parts: int = 32):
+    """Shuffle on a LOW-cardinality salt of the real key, then run ``fn``
+    vectorized over each whole partition.
+
+    Ray Data's groupby machinery costs ~3ms of Python per group; with
+    fine-grained keys (text hashes, LSH buckets, user ids) that dwarfs the
+    actual work. Salting the key down to ``num_parts`` partitions keeps
+    the co-location guarantee — every row of one real key lands in one
+    partition, because the salt is a function of the key — while paying
+    the per-group overhead only ``num_parts`` times; inside a partition
+    ``fn`` uses pandas groupby (vectorized dispatch, ~µs per group).
+    At cluster scale set ``num_parts`` ≈ cores × a small factor so one
+    partition fits a worker's heap.
+
+    ``salt_of(batch) -> int Series`` computes the salt per row.
+    """
+
+    def add_salt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (salt_of(b) % num_parts).astype("int64")
+        return b
+
+    salted = ds.map_batches(add_salt, batch_format="pandas", batch_size=8192)
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["_part"]))
+
+    return salted.groupby("_part").map_groups(run, batch_format="pandas")
+
+
 def exact_dedup_groups(sf_dir: str):
-    """(doc_id = min id per distinct text, n_copies). Hash-partition
-    shuffle on a 32-char fp, not the text."""
+    """(doc_id = min id per distinct text, n_copies). Shuffles a 16-byte
+    fp (never the text), salted to 32 partitions (see salted_groupby)."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -178,14 +208,17 @@ def exact_dedup_groups(sf_dir: str):
 
     hashed = ds.map_batches(add_fp, batch_format="pandas", batch_size=8192)
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [int(g["doc_id"].min())], "n_copies": [len(g)]}
+    def groups(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby("fp", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+        )
+        return out[["doc_id", "n_copies"]].astype(
+            {"doc_id": "int64", "n_copies": "int64"}
         )
 
-    return hashed.groupby("fp").map_groups(
-        first_per_group, batch_format="pandas"
-    ).select_columns(["doc_id", "n_copies"])
+    return salted_groupby(
+        hashed, lambda b: b["fp"].str[:8].apply(int, base=16), groups
+    )
 
 
 def minhash_neardup_pairs(
@@ -255,19 +288,31 @@ def minhash_neardup_pairs(
             }
         )
 
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    def pairs_in_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # all rows of any one (band_id, band_hash) bucket are co-located
+        # here (salt is a function of the bucket key)
+        outs = [
+            pairs_in_bucket(g)
+            for _, g in part.groupby(["band_id", "band_hash"], sort=False)
+            if len(g) > 1
+        ]
+        if not outs:
+            return pairs_in_bucket(part.iloc[:0])
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = salted_groupby(
+        banded,
+        lambda b: b["band_hash"].str[:8].apply(int, base=16) + b["band_id"],
+        pairs_in_partition,
     )
 
-    # dedupe pairs found in multiple bands: groupby pair key, keep first
-    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # dedupe pairs found in multiple bands (salt on the pair key)
+    def uniq_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["doc_a", "doc_b"])
 
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .map_groups(first_pair, batch_format="pandas")
-        .select_columns(["doc_a", "doc_b", "est_jaccard"])
-    )
+    return salted_groupby(
+        pairs, lambda b: b["doc_a"] * 1000003 + b["doc_b"], uniq_pairs
+    ).select_columns(["doc_a", "doc_b", "est_jaccard"])
 
 
 def simhash_table(sf_dir: str):
@@ -329,14 +374,23 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3):
             }
         )
 
-    cand = banded.groupby(["band_id", "band_val"]).map_groups(
-        pairs, batch_format="pandas"
+    def pairs_in_partition(part: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            pairs(g)
+            for _, g in part.groupby(["band_id", "band_val"], sort=False)
+            if len(g) > 1
+        ]
+        if not outs:
+            return pairs(part.iloc[:0])
+        return pd.concat(outs, ignore_index=True)
+
+    cand = salted_groupby(
+        banded, lambda b: b["band_val"] * 7 + b["band_id"], pairs_in_partition
     )
-    return (
-        cand.groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .select_columns(["doc_a", "doc_b", "hamming"])
-    )
+    return salted_groupby(
+        cand, lambda b: b["doc_a"] * 1000003 + b["doc_b"],
+        lambda part: part.drop_duplicates(["doc_a", "doc_b"]),
+    ).select_columns(["doc_a", "doc_b", "hamming"])
 
 
 def ngram_jaccard_pairs(

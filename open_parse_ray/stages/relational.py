@@ -162,19 +162,25 @@ def sessions_per_user(sf_dir: str, gap_minutes: int = 30):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    def sessions(part: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over the whole partition: sort by (user, ts, event),
+        # a session starts where the user changes or the gap exceeds the
+        # threshold — no per-user Python loop
+        g = part.sort_values(["user_id", "ts", "event_id"])
         gaps = g["ts"].diff().dt.total_seconds()
-        n_sessions = int((gaps.isna() | (gaps > gap_minutes * 60)).sum())
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [np.int64(len(g))],
-                "n_sessions": [np.int64(n_sessions)],
-            }
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        start = new_user | gaps.isna() | (gaps > gap_minutes * 60)
+        g = g.assign(_start=start.astype("int64"))
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("event_id", "size"), n_sessions=("_start", "sum")
+        )
+        return out.astype(
+            {"user_id": "int64", "n_events": "int64", "n_sessions": "int64"}
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return salted_groupby(ds, lambda b: b["user_id"], sessions)
 
 
 def orders_topk_by_value(sf_dir: str, k: int = 20):
