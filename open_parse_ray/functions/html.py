@@ -20,6 +20,7 @@ footers.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
@@ -27,7 +28,13 @@ from typing import List, Optional, Tuple
 from open_parse_ray import consts
 from open_parse_ray.functions.spans import group_char_items_into_spans
 from open_parse_ray.functions.tables import output_to_markdown
-from open_parse_ray.model import Bbox, LineElement, TableElement, TextElement
+from open_parse_ray.model import (
+    Bbox,
+    ImageElement,
+    LineElement,
+    TableElement,
+    TextElement,
+)
 
 # Subtrees that are never content.
 _DROP_TAGS = {
@@ -93,16 +100,30 @@ _BOLD_STYLE_RE = re.compile(r"font-weight\s*:\s*(bold|[7-9]00)", re.IGNORECASE)
 _WS_RE = re.compile(r"\s+")
 
 
+def _num_attr(v, default: float) -> float:
+    try:
+        return float(str(v).rstrip("px"))
+    except (TypeError, ValueError):
+        return default
+
+
 class _Block:
-    __slots__ = ("kind", "runs", "placement", "gap", "headers", "rows")
+    __slots__ = (
+        "kind", "runs", "placement", "gap", "headers", "rows",
+        "img_src", "img_w", "img_h", "img_alt",
+    )
 
     def __init__(self, kind="text", placement="flow", gap=18.0):
-        self.kind = kind  # text | table | pagebreak
+        self.kind = kind  # text | table | pagebreak | image
         self.runs: List[Tuple[str, bool, bool, float]] = []
         self.placement = placement  # flow | top | bottom | full
         self.gap = gap
         self.headers: List[str] = []
         self.rows: List[List[str]] = []
+        self.img_src = ""
+        self.img_w = 0.0
+        self.img_h = 0.0
+        self.img_alt = ""
 
 
 class _Extractor(HTMLParser):
@@ -165,6 +186,30 @@ class _Extractor(HTMLParser):
             self._drop_depth = 1
             return
 
+        # void elements: no endtag will fire, so never push onto the style
+        # stack (a push here would desync every later endtag pop)
+        if tag == "hr":
+            self._flush_block()
+            self.blocks.append(_Block(kind="pagebreak"))
+            return
+        if tag == "br":
+            if self._cell is not None:
+                self._cell.append("\n")
+            elif self._cur is not None:
+                self._cur.runs.append(("\n", *self._style[-1]))
+            return
+        if tag == "img":
+            if self._table is None:
+                self._flush_block()
+                d = dict(attrs)
+                blk = _Block(kind="image", placement=self._placement_stack[-1])
+                blk.img_src = d.get("src", "") or ""
+                blk.img_w = _num_attr(d.get("width"), 200.0)
+                blk.img_h = _num_attr(d.get("height"), 150.0)
+                blk.img_alt = (d.get("alt", "") or "").strip()
+                self.blocks.append(blk)
+            return
+
         style_attr = dict(attrs).get("style", "") or ""
         bold, italic, size = self._style[-1]
         if tag in ("b", "strong"):
@@ -180,17 +225,6 @@ class _Extractor(HTMLParser):
         if _BOLD_STYLE_RE.search(style_attr):
             bold = True
         self._style.append((bold, italic, size))
-
-        if tag == "hr":
-            self._flush_block()
-            self.blocks.append(_Block(kind="pagebreak"))
-            return
-        if tag == "br":
-            if self._cell is not None:
-                self._cell.append("\n")
-            elif self._cur is not None:
-                self._cur.runs.append(("\n", *self._style[-1]))
-            return
 
         if tag == "table":
             self._flush_block()
@@ -488,6 +522,49 @@ class _Layout:
         )
         self.cursor = y0 - 18.0
 
+    def place_image_block(self, block: _Block):
+        """Emit an ImageElement for an <img> tag.
+
+        The payload is a deterministic src-derived stub (no image decoding
+        libraries in this environment; the real decode/resize stages are
+        the actor-pool kernels in stages/multimodal.py). Mimetype comes
+        from the src extension — the analog of the reference's PDF
+        filter-chain sniffing (reference: text/pdfminer/core.py:70-96)."""
+        w = min(block.img_w, self.max_width)
+        h = block.img_h
+        if self.cursor - h < consts.PAGE_BOTTOM_Y:
+            self.new_page()
+        y1 = self.cursor
+        y0 = max(consts.PAGE_BOTTOM_Y, y1 - h)
+        src = block.img_src
+        ext = src.rsplit(".", 1)[-1].lower() if "." in src else ""
+        mimetype = {
+            "jpg": "image/jpeg",
+            "jpeg": "image/jpeg",
+            "png": "image/png",
+            "gif": "image/gif",
+            "bmp": "image/bmp",
+            "webp": "image/webp",
+        }.get(ext, "image/png")
+        payload = hashlib.sha1(src.encode("utf-8")).digest()
+        self.elements.append(
+            ImageElement(
+                text=block.img_alt,
+                bbox=Bbox(
+                    page=self.page,
+                    page_height=consts.PAGE_HEIGHT,
+                    page_width=consts.PAGE_WIDTH,
+                    x0=consts.PAGE_MARGIN_X,
+                    y0=y0,
+                    x1=consts.PAGE_MARGIN_X + w,
+                    y1=y1,
+                ),
+                image=payload,
+                image_mimetype=mimetype,
+            )
+        )
+        self.cursor = y0 - block.gap
+
 
 def html_to_elements(html) -> List:
     """Parse + strip + lay out one HTML document into elements.
@@ -506,6 +583,8 @@ def html_to_elements(html) -> List:
             layout.new_page()
         elif block.kind == "table":
             layout.place_table_block(block)
+        elif block.kind == "image":
+            layout.place_image_block(block)
         else:
             layout.place_text_block(block)
     return layout.elements

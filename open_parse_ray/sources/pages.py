@@ -22,6 +22,7 @@ import pyarrow as pa
 
 CACHE_ROOT = os.environ.get("OPR_CACHE", "/tmp/opr_cache")
 SEED = 42
+GEN_VERSION = 2  # bump when gen_html changes → invalidates cached corpora
 _EPOCH_US = 1734652800_000_000  # 2024-12-20T00:00:00Z in microseconds
 
 PAGES_SCHEMA = pa.schema(
@@ -148,6 +149,11 @@ def gen_html(i: int, seed: int = SEED) -> Dict[str, str]:
             body.append(_bullets_html(rng, words))
         if 0.35 <= r < 0.55:
             body.append(_table_html(rng, words))
+        if 0.55 <= r < 0.62:
+            body.append(
+                f'<img src="/img/fig-{s % 23}.png" width="320" height="140" '
+                f'alt="Figure {s % 23}">'
+            )
         if r < 0.12:
             body.append(f"<p>{_sentence(rng, words, 3)}</p>")  # stub fragment
         if rng.random() < 0.25:
@@ -219,7 +225,7 @@ def ensure_pages_parquet(sf: float, seed: int = SEED) -> str:
     import ray
     import ray.data as rd
 
-    out_dir = os.path.join(CACHE_ROOT, f"pages_sf{sf}_seed{seed}")
+    out_dir = os.path.join(CACHE_ROOT, f"pages_v{GEN_VERSION}_sf{sf}_seed{seed}")
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir

@@ -147,3 +147,40 @@ def test_node_tokens_sum_and_stub():
     assert long_node.is_large is False
     # 300 words + 1 trailing-whitespace token
     assert long_node.tokens == 301
+
+
+def test_img_tag_becomes_image_element():
+    from open_parse_ray.functions.html import html_to_elements
+    from open_parse_ray.model import ImageElement
+
+    html = (
+        '<html><body><p>before</p>'
+        '<img src="/x/chart.jpg" width="300" height="120" alt="Chart">'
+        '<img src="/x/noext" alt="">'
+        '<p>after</p></body></html>'
+    )
+    els = html_to_elements(html)
+    imgs = [e for e in els if isinstance(e, ImageElement)]
+    assert len(imgs) == 2
+    assert imgs[0].image_mimetype == "image/jpeg"
+    assert imgs[1].image_mimetype == "image/png"  # extension fallback
+    assert imgs[0].text == "Chart"
+    assert imgs[0].tokens == 512  # fixed placeholder (reference schemas.py:375)
+    assert imgs[0].image == imgs[0].image  # deterministic payload
+    assert html_to_elements(html)[1].image == imgs[0].image
+
+
+def test_void_tags_do_not_desync_style_stack():
+    from open_parse_ray.functions.html import html_to_elements
+
+    # <hr>/<br>/<img> fire no endtag; a style push for them would make the
+    # later </div> pop the wrong entry and leak bold into following text
+    html = (
+        "<html><body><div><b>bold</b><hr><br>"
+        '<img src="a.png"></div><p>plain text here</p></body></html>'
+    )
+    els = html_to_elements(html)
+    texts = [e for e in els if getattr(e, "lines", None)]
+    last = texts[-1]
+    assert last.text == "plain text here"
+    assert all(not s.is_bold for line in last.lines for s in line.spans)
