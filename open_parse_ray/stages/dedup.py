@@ -119,17 +119,23 @@ def estimate_jaccard(sig_a: bytes, sig_b: bytes) -> float:
 
 
 def simhash64(text: str) -> int:
-    """Classic 64-bit SimHash over word features."""
-    v = np.zeros(64, dtype=np.int64)
-    for w in text.split():
-        h = _md5_64(w)
-        for bit in range(64):
-            v[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if v[bit] > 0:
-            out |= 1 << bit
-    return out
+    """Classic 64-bit SimHash over word features (multiplicity-weighted).
+
+    Vectorized: md5 once per *unique* word, bit-unpack as a (U, 64)
+    matrix, weight rows by word counts — identical result to the
+    textbook per-word ±1 accumulation, without the 64-iteration Python
+    inner loop (which dominated the stage at scale)."""
+    from collections import Counter
+
+    counts = Counter(text.split())
+    if not counts:
+        return 0
+    hs = np.array([_md5_64(w) for w in counts], dtype=np.uint64)
+    w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    v = ((2 * bits - 1) * w[:, None]).sum(axis=0)
+    out_bits = np.where(v > 0, np.uint64(1), np.uint64(0))
+    return int((out_bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
 
 
 def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
