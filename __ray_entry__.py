@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search over embeddings --
         "knn_topk": similarity.knn_brute_force,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
         # -- relational / windowed --
         "revenue_by_returnflag": relational.revenue_by_returnflag,

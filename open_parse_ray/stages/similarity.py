@@ -191,6 +191,125 @@ def ann_lsh_topk(
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def build_ivf_centroids(
+    sample: np.ndarray, n_centroids: int = 16, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic spherical k-means-lite on a driver-side sample.
+
+    The sample is small (coarse quantizers need thousands of rows, not the
+    corpus); at 100 TB this is a bounded read of one shard. Fixed seed +
+    fixed iteration count → identical centroids on every run."""
+    rng = np.random.RandomState(seed)
+    sample = np.asarray(sample, dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1)
+    sample = sample[norms > 0] / norms[norms > 0][:, None]
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ann_ivf_topk(
+    sf_dir: str,
+    queries: Optional[np.ndarray] = None,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+):
+    """IVF-bucketed approximate top-k (the coarse-quantizer scale path,
+    complementing the LSH variant): vectors are assigned to their nearest
+    centroid cell; each query scans only its ``nprobe`` nearest cells.
+    Centroids are built once on the driver from a bounded sample and
+    broadcast via ray.put; assignment + partial top-k run vectorized
+    inside map_batches; the final reduce sees batches×k rows. Returns
+    (query_id, rank, vec_id); recall vs brute force is gated in tests."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    if queries is None:
+        queries = default_query_vectors(1)
+
+    # bounded sample read for the coarse quantizer (first row group)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    sample_tbl = pf.read_row_group(0, columns=["embedding"])
+    sample = np.array(
+        [np.asarray(e, dtype=np.float64) for e in sample_tbl["embedding"].to_pylist()]
+    )
+    cents = build_ivf_centroids(sample, n_centroids=n_centroids)
+
+    qn = np.ascontiguousarray(queries, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    # nprobe nearest cells per query
+    probe_cells = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    qref = ray.put((qn, cents, probe_cells))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    class ProbeCells:
+        def __init__(self, qref, k):
+            self.qn, self.cents, self.probe_cells = ray.get(qref)
+            self.all_cells = np.unique(self.probe_cells)
+            self.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            emb = np.array(
+                [np.asarray(e, dtype=np.float64) for e in batch["embedding"]]
+            )
+            vec_ids = np.asarray(batch["vec_id"], dtype=np.int64)
+            norms = np.linalg.norm(emb, axis=1)
+            norms[norms == 0] = 1.0
+            nm = emb / norms[:, None]
+            cells = np.argmax(nm @ self.cents.T, axis=1)
+            mask = np.isin(cells, self.all_cells)
+            if not mask.any():
+                return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+            nm, vec_ids, cells = nm[mask], vec_ids[mask], cells[mask]
+            sims = nm @ self.qn.T  # (B', Q)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(self.qn.shape[0]):
+                sel = np.isin(cells, self.probe_cells[qi])
+                if not sel.any():
+                    continue
+                col = sims[sel, qi]
+                ids = vec_ids[sel]
+                top = np.argsort(-col, kind="stable")[: self.k]
+                out_q.extend([qi] * len(top))
+                out_v.extend(ids[top].tolist())
+                out_s.extend(col[top].tolist())
+            return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "sim": out_s})
+
+    partials = ds.map_batches(
+        ProbeCells,
+        fn_constructor_args=(qref, k),
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=(1, 8),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype(np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "vec_id": g["vec_id"].astype(np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3):
     """Same-label blocking + per-group pairwise cosine >= threshold.
     Returns (id_a, id_b) int pairs (no floats → exact oracle compare)."""

@@ -1,0 +1,90 @@
+"""Scale-robustness gates: poison-document isolation (one bad row must
+never fail a block at 10^12 rows) and salted-groupby partition-count
+invariance (results must not depend on num_parts)."""
+
+import pyarrow as pa
+import pandas as pd
+
+from open_parse_ray.pipelines.extraction import ExtractDocs
+from open_parse_ray.sources.pages import PAGES_SCHEMA
+
+
+def _pages_table(rows):
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def test_poison_doc_isolated():
+    class Boom:
+        pass
+
+    good = {
+        "url": "https://x.test/ok",
+        "warc_ts": 0,
+        "html": b"<html><body><p>" + b"word " * 100 + b"</p></body></html>",
+        "text": "",
+        "lang": "en",
+    }
+    # undecodable garbage + absurd nesting stress the parser but must not
+    # raise out of the kernel
+    poison = dict(good, url="https://x.test/poison", html=b"\xff\xfe" + b"<div>" * 5)
+    out = ExtractDocs("basic")(_pages_table([good, poison, good | {"url": "https://x.test/ok2"}]))
+    df = out.to_pandas()
+    assert len(df) == 3
+    ok = df[df["url"] != "https://x.test/poison"]
+    assert (ok["status"] == "ok").all()
+    # the poison row produced a row (ok or error), never an exception
+    assert set(df["status"]) <= {"ok", "error"}
+
+
+def test_extract_kernel_exception_becomes_error_row(monkeypatch):
+    import open_parse_ray.pipelines.extraction as ex
+
+    orig = ex.parse_page
+
+    def flaky(html, pipeline=None):
+        if b"BOOM" in (html if isinstance(html, bytes) else html.encode()):
+            raise ValueError("synthetic parser crash")
+        return orig(html, pipeline)
+
+    monkeypatch.setattr(ex, "parse_page", flaky)
+    rows = [
+        {"url": "https://x.test/a", "warc_ts": 0, "html": b"<p>fine</p>",
+         "text": "", "lang": "en"},
+        {"url": "https://x.test/b", "warc_ts": 0, "html": b"<p>BOOM</p>",
+         "text": "", "lang": "en"},
+    ]
+    df = ex.ExtractDocs("basic")(_pages_table(rows)).to_pandas()
+    assert list(df["status"]) == ["ok", "error"]
+    assert "synthetic parser crash" in df["error"].iloc[1]
+    assert df["n_nodes"].iloc[1] == 0
+
+
+def test_salted_groupby_num_parts_invariance(ray_session):
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    src = rd.range(2000).map_batches(
+        lambda b: pd.DataFrame(
+            {"k": (b["id"] * 7919) % 97, "v": b["id"]}
+        ),
+        batch_format="numpy",
+    )
+
+    def per_key(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("k", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), mn=("v", "min")
+        )
+
+    results = []
+    for parts in (1, 7, 32):
+        df = (
+            salted_groupby(src, lambda b: b["k"], per_key, num_parts=parts)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        results.append(df)
+    assert results[0].equals(results[1])
+    assert results[0].equals(results[2])
+    assert len(results[0]) == 97

@@ -142,3 +142,27 @@ def test_multimodal_resize_and_frames():
     assert all(len(t) == 32 for t in thumbs.column("thumb").to_pylist())
     frames = frame_sample(batch, stride=1)
     assert frames.num_rows >= 3
+
+
+def test_ivf_centroids_deterministic_and_unit_norm():
+    from open_parse_ray.stages.similarity import build_ivf_centroids
+
+    rng = np.random.RandomState(0)
+    sample = rng.standard_normal((500, 16))
+    a = build_ivf_centroids(sample, n_centroids=8)
+    b = build_ivf_centroids(sample, n_centroids=8)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_ann_ivf_recall_vs_brute_force(ray_session):
+    from open_parse_ray.stages.similarity import ann_ivf_topk, knn_brute_force
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_brute_force(sf, k=10).to_pandas()
+    approx = ann_ivf_topk(sf, k=10, n_centroids=8, nprobe=4).to_pandas()
+    exact_ids = set(exact["vec_id"])
+    approx_ids = set(approx["vec_id"])
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert list(approx.columns) == ["query_id", "rank", "vec_id"]
