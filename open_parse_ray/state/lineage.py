@@ -32,8 +32,38 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 import time
 from typing import Dict, List, Optional
+
+_CONSTRUCT_LOCK = threading.Lock()
+
+
+def _preseed_fsspec_http() -> None:
+    """Make Ray's lazy fsspec-http probe thread-safe.
+
+    aiohttp is absent in this environment, so importing
+    ``fsspec.implementations.http`` always fails — but the *failed* module
+    is removed from sys.modules each time, and two driver threads
+    first-importing it concurrently race into a partial-module
+    ``ImportError`` that Ray's ``except ModuleNotFoundError`` does not
+    catch (ray/data/datasource/path_util.py:153). Pre-seeding a stub
+    module whose ``HTTPFileSystem`` matches no real filesystem makes
+    every later import a deterministic cache hit. No-op when the real
+    module imports fine."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class _NeverHTTPFileSystem:
+            pass
+
+        mod.HTTPFileSystem = _NeverHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -87,8 +117,15 @@ def _run_shard(
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
 
-    ds = rd.read_parquet(files)
-    out = extract(ds, pipeline=pipeline, output="docs", batch_size=batch_size)
+    # Dataset *construction* is serialized: Ray's driver-side path
+    # resolution lazily imports fsspec.implementations.http, and two
+    # threads importing it concurrently race into a partial-module
+    # ImportError that Ray's `except ModuleNotFoundError` doesn't catch.
+    # Construction is cheap metadata work; *execution* (write_parquet)
+    # stays fully concurrent across shards.
+    with _CONSTRUCT_LOCK:
+        ds = rd.read_parquet(files)
+        out = extract(ds, pipeline=pipeline, output="docs", batch_size=batch_size)
     out.write_parquet(tmp)
 
     # per-partition metrics from the written files (small: one shard)
@@ -132,11 +169,17 @@ def run_job(
     shard_size: int = 1,
     batch_size: int = 32,
     fail_after_parts: Optional[int] = None,
+    shard_concurrency: int = 4,
 ) -> Dict:
     """Run (or resume) the extraction job over all input shards.
 
-    ``fail_after_parts`` injects a crash after N newly-completed shards —
-    used by the resume test to simulate a mid-run job kill.
+    ``shard_concurrency`` shard pipelines are in flight at once (driver
+    threads; Ray interleaves their tasks), so small shards — the unit of
+    recovery — don't serialize the cluster: one shard's row groups may be
+    fewer than the cluster's cores, but several shards together saturate
+    it. ``fail_after_parts`` injects a crash after N newly-completed
+    shards (resume test); it forces sequential execution so the committed
+    prefix is deterministic.
     """
     os.makedirs(out_dir, exist_ok=True)
     shards = _shard_inputs(input_dir, shard_size)
@@ -150,11 +193,26 @@ def run_job(
 
     done = set(done_parts(out_dir))
     pending = [i for i in range(len(shards)) if i not in done]
-    completed = []
-    for i in pending:
-        completed.append(_run_shard(i, shards[i], out_dir, pipeline, batch_size))
-        if fail_after_parts is not None and len(completed) >= fail_after_parts:
-            raise RuntimeError(f"injected failure after {len(completed)} parts")
+    completed: List[Dict] = []
+    if fail_after_parts is not None:
+        for i in pending:
+            completed.append(_run_shard(i, shards[i], out_dir, pipeline, batch_size))
+            if len(completed) >= fail_after_parts:
+                raise RuntimeError(f"injected failure after {len(completed)} parts")
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _preseed_fsspec_http()
+        with ThreadPoolExecutor(max_workers=max(1, shard_concurrency)) as pool:
+            futs = {
+                pool.submit(
+                    _run_shard, i, shards[i], out_dir, pipeline, batch_size
+                ): i
+                for i in pending
+            }
+            for fut in futs:
+                completed.append(fut.result())
+        completed.sort(key=lambda r: r["part"])
     return {
         "n_parts": len(shards),
         "skipped": sorted(done),
