@@ -71,19 +71,24 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     bench_queries = [
         "extract_docs",
         "extract_nodes",
+        "extract_semantic",
         "doc_stats_by_lang",
         "quality_scores",
         "fingerprints",
         "exact_dedup",
+        "char_jaccard_pairs",
+        "ngram_jaccard_pairs",
         "minhash_neardup",
         "simhash_neardup",
         "knn_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "revenue_by_returnflag",
         "customers_by_region",
         "events_hourly",
         "sessions_per_user",
         "orders_topk",
+        "multimodal_meta",
     ]
 
     timings: dict[str, float] = {}
