@@ -1,0 +1,218 @@
+"""Live-oracle parity: execute the REFERENCE's own kernels (imported from
+/root/reference/src, deps stubbed) side-by-side with ours on the same
+inputs and require identical output — the strongest form of the per-url
+byte-identity contract short of a real PDF corpus.
+
+tiktoken is stubbed to delegate to our deterministic counter so both
+engines use the same token counts (the reference re-fetches a network BPE
+vocabulary otherwise); PIL is stubbed (only touched by image stitching,
+which these tests avoid). The reference code is EXECUTED as an oracle,
+never copied.
+"""
+
+import re
+import sys
+import types
+
+import pytest
+
+
+def _stub(name, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref():
+    # third-party deps absent from this env, stubbed just enough for the
+    # submodules under test (schemas / processing / pdfminer span kernels)
+    pil = _stub("PIL")
+    pil.Image = _stub("PIL.Image")
+    from open_parse_ray.tokens import num_tokens
+
+    class _Enc:
+        def encode(self, text):
+            return [0] * num_tokens(text)
+
+    _stub("tiktoken", get_encoding=lambda name: _Enc())
+    _D = type("D", (), {})
+    _stub(
+        "pdfminer.layout",
+        LTAnno=_D, LTChar=_D, LTFigure=_D, LTImage=_D,
+        LTTextContainer=_D, LTTextLine=_D, LTPage=_D,
+    )
+    _stub("pdfminer", )
+    _stub("pdfminer.pdftypes", resolve1=lambda x: x)
+    _stub("pdfminer.psparser", PSLiteral=_D)
+
+    # load the reference package WITHOUT running openparse/__init__ (which
+    # pulls the full PDF toolchain): a namespace-style parent whose
+    # __path__ points at the reference source tree
+    if "openparse" not in sys.modules:
+        import importlib.machinery
+        import importlib.util
+
+        spec = importlib.machinery.ModuleSpec("openparse", None, is_package=True)
+        pkg = importlib.util.module_from_spec(spec)
+        pkg.__path__ = ["/root/reference/src/openparse"]
+        sys.modules["openparse"] = pkg
+        _stub("openparse.pdf", Pdf=_D)  # imported by text kernels, unused here
+
+    try:
+        import openparse.consts  # noqa: F401
+        import openparse.schemas
+        import openparse.processing.basic_transforms
+        import openparse.processing.ingest
+        import openparse.text.pdfminer.core
+
+        pkg = sys.modules["openparse"]
+        pkg.schemas = sys.modules["openparse.schemas"]
+        pkg.processing = sys.modules["openparse.processing.ingest"]
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference not importable: {exc}")
+    return sys.modules["openparse"]
+
+
+def _to_ref_nodes(ref, elements):
+    """Convert our elements into reference pydantic objects (same data)."""
+    S = ref.schemas
+    nodes = []
+    for e in elements:
+        bbox = S.Bbox(
+            page=e.bbox.page,
+            page_height=e.bbox.page_height,
+            page_width=e.bbox.page_width,
+            x0=e.bbox.x0,
+            y0=e.bbox.y0,
+            x1=e.bbox.x1,
+            y1=e.bbox.y1,
+        )
+        if e.variant == "text":
+            lines = tuple(
+                S.LineElement(
+                    bbox=tuple(l.bbox),
+                    spans=tuple(
+                        S.TextSpan(
+                            text=s.text,
+                            is_bold=s.is_bold,
+                            is_italic=s.is_italic,
+                            size=s.size,
+                        )
+                        for s in l.spans
+                    ),
+                )
+                for l in e.lines
+            )
+            rel = S.TextElement(text=e.text, lines=lines, bbox=bbox)
+        elif e.variant == "table":
+            rel = S.TableElement(text=e.text, bbox=bbox)
+        else:
+            continue
+        nodes.append(S.Node(elements=(rel,)))
+    return nodes
+
+
+_IMG_RE = re.compile(r"<img[^>]*>")
+
+
+def _doc_html(i: int) -> str:
+    from open_parse_ray.sources.pages import gen_html
+
+    # image-free variant (reference image stitching needs real PIL)
+    return _IMG_RE.sub("", gen_html(i)["html"])
+
+
+def test_span_grouping_matches_reference(ref):
+    """Random char streams through both span-grouping kernels."""
+    import random
+
+    from open_parse_ray.functions.spans import CharElement, group_chars_into_spans
+
+    core = sys.modules["openparse.text.pdfminer.core"]
+    rng = random.Random(123)
+    fonts = ["Helvetica", "Helvetica-Bold", "Times-Italic", "Synth-BoldItalic"]
+    for _ in range(60):
+        n = rng.randint(0, 60)
+        ours_chars, ref_chars = [], []
+        for _ in range(n):
+            c = rng.choice("abc XY  .z")
+            f = rng.choice(fonts)
+            s = rng.choice([9.0, 12.0, 16.5])
+            ours_chars.append(CharElement(text=c, fontname=f, size=s))
+            ref_chars.append(core.CharElement(text=c, fontname=f, size=s))
+        ours = [
+            (sp.text, sp.is_bold, sp.is_italic, sp.size)
+            for sp in group_chars_into_spans(ours_chars)
+        ]
+        theirs = [
+            (sp.text, sp.is_bold, sp.is_italic, sp.size)
+            for sp in core._group_chars_into_spans(ref_chars)
+        ]
+        assert ours == theirs
+
+
+def test_line_markdown_matches_reference(ref):
+    """LineElement.text (markdown span join + regex cleanup) parity."""
+    import random
+
+    from open_parse_ray.model import LineElement, TextSpan
+
+    S = ref.schemas
+    rng = random.Random(7)
+    words = ["alpha", "beta ", " gamma", "x", "", "**", "d.d"]
+    for _ in range(80):
+        spans = [
+            (
+                rng.choice(words),
+                rng.random() < 0.4,
+                rng.random() < 0.3,
+                rng.choice([12.0, 16.0]),
+            )
+            for _ in range(rng.randint(1, 6))
+        ]
+        ours = LineElement(
+            bbox=(0, 0, 100, 12),
+            spans=tuple(
+                TextSpan(text=t, is_bold=b, is_italic=i, size=s)
+                for t, b, i, s in spans
+            ),
+        ).text
+        theirs = S.LineElement(
+            bbox=(0, 0, 100, 12),
+            spans=tuple(
+                S.TextSpan(text=t, is_bold=b, is_italic=i, size=s)
+                for t, b, i, s in spans
+            ),
+        ).text
+        assert ours == theirs, spans
+
+
+def test_full_pipeline_matches_reference(ref):
+    """Whole-document parity: our HTML layout feeds BOTH node-transform
+    pipelines (ours and the reference's BasicIngestionPipeline, executed
+    live); the resulting per-document node text sequences must be
+    byte-identical."""
+    from open_parse_ray.functions.html import html_to_elements
+    from open_parse_ray.functions.transforms import BasicIngestionPipeline
+    from open_parse_ray.model import Node
+
+    RefPipeline = ref.processing.BasicIngestionPipeline
+
+    checked_docs = 0
+    checked_nodes = 0
+    for i in range(1, 49):
+        elements = html_to_elements(_doc_html(i))
+        ours = BasicIngestionPipeline().run(
+            [Node(elements=(e,)) for e in elements]
+        )
+        theirs = RefPipeline().run(_to_ref_nodes(ref, elements))
+        assert [n.text for n in ours] == [n.text for n in theirs], f"doc {i}"
+        assert [n.tokens for n in ours] == [n.tokens for n in theirs], f"doc {i}"
+        checked_docs += 1
+        checked_nodes += len(ours)
+    assert checked_docs == 48 and checked_nodes > 100
