@@ -216,3 +216,85 @@ def test_full_pipeline_matches_reference(ref):
         checked_docs += 1
         checked_nodes += len(ours)
     assert checked_docs == 48 and checked_nodes > 100
+
+
+def _random_our_nodes(rng, n):
+    """Random single-element text/table nodes with adversarial geometry."""
+    from open_parse_ray.model import (
+        Bbox,
+        LineElement,
+        Node,
+        TableElement,
+        TextElement,
+        TextSpan,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "- bullet", "1. item", "Header"]
+    nodes = []
+    for _ in range(n):
+        page = rng.randint(0, 2)
+        x0 = rng.uniform(0, 500)
+        y0 = rng.uniform(0, 700)
+        w = rng.uniform(5, 250)
+        h = rng.uniform(5, 420)
+        bbox = Bbox(
+            page=page, page_height=792.0, page_width=612.0,
+            x0=x0, y0=y0, x1=x0 + w, y1=y0 + h,
+        )
+        if rng.random() < 0.15:
+            nodes.append(Node(elements=(TableElement(text="<table>x</table>", bbox=bbox),)))
+            continue
+        n_words = rng.choice([1, 3, 30, 80])
+        bold = rng.random() < 0.3
+        size = rng.choice([12.0, 17.0])
+        text = " ".join(rng.choice(words) for _ in range(n_words))
+        if rng.random() < 0.2:
+            text = "- " + text
+        if rng.random() < 0.2:
+            text = text + "\n- trailing"
+        span = TextSpan(text=text, is_bold=bold, is_italic=False, size=size)
+        line = LineElement(bbox=(x0, y0, x0 + w, y0 + h), spans=(span,))
+        nodes.append(
+            Node(elements=(TextElement(text=text, lines=(line,), bbox=bbox),))
+        )
+    return nodes
+
+
+def _ref_nodes_from_ours(ref, nodes):
+    elements = [n.elements[0] for n in nodes]
+    return _to_ref_nodes(ref, elements)
+
+
+def test_each_processing_step_matches_reference(ref):
+    """Randomized per-step parity: every basic ProcessingStep applied to
+    the same (reading-order-sorted) node set must produce the same node
+    text sequence as the reference's step executing its real code."""
+    import random
+
+    import open_parse_ray.functions.transforms as ours
+
+    bt = sys.modules["openparse.processing.basic_transforms"]
+    step_pairs = [
+        (ours.RemoveTextInsideTables(), bt.RemoveTextInsideTables()),
+        (ours.RemoveFullPageStubs(max_area_pct=0.35), bt.RemoveFullPageStubs(max_area_pct=0.35)),
+        (ours.RemoveMetadataElements(), bt.RemoveMetadataElements()),
+        (ours.RemoveRepeatedElements(threshold=2), bt.RemoveRepeatedElements(threshold=2)),
+        (ours.RemoveNodesBelowNTokens(min_tokens=50), bt.RemoveNodesBelowNTokens(min_tokens=50)),
+        (ours.CombineNodesSpatially(x_error_margin=10, y_error_margin=4, criteria="both_small"),
+         bt.CombineNodesSpatially(x_error_margin=10, y_error_margin=4, criteria="both_small")),
+        (ours.CombineNodesSpatially(x_error_margin=0, y_error_margin=10, criteria="either_stub"),
+         bt.CombineNodesSpatially(x_error_margin=0, y_error_margin=10, criteria="either_stub")),
+        (ours.CombineBullets(), bt.CombineBullets()),
+        (ours.CombineHeadingsWithClosestText(), bt.CombineHeadingsWithClosestText()),
+    ]
+    rng = random.Random(99)
+    for trial in range(25):
+        base = _random_our_nodes(rng, rng.randint(0, 25))
+        base.sort()
+        ref_base = _ref_nodes_from_ours(ref, base)
+        ref_base = sorted(ref_base)
+        assert [n.text for n in base] == [n.text for n in ref_base]
+        for our_step, ref_step in step_pairs:
+            a = [n.text for n in our_step.process(list(base))]
+            b = [n.text for n in ref_step.process(list(ref_base))]
+            assert a == b, (trial, type(our_step).__name__)
