@@ -298,3 +298,31 @@ def test_each_processing_step_matches_reference(ref):
             a = [n.text for n in our_step.process(list(base))]
             b = [n.text for n in ref_step.process(list(ref_base))]
             assert a == b, (trial, type(our_step).__name__)
+
+
+def test_semantic_merge_matches_reference(ref):
+    """CombineNodesSemantically fixed-point loop parity: both sides use
+    the SAME hermetic embedder (the reference normally calls OpenAI — the
+    embedding source is swappable; the merge algorithm is what's gated)."""
+    import random
+
+    from open_parse_ray.functions.embed import (
+        CombineNodesSemantically,
+        HashedNGramEmbeddings,
+    )
+
+    st = sys.modules["openparse.processing.semantic_transforms"]
+    client = HashedNGramEmbeddings(dim=32)
+    rng = random.Random(5)
+    for trial in range(15):
+        base = _random_our_nodes(rng, rng.randint(0, 15))
+        base = [n for n in base if "table" not in n.variant]
+        ours_step = CombineNodesSemantically(
+            embedding_client=client, min_similarity=0.4, max_tokens=512
+        )
+        ref_step = st.CombineNodesSemantically(
+            embedding_client=client, min_similarity=0.4, max_tokens=512
+        )
+        a = [n.text for n in ours_step.process(list(base))]
+        b = [n.text for n in ref_step.process(_ref_nodes_from_ours(ref, base))]
+        assert a == b, trial
