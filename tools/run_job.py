@@ -27,7 +27,16 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="directory of pages parquet")
     ap.add_argument("--out", required=True, help="output dir (partitioned)")
     ap.add_argument("--pipeline", default="basic", choices=["basic", "semantic", "noop"])
-    ap.add_argument("--shard-size", type=int, default=1, help="input files per shard")
+    ap.add_argument(
+        "--shard-size",
+        type=int,
+        default=8,
+        help="input files per shard; size shards so per-shard fixed cost "
+        "(~0.6s of Dataset setup) stays <5%% of shard runtime — recovery "
+        "granularity trades against scheduling overhead, not parallelism "
+        "(measured at sf0.1/32cpus: shard_size 1 -> 46s, 8 -> 11s)",
+    )
+    ap.add_argument("--shard-concurrency", type=int, default=4)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
@@ -51,6 +60,7 @@ def main() -> None:
         pipeline=args.pipeline,
         shard_size=args.shard_size,
         batch_size=args.batch_size,
+        shard_concurrency=args.shard_concurrency,
     )
     metrics = lineage.job_metrics(args.out)
     metrics["job_wall_s"] = round(time.perf_counter() - t0, 3)
