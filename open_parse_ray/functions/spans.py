@@ -85,14 +85,19 @@ def _font_style(fontname: str) -> Tuple[bool, bool]:
     return st
 
 
+_WS_SEARCH = __import__("re").compile(r"\s").search
+
+
 def _iter_char_items(items):
     """Expand any item whose text mixes whitespace with non-whitespace into
     per-char items; pure-word and pure-whitespace items pass through (their
     char-wise processing collapses to one step — see group_char_items)."""
-    for text, fontname, size in items:
-        if len(text) == 1 or text.isspace() or not any(ch.isspace() for ch in text):
-            yield text, fontname, size
+    for item in items:
+        text = item[0]
+        if len(text) == 1 or _WS_SEARCH(text) is None or text.isspace():
+            yield item
         else:
+            _, fontname, size = item
             for ch in text:
                 yield ch, fontname, size
 
