@@ -74,6 +74,30 @@ def _q_extract_linked(sf_dir: str):
     )
 
 
+def _q_page_metadata(sf_dir: str):
+    """file_metadata analog (reference: src/openparse/pdf.py:66-86): per-doc
+    metadata projection — url, %Y-%m-%d date string, byte size, mimetype —
+    from the input columns (the table IS the filesystem at 10^12 docs)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from open_parse_ray.sources.pages import read_pages
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "creation_date": pc.strftime(t["warc_ts"], format="%Y-%m-%d"),
+                "file_size": pc.binary_length(t["html"]),
+                "mimetype": pa.array(["text/html"] * len(t), pa.string()),
+            }
+        )
+
+    return read_pages(sf_dir, columns=["url", "warc_ts", "html"]).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
 def _q_multimodal(sf_dir: str):
     from open_parse_ray.stages.multimodal import decode_meta_pipeline
 
@@ -87,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_nodes": _q_extract_nodes,
         "extract_semantic": _q_extract_semantic,
         "extract_linked_nodes": _q_extract_linked,
+        "page_metadata": _q_page_metadata,
         # -- text analysis over documents --
         "doc_stats_by_lang": analysis.doc_stats_by_lang,
         "token_counts": analysis.token_counts,
