@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_returnflag": relational.revenue_by_returnflag,
         "customers_by_region": relational.customers_by_region,
         "events_hourly": relational.events_hourly,
+        "events_sliding": relational.events_sliding,
+        "events_with_prev": relational.events_with_prev,
         "sessions_per_user": relational.sessions_per_user,
         "orders_topk": relational.orders_topk_by_value,
         # -- multimodal plumbing (stubbed decode, real Ray stages) --
@@ -250,6 +252,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_sliding": """
+            WITH exploded AS (
+              SELECT e.event_type,
+                     CAST(ws.ws AS BIGINT) AS window_start,
+                     CAST(round(e.value * 100) AS BIGINT) AS v_cents
+              FROM events e
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(
+                  ((CAST(floor(epoch(e.ts)) AS BIGINT) - 3600) // 900 + 1) * 900,
+                  CAST(floor(epoch(e.ts)) AS BIGINT) + 1,
+                  900
+                )) AS ws
+              ) ws
+              WHERE ws.ws <= CAST(floor(epoch(e.ts)) AS BIGINT)
+            )
+            SELECT event_type, window_start,
+                   count(*) AS n_events,
+                   CAST(sum(v_cents) AS BIGINT) AS total_value_cents
+            FROM exploded GROUP BY event_type, window_start
+        """,
+        "events_with_prev": """
+            SELECT event_id, user_id,
+                   CAST(coalesce(
+                     lag(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ), -1) AS BIGINT) AS prev_value_cents
+            FROM events
         """,
         "sessions_per_user": """
             WITH gaps AS (

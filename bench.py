@@ -94,6 +94,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "revenue_by_returnflag",
         "customers_by_region",
         "events_hourly",
+        "events_sliding",
+        "events_with_prev",
         "sessions_per_user",
         "orders_topk",
         "multimodal_meta",

@@ -150,6 +150,79 @@ def events_hourly(sf_dir: str):
     )
 
 
+def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
+    """Sliding-window aggregate (1h window every 15min by default): each
+    event belongs to ``window_s / slide_s`` windows; the per-batch kernel
+    EXPLODES events into (event_type, window_start) partials vectorized
+    with numpy — the shuffle sees only the collapsed partials (bounded
+    group cardinality → same two-phase combine as the tumbling window).
+    Returns (event_type, window_start, n_events, total_value_cents)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    k = window_s // slide_s
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        e = b["ts"].values.astype("datetime64[s]").astype(np.int64)
+        first_ws = ((e - window_s) // slide_s + 1) * slide_s  # smallest ws > e-window
+        offs = (np.arange(k) * slide_s)[None, :]
+        ws = (first_ws[:, None] + offs).reshape(-1)  # (N*k,)
+        mask = ws <= np.repeat(e, k)  # window must have started
+        rep_type = b["event_type"].values.repeat(k)
+        rep_cents = _cents(b["value"]).repeat(k)
+        df = pd.DataFrame(
+            {
+                "event_type": rep_type[mask],
+                "window_start": ws[mask],
+                "v_cents": rep_cents[mask],
+                "n": np.int64(1),
+            }
+        )
+        return df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("n", "sum"), total_value_cents=("v_cents", "sum")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return _combine_partials(
+        partials,
+        ["event_type", "window_start"],
+        {"n_events": "sum", "total_value_cents": "sum"},
+    )
+
+
+def events_with_prev(sf_dir: str):
+    """Per-user as-of self-join (LAG): each event annotated with the
+    previous event's value for the same user, ordered by (ts, event_id).
+    Salted user shuffle + one vectorized sort/shift per partition — the
+    standard Ray Data shape for any as-of/nearest-previous join where the
+    right side is the same key's history. Returns
+    (event_id, user_id, prev_value_cents; -1 for the first event)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def lag(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts", "event_id"])
+        prev = pd.Series(_cents(g["value"])).shift(1)
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").values,
+                "user_id": g["user_id"].astype("int64").values,
+                "prev_value_cents": np.where(same_user, prev, -1).astype("int64"),
+            }
+        )
+        return out
+
+    return salted_groupby(ds, lambda b: b["user_id"], lag)
+
+
 def sessions_per_user(sf_dir: str, gap_minutes: int = 30):
     """Session windows: a new session starts when the gap to the previous
     event (per user, ordered by ts then event_id) exceeds ``gap_minutes``.
