@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_with_prev": relational.events_with_prev,
         "sessions_per_user": relational.sessions_per_user,
         "orders_topk": relational.orders_topk_by_value,
+        "orders_customer_join": relational.orders_customer_join,
         # -- multimodal plumbing (stubbed decode, real Ray stages) --
         "multimodal_meta": _q_multimodal,
     }
@@ -294,6 +295,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_sessions
             FROM gaps GROUP BY user_id
+        """,
+        "orders_customer_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_nationkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "orders_topk": """
             SELECT CAST(row_number() OVER (

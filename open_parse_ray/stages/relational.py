@@ -150,6 +150,66 @@ def events_hourly(sf_dir: str):
     )
 
 
+def orders_customer_join(sf_dir: str):
+    """Co-partitioned hash join (the shuffle-join path, for when neither
+    side is broadcastable): both sides are tagged into one common schema,
+    salted on the join key so matching keys co-locate, and each partition
+    runs one vectorized pandas merge. Contrast with customers_by_region,
+    which broadcasts the small side instead of shuffling. Returns
+    (o_orderkey, o_custkey, c_nationkey, price_cents)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b["o_custkey"].astype("int64"),
+                "side": np.int64(0),
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "price_cents": _cents(b["o_totalprice"]),
+                "c_nationkey": np.int64(-1),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b["c_custkey"].astype("int64"),
+                "side": np.int64(1),
+                "o_orderkey": np.int64(-1),
+                "price_cents": np.int64(-1),
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def join(part: pd.DataFrame) -> pd.DataFrame:
+        left = part[part["side"] == 0][["key", "o_orderkey", "price_cents"]]
+        right = part[part["side"] == 1][["key", "c_nationkey"]]
+        out = left.merge(right, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "o_orderkey": out["o_orderkey"].astype("int64"),
+                "o_custkey": out["key"].astype("int64"),
+                "c_nationkey": out["c_nationkey"].astype("int64"),
+                "price_cents": out["price_cents"].astype("int64"),
+            }
+        )
+
+    both = orders.union(cust)
+    return salted_groupby(both, lambda b: b["key"], join)
+
+
 def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
     """Sliding-window aggregate (1h window every 15min by default): each
     event belongs to ``window_s / slide_s`` windows; the per-batch kernel
