@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": analysis.fingerprints,
         "quality_scores": analysis.quality_scores,
         "langid_preds": analysis.langid_preds,
+        "top_terms": analysis.top_terms,
+        "term_doc_freq": analysis.term_doc_freq,
+        "sample_documents": analysis.sample_documents,
         # -- dedup family --
         "exact_dedup": dedup.exact_dedup_groups,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
@@ -138,6 +141,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_per_user": relational.sessions_per_user,
         "orders_topk": relational.orders_topk_by_value,
         "orders_customer_join": relational.orders_customer_join,
+        "local_supplier_revenue": relational.local_supplier_revenue,
+        "distinct_users_by_type": relational.distinct_users_by_type,
+        "events_quantiles": relational.events_quantiles,
+        "events_followup": relational.events_followup,
         # -- multimodal plumbing (stubbed decode, real Ray stages) --
         "multimodal_meta": _q_multimodal,
     }
@@ -300,6 +307,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, c.c_nationkey,
                    CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "top_terms": """
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ), c AS (SELECT term, count(*) AS n FROM w GROUP BY term)
+            SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+                   term, n
+            FROM c ORDER BY n DESC, term LIMIT 20
+        """,
+        "term_doc_freq": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS term
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT term, count(*) AS df FROM w GROUP BY term
+        """,
+        "sample_documents": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) < '2'
+        """,
+        "local_supplier_revenue": """
+            SELECT n.n_name AS n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY n.n_name
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "events_quantiles": """
+            WITH c AS (
+              SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, count(*) AS n
+              FROM events GROUP BY event_type, CAST(round(value * 100) AS BIGINT)
+            ), t AS (
+              SELECT event_type, v,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+                     sum(n) OVER (PARTITION BY event_type) AS tot
+              FROM c
+            ), q(p) AS (VALUES (25), (50), (75), (90), (99))
+            SELECT t.event_type,
+                   CAST(q.p AS BIGINT) AS p_pct,
+                   min(t.v) AS v_cents
+            FROM t JOIN q ON t.cum >= (t.tot * q.p + 99) // 100
+            GROUP BY t.event_type, q.p
+        """,
+        "events_followup": """
+            SELECT a.event_id,
+                   CAST(count(b.event_id) AS BIGINT) AS n_followups
+            FROM events a
+            LEFT JOIN events b
+              ON b.user_id = a.user_id
+             AND b.event_type = 'click'
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            WHERE a.event_type = 'view'
+            GROUP BY a.event_id
         """,
         "orders_topk": """
             SELECT CAST(row_number() OVER (

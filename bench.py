@@ -98,6 +98,14 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_with_prev",
         "sessions_per_user",
         "orders_topk",
+        "orders_customer_join",
+        "local_supplier_revenue",
+        "distinct_users_by_type",
+        "events_quantiles",
+        "events_followup",
+        "top_terms",
+        "term_doc_freq",
+        "sample_documents",
         "multimodal_meta",
     ]
 

@@ -188,3 +188,103 @@ def langid_preds(sf_dir: str):
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         LangId, batch_format="pandas", batch_size=8192, concurrency=(1, 4)
     )
+
+
+def top_terms(sf_dir: str, k: int = 20):
+    """Corpus term-frequency top-k (the word-count of training-data
+    pipelines). Plan: per-batch tokenize + local Counter → (term, n)
+    partials (each block collapses to ≤|vocab-in-block| rows before any
+    exchange), salted shuffle on hash(term) to sum per term, per-partition
+    partial top-k, then a tiny global sort+limit — the full term table is
+    never globally sorted. Ties break on the term string ascending, same
+    as the oracle. Returns (rank, term, n)."""
+    from collections import Counter
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = read_documents(sf_dir, columns=["text"])
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b["text"]:
+            t = t.strip()
+            if t:
+                c.update(_WS_SPLIT.split(t))
+        return pd.DataFrame(
+            {"term": list(c.keys()), "n": np.asarray(list(c.values()), dtype=np.int64)}
+        )
+
+    partials = ds.map_batches(partial_counts, batch_format="pandas", batch_size=8192)
+
+    def sum_and_topk(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("term", as_index=False).agg(n=("n", "sum"))
+        g = g.sort_values(["n", "term"], ascending=[False, True]).head(k)
+        return g.astype({"n": "int64"})
+
+    def salt(b: pd.DataFrame) -> pd.Series:
+        return pd.util.hash_pandas_object(b["term"], index=False).astype("int64")
+
+    per_part_top = salted_groupby(partials, salt, sum_and_topk)
+
+    def add_rank(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["n", "term"], ascending=[False, True]).head(k)
+        b = b.reset_index(drop=True)
+        b["rank"] = np.arange(1, len(b) + 1, dtype=np.int64)
+        return b[["rank", "term", "n"]]
+
+    return per_part_top.repartition(1).map_batches(
+        add_rank, batch_format="pandas", batch_size=None
+    )
+
+
+def term_doc_freq(sf_dir: str):
+    """Document frequency per term (the DF side of TF-IDF / stopword
+    detection). Per-batch: per-doc DISTINCT terms → local (term, df)
+    partials; salted shuffle on hash(term); per-partition sum. DF counts
+    are additive across batches because each doc contributes each term at
+    most once and a doc lives in exactly one input row. Returns (term, df)."""
+    from collections import Counter
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = read_documents(sf_dir, columns=["text"])
+
+    def partial_df(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b["text"]:
+            t = t.strip()
+            if t:
+                c.update(set(_WS_SPLIT.split(t)))
+        return pd.DataFrame(
+            {"term": list(c.keys()), "df": np.asarray(list(c.values()), dtype=np.int64)}
+        )
+
+    partials = ds.map_batches(partial_df, batch_format="pandas", batch_size=8192)
+
+    def sum_df(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("term", as_index=False).agg(df=("df", "sum")).astype({"df": "int64"})
+
+    def salt(b: pd.DataFrame) -> pd.Series:
+        return pd.util.hash_pandas_object(b["term"], index=False).astype("int64")
+
+    return salted_groupby(partials, salt, sum_df)
+
+
+def sample_documents(sf_dir: str):
+    """Deterministic hash-based sampling (~1/8): keep docs whose
+    md5(doc_id-as-string) hex digest sorts below '2'. Content-addressed
+    sampling is reproducible across runs/cluster sizes and needs no
+    shuffle or RNG state — the correct way to sample 10^12 rows (a
+    seeded random_shuffle would be an all-to-all exchange). Matches
+    DuckDB md5() bit-for-bit. Returns (doc_id, lang, n_chars)."""
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        mask = [
+            hashlib.md5(str(int(d)).encode("ascii")).hexdigest() < "2"
+            for d in b["doc_id"]
+        ]
+        return b[np.asarray(mask, dtype=bool)]
+
+    return read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"]).map_batches(
+        keep, batch_format="pandas", batch_size=65536
+    )

@@ -316,6 +316,291 @@ def sessions_per_user(sf_dir: str, gap_minutes: int = 30):
     return salted_groupby(ds, lambda b: b["user_id"], sessions)
 
 
+def local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5-style multi-way join: revenue per nation from lineitems
+    whose customer and supplier share the nation. Physical plan (the
+    multi-join playbook at 100 TB):
+
+    - supplier and nation are dimension tables → broadcast once via
+      ``ray.put`` (lookup per batch, no shuffle);
+    - orders ⋈ customer on custkey  → co-partitioned hash join #1;
+    - lineitem(+s_nationkey) ⋈ that on orderkey → co-partitioned hash
+      join #2, reusing the salted-shuffle pattern, with the
+      equal-nation filter and a per-partition partial aggregate applied
+      INSIDE the join partition so only (nationkey, sums) rows survive
+      the second shuffle's output.
+
+    Returns (n_name, revenue_cents, n_items).
+    """
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    sup = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    sup_ref = ray.put(
+        dict(zip(sup["s_suppkey"].astype("int64"), sup["s_nationkey"].astype("int64")))
+    )
+    name_map = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+
+    # --- shuffle 1: orders ⋈ customer on custkey → (o_orderkey, c_nationkey)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b["o_custkey"].astype("int64"),
+                "side": np.int64(0),
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "c_nationkey": np.int64(-1),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b["c_custkey"].astype("int64"),
+                "side": np.int64(1),
+                "o_orderkey": np.int64(-1),
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def join_orders_cust(part: pd.DataFrame) -> pd.DataFrame:
+        left = part[part["side"] == 0][["key", "o_orderkey"]]
+        right = part[part["side"] == 1][["key", "c_nationkey"]]
+        out = left.merge(right, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "o_orderkey": out["o_orderkey"].astype("int64"),
+                "c_nationkey": out["c_nationkey"].astype("int64"),
+            }
+        )
+
+    o_c = salted_groupby(orders.union(cust), lambda b: b["key"], join_orders_cust)
+
+    # --- lineitem: broadcast supplier-nation lookup + revenue cents
+    class TagLineitem:
+        def __init__(self, ref):
+            self.s_nation = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": b["l_orderkey"].astype("int64"),
+                    "side": np.int64(0),
+                    "s_nationkey": b["l_suppkey"]
+                    .astype("int64")
+                    .map(self.s_nation)
+                    .astype("int64"),
+                    "rev_cents": _cents(b["l_extendedprice"] * (1 - b["l_discount"])),
+                    "c_nationkey": np.int64(-1),
+                }
+            )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        TagLineitem,
+        fn_constructor_args=(sup_ref,),
+        batch_format="pandas",
+        batch_size=65536,
+        concurrency=(1, 8),
+    )
+    o_c_tagged = o_c.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b["o_orderkey"].astype("int64"),
+                "side": np.int64(1),
+                "s_nationkey": np.int64(-1),
+                "rev_cents": np.int64(-1),
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def join_filter_partial(part: pd.DataFrame) -> pd.DataFrame:
+        left = part[part["side"] == 0][["key", "s_nationkey", "rev_cents"]]
+        right = part[part["side"] == 1][["key", "c_nationkey"]]
+        out = left.merge(right, on="key", how="inner")
+        out = out[out["s_nationkey"] == out["c_nationkey"]]
+        out = out.assign(n=np.int64(1))
+        g = out.groupby("c_nationkey", as_index=False).agg(
+            revenue_cents=("rev_cents", "sum"), n_items=("n", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "n_name": g["c_nationkey"].map(name_map),
+                "revenue_cents": g["revenue_cents"].astype("int64"),
+                "n_items": g["n_items"].astype("int64"),
+            }
+        )
+
+    partials = salted_groupby(
+        li.union(o_c_tagged), lambda b: b["key"], join_filter_partial
+    )
+    return _combine_partials(
+        partials, ["n_name"], {"revenue_cents": "sum", "n_items": "sum"}
+    )
+
+
+def distinct_users_by_type(sf_dir: str):
+    """Distributed COUNT(DISTINCT): distinct users per event_type. Plan:
+    per-batch local dedup of (event_type, user_id) pairs first (collapses
+    each block before any exchange), then a salted shuffle on
+    hash(event_type, user_id) so every copy of one pair co-locates, a
+    per-partition exact dedup + per-type partial count, and a tiny final
+    combine. The full table is never shuffled — only already-deduped
+    pairs are."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    pairs = ds.map_batches(
+        lambda b: b.drop_duplicates(["event_type", "user_id"]),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def dedup_count(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.drop_duplicates(["event_type", "user_id"])
+        g = d.groupby("event_type", as_index=False).agg(n_users=("user_id", "size"))
+        return g.astype({"n_users": "int64"})
+
+    def salt(b: pd.DataFrame) -> pd.Series:
+        return pd.util.hash_pandas_object(
+            b[["event_type", "user_id"]], index=False
+        ).astype("int64")
+
+    partials = salted_groupby(pairs, salt, dedup_count)
+    return _combine_partials(partials, ["event_type"], {"n_users": "sum"})
+
+
+def events_quantiles(sf_dir: str, ps=(25, 50, 75, 90, 99)):
+    """EXACT distributed quantiles of value (in cents) per event_type via
+    a bounded value-histogram: per-batch (event_type, v_cents) → count
+    partials, combine to one small histogram block (distinct cents values
+    are bounded by the value domain, not the row count), then cumulative
+    counts pick the discrete quantile — smallest v with
+    cum_count >= ceil(total * p / 100), integer arithmetic identical to
+    the SQL oracle. This is the scale path for quantiles over
+    bounded-domain measures; unbounded domains would swap the exact
+    histogram for a mergeable sketch at the same plan shape.
+
+    Returns (event_type, p_pct, v_cents)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(v_cents=_cents(b["value"]), n=np.int64(1))
+        return b.groupby(["event_type", "v_cents"], as_index=False).agg(n=("n", "sum"))
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    hist = _combine_partials(partials, ["event_type", "v_cents"], {"n": "sum"})
+
+    def quantiles(h: pd.DataFrame) -> pd.DataFrame:
+        if len(h) == 0:
+            return pd.DataFrame(
+                {"event_type": [], "p_pct": [], "v_cents": []}
+            ).astype({"event_type": "object", "p_pct": "int64", "v_cents": "int64"})
+        out_t, out_p, out_v = [], [], []
+        for et, g in h.groupby("event_type"):
+            g = g.sort_values("v_cents")
+            cum = g["n"].cumsum().values
+            tot = int(cum[-1])
+            for p in ps:
+                thresh = (tot * p + 99) // 100  # integer ceil(tot*p/100)
+                idx = int(np.searchsorted(cum, thresh, side="left"))
+                out_t.append(et)
+                out_p.append(p)
+                out_v.append(int(g["v_cents"].values[idx]))
+        return pd.DataFrame(
+            {
+                "event_type": out_t,
+                "p_pct": np.asarray(out_p, dtype=np.int64),
+                "v_cents": np.asarray(out_v, dtype=np.int64),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        quantiles, batch_format="pandas", batch_size=None
+    )
+
+
+def events_followup(sf_dir: str, window_s: int = 1800):
+    """Interval (band) join: for every 'view' event, count 'click'
+    events by the SAME user with ts in (view_ts, view_ts + window_s].
+    Plan: salted shuffle on user_id (co-locates each user's history),
+    then a fully-vectorized per-partition band probe — clicks are sorted
+    by (user, ts) and made globally monotonic by adding a per-user
+    segment offset to the microsecond timestamp, so every view's window
+    is two np.searchsorted calls; no per-row or per-user Python loop.
+    Partitioning assumption (documented per the custom-operator rule):
+    one user's events fit in one partition, and a partition holds
+    < 2^17 distinct users with < 2^46 µs of time span (≈ 2 years).
+
+    Returns (event_id, n_followups) over view events."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda b: b[b["event_type"].isin(["view", "click"])],
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    window_us = window_s * 1_000_000
+    SEG = np.int64(1) << np.int64(46)
+
+    def probe(part: pd.DataFrame) -> pd.DataFrame:
+        ts_us = part["ts"].values.astype("datetime64[us]").astype(np.int64)
+        ts_us = ts_us - ts_us.min() if len(ts_us) else ts_us
+        users = part["user_id"].values.astype(np.int64)
+        is_click = (part["event_type"] == "click").values
+        is_view = (part["event_type"] == "view").values
+
+        cu, ct = users[is_click], ts_us[is_click]
+        order = np.lexsort((ct, cu))
+        cu, ct = cu[order], ct[order]
+        uniq_users = np.unique(cu)
+        seg = np.searchsorted(uniq_users, cu)
+        adj = seg.astype(np.int64) * SEG + ct
+
+        vu, vt = users[is_view], ts_us[is_view]
+        vid = part["event_id"].values[is_view].astype(np.int64)
+        if len(uniq_users) == 0:
+            counts = np.zeros(len(vu), dtype=np.int64)
+        else:
+            vseg = np.searchsorted(uniq_users, vu)
+            safe = np.minimum(vseg, len(uniq_users) - 1)
+            has_clicks = (vseg < len(uniq_users)) & (uniq_users[safe] == vu)
+            base = vseg.astype(np.int64) * SEG + vt
+            lo = np.searchsorted(adj, base, side="right")  # ts > view_ts
+            hi = np.searchsorted(adj, base + window_us, side="right")  # ts <= +window
+            counts = np.where(has_clicks, hi - lo, 0).astype(np.int64)
+        return pd.DataFrame({"event_id": vid, "n_followups": counts})
+
+    return salted_groupby(ds, lambda b: b["user_id"], probe)
+
+
 def orders_topk_by_value(sf_dir: str, k: int = 20):
     """Top-k orders by total price: per-batch partial top-k, then a tiny
     global sort+limit — never a full sort of the table."""

@@ -1,0 +1,204 @@
+"""Tests for the round-1 extension operators: multi-way join (TPC-H
+Q5-style), distributed count-distinct, exact histogram quantiles,
+interval (band) join, term frequency / document frequency, and
+deterministic hash sampling. Hand-built boundary cases plus DuckDB
+cross-checks on the sf0.001 tables."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(res) -> pd.DataFrame:
+    return res.to_pandas()
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _duck(sql: str, **tables) -> pd.DataFrame:
+    con = duckdb.connect()
+    for name, obj in tables.items():
+        if isinstance(obj, str):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{obj}'")
+        else:
+            con.register(name, obj)
+    return con.sql(sql).df()
+
+
+def test_events_followup_boundaries(ray_session, tmp_path):
+    """Band-join semantics at the window edges: strictly-after start,
+    inclusive end, same-user-only, clicks-only."""
+    from open_parse_ray.stages.relational import events_followup
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # view by user 1 at t0
+        (1, t0, 1, "view", 1.0, ""),
+        (2, t0, 1, "click", 1.0, ""),  # ts == view ts -> NOT counted (strict >)
+        (3, t0 + pd.Timedelta(microseconds=1), 1, "click", 1.0, ""),  # counted
+        (4, t0 + pd.Timedelta(minutes=30), 1, "click", 1.0, ""),  # inclusive end
+        (5, t0 + pd.Timedelta(minutes=30, microseconds=1), 1, "click", 1.0, ""),  # out
+        (6, t0 + pd.Timedelta(minutes=5), 2, "click", 1.0, ""),  # other user
+        (7, t0 + pd.Timedelta(minutes=5), 1, "purchase", 1.0, ""),  # not a click
+        # view by user 3 with no clicks at all
+        (8, t0, 3, "view", 1.0, ""),
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    out = _df(events_followup(str(tmp_path))).set_index("event_id")
+    assert out.loc[1, "n_followups"] == 2  # events 3 and 4
+    assert out.loc[8, "n_followups"] == 0
+    assert len(out) == 2  # only view events emitted
+
+
+def test_events_quantiles_hand_case(ray_session, tmp_path):
+    """Discrete quantile = smallest v with cum_count >= ceil(n*p/100)."""
+    from open_parse_ray.stages.relational import events_quantiles
+
+    vals = [0.01 * v for v in range(1, 101)]  # cents 1..100, one each
+    ev = pd.DataFrame(
+        {
+            "event_id": range(100),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+            "event_type": "view",
+            "value": vals,
+            "props": "",
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    out = _df(events_quantiles(str(tmp_path))).set_index("p_pct")
+    # n=100: ceil(100*p/100) = p -> quantile value == p cents exactly
+    for p in (25, 50, 75, 90, 99):
+        assert out.loc[p, "v_cents"] == p
+
+
+def test_distinct_users_by_type_hand_case(ray_session, tmp_path):
+    from open_parse_ray.stages.relational import distinct_users_by_type
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": [1, 1, 2, 7, 7, 7],
+            "event_type": ["a", "a", "a", "b", "b", "a"],
+            "value": 0.0,
+            "props": "",
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    out = _df(distinct_users_by_type(str(tmp_path))).set_index("event_type")
+    assert out.loc["a", "n_users"] == 3  # users 1, 2, 7
+    assert out.loc["b", "n_users"] == 1  # user 7
+
+
+def test_local_supplier_revenue_matches_duckdb(ray_session):
+    from open_parse_ray.stages.relational import local_supplier_revenue
+
+    got = _sorted(_df(local_supplier_revenue(SF)))
+    want = _sorted(
+        _duck(
+            """
+            SELECT n.n_name AS n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY n.n_name
+            """,
+            lineitem=f"{SF}/lineitem.parquet",
+            orders=f"{SF}/orders.parquet",
+            customer=f"{SF}/customer.parquet",
+            supplier=f"{SF}/supplier.parquet",
+            nation=f"{SF}/nation.parquet",
+        )
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_top_terms_and_doc_freq_match_duckdb(ray_session):
+    from open_parse_ray.stages.analysis import term_doc_freq, top_terms
+
+    got = _df(top_terms(SF))
+    want = _duck(
+        """
+        WITH w AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+          FROM documents WHERE trim(text) <> ''
+        ), c AS (SELECT term, count(*) AS n FROM w GROUP BY term)
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+               term, n
+        FROM c ORDER BY n DESC, term LIMIT 20
+        """,
+        documents=f"{SF}/documents.parquet",
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(got), _sorted(want), check_dtype=False
+    )
+
+    got_df = _sorted(_df(term_doc_freq(SF)))
+    want_df = _sorted(
+        _duck(
+            """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS term
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT term, count(*) AS df FROM w GROUP BY term
+            """,
+            documents=f"{SF}/documents.parquet",
+        )
+    )
+    pd.testing.assert_frame_equal(got_df, want_df, check_dtype=False)
+
+
+def test_sample_documents_deterministic_md5_rule(ray_session):
+    from open_parse_ray.stages.analysis import sample_documents
+
+    got = _df(sample_documents(SF))
+    assert len(got) > 0
+    for d in got["doc_id"]:
+        assert hashlib.md5(str(int(d)).encode()).hexdigest() < "2"
+    # deterministic: second run identical
+    again = _df(sample_documents(SF))
+    pd.testing.assert_frame_equal(
+        _sorted(got), _sorted(again), check_dtype=False
+    )
+
+
+def test_events_followup_matches_duckdb(ray_session):
+    from open_parse_ray.stages.relational import events_followup
+
+    got = _sorted(_df(events_followup(SF)))
+    want = _sorted(
+        _duck(
+            """
+            SELECT a.event_id,
+                   CAST(count(b.event_id) AS BIGINT) AS n_followups
+            FROM events a
+            LEFT JOIN events b
+              ON b.user_id = a.user_id AND b.event_type = 'click'
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+            WHERE a.event_type = 'view'
+            GROUP BY a.event_id
+            """,
+            events=f"{SF}/events.parquet",
+        )
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
