@@ -95,6 +95,11 @@ _BLOCK_TAGS = {
 _HEADING_SIZES = {"h1": 24.0, "h2": 20.0, "h3": 18.0, "h4": 16.0, "h5": 14.0, "h6": 13.0}
 _DEFAULT_SIZE = 12.0
 
+# precompiled word-wrap splitters (keep separators; '' between consecutive
+# separators is skipped at the call site)
+_NL_SPLIT = re.compile(r"(\n)").split
+_SP_SPLIT = re.compile(r"( )").split
+
 _FONT_STYLE_RE = re.compile(r"font-size\s*:\s*(\d+(?:\.\d+)?)px", re.IGNORECASE)
 _BOLD_STYLE_RE = re.compile(r"font-weight\s*:\s*(bold|[7-9]00)", re.IGNORECASE)
 _WS_RE = re.compile(r"\s+")
@@ -368,28 +373,35 @@ class _Layout:
         self.top_cursor = consts.PAGE_HEIGHT - 24.0
         self.bottom_cursor = 40.0
 
-    def _wrap(self, runs) -> List[List[Tuple[str, str, float]]]:
-        """Greedy word-wrap of styled runs into lines of char tuples."""
-        # tokenize runs into words (keeping style per char)
-        lines: List[List[Tuple[str, str, float]]] = []
+    def _wrap(self, runs) -> List[Tuple[List[Tuple[str, str, float]], float, float]]:
+        """Greedy word-wrap of styled runs into lines of char tuples.
+
+        Returns (chars, width, max_size) per line — width/max_size are
+        computed ONCE at line flush (identical accumulation order to a
+        fresh left-to-right sum, so bboxes stay bit-identical) instead of
+        re-derived by every downstream consumer."""
+        lines: List[Tuple[List[Tuple[str, str, float]], float, float]] = []
         cur: List[Tuple[str, str, float]] = []
         cur_w = 0.0
 
         def flush_line():
             nonlocal cur, cur_w
             if cur:
-                lines.append(cur)
+                width = sum([len(c[0]) * _char_width(c[2]) for c in cur])
+                lines.append((cur, width, max([c[2] for c in cur])))
             cur = []
             cur_w = 0.0
 
         for text, bold, italic, size in runs:
             font = _fontname(bold, italic)
             cw = _char_width(size)
-            for piece in re.split(r"(\n)", text):
+            pieces = _NL_SPLIT(text) if "\n" in text else (text,)
+            for piece in pieces:
                 if piece == "\n":
                     flush_line()
                     continue
-                for word in re.split(r"( )", piece):
+                words = _SP_SPLIT(piece) if " " in piece else (piece,)
+                for word in words:
                     if not word:
                         continue
                     w = len(word) * cw
@@ -428,9 +440,13 @@ class _Layout:
             )
         )
 
-    def _make_line(self, chars, y1: float) -> LineElement:
-        max_size = max((c[2] for c in chars), default=_DEFAULT_SIZE)
-        width = sum(len(c[0]) * _char_width(c[2]) for c in chars)
+    def _make_line(
+        self, chars, y1: float, width: float = None, max_size: float = None
+    ) -> LineElement:
+        if max_size is None:
+            max_size = max((c[2] for c in chars), default=_DEFAULT_SIZE)
+        if width is None:
+            width = sum(len(c[0]) * _char_width(c[2]) for c in chars)
         bbox = (
             consts.PAGE_MARGIN_X,
             y1 - max_size,
@@ -446,23 +462,23 @@ class _Layout:
             return
         if block.placement == "top":
             les = []
-            for chars in lines:
-                le = self._make_line(chars, self.top_cursor)
-                self.top_cursor -= max((c[2] for c in chars), default=12.0) * 1.2
+            for chars, width, msize in lines:
+                le = self._make_line(chars, self.top_cursor, width, msize)
+                self.top_cursor -= msize * 1.2
                 les.append(le)
             self._emit_text_element(les, [le.text for le in les])
             return
         if block.placement == "bottom":
             les = []
-            for chars in lines:
-                le = self._make_line(chars, self.bottom_cursor)
-                self.bottom_cursor -= max((c[2] for c in chars), default=12.0) * 1.2
+            for chars, width, msize in lines:
+                le = self._make_line(chars, self.bottom_cursor, width, msize)
+                self.bottom_cursor -= msize * 1.2
                 les.append(le)
             self._emit_text_element(les, [le.text for le in les])
             return
         if block.placement == "full":
             # one element spanning most of the page (watermark / full-page stub)
-            all_chars = [c for line in lines for c in line]
+            all_chars = [c for line, _, _ in lines for c in line]
             spans = group_char_items_into_spans(all_chars)
             bbox = (36.0, 60.0, consts.PAGE_WIDTH - 36.0, consts.PAGE_HEIGHT - 36.0)
             le = LineElement(bbox=bbox, spans=tuple(spans))
@@ -485,14 +501,13 @@ class _Layout:
 
         # normal flow
         les: List[LineElement] = []
-        for chars in lines:
-            line_h = max((c[2] for c in chars), default=12.0)
+        for chars, width, line_h in lines:
             if self.cursor - line_h < consts.PAGE_BOTTOM_Y:
                 # page break: close the element on this page, continue on next
                 self._emit_text_element(les, [le.text for le in les])
                 les = []
                 self.new_page()
-            le = self._make_line(chars, self.cursor)
+            le = self._make_line(chars, self.cursor, width, line_h)
             self.cursor -= round(line_h * 1.2, 2)
             les.append(le)
         self._emit_text_element(les, [le.text for le in les])

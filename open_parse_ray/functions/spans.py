@@ -117,14 +117,55 @@ def group_char_items_into_spans(
     current_text = ""
     current_style = (False, False, 0.0)
 
-    for text, fontname, size in _iter_char_items(items):
-        if text.isspace():
+    # Hot path: iterate items directly (no generator frames); cache the
+    # style tuple per (fontname, size) so the per-word cost is one dict
+    # lookup + one tuple compare. Mixed ws/word items (rare) expand to
+    # per-char processing exactly as _iter_char_items would.
+    style_cache: dict = {}
+    ws_search = _WS_SEARCH
+    for item in items:
+        text = item[0]
+        if len(text) != 1 and ws_search(text) is not None and not text.isspace():
+            # rare mixed item: expand char-wise through the same state machine
+            _, fontname, size = item
+            key = (fontname, size)
+            mixed_style = style_cache.get(key)
+            if mixed_style is None:
+                bold, italic = _font_style(fontname)
+                mixed_style = (bold, italic, round(size, 2))
+                style_cache[key] = mixed_style
+            for ch in text:
+                if ch.isspace():
+                    if not current_text.endswith(" "):
+                        current_text += " "
+                    continue
+                char_style = mixed_style
+                if char_style != current_style and current_text:
+                    spans.append(
+                        TextSpan(
+                            text=current_text.rstrip()
+                            + (" " if current_text.endswith(" ") else ""),
+                            is_bold=current_style[0],
+                            is_italic=current_style[1],
+                            size=current_style[2],
+                        )
+                    )
+                    current_text = ch
+                else:
+                    current_text += ch
+                current_style = char_style
+            continue
+        if text == " " or text.isspace():
             # compress runs of whitespace to one space; style unchanged
             if not current_text.endswith(" "):
                 current_text += " "
             continue
-        bold, italic = _font_style(fontname)
-        char_style = (bold, italic, round(size, 2))
+        key = (item[1], item[2])
+        char_style = style_cache.get(key)
+        if char_style is None:
+            bold, italic = _font_style(item[1])
+            char_style = (bold, italic, round(item[2], 2))
+            style_cache[key] = char_style
         if char_style != current_style and current_text:
             spans.append(
                 TextSpan(

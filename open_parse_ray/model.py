@@ -34,7 +34,12 @@ _MD_CLEANUP = [
 
 
 def clean_markdown_formatting(text: str) -> str:
-    """Fix markdown markers that surround whitespace (schemas.py:160-187)."""
+    """Fix markdown markers that surround whitespace (schemas.py:160-187).
+
+    Every cleanup pattern requires a ``*`` or ``_`` marker; plain lines
+    (the overwhelming majority) skip all five regex passes."""
+    if "*" not in text and "_" not in text:
+        return text
     for pattern, replacement in _MD_CLEANUP:
         text = pattern.sub(replacement, text)
     return text
