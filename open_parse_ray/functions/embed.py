@@ -27,10 +27,23 @@ def cosine_similarity(a, b) -> float:
     return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
 
 
+_TOKEN_HASH_CACHE: dict = {}
+_TOKEN_HASH_CACHE_CAP = 1_000_000
+
+
 def _token_hash(token: str) -> int:
-    return int.from_bytes(
-        hashlib.md5(token.encode("utf-8", "ignore")).digest()[:8], "little"
-    )
+    """md5-derived 64-bit feature hash, cached per distinct token
+    (vocabulary-bounded; the fixed-point merge loop re-embeds every node
+    text each round, so uncached hashing dominated the semantic stage)."""
+    h = _TOKEN_HASH_CACHE.get(token)
+    if h is None:
+        if len(_TOKEN_HASH_CACHE) >= _TOKEN_HASH_CACHE_CAP:
+            _TOKEN_HASH_CACHE.clear()
+        h = int.from_bytes(
+            hashlib.md5(token.encode("utf-8", "ignore")).digest()[:8], "little"
+        )
+        _TOKEN_HASH_CACHE[token] = h
+    return h
 
 
 class HashedNGramEmbeddings:
@@ -45,8 +58,12 @@ class HashedNGramEmbeddings:
     def __init__(self, dim: int = DEFAULT_DIM, batch_size: int = 256):
         self.dim = dim
         self.batch_size = batch_size  # parity with reference batching knob
+        # text → vector cache: the fixed-point merge loop re-embeds every
+        # surviving node text each round; only merged texts are new
+        self._vec_cache: dict = {}
+        self._vec_cache_cap = 50_000
 
-    def embed(self, text: str) -> np.ndarray:
+    def _embed_uncached(self, text: str) -> np.ndarray:
         vec = np.zeros(self.dim, dtype=np.float64)
         words = text.lower().split()
         feats = words + [f"{a}_{b}" for a, b in zip(words, words[1:])]
@@ -58,6 +75,15 @@ class HashedNGramEmbeddings:
         norm = np.linalg.norm(vec)
         if norm > 0:
             vec /= norm
+        return vec
+
+    def embed(self, text: str) -> np.ndarray:
+        vec = self._vec_cache.get(text)
+        if vec is None:
+            if len(self._vec_cache) >= self._vec_cache_cap:
+                self._vec_cache.clear()
+            vec = self._embed_uncached(text)
+            self._vec_cache[text] = vec
         return vec
 
     def embed_many(self, texts: Sequence[str]) -> List[List[float]]:

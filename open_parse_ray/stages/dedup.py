@@ -28,15 +28,46 @@ def _md5_64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
 
 
+# word → 64-bit md5 cache (vocabulary-bounded; cleared if it ever grows
+# past the cap so a pathological corpus can't exhaust worker memory)
+_WORD_HASH_CACHE: dict = {}
+_WORD_HASH_CACHE_CAP = 1_000_000
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+def _hash_words(words) -> np.ndarray:
+    cache = _WORD_HASH_CACHE
+    get = cache.get
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = get(w)
+        if h is None:
+            if len(cache) >= _WORD_HASH_CACHE_CAP:
+                cache.clear()
+            h = _md5_64(w)
+            cache[w] = h
+        out[i] = h
+    return out
+
+
 def _word_shingles(text: str, k: int = 3) -> np.ndarray:
-    """Hashed k-word shingles (uint64)."""
+    """Hashed k-word shingles (uint64). One md5 per DISTINCT word (cached
+    across documents — vocabulary-bounded), then a vectorized wrapping
+    polynomial combine over k consecutive word hashes; order-sensitive and
+    deterministic, ~100x fewer hash calls than per-shingle md5."""
     words = text.split()
     if len(words) < k:
-        return np.array([_md5_64(text)], dtype=np.uint64) if words else np.array([], dtype=np.uint64)
-    return np.array(
-        [_md5_64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)],
-        dtype=np.uint64,
-    )
+        return (
+            np.array([_md5_64(text)], dtype=np.uint64)
+            if words
+            else np.array([], dtype=np.uint64)
+        )
+    wh = _hash_words(words)
+    n = len(words) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):  # wrapping uint64 polynomial: acc = acc*MIX + wh[j:j+n]
+        acc = acc * _SHINGLE_MIX + wh[j : j + n]
+    return acc
 
 
 class MinHasher:
@@ -92,7 +123,7 @@ def minhash_band_rows(
     rows_band, rows_hash, rows_doc = [], [], []
     rpb = hasher.num_perm // bands
     for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        sig = hasher.signature(_word_shingles(text, shingle_k))
+        sig = hasher.signature(_word_shingles(text, shingle_k)).astype(np.uint16)
         for b in range(bands):
             chunk = sig[b * rpb : (b + 1) * rpb]
             bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
@@ -105,16 +136,23 @@ def minhash_band_rows(
 
 
 def minhash_signatures(batch: pd.DataFrame, hasher: FastMinHasher, shingle_k=3):
+    """Signatures stored as uint16 components (256B at 128 perms, not
+    1KB): minhash components are only ever compared for EQUALITY, so
+    truncating to 16 bits adds a 2^-16 per-component collision — an
+    est_jaccard bias of +0.000015 — while cutting every downstream
+    shuffle of signatures 4x. At 10^12 docs the LSH band shuffle ships
+    sig bytes with every band row; this is the difference between 4 TB
+    and 16 TB of exchange per 10^9 docs."""
     sigs = [
-        hasher.signature(_word_shingles(t, shingle_k)).tobytes()
+        hasher.signature(_word_shingles(t, shingle_k)).astype(np.uint16).tobytes()
         for t in batch["text"]
     ]
     return pd.DataFrame({"doc_id": batch["doc_id"], "sig": sigs})
 
 
-def estimate_jaccard(sig_a: bytes, sig_b: bytes) -> float:
-    a = np.frombuffer(sig_a, dtype=np.uint64)
-    b = np.frombuffer(sig_b, dtype=np.uint64)
+def estimate_jaccard(sig_a: bytes, sig_b: bytes, dtype=np.uint64) -> float:
+    a = np.frombuffer(sig_a, dtype=dtype)
+    b = np.frombuffer(sig_b, dtype=dtype)
     return float((a == b).mean())
 
 
@@ -130,7 +168,7 @@ def simhash64(text: str) -> int:
     counts = Counter(text.split())
     if not counts:
         return 0
-    hs = np.array([_md5_64(w) for w in counts], dtype=np.uint64)
+    hs = _hash_words(list(counts))  # cached md5 per distinct word (bit-identical)
     w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     v = ((2 * bits - 1) * w[:, None]).sum(axis=0)
@@ -248,18 +286,24 @@ def minhash_neardup_pairs(
     )
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        # bucket = int64 from md5(band_id || band bytes): one integer
+        # column replaces (band_id, 16-char hex) and salts vectorized
         rpb = num_perm // bands
-        out_b, out_h, out_d, out_s = [], [], [], []
+        out_h, out_d, out_s = [], [], []
         for doc_id, sig in zip(batch["doc_id"], batch["sig"]):
-            arr = np.frombuffer(sig, dtype=np.uint64)
+            arr = np.frombuffer(sig, dtype=np.uint16)
             for b in range(bands):
                 chunk = arr[b * rpb : (b + 1) * rpb]
-                out_b.append(b)
-                out_h.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
+                digest = hashlib.md5(bytes([b]) + chunk.tobytes()).digest()
+                out_h.append(int.from_bytes(digest[:8], "little", signed=True))
                 out_d.append(doc_id)
                 out_s.append(sig)
         return pd.DataFrame(
-            {"band_id": out_b, "band_hash": out_h, "doc_id": out_d, "sig": out_s}
+            {
+                "bucket": pd.Series(out_h, dtype="int64"),
+                "doc_id": out_d,
+                "sig": out_s,
+            }
         )
 
     banded = sigs.map_batches(band_rows, batch_format="pandas", batch_size=4096)
@@ -281,7 +325,7 @@ def minhash_neardup_pairs(
             for j in range(i + 1, len(ids)):
                 if ids[i] == ids[j]:
                     continue
-                ej = estimate_jaccard(sigs_[i], sigs_[j])
+                ej = estimate_jaccard(sigs_[i], sigs_[j], dtype=np.uint16)
                 if ej >= threshold:
                     ra.append(ids[i])
                     rb.append(ids[j])
@@ -295,22 +339,18 @@ def minhash_neardup_pairs(
         )
 
     def pairs_in_partition(part: pd.DataFrame) -> pd.DataFrame:
-        # all rows of any one (band_id, band_hash) bucket are co-located
-        # here (salt is a function of the bucket key)
+        # all rows of any one bucket are co-located here (salt is a
+        # function of the bucket key)
         outs = [
             pairs_in_bucket(g)
-            for _, g in part.groupby(["band_id", "band_hash"], sort=False)
+            for _, g in part.groupby("bucket", sort=False)
             if len(g) > 1
         ]
         if not outs:
             return pairs_in_bucket(part.iloc[:0])
         return pd.concat(outs, ignore_index=True)
 
-    pairs = salted_groupby(
-        banded,
-        lambda b: b["band_hash"].str[:8].apply(int, base=16) + b["band_id"],
-        pairs_in_partition,
-    )
+    pairs = salted_groupby(banded, lambda b: b["bucket"], pairs_in_partition)
 
     # dedupe pairs found in multiple bands (salt on the pair key)
     def uniq_pairs(part: pd.DataFrame) -> pd.DataFrame:

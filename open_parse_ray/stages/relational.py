@@ -395,18 +395,26 @@ def local_supplier_revenue(sf_dir: str):
             self.s_nation = ray.get(ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
+            # pre-aggregate by (orderkey, supplier-nation) BEFORE the
+            # shuffle: ~4 lineitems/order collapse to ≤|nations| rows per
+            # order, so join #2 moves a fraction of the lineitem rows
+            df = pd.DataFrame(
                 {
                     "key": b["l_orderkey"].astype("int64"),
-                    "side": np.int64(0),
                     "s_nationkey": b["l_suppkey"]
                     .astype("int64")
                     .map(self.s_nation)
                     .astype("int64"),
                     "rev_cents": _cents(b["l_extendedprice"] * (1 - b["l_discount"])),
-                    "c_nationkey": np.int64(-1),
+                    "n": np.int64(1),
                 }
             )
+            g = df.groupby(["key", "s_nationkey"], as_index=False).agg(
+                rev_cents=("rev_cents", "sum"), n=("n", "sum")
+            )
+            g.insert(1, "side", np.int64(0))
+            g["c_nationkey"] = np.int64(-1)
+            return g
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -425,6 +433,7 @@ def local_supplier_revenue(sf_dir: str):
                 "side": np.int64(1),
                 "s_nationkey": np.int64(-1),
                 "rev_cents": np.int64(-1),
+                "n": np.int64(-1),
                 "c_nationkey": b["c_nationkey"].astype("int64"),
             }
         ),
@@ -433,11 +442,10 @@ def local_supplier_revenue(sf_dir: str):
     )
 
     def join_filter_partial(part: pd.DataFrame) -> pd.DataFrame:
-        left = part[part["side"] == 0][["key", "s_nationkey", "rev_cents"]]
+        left = part[part["side"] == 0][["key", "s_nationkey", "rev_cents", "n"]]
         right = part[part["side"] == 1][["key", "c_nationkey"]]
         out = left.merge(right, on="key", how="inner")
         out = out[out["s_nationkey"] == out["c_nationkey"]]
-        out = out.assign(n=np.int64(1))
         g = out.groupby("c_nationkey", as_index=False).agg(
             revenue_cents=("rev_cents", "sum"), n_items=("n", "sum")
         )
