@@ -143,8 +143,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": relational.orders_customer_join,
         "local_supplier_revenue": relational.local_supplier_revenue,
         "distinct_users_by_type": relational.distinct_users_by_type,
+        "approx_distinct_users": relational.approx_distinct_users,
         "events_quantiles": relational.events_quantiles,
         "events_followup": relational.events_followup,
+        "customers_no_urgent_orders": relational.customers_no_urgent_orders,
+        "top_orders_per_customer": relational.top_orders_per_customer,
         # -- multimodal plumbing (stubbed decode, real Ray stages) --
         "multimodal_meta": _q_multimodal,
     }
@@ -345,6 +348,30 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "customers_no_urgent_orders": """
+            SELECT c.c_custkey,
+                   CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT'
+            )
+        """,
+        "top_orders_per_customer": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                     CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                                o_orderkey
+                     ) AS BIGINT) AS rank
+              FROM orders
+            )
+            SELECT o_custkey, rank, o_orderkey, price_cents
+            FROM ranked WHERE rank <= 3
         """,
         "events_quantiles": """
             WITH c AS (

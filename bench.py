@@ -101,6 +101,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "orders_customer_join",
         "local_supplier_revenue",
         "distinct_users_by_type",
+        "approx_distinct_users",
+        "customers_no_urgent_orders",
+        "top_orders_per_customer",
         "events_quantiles",
         "events_followup",
         "top_terms",

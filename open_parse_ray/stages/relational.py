@@ -609,6 +609,190 @@ def events_followup(sf_dir: str, window_s: int = 1800):
     return salted_groupby(ds, lambda b: b["user_id"], probe)
 
 
+def customers_no_urgent_orders(sf_dir: str):
+    """Distributed ANTI-join: customers with no '1-URGENT' order. Same
+    co-partitioned tagged-union shuffle as the hash join, but each
+    partition keeps left keys absent from the right side (vectorized
+    ``isin``). The probe side is predicate-filtered AT THE READ (row
+    filter pushed to the Parquet scan) and per-batch deduped so only
+    distinct matching custkeys travel. The reference's only anti-join is
+    intra-document spatial (RemoveTextInsideTables,
+    basic_transforms.py:122-171); this is the cross-table scale analog.
+    Returns (c_custkey, acctbal_cents)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b["c_custkey"].astype("int64"),
+                "side": np.int64(0),
+                "acctbal_cents": _cents(b["c_acctbal"]),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    ).map_batches(
+        # pre-dedup the probe side per batch: only distinct custkeys travel
+        lambda b: pd.DataFrame(
+            {"key": b["o_custkey"].astype("int64").unique()}
+        ).assign(side=np.int64(1), acctbal_cents=np.int64(-1)),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def anti(part: pd.DataFrame) -> pd.DataFrame:
+        left = part[part["side"] == 0]
+        have = part.loc[part["side"] == 1, "key"]
+        out = left[~left["key"].isin(have)]
+        return pd.DataFrame(
+            {
+                "c_custkey": out["key"].astype("int64"),
+                "acctbal_cents": out["acctbal_cents"].astype("int64"),
+            }
+        )
+
+    return salted_groupby(cust.union(orders), lambda b: b["key"], anti)
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3):
+    """Grouped top-k (window-rank): the k highest-price orders per
+    customer. Salted shuffle on custkey, then ONE vectorized pass per
+    partition: sort by (custkey, -price, orderkey), cumcount within
+    customer, keep rank <= k — the distributed ROW_NUMBER() OVER
+    (PARTITION BY ... ORDER BY ...) pattern with no per-group Python.
+    Returns (o_custkey, rank, o_orderkey, price_cents)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "price_cents": _cents(b["o_totalprice"]),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def rank_topk(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(
+            ["o_custkey", "price_cents", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        g = g.assign(rank=g.groupby("o_custkey").cumcount() + 1)
+        g = g[g["rank"] <= k]
+        return g[["o_custkey", "rank", "o_orderkey", "price_cents"]].astype(
+            {"rank": "int64"}
+        )
+
+    return salted_groupby(ds, lambda b: b["o_custkey"], rank_topk)
+
+
+# --- HyperLogLog approximate count-distinct -------------------------------
+
+_HLL_P = 12  # 4096 registers, ~1.6% standard error
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_registers(hashes: np.ndarray) -> np.ndarray:
+    """Vectorized register maxima for a batch of uint64 hashes."""
+    idx = (hashes >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = hashes << np.uint64(_HLL_P)  # remaining 52 bits at the top
+    # rank = leading zeros of `rest` + 1 (capped by the 52 usable bits)
+    lz = np.full(len(hashes), 64 - _HLL_P + 1, dtype=np.int64)
+    nonzero = rest != 0
+    # float64 log2 is exact for leading-zero counting of the top bits
+    lz[nonzero] = 63 - np.floor(np.log2(rest[nonzero].astype(np.float64))).astype(
+        np.int64
+    ) + 1
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    np.maximum.at(regs, idx, lz)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = float(_HLL_M)
+    est = 0.7213 / (1 + 1.079 / m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for small cardinalities
+    return float(est)
+
+
+def approx_distinct_users(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) per event_type via a
+    HyperLogLog sketch — the MERGEABLE-sketch pattern: each batch emits
+    (event_type, register_id, register_max) rows only for TOUCHED
+    registers, the combine is a plain max-aggregate (associative,
+    commutative, idempotent — safe under retries), and the estimate is
+    computed once per type from ≤4096 surviving rows. Unlike
+    distinct_users_by_type, NO per-user rows ever shuffle: exchange
+    volume is bounded by types × 4096 regardless of input size. Accuracy
+    is gated by a pytest bound vs the exact count (~1.6% std error);
+    rows-only driver check. Returns (event_type, approx_users)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for et, g in b.groupby("event_type", sort=False):
+            # splitmix64-style avalanche of the int64 ids
+            h = g["user_id"].values.astype(np.uint64)
+            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h = h ^ (h >> np.uint64(31))
+            regs = _hll_registers(h)
+            touched = np.nonzero(regs)[0]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": et,
+                        "reg_id": touched.astype(np.int64),
+                        "reg_max": regs[touched],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"event_type": [], "reg_id": [], "reg_max": []}
+            ).astype({"event_type": "object", "reg_id": "int64", "reg_max": "int64"})
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    merged = _combine_partials(partials, ["event_type", "reg_id"], {"reg_max": "max"})
+
+    def estimate(h: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_n = [], []
+        for et, g in h.groupby("event_type"):
+            regs = np.zeros(_HLL_M, dtype=np.int64)
+            regs[g["reg_id"].values] = g["reg_max"].values
+            out_t.append(et)
+            out_n.append(int(round(_hll_estimate(regs))))
+        return pd.DataFrame(
+            {"event_type": out_t, "approx_users": np.asarray(out_n, dtype=np.int64)}
+        )
+
+    return merged.repartition(1).map_batches(
+        estimate, batch_format="pandas", batch_size=None
+    )
+
+
 def orders_topk_by_value(sf_dir: str, k: int = 20):
     """Top-k orders by total price: per-batch partial top-k, then a tiny
     global sort+limit — never a full sort of the table."""

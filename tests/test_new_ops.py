@@ -202,3 +202,91 @@ def test_events_followup_matches_duckdb(ray_session):
         )
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_anti_join_hand_case(ray_session, tmp_path):
+    """Customers 1,2; only customer 1 has an URGENT order."""
+    from open_parse_ray.stages.relational import customers_no_urgent_orders
+
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2],
+            "c_name": ["a", "b"],
+            "c_nationkey": [0, 0],
+            "c_acctbal": [10.0, 20.5],
+            "c_mktsegment": ["X", "X"],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        {
+            "o_orderkey": [100, 101],
+            "o_custkey": [1, 2],
+            "o_orderstatus": ["O", "O"],
+            "o_totalprice": [1.0, 2.0],
+            "o_orderdate": pd.Timestamp("2024-01-01"),
+            "o_orderpriority": ["1-URGENT", "3-MEDIUM"],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    out = _df(customers_no_urgent_orders(str(tmp_path)))
+    assert list(out["c_custkey"]) == [2]
+    assert list(out["acctbal_cents"]) == [2050]
+
+
+def test_grouped_topk_hand_case(ray_session, tmp_path):
+    from open_parse_ray.stages.relational import top_orders_per_customer
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4, 5, 6],
+            "o_custkey": [7, 7, 7, 7, 8, 8],
+            "o_orderstatus": "O",
+            "o_totalprice": [5.0, 9.0, 9.0, 1.0, 3.0, 2.0],
+            "o_orderdate": pd.Timestamp("2024-01-01"),
+            "o_orderpriority": "3-MEDIUM",
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    out = _df(top_orders_per_customer(str(tmp_path), k=3))
+    c7 = out[out["o_custkey"] == 7].sort_values("rank")
+    # price ties (9.0, 9.0) break by orderkey ascending
+    assert list(c7["o_orderkey"]) == [2, 3, 1]
+    assert list(c7["rank"]) == [1, 2, 3]
+    c8 = out[out["o_custkey"] == 8].sort_values("rank")
+    assert list(c8["o_orderkey"]) == [5, 6]
+
+
+def test_hll_accuracy_vs_exact(ray_session, tmp_path):
+    """HLL estimate within 5% of the exact distinct count (4096
+    registers -> ~1.6% std error), across cardinalities spanning the
+    linear-counting and raw-estimate regimes."""
+    from open_parse_ray.stages.relational import approx_distinct_users
+
+    rows = []
+    eid = 0
+    for et, n_users in [("tiny", 17), ("mid", 900), ("big", 20000)]:
+        for u in range(n_users):
+            rows.append((eid, pd.Timestamp("2024-01-01"), u * 31 + 7, et, 0.0, ""))
+            eid += 1
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    out = _df(approx_distinct_users(str(tmp_path))).set_index("event_type")
+    for et, n_users in [("tiny", 17), ("mid", 900), ("big", 20000)]:
+        est = out.loc[et, "approx_users"]
+        assert abs(est - n_users) / n_users < 0.05, (et, est, n_users)
+
+
+def test_hll_merge_associativity():
+    """Register-level merge (elementwise max) equals single-pass build —
+    the property that makes the sketch retry/partition-order safe."""
+    import numpy as np
+
+    from open_parse_ray.stages.relational import _hll_registers
+
+    rng = np.random.RandomState(7)
+    h = rng.randint(0, 2**63, size=10000).astype(np.uint64)
+    whole = _hll_registers(h)
+    merged = np.maximum.reduce(
+        [_hll_registers(part) for part in np.array_split(h, 7)]
+    )
+    assert (whole == merged).all()
