@@ -98,6 +98,15 @@ def _q_page_metadata(sf_dir: str):
     )
 
 
+def _q_page_bbox_svgs(sf_dir: str):
+    """Debug visualization sink analog (reference pdf.py:152-240):
+    node-bbox SVG overlay per (url, page)."""
+    from open_parse_ray.functions.viz import render_bbox_overlays
+    from open_parse_ray.sources.pages import read_pages
+
+    return render_bbox_overlays(read_pages(sf_dir, columns=["url", "html"]))
+
+
 def _q_multimodal(sf_dir: str):
     from open_parse_ray.stages.multimodal import decode_meta_pipeline
 
@@ -112,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_semantic": _q_extract_semantic,
         "extract_linked_nodes": _q_extract_linked,
         "page_metadata": _q_page_metadata,
+        "page_bbox_svgs": _q_page_bbox_svgs,
         # -- text analysis over documents --
         "doc_stats_by_lang": analysis.doc_stats_by_lang,
         "token_counts": analysis.token_counts,

@@ -264,3 +264,89 @@ def read_pages(sf_dir_or_sf, columns=None, seed: int = SEED):
     sf = sf_dir_or_sf if isinstance(sf_dir_or_sf, float) else sf_from_dir(sf_dir_or_sf)
     path = ensure_pages_parquet(sf, seed)
     return rd.read_parquet(path, columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Alternate source formats (JSON-lines / CSV)
+#
+# Real Common-Crawl derived corpora arrive in more than one container
+# format; WARC-derived JSON commonly base64-encodes the raw payload.
+# These readers accept the same logical schema with `html` base64-encoded
+# (JSON/CSV cannot carry raw binary) and emit batches identical to the
+# Parquet reader's, so every downstream stage is format-agnostic.
+# ---------------------------------------------------------------------------
+
+
+def _decode_pages_batch(t: "pa.Table") -> "pa.Table":
+    import base64
+
+    import pyarrow.compute as pc
+
+    html = pa.array(
+        [base64.b64decode(v) for v in t["html_b64"].to_pylist()], pa.binary()
+    )
+    # warc_ts travels as integer epoch-microseconds (lossless; pyarrow
+    # strptime has no %f) — cast back to timestamp[us]
+    ts = pc.cast(t["warc_ts_us"], pa.timestamp("us"))
+    return pa.table(
+        {
+            "url": pc.cast(t["url"], pa.string()),
+            "warc_ts": pc.cast(ts, pa.timestamp("us")),
+            "html": html,
+            "text": pc.cast(t["text"], pa.string()),
+            "lang": pc.cast(t["lang"], pa.string()),
+        }
+    )
+
+
+def read_pages_json(path: str, columns=None):
+    """Pages corpus from JSON-lines files (html base64 in `html_b64`)."""
+    import ray.data as rd
+
+    ds = rd.read_json(path).map_batches(_decode_pages_batch, batch_format="pyarrow")
+    return ds.select_columns(columns) if columns else ds
+
+
+def read_pages_csv(path: str, columns=None):
+    """Pages corpus from CSV files (html base64 in `html_b64`; the raw
+    `text` column may contain quoted embedded newlines)."""
+    import pyarrow.csv as pacsv
+    import ray.data as rd
+
+    ds = rd.read_csv(
+        path, parse_options=pacsv.ParseOptions(newlines_in_values=True)
+    ).map_batches(_decode_pages_batch, batch_format="pyarrow")
+    return ds.select_columns(columns) if columns else ds
+
+
+def export_pages(sf_or_dir, out_path: str, format: str = "json", seed: int = SEED):
+    """Write the synthetic corpus in an alternate container format (for
+    format-invariance tests and as the migration path from JSON/CSV
+    drops into Parquet)."""
+    import base64
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def encode(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "warc_ts_us": pc.cast(t["warc_ts"], pa.int64()),
+                "html_b64": pa.array(
+                    [base64.b64encode(v).decode("ascii") for v in t["html"].to_pylist()],
+                    pa.string(),
+                ),
+                "text": t["text"],
+                "lang": t["lang"],
+            }
+        )
+
+    ds = read_pages(sf_or_dir, seed=seed).map_batches(encode, batch_format="pyarrow")
+    if format == "json":
+        ds.write_json(out_path)
+    elif format == "csv":
+        ds.write_csv(out_path)
+    else:
+        raise ValueError(format)
+    return out_path
