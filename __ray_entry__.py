@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": analysis.top_terms,
         "term_doc_freq": analysis.term_doc_freq,
         "sample_documents": analysis.sample_documents,
+        "doc_embeddings": analysis.doc_embeddings,
         # -- dedup family --
         "exact_dedup": dedup.exact_dedup_groups,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,

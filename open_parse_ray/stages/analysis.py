@@ -270,6 +270,40 @@ def term_doc_freq(sf_dir: str):
     return salted_groupby(partials, salt, sum_df)
 
 
+class EmbedDocs:
+    """Actor-pool embedding stage: the hermetic hashed-ngram model is
+    built once per actor in ``__init__`` (the shape a real transformer
+    checkpoint load takes — reference loads models at import time,
+    tables/table_transformers/ml.py:58-66); ``__call__`` embeds a batch.
+    Swap the model class, keep the stage."""
+
+    def __init__(self, dim: int = 64):
+        from open_parse_ray.functions.embed import HashedNGramEmbeddings
+
+        self.model = HashedNGramEmbeddings(dim=dim)
+        self.dim = dim
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = [
+            np.asarray(v, dtype=np.float32)
+            for v in self.model.embed_many(list(batch["text"]))
+        ]
+        return pd.DataFrame({"doc_id": batch["doc_id"], "embedding": vecs})
+
+
+def doc_embeddings(sf_dir: str, dim: int = 64):
+    """Embedding generation at corpus scale: documents → (doc_id,
+    embedding list<float32>). Deterministic (same text → same vector at
+    any parallelism); output feeds the ANN / embedding-neardup stages."""
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        EmbedDocs,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+
 def sample_documents(sf_dir: str):
     """Deterministic hash-based sampling (~1/8): keep docs whose
     md5(doc_id-as-string) hex digest sorts below '2'. Content-addressed

@@ -290,3 +290,15 @@ def test_hll_merge_associativity():
         [_hll_registers(part) for part in np.array_split(h, 7)]
     )
     assert (whole == merged).all()
+
+
+def test_doc_embeddings_deterministic_and_normalized(ray_session):
+    from open_parse_ray.stages.analysis import doc_embeddings
+
+    a = _df(doc_embeddings(SF)).sort_values("doc_id").reset_index(drop=True)
+    b = _df(doc_embeddings(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == 500
+    for va, vb in zip(a["embedding"], b["embedding"]):
+        assert np.allclose(va, vb)  # parallelism/run invariant
+        n = np.linalg.norm(va)
+        assert n == 0 or abs(n - 1.0) < 1e-5  # L2-normalized (or empty text)
