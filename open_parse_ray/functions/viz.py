@@ -112,5 +112,6 @@ def render_bbox_overlays(ds_pages, pipeline: str = "basic"):
         fn_constructor_kwargs={"pipeline": pipeline},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=(1, 8),
+        # CPU-bound parse+render: let the pool grow to the node
+        concurrency=(2, 32),
     )
