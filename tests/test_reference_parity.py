@@ -205,7 +205,10 @@ def test_full_pipeline_matches_reference(ref):
 
     checked_docs = 0
     checked_nodes = 0
-    for i in range(1, 49):
+    # docs 1..48 plus two of the ~1% 100x-oversized skew-tail docs
+    # (i % 97 == 0) — the deep multi-page case where the order-sensitive
+    # O(n²) spatial merge has the most room to diverge
+    for i in list(range(1, 49)) + [97, 194]:
         elements = html_to_elements(_doc_html(i))
         ours = BasicIngestionPipeline().run(
             [Node(elements=(e,)) for e in elements]
@@ -215,7 +218,7 @@ def test_full_pipeline_matches_reference(ref):
         assert [n.tokens for n in ours] == [n.tokens for n in theirs], f"doc {i}"
         checked_docs += 1
         checked_nodes += len(ours)
-    assert checked_docs == 48 and checked_nodes > 100
+    assert checked_docs == 50 and checked_nodes > 1000
 
 
 def _random_our_nodes(rng, n):
