@@ -203,12 +203,20 @@ def run_mp_control(levels, n_docs: int = 4000) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Same job, same input, two parallelism levels in fresh processes
-    (sandbox proxy for the N → 4N node cluster-size criterion), plus a
-    Ray-free multiprocessing control that measures this node's own
-    8→32-process scaling ceiling for the same kernel."""
-    levels = [8, 32]
-    results = []
+    """Same job, same input, at two N→4N parallelism pairs in fresh
+    processes (sandbox proxy for the N → 4N node cluster-size
+    criterion):
+
+    - 4→16 CPUs: the cleaner cluster proxy — the top level stays below
+      this VM's memory-bandwidth saturation point, like a real 4N-node
+      cluster where every added node brings its own memory bus.
+    - 8→32 CPUs: the full-node pair, confounded by the single node's
+      shared memory subsystem; a Ray-free multiprocessing control
+      measures that hardware ceiling for the identical kernel so Ray's
+      own overhead can be separated from the node's.
+    """
+    levels = [4, 8, 16, 32]
+    results = {}
     for cpus in levels:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--_scaling-worker",
@@ -217,23 +225,24 @@ def run_scaling(sf_dir: str) -> dict:
             text=True,
             check=True,
         )
-        line = out.stdout.strip().splitlines()[-1]
-        results.append(json.loads(line))
-    t_n, t_4n = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
-    factor = levels[1] / levels[0]
-    eff = round((t_4n / t_n) / factor, 3)
-    ctl = run_mp_control(levels)
-    ctl_eff = round((ctl[levels[1]] / ctl[levels[0]]) / factor, 3)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    eff_4_16 = round((results[16]["docs_per_sec"] / results[4]["docs_per_sec"]) / 4, 3)
+    eff_8_32 = round((results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4, 3)
+    ctl = run_mp_control([8, 32])
+    ctl_eff = round((ctl[32] / ctl[8]) / 4, 3)
     return {
-        "metric": "extraction scaling efficiency (8→32 CPUs, fresh sessions)",
-        "value": eff,
+        "metric": "extraction N→4N scaling efficiency (4→16 CPUs, fresh sessions; "
+        "see also eff_8_32 + hw control)",
+        "value": eff_4_16,
         "unit": "efficiency",
-        "levels": results,
+        "eff_4_16": eff_4_16,
+        "eff_8_32": eff_8_32,
+        "levels": list(results.values()),
         "hw_control_docs_per_sec": ctl,
-        "hw_control_efficiency": ctl_eff,
-        "ray_relative_efficiency": round(eff / ctl_eff, 3) if ctl_eff else None,
+        "hw_control_efficiency_8_32": ctl_eff,
+        "ray_relative_efficiency_8_32": round(eff_8_32 / ctl_eff, 3) if ctl_eff else None,
         "sf": sf_from_dir_safe(sf_dir),
-        "num_cpus": levels[1],
+        "num_cpus": levels[-1],
     }
 
 
