@@ -20,8 +20,31 @@ from typing import List
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
+
+
+def _read_sample_docs(sf_dir: str, sample_mod: int) -> pd.DataFrame:
+    """Stream documents.parquet batch-by-batch, keeping only rows with
+    doc_id %% sample_mod == 0: driver memory stays proportional to the
+    SAMPLE, not the corpus (pyarrow expressions have no modulo, so the
+    filter runs per record batch instead of inside the scan)."""
+    import pyarrow.dataset as pads
+
+    kept = []
+    scanner = pads.dataset(f"{sf_dir}/documents.parquet").scanner(
+        columns=["doc_id", "text", "lang"], batch_size=8192
+    )
+    for rb in scanner.to_batches():
+        ids = rb.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = ids % sample_mod == 0
+        if mask.any():
+            kept.append(rb.filter(pa.array(mask)))
+    if not kept:
+        return pd.DataFrame({"doc_id": [], "text": [], "lang": []})
+    return pa.Table.from_batches(kept).to_pandas()
+
 
 
 def _md5_64(s: str) -> int:
@@ -463,10 +486,9 @@ def ngram_jaccard_pairs(
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    sample_tbl = pd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
-    sample_tbl = sample_tbl[sample_tbl["doc_id"] % sample_mod == 0]
+    # sample side: stream the scan and keep only sample rows — driver
+    # memory is bounded by the sample (n/sample_mod rows), never the corpus
+    sample_tbl = _read_sample_docs(sf_dir, sample_mod)
     sample = [
         (int(r.doc_id), r.lang, shingles(r.text))
         for r in sample_tbl.itertuples()
@@ -521,12 +543,9 @@ def char_jaccard_pairs(sf_dir: str, sample_mod: int = 50, threshold: float = 0.5
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    # the sample side is tiny (n/sample_mod rows); at 100 TB this would be
-    # a predicate-pushdown read from a sample store — here a direct read
-    sample_tbl = pd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
-    sample_tbl = sample_tbl[sample_tbl["doc_id"] % sample_mod == 0]
+    # sample side: stream the scan and keep only sample rows — driver
+    # memory is bounded by the sample (n/sample_mod rows), never the corpus
+    sample_tbl = _read_sample_docs(sf_dir, sample_mod)
     sample_ref = ray.put(
         [(int(r.doc_id), r.text, r.lang, set(r.text)) for r in sample_tbl.itertuples()]
     )
