@@ -523,31 +523,38 @@ def events_quantiles(sf_dir: str, ps=(25, 50, 75, 90, 99)):
     hist = _combine_partials(partials, ["event_type", "v_cents"], {"n": "sum"})
 
     def quantiles(h: pd.DataFrame) -> pd.DataFrame:
-        if len(h) == 0:
-            return pd.DataFrame(
-                {"event_type": [], "p_pct": [], "v_cents": []}
-            ).astype({"event_type": "object", "p_pct": "int64", "v_cents": "int64"})
-        out_t, out_p, out_v = [], [], []
-        for et, g in h.groupby("event_type"):
-            g = g.sort_values("v_cents")
-            cum = g["n"].cumsum().values
-            tot = int(cum[-1])
-            for p in ps:
-                thresh = (tot * p + 99) // 100  # integer ceil(tot*p/100)
-                idx = int(np.searchsorted(cum, thresh, side="left"))
-                out_t.append(et)
-                out_p.append(p)
-                out_v.append(int(g["v_cents"].values[idx]))
-        return pd.DataFrame(
-            {
-                "event_type": out_t,
-                "p_pct": np.asarray(out_p, dtype=np.int64),
-                "v_cents": np.asarray(out_v, dtype=np.int64),
-            }
-        )
+        return _quantiles_from_hist(h, ps)
 
     return hist.repartition(1).map_batches(
         quantiles, batch_format="pandas", batch_size=None
+    )
+
+
+def _quantiles_from_hist(h: pd.DataFrame, ps) -> pd.DataFrame:
+    """Discrete quantiles from a (event_type, v_cents, n) histogram:
+    smallest v with cum_count >= ceil(total*p/100), integer arithmetic.
+    Module-level so property tests can drive it against brute force."""
+    if len(h) == 0:
+        return pd.DataFrame(
+            {"event_type": [], "p_pct": [], "v_cents": []}
+        ).astype({"event_type": "object", "p_pct": "int64", "v_cents": "int64"})
+    out_t, out_p, out_v = [], [], []
+    for et, g in h.groupby("event_type"):
+        g = g.sort_values("v_cents")
+        cum = g["n"].cumsum().values
+        tot = int(cum[-1])
+        for p in ps:
+            thresh = (tot * p + 99) // 100  # integer ceil(tot*p/100)
+            idx = int(np.searchsorted(cum, thresh, side="left"))
+            out_t.append(et)
+            out_p.append(p)
+            out_v.append(int(g["v_cents"].values[idx]))
+    return pd.DataFrame(
+        {
+            "event_type": out_t,
+            "p_pct": np.asarray(out_p, dtype=np.int64),
+            "v_cents": np.asarray(out_v, dtype=np.int64),
+        }
     )
 
 
@@ -576,37 +583,45 @@ def events_followup(sf_dir: str, window_s: int = 1800):
         batch_size=65536,
     )
     window_us = window_s * 1_000_000
-    SEG = np.int64(1) << np.int64(46)
 
     def probe(part: pd.DataFrame) -> pd.DataFrame:
-        ts_us = part["ts"].values.astype("datetime64[us]").astype(np.int64)
-        ts_us = ts_us - ts_us.min() if len(ts_us) else ts_us
-        users = part["user_id"].values.astype(np.int64)
-        is_click = (part["event_type"] == "click").values
-        is_view = (part["event_type"] == "view").values
-
-        cu, ct = users[is_click], ts_us[is_click]
-        order = np.lexsort((ct, cu))
-        cu, ct = cu[order], ct[order]
-        uniq_users = np.unique(cu)
-        seg = np.searchsorted(uniq_users, cu)
-        adj = seg.astype(np.int64) * SEG + ct
-
-        vu, vt = users[is_view], ts_us[is_view]
-        vid = part["event_id"].values[is_view].astype(np.int64)
-        if len(uniq_users) == 0:
-            counts = np.zeros(len(vu), dtype=np.int64)
-        else:
-            vseg = np.searchsorted(uniq_users, vu)
-            safe = np.minimum(vseg, len(uniq_users) - 1)
-            has_clicks = (vseg < len(uniq_users)) & (uniq_users[safe] == vu)
-            base = vseg.astype(np.int64) * SEG + vt
-            lo = np.searchsorted(adj, base, side="right")  # ts > view_ts
-            hi = np.searchsorted(adj, base + window_us, side="right")  # ts <= +window
-            counts = np.where(has_clicks, hi - lo, 0).astype(np.int64)
-        return pd.DataFrame({"event_id": vid, "n_followups": counts})
+        return _followup_probe(part, window_us)
 
     return salted_groupby(ds, lambda b: b["user_id"], probe)
+
+
+_FOLLOWUP_SEG = np.int64(1) << np.int64(46)
+
+
+def _followup_probe(part: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """Vectorized per-partition band probe (see events_followup);
+    module-level so property tests can drive it against brute force."""
+    ts_us = part["ts"].values.astype("datetime64[us]").astype(np.int64)
+    ts_us = ts_us - ts_us.min() if len(ts_us) else ts_us
+    users = part["user_id"].values.astype(np.int64)
+    is_click = (part["event_type"] == "click").values
+    is_view = (part["event_type"] == "view").values
+
+    cu, ct = users[is_click], ts_us[is_click]
+    order = np.lexsort((ct, cu))
+    cu, ct = cu[order], ct[order]
+    uniq_users = np.unique(cu)
+    seg = np.searchsorted(uniq_users, cu)
+    adj = seg.astype(np.int64) * _FOLLOWUP_SEG + ct
+
+    vu, vt = users[is_view], ts_us[is_view]
+    vid = part["event_id"].values[is_view].astype(np.int64)
+    if len(uniq_users) == 0:
+        counts = np.zeros(len(vu), dtype=np.int64)
+    else:
+        vseg = np.searchsorted(uniq_users, vu)
+        safe = np.minimum(vseg, len(uniq_users) - 1)
+        has_clicks = (vseg < len(uniq_users)) & (uniq_users[safe] == vu)
+        base = vseg.astype(np.int64) * _FOLLOWUP_SEG + vt
+        lo = np.searchsorted(adj, base, side="right")  # ts > view_ts
+        hi = np.searchsorted(adj, base + window_us, side="right")  # ts <= +window
+        counts = np.where(has_clicks, hi - lo, 0).astype(np.int64)
+    return pd.DataFrame({"event_id": vid, "n_followups": counts})
 
 
 def customers_no_urgent_orders(sf_dir: str):

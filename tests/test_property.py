@@ -135,3 +135,76 @@ def test_bbox_validators_and_combine(x0, y0, w, h):
     assert c.x0 == min(a.x0, b.x0) and c.x1 == max(a.x1, b.x1)
     assert c.y0 == min(a.y0, b.y0) and c.y1 == max(a.y1, b.y1)
     assert a.area > 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_followup_probe_matches_brute_force(data):
+    """The segment-offset searchsorted band probe equals the O(n²)
+    definition: count same-user clicks with ts in (view_ts, view_ts+W]."""
+    import numpy as np
+    import pandas as pd
+
+    from open_parse_ray.stages.relational import _followup_probe
+
+    n = data.draw(st.integers(0, 40))
+    window_us = data.draw(st.sampled_from([1, 1000, 60_000_000]))
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": data.draw(st.integers(0, 4)),
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.Timedelta(microseconds=data.draw(st.integers(0, 200))),
+                "event_type": data.draw(st.sampled_from(["view", "click"])),
+            }
+        )
+    part = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    if len(part) == 0:
+        part = part.astype(
+            {"event_id": "int64", "user_id": "int64",
+             "ts": "datetime64[us]", "event_type": "object"}
+        )
+    got = _followup_probe(part, window_us).set_index("event_id")["n_followups"]
+    views = part[part["event_type"] == "view"]
+    clicks = part[part["event_type"] == "click"]
+    for _, v in views.iterrows():
+        brute = (
+            (clicks["user_id"] == v["user_id"])
+            & (clicks["ts"] > v["ts"])
+            & (clicks["ts"] <= v["ts"] + pd.Timedelta(microseconds=window_us))
+        ).sum()
+        assert got[v["event_id"]] == brute
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    st.sampled_from([(25, 50, 75), (50,), (1, 99)]),
+)
+def test_quantiles_from_hist_match_brute_force(values, ps):
+    """Histogram quantile = smallest v with cum_count >= ceil(n*p/100),
+    checked against the sorted-array definition."""
+    import numpy as np
+    import pandas as pd
+    from collections import Counter
+
+    from open_parse_ray.stages.relational import _quantiles_from_hist
+
+    c = Counter(values)
+    h = pd.DataFrame(
+        {
+            "event_type": "t",
+            "v_cents": np.array(sorted(c), dtype=np.int64),
+            "n": np.array([c[v] for v in sorted(c)], dtype=np.int64),
+        }
+    )
+    out = _quantiles_from_hist(h, ps).set_index("p_pct")["v_cents"]
+    arr = np.sort(np.array(values))
+    n = len(arr)
+    for p in ps:
+        idx = max(0, (n * p + 99) // 100 - 1)  # 1-based rank -> 0-based index
+        assert out[p] == arr[idx]
