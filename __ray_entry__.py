@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": relational.approx_distinct_users,
         "events_quantiles": relational.events_quantiles,
         "events_followup": relational.events_followup,
+        "events_props_stats": relational.events_props_stats,
+        "parts_by_brand": relational.parts_by_brand,
         "customers_no_urgent_orders": relational.customers_no_urgent_orders,
         "top_orders_per_customer": relational.top_orders_per_customer,
         # -- multimodal plumbing (stubbed decode, real Ray stages) --
@@ -399,6 +401,25 @@ def oracle_sql() -> dict[str, str]:
                    min(t.v) AS v_cents
             FROM t JOIN q ON t.cum >= (t.tot * q.p + 99) // 100
             GROUP BY t.event_type, q.p
+        """,
+        "events_props_stats": """
+            SELECT event_type,
+                   count(*) AS n_with_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+                   CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events
+            WHERE json_extract(props, '$.k') IS NOT NULL
+            GROUP BY event_type
+        """,
+        "parts_by_brand": """
+            SELECT p_brand,
+                   count(*) AS n_parts,
+                   CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_retail_cents,
+                   CAST(min(p_size) AS BIGINT) AS min_size,
+                   CAST(max(p_size) AS BIGINT) AS max_size
+            FROM part GROUP BY p_brand
         """,
         "events_followup": """
             SELECT a.event_id,

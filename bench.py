@@ -106,6 +106,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "top_orders_per_customer",
         "events_quantiles",
         "events_followup",
+        "events_props_stats",
+        "parts_by_brand",
         "top_terms",
         "term_doc_freq",
         "sample_documents",

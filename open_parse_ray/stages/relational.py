@@ -718,6 +718,84 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
     return salted_groupby(ds, lambda b: b["o_custkey"], rank_topk)
 
 
+def events_props_stats(sf_dir: str):
+    """Semi-structured payload extraction at scale: parse the JSON
+    ``props`` column per batch (the scalar-function kernel; a compiled
+    regex fast-path handles the flat numeric case, falling back to a real
+    JSON parse for anything else) and aggregate per event_type — the
+    shape of every metadata-sidecar pipeline over 10^12 event rows.
+    Returns (event_type, n_with_k, sum_k, min_k, max_k)."""
+    import json
+    import re as _re
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    flat_k = _re.compile(r'^\{"k":\s*(-?\d+)\}$')
+
+    def extract_k(s: str):
+        m = flat_k.match(s)
+        if m:
+            return int(m.group(1))
+        try:
+            v = json.loads(s).get("k")
+        except (ValueError, AttributeError):
+            return None
+        return int(v) if isinstance(v, (int, float)) else None
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ks = pd.Series([extract_k(s) for s in b["props"]], index=b.index, dtype="float64")
+        b = b.assign(k=ks)
+        b = b[b["k"].notna()]
+        b = b.assign(k=b["k"].astype("int64"), n=np.int64(1))
+        return b.groupby("event_type", as_index=False).agg(
+            n_with_k=("n", "sum"), sum_k=("k", "sum"), min_k=("k", "min"), max_k=("k", "max")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return _combine_partials(
+        partials,
+        ["event_type"],
+        {"n_with_k": "sum", "sum_k": "sum", "min_k": "min", "max_k": "max"},
+    )
+
+
+def parts_by_brand(sf_dir: str):
+    """Per-brand part stats (covers the part table): count, total retail
+    cents, min/max size. Standard two-phase partial aggregation."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice", "p_size"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(retail_cents=_cents(b["p_retailprice"]), n=np.int64(1))
+        return b.groupby("p_brand", as_index=False).agg(
+            n_parts=("n", "sum"),
+            total_retail_cents=("retail_cents", "sum"),
+            min_size=("p_size", "min"),
+            max_size=("p_size", "max"),
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    out = _combine_partials(
+        partials,
+        ["p_brand"],
+        {
+            "n_parts": "sum",
+            "total_retail_cents": "sum",
+            "min_size": "min",
+            "max_size": "max",
+        },
+    )
+    return out.map_batches(
+        lambda b: b.astype({"min_size": "int64", "max_size": "int64"}),
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+
 # --- HyperLogLog approximate count-distinct -------------------------------
 
 _HLL_P = 12  # 4096 registers, ~1.6% standard error

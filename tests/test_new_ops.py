@@ -302,3 +302,25 @@ def test_doc_embeddings_deterministic_and_normalized(ray_session):
         assert np.allclose(va, vb)  # parallelism/run invariant
         n = np.linalg.norm(va)
         assert n == 0 or abs(n - 1.0) < 1e-5  # L2-normalized (or empty text)
+
+
+def test_events_props_stats_malformed_json(ray_session, tmp_path):
+    """Malformed / missing-key props rows are skipped, not fatal."""
+    from open_parse_ray.stages.relational import events_props_stats
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+            "event_type": ["a"] * 6,
+            "value": 0.0,
+            "props": ['{"k": 5}', '{"k": -2}', "not json", '{"other": 1}', "", '{"k": 7}'],
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet")
+    out = _df(events_props_stats(str(tmp_path))).set_index("event_type")
+    assert out.loc["a", "n_with_k"] == 3
+    assert out.loc["a", "sum_k"] == 10
+    assert out.loc["a", "min_k"] == -2
+    assert out.loc["a", "max_k"] == 7
