@@ -113,6 +113,14 @@ def _q_multimodal(sf_dir: str):
     return decode_meta_pipeline(sf_dir)
 
 
+def _q_bmp_thumbnails(sf_dir: str):
+    """Real (non-stubbed) image path: BMP decode → nearest-neighbor
+    resize → BMP re-encode, all pure numpy."""
+    from open_parse_ray.stages.multimodal import bmp_thumbnail_pipeline
+
+    return bmp_thumbnail_pipeline(sf_dir).drop_columns(["thumb_bmp"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- extraction (pages corpus; oracle = pytest identity harness) --
@@ -161,8 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": relational.parts_by_brand,
         "customers_no_urgent_orders": relational.customers_no_urgent_orders,
         "top_orders_per_customer": relational.top_orders_per_customer,
-        # -- multimodal plumbing (stubbed decode, real Ray stages) --
+        # -- multimodal: stubbed decode plumbing + REAL bmp decode/resize --
         "multimodal_meta": _q_multimodal,
+        "bmp_thumbnails": _q_bmp_thumbnails,
     }
 
 

@@ -112,6 +112,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "term_doc_freq",
         "sample_documents",
         "multimodal_meta",
+        "bmp_thumbnails",
     ]
 
     timings: dict[str, float] = {}

@@ -33,10 +33,73 @@ MAGIC_IMAGE = b"OPRI"
 MAGIC_AUDIO = b"OPRA"
 
 
+# ---------------------------------------------------------------------------
+# Real BMP codec (pure numpy — no image libraries needed)
+#
+# 24bpp bottom-up uncompressed BMP: BITMAPFILEHEADER (14 B) +
+# BITMAPINFOHEADER (40 B) + BGR rows padded to 4-byte multiples. This
+# gives the decode/resize stages one GENUINE format; JPEG/PNG/audio
+# remain gated behind the PIL import-try.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB array → 24bpp BMP bytes."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    pixel_bytes = stride * h
+    # BGR order, bottom-up rows, each padded to 4 bytes
+    bgr = img[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 14 + 40)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24bpp uncompressed BMP bytes → (H, W, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    header_size, w, h, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    px = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_offset)
+    rows = px.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize (pure numpy fancy indexing)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[yi[:, None], xi[None, :]]
+
+
 def make_payload(i: int, kind: str = "image") -> bytes:
-    """Deterministic fake media blob for doc index ``i``."""
+    """Deterministic media blob for doc index ``i``. kind='bmp' yields a
+    REAL decodable 24bpp BMP; 'image'/'audio' yield the synthetic
+    header format stubs."""
     rng = np.random.RandomState(i * 2654435761 % (2**31))
     w, h, frames = 8 + (i % 32), 8 + (i * 3 % 32), 1 + (i % 5)
+    if kind == "bmp":
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        return encode_bmp(img)
     body = rng.bytes(w * h)
     magic = MAGIC_IMAGE if kind == "image" else MAGIC_AUDIO
     return magic + struct.pack("<HHH", w, h, frames) + body
@@ -78,6 +141,10 @@ class DecodeMedia:
         self.header = struct.Struct("<HHH")
 
     def _decode(self, payload: bytes):
+        if payload[:2] == b"BM":  # real BMP decode, pure numpy
+            img = decode_bmp(payload)
+            h, w = img.shape[:2]
+            return w, h, 1, img.tobytes()
         magic, rest = payload[:4], payload[4:]
         if magic not in (MAGIC_IMAGE, MAGIC_AUDIO):
             raise ValueError("unknown magic")
@@ -163,6 +230,60 @@ def frame_sample(batch: pa.Table, stride: int = 2) -> pa.Table:
             pa.array(out["frame_bytes"], pa.int64()),
         ],
         names=["media_id", "frame_idx", "frame_bytes"],
+    )
+
+
+class ThumbnailBmp:
+    """REAL resize stage: decode BMP → vectorized nearest-neighbor
+    resize → re-encode BMP thumbnail. Actor-pool kernel (per-actor init
+    holds the target size); rows that aren't decodable BMPs error into
+    the status column rather than failing the block."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, tw, th, thumbs, statuses = [], [], [], [], []
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            ids.append(media_id)
+            try:
+                img = decode_bmp(payload)
+                small = resize_nearest(img, self.out_w, self.out_h)
+                thumbs.append(encode_bmp(np.ascontiguousarray(small)))
+                tw.append(self.out_w)
+                th.append(self.out_h)
+                statuses.append("ok")
+            except Exception as exc:
+                thumbs.append(b"")
+                tw.append(0)
+                th.append(0)
+                statuses.append(f"error:{type(exc).__name__}")
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(tw, pa.int32()),
+                pa.array(th, pa.int32()),
+                pa.array(thumbs, pa.binary()),
+                pa.array(statuses, pa.string()),
+            ],
+            names=["media_id", "thumb_w", "thumb_h", "thumb_bmp", "status"],
+        )
+
+
+def bmp_thumbnail_pipeline(sf_dir: str, out_w: int = 16, out_h: int = 16):
+    """Real image pipeline: BMP media → actor-pool decode+resize+encode →
+    thumbnail table. Every byte is genuinely decoded and re-encoded (no
+    stubs on this path)."""
+    ds = media_table(sf_dir, kind="bmp")
+    return ds.map_batches(
+        ThumbnailBmp,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+        num_cpus=1,
     )
 
 

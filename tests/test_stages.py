@@ -166,3 +166,59 @@ def test_ann_ivf_recall_vs_brute_force(ray_session):
     recall = len(exact_ids & approx_ids) / len(exact_ids)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
     assert list(approx.columns) == ["query_id", "rank", "vec_id"]
+
+
+def test_bmp_roundtrip_exact():
+    """encode_bmp → decode_bmp is lossless for arbitrary RGB arrays,
+    including widths that need row padding."""
+    from open_parse_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(3)
+    for w, h in [(1, 1), (3, 2), (5, 7), (16, 16), (33, 9)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(img))
+        assert out.shape == (h, w, 3)
+        assert (out == img).all(), (w, h)
+
+
+def test_resize_nearest_semantics():
+    from open_parse_ray.stages.multimodal import resize_nearest
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[2:, 2:] = 255  # bottom-right quadrant white
+    small = resize_nearest(img, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert (small[0, 0] == 0).all() and (small[1, 1] == 255).all()
+    big = resize_nearest(img, 8, 8)
+    assert big.shape == (8, 8, 3)
+    assert (big[0, 0] == 0).all() and (big[7, 7] == 255).all()
+
+
+def test_decode_media_handles_real_bmp():
+    from open_parse_ray.stages.multimodal import DecodeMedia, make_payload
+    import pyarrow as pa
+
+    payloads = [make_payload(i, "bmp") for i in range(5)]
+    batch = pa.table(
+        {
+            "media_id": pa.array(range(5), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = DecodeMedia()(batch).to_pandas()
+    assert (out["status"] == "ok").all()
+    # widths/heights match the generator's (8+(i%32), 8+(3i%32))
+    for i, row in out.iterrows():
+        assert row["width"] == 8 + (i % 32)
+        assert row["height"] == 8 + (i * 3 % 32)
+        assert row["n_bytes"] == row["width"] * row["height"] * 3
+
+
+def test_bmp_thumbnail_pipeline(ray_session):
+    from open_parse_ray.stages.multimodal import bmp_thumbnail_pipeline, decode_bmp
+
+    df = bmp_thumbnail_pipeline("/root/testdata/sf0.001", out_w=4, out_h=4).to_pandas()
+    assert (df["status"] == "ok").all()
+    for t in df["thumb_bmp"].head(5):
+        img = decode_bmp(t)
+        assert img.shape == (4, 4, 3)
