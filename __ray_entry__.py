@@ -121,6 +121,14 @@ def _q_bmp_thumbnails(sf_dir: str):
     return bmp_thumbnail_pipeline(sf_dir).drop_columns(["thumb_bmp"])
 
 
+def _q_wav_features(sf_dir: str):
+    """Real (non-stubbed) audio path: PCM WAV decode → vectorized
+    RMS/zero-crossing/duration features."""
+    from open_parse_ray.stages.multimodal import wav_features_pipeline
+
+    return wav_features_pipeline(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- extraction (pages corpus; oracle = pytest identity harness) --
@@ -172,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal: stubbed decode plumbing + REAL bmp decode/resize --
         "multimodal_meta": _q_multimodal,
         "bmp_thumbnails": _q_bmp_thumbnails,
+        "wav_features": _q_wav_features,
     }
 
 

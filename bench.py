@@ -113,6 +113,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "sample_documents",
         "multimodal_meta",
         "bmp_thumbnails",
+        "wav_features",
     ]
 
     timings: dict[str, float] = {}

@@ -91,6 +91,46 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[yi[:, None], xi[None, :]]
 
 
+# ---------------------------------------------------------------------------
+# Real PCM WAV codec (pure numpy / struct)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mono int16 samples → RIFF/WAVE (PCM) bytes."""
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM bytes → (rate, mono int16 samples). Walks the chunk
+    list (tolerates extra chunks like LIST/INFO)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype=np.int16)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
 def make_payload(i: int, kind: str = "image") -> bytes:
     """Deterministic media blob for doc index ``i``. kind='bmp' yields a
     REAL decodable 24bpp BMP; 'image'/'audio' yield the synthetic
@@ -100,6 +140,12 @@ def make_payload(i: int, kind: str = "image") -> bytes:
     if kind == "bmp":
         img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
         return encode_bmp(img)
+    if kind == "wav":
+        n = 400 + (i % 23) * 100
+        t = np.arange(n, dtype=np.float64)
+        sig = 8000 * np.sin(2 * np.pi * (110 + i % 40) * t / 16000)
+        sig += rng.randint(-500, 500, size=n)
+        return encode_wav(sig.astype(np.int16), rate=16000)
     body = rng.bytes(w * h)
     magic = MAGIC_IMAGE if kind == "image" else MAGIC_AUDIO
     return magic + struct.pack("<HHH", w, h, frames) + body
@@ -270,6 +316,58 @@ class ThumbnailBmp:
             ],
             names=["media_id", "thumb_w", "thumb_h", "thumb_bmp", "status"],
         )
+
+
+class AudioFeatures:
+    """REAL audio feature-extraction stage: decode PCM WAV → vectorized
+    RMS energy + zero-crossing count + duration. The numpy kernels are
+    what a real fingerprinting/VAD stage computes; swap in an ML feature
+    extractor with the same actor shape."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_samp, dur_ms, rms, zc, statuses = [], [], [], [], [], []
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            ids.append(media_id)
+            try:
+                rate, s = decode_wav(payload)
+                x = s.astype(np.float64)
+                n_samp.append(len(s))
+                dur_ms.append(int(len(s) * 1000 / rate))
+                rms.append(int(np.sqrt(np.mean(x * x))) if len(s) else 0)
+                zc.append(int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+                statuses.append("ok")
+            except Exception as exc:
+                n_samp.append(0)
+                dur_ms.append(0)
+                rms.append(0)
+                zc.append(0)
+                statuses.append(f"error:{type(exc).__name__}")
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(n_samp, pa.int64()),
+                pa.array(dur_ms, pa.int64()),
+                pa.array(rms, pa.int64()),
+                pa.array(zc, pa.int64()),
+                pa.array(statuses, pa.string()),
+            ],
+            names=["media_id", "n_samples", "duration_ms", "rms", "zero_crossings", "status"],
+        )
+
+
+def wav_features_pipeline(sf_dir: str):
+    """Real audio pipeline: WAV media → actor-pool decode + vectorized
+    feature extraction (no stubs on this path)."""
+    ds = media_table(sf_dir, kind="wav")
+    return ds.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
 
 
 def bmp_thumbnail_pipeline(sf_dir: str, out_w: int = 16, out_h: int = 16):

@@ -222,3 +222,50 @@ def test_bmp_thumbnail_pipeline(ray_session):
     for t in df["thumb_bmp"].head(5):
         img = decode_bmp(t)
         assert img.shape == (4, 4, 3)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from open_parse_ray.stages.multimodal import decode_wav, encode_wav
+
+    s = (np.sin(np.arange(1000) * 0.1) * 10000).astype(np.int16)
+    rate, out = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000
+    assert (out == s).all()
+    # extra chunk before data is tolerated (chunk-walk, not fixed offset)
+    import struct as _st
+
+    payload = encode_wav(s)
+    head, rest = payload[:12], payload[12:]
+    extra = b"LIST" + _st.pack("<I", 4) + b"INFO"
+    rate2, out2 = decode_wav(head + extra + rest)
+    assert (out2 == s).all()
+
+
+def test_audio_features_known_signals():
+    from open_parse_ray.stages.multimodal import AudioFeatures, encode_wav
+    import pyarrow as pa
+
+    const = np.full(100, 1000, dtype=np.int16)          # no crossings
+    alt = (np.array([1, -1] * 50) * 1000).astype(np.int16)  # 99 crossings
+    batch = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array(
+                [encode_wav(const, 1000), encode_wav(alt, 1000)], pa.binary()
+            ),
+        }
+    )
+    out = AudioFeatures()(batch).to_pandas().set_index("media_id")
+    assert out.loc[0, "zero_crossings"] == 0
+    assert out.loc[0, "rms"] == 1000
+    assert out.loc[0, "duration_ms"] == 100
+    assert out.loc[1, "zero_crossings"] == 99
+
+
+def test_wav_features_pipeline(ray_session):
+    from open_parse_ray.stages.multimodal import wav_features_pipeline
+
+    df = wav_features_pipeline("/root/testdata/sf0.001").to_pandas()
+    assert (df["status"] == "ok").all()
+    assert (df["n_samples"] > 0).all()
+    assert (df["rms"] > 0).all()
