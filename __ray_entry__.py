@@ -129,6 +129,14 @@ def _q_wav_features(sf_dir: str):
     return wav_features_pipeline(sf_dir)
 
 
+def _q_video_frames(sf_dir: str):
+    """Real (non-stubbed) video path: BMPV container walk → decode every
+    2nd frame → per-frame stats."""
+    from open_parse_ray.stages.multimodal import video_frame_pipeline
+
+    return video_frame_pipeline(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- extraction (pages corpus; oracle = pytest identity harness) --
@@ -181,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": _q_multimodal,
         "bmp_thumbnails": _q_bmp_thumbnails,
         "wav_features": _q_wav_features,
+        "video_frames": _q_video_frames,
     }
 
 

@@ -114,6 +114,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",
+        "video_frames",
     ]
 
     timings: dict[str, float] = {}

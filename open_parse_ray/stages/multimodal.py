@@ -92,6 +92,45 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Real video container: length-prefixed BMP frames
+#
+#   b"BMPV" | n_frames u16 | [ frame_len u32 | bmp bytes ]*
+#
+# A deliberately simple but GENUINE multi-frame format: every frame is a
+# real decodable BMP, so frame sampling + per-frame kernels exercise the
+# actual decode path (a real pipeline would seek keyframes in MP4 the
+# same way: container walk → per-frame decode).
+# ---------------------------------------------------------------------------
+
+MAGIC_VIDEO = b"BMPV"
+
+
+def encode_bmpv(frames) -> bytes:
+    """List of (H, W, 3) uint8 arrays → BMPV container bytes."""
+    parts = [MAGIC_VIDEO, struct.pack("<H", len(frames))]
+    for f in frames:
+        b = encode_bmp(f)
+        parts.append(struct.pack("<I", len(b)))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def iter_bmpv_frames(payload: bytes, stride: int = 1):
+    """Yield (frame_idx, decoded RGB array) for every ``stride``-th frame
+    WITHOUT decoding skipped frames (container walk is length-prefixed)."""
+    if payload[:4] != MAGIC_VIDEO:
+        raise ValueError("not a BMPV container")
+    (n_frames,) = struct.unpack_from("<H", payload, 4)
+    pos = 6
+    for fi in range(n_frames):
+        (flen,) = struct.unpack_from("<I", payload, pos)
+        start = pos + 4
+        pos = start + flen
+        if fi % stride == 0:
+            yield fi, decode_bmp(payload[start : start + flen])
+
+
+# ---------------------------------------------------------------------------
 # Real PCM WAV codec (pure numpy / struct)
 # ---------------------------------------------------------------------------
 
@@ -146,6 +185,14 @@ def make_payload(i: int, kind: str = "image") -> bytes:
         sig = 8000 * np.sin(2 * np.pi * (110 + i % 40) * t / 16000)
         sig += rng.randint(-500, 500, size=n)
         return encode_wav(sig.astype(np.int16), rate=16000)
+    if kind == "bmpv":
+        fw, fh = 6 + (i % 8), 6 + (i * 3 % 8)
+        return encode_bmpv(
+            [
+                rng.randint(0, 256, size=(fh, fw, 3), dtype=np.uint8)
+                for _ in range(frames + 1)
+            ]
+        )
     body = rng.bytes(w * h)
     magic = MAGIC_IMAGE if kind == "image" else MAGIC_AUDIO
     return magic + struct.pack("<HHH", w, h, frames) + body
@@ -355,6 +402,55 @@ class AudioFeatures:
             ],
             names=["media_id", "n_samples", "duration_ms", "rms", "zero_crossings", "status"],
         )
+
+
+class SampleFrames:
+    """REAL video frame-sampling stage: walk the BMPV container, decode
+    every ``stride``-th frame (skipped frames are never decoded — the
+    container walk is length-prefixed), emit per-frame stats. One row in,
+    many rows out (flat-map shape)."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, ws, hs, means = [], [], [], [], []
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                for fi, img in iter_bmpv_frames(payload, self.stride):
+                    ids.append(media_id)
+                    fidx.append(fi)
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    means.append(int(img.mean()))
+            except Exception:
+                continue  # poison container: contributes no frames
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(fidx, pa.int32()),
+                pa.array(ws, pa.int32()),
+                pa.array(hs, pa.int32()),
+                pa.array(means, pa.int32()),
+            ],
+            names=["media_id", "frame_idx", "width", "height", "mean_pixel"],
+        )
+
+
+def video_frame_pipeline(sf_dir: str, stride: int = 2):
+    """Real video pipeline: BMPV media → actor-pool frame sample + decode
+    → per-frame stats table (no stubs on this path)."""
+    ds = media_table(sf_dir, kind="bmpv")
+    return ds.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
 
 
 def wav_features_pipeline(sf_dir: str):

@@ -269,3 +269,27 @@ def test_wav_features_pipeline(ray_session):
     assert (df["status"] == "ok").all()
     assert (df["n_samples"] > 0).all()
     assert (df["rms"] > 0).all()
+
+
+def test_bmpv_container_and_stride_sampling():
+    from open_parse_ray.stages.multimodal import encode_bmpv, iter_bmpv_frames
+
+    rng = np.random.RandomState(1)
+    frames = [rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8) for _ in range(5)]
+    payload = encode_bmpv(frames)
+    # stride 1: every frame, lossless
+    got = list(iter_bmpv_frames(payload, 1))
+    assert [fi for fi, _ in got] == [0, 1, 2, 3, 4]
+    for (_, img), orig in zip(got, frames):
+        assert (img == orig).all()
+    # stride 2: frames 0, 2, 4 only
+    assert [fi for fi, _ in iter_bmpv_frames(payload, 2)] == [0, 2, 4]
+
+
+def test_video_frame_pipeline(ray_session):
+    from open_parse_ray.stages.multimodal import video_frame_pipeline
+
+    df = video_frame_pipeline("/root/testdata/sf0.001", stride=2).to_pandas()
+    assert len(df) > 0
+    assert (df["frame_idx"] % 2 == 0).all()
+    assert (df["width"] > 0).all() and (df["mean_pixel"] >= 0).all()
