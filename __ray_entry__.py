@@ -149,7 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text analysis over documents --
         "doc_stats_by_lang": analysis.doc_stats_by_lang,
         "token_counts": analysis.token_counts,
+        "bpe_token_counts": analysis.bpe_token_counts,
         "fingerprints": analysis.fingerprints,
+        "rolling_fingerprints": analysis.rolling_fingerprints,
         "quality_scores": analysis.quality_scores,
         "langid_preds": analysis.langid_preds,
         "top_terms": analysis.top_terms,

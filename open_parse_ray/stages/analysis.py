@@ -178,6 +178,38 @@ def fingerprints(sf_dir: str):
     )
 
 
+def rolling_fingerprints(sf_dir: str):
+    """Shift-resistant Rabin-Karp rolling-hash fingerprints per document
+    (chunk-level dedup primitive). Deterministic; gated by unit tests
+    (not SQL-expressible)."""
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        rolling_fingerprint_batch, batch_format="pandas", batch_size=8192
+    )
+
+
+def bpe_token_counts(sf_dir: str):
+    """Token counts with the BPE-ish regex tokenizer (the tiktoken
+    cl100k_base analog used by the extraction thresholds — see
+    open_parse_ray/tokens.py; reference: src/openparse/utils.py:6-10).
+    Deterministic; complements the whitespace-token `token_counts`
+    query, which has the SQL oracle."""
+    from open_parse_ray.tokens import num_tokens
+
+    def batch_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_bpe_tokens": np.asarray(
+                    [num_tokens(t) for t in b["text"]], dtype=np.int64
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        batch_fn, batch_format="pandas", batch_size=8192
+    )
+
+
 def quality_scores(sf_dir: str):
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         quality_batch, batch_format="pandas", batch_size=8192
