@@ -129,6 +129,15 @@ def _q_wav_features(sf_dir: str):
     return wav_features_pipeline(sf_dir)
 
 
+def _q_table_structure(sf_dir: str):
+    """Image → table-structure recovery (table-transformers path analog,
+    ML-free CV kernel): rasterized pages → detect → crop+pad → projection
+    structure → page coordinates."""
+    from open_parse_ray.stages.table_vision import table_structure_pipeline
+
+    return table_structure_pipeline(sf_dir)
+
+
 def _q_video_frames(sf_dir: str):
     """Real (non-stubbed) video path: BMPV container walk → decode every
     2nd frame → per-frame stats."""
@@ -192,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bmp_thumbnails": _q_bmp_thumbnails,
         "wav_features": _q_wav_features,
         "video_frames": _q_video_frames,
+        "table_structure_from_images": _q_table_structure,
     }
 
 

@@ -115,6 +115,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "bmp_thumbnails",
         "wav_features",
         "video_frames",
+        "table_structure_from_images",
     ]
 
     timings: dict[str, float] = {}

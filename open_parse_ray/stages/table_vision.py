@@ -1,0 +1,226 @@
+"""Image → table-structure detection, ML-free.
+
+The reference's table path rasterizes pages, detects table regions with a
+DETR model, crops with padding, runs a structure model to get row/column
+boxes, and transforms coordinates back to page space (reference:
+src/openparse/tables/table_transformers/ml.py:184-356 `find_table_bboxes`
+/ `get_table_content`, crop+pad `src/openparse/tables/utils.py:118-197`,
+coordinate converters `:15-50`). The ML models need torch (absent here),
+so this module implements the SAME four-stage composition with a
+deterministic computer-vision kernel instead of a model:
+
+  rasterized page (real BMP) → ink-bbox table DETECTION → crop with
+  padding → projection-profile STRUCTURE recovery (gridline positions →
+  row/col boxes) → crop→page coordinate back-transform.
+
+Every stage is genuinely computed from pixels (no side-channel truth);
+tests assert exact recovery of the rendered grid. Swapping the projection
+kernel for a model actor changes nothing about the Ray plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from open_parse_ray.stages.multimodal import decode_bmp, encode_bmp
+
+PAGE_W, PAGE_H = 320, 240
+INK_THRESHOLD = 128  # pixel < this (all channels) counts as ink
+PAD = 2  # crop padding, reference uses +5% (tables/parse.py:186)
+
+
+def make_table_image(i: int) -> Tuple[bytes, Dict]:
+    """Deterministic synthetic 'rasterized page': a white page with one
+    black-gridline table at a pseudo-random offset, with pseudo-random
+    per-column widths and per-row heights. Returns (bmp bytes, truth)."""
+    rng = np.random.RandomState(i * 1_000_003 % (2**31))
+    n_rows = int(rng.randint(2, 7))
+    n_cols = int(rng.randint(2, 6))
+    col_widths = rng.randint(14, 40, size=n_cols)
+    row_heights = rng.randint(10, 26, size=n_rows)
+    tw = int(col_widths.sum()) + n_cols + 1  # +1px line per boundary
+    th = int(row_heights.sum()) + n_rows + 1
+    x0 = int(rng.randint(4, PAGE_W - tw - 4))
+    y0 = int(rng.randint(4, PAGE_H - th - 4))
+
+    img = np.full((PAGE_H, PAGE_W, 3), 255, dtype=np.uint8)
+    # vertical gridlines
+    xs = [x0]
+    for wcol in col_widths:
+        xs.append(xs[-1] + 1 + int(wcol))
+    ys = [y0]
+    for hrow in row_heights:
+        ys.append(ys[-1] + 1 + int(hrow))
+    for x in xs:
+        img[y0 : y0 + th, x] = 0
+    for y in ys:
+        img[y, x0 : x0 + tw] = 0
+    # light cell speckle (content) that must NOT confuse the detector
+    for r in range(n_rows):
+        for c in range(n_cols):
+            cy, cx = ys[r] + 1 + row_heights[r] // 2, xs[c] + 1 + col_widths[c] // 2
+            img[cy, cx] = 90  # a dot of "text ink" inside the cell
+    truth = {
+        "x0": x0,
+        "y0": y0,
+        "w": tw,
+        "h": th,
+        "n_rows": n_rows,
+        "n_cols": n_cols,
+        "col_xs": xs,
+        "row_ys": ys,
+    }
+    return encode_bmp(img), truth
+
+
+def detect_table_bbox(img: np.ndarray) -> Tuple[int, int, int, int]:
+    """DETECTION stage: bounding box of all ink on the page
+    (find_table_bboxes analog). Returns (x0, y0, x1, y1) inclusive."""
+    ink = (img < INK_THRESHOLD).all(axis=2)
+    ys, xs = np.nonzero(ink)
+    if len(xs) == 0:
+        raise ValueError("no table ink on page")
+    return int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())
+
+
+def grid_from_projections(
+    crop: np.ndarray, table_h: int, table_w: int
+) -> Tuple[List[int], List[int]]:
+    """STRUCTURE stage: gridline positions from ink projection profiles.
+    A gridline column/row has ink across (nearly) the full DETECTED table
+    extent — thresholds are counts against (table_h, table_w), so crop
+    padding cannot dilute them; cell content (sparse dots) stays far
+    below the threshold."""
+    ink = (crop < INK_THRESHOLD).all(axis=2)
+    col_profile = ink.sum(axis=0)  # ink pixels per x
+    row_profile = ink.sum(axis=1)
+    col_lines = np.nonzero(col_profile > 0.9 * table_h)[0]
+    row_lines = np.nonzero(row_profile > 0.9 * table_w)[0]
+
+    def collapse(lines: np.ndarray) -> List[int]:
+        # adjacent indices = one thick line; keep the first of each run
+        out: List[int] = []
+        for v in lines.tolist():
+            if not out or v > out[-1] + 1:
+                out.append(v)
+        return out
+
+    return collapse(row_lines), collapse(col_lines)
+
+
+def analyze_table_image(payload: bytes) -> Dict:
+    """Full per-page kernel: decode → detect → crop+pad → structure →
+    back-transform to page coordinates (the get_table_content analog)."""
+    img = decode_bmp(payload)
+    x0, y0, x1, y1 = detect_table_bbox(img)
+    # crop with padding, clamped to the page (utils.py crop_img_with_padding)
+    cx0, cy0 = max(0, x0 - PAD), max(0, y0 - PAD)
+    crop = img[cy0 : min(img.shape[0], y1 + 1 + PAD), cx0 : min(img.shape[1], x1 + 1 + PAD)]
+    row_lines, col_lines = grid_from_projections(crop, y1 - y0 + 1, x1 - x0 + 1)
+    # back-transform crop coords → page coords (convert_cropped_cords analog)
+    page_row_ys = [cy0 + r for r in row_lines]
+    page_col_xs = [cx0 + c for c in col_lines]
+    n_rows = max(0, len(page_row_ys) - 1)
+    n_cols = max(0, len(page_col_xs) - 1)
+    return {
+        "table_x0": x0,
+        "table_y0": y0,
+        "table_x1": x1,
+        "table_y1": y1,
+        "n_rows": n_rows,
+        "n_cols": n_cols,
+        "n_cells": n_rows * n_cols,
+        "row_ys": page_row_ys,
+        "col_xs": page_col_xs,
+    }
+
+
+class TableStructure:
+    """Actor-pool stage: rasterized pages in, recovered table structure
+    out. Per-row errors isolate into the status column."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            try:
+                r = analyze_table_image(payload)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "table_x0": r["table_x0"],
+                        "table_y0": r["table_y0"],
+                        "n_rows": r["n_rows"],
+                        "n_cols": r["n_cols"],
+                        "n_cells": r["n_cells"],
+                        "status": "ok",
+                    }
+                )
+            except Exception as exc:
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "table_x0": -1,
+                        "table_y0": -1,
+                        "n_rows": 0,
+                        "n_cols": 0,
+                        "n_cells": 0,
+                        "status": f"error:{type(exc).__name__}",
+                    }
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("media_id", pa.int64()),
+                    ("table_x0", pa.int32()),
+                    ("table_y0", pa.int32()),
+                    ("n_rows", pa.int32()),
+                    ("n_cols", pa.int32()),
+                    ("n_cells", pa.int32()),
+                    ("status", pa.string()),
+                ]
+            ),
+        )
+
+
+def table_structure_pipeline(sf_dir_or_n):
+    """Synthetic rasterized-page dataset → actor-pool structure recovery.
+    Mirrors _ingest_with_table_transformers' stage composition
+    (reference: tables/parse.py:92-156) with the CV kernel in place of
+    the DETR models."""
+    import ray.data as rd
+
+    if isinstance(sf_dir_or_n, int):
+        n = sf_dir_or_n
+    else:
+        from open_parse_ray.sources.pages import sf_from_dir
+
+        n = max(50, int(round(20_000 * sf_from_dir(sf_dir_or_n))))
+
+    def gen(batch) -> pa.Table:
+        ids = [int(v) for v in batch["id"]]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array([make_table_image(i)[0] for i in ids], pa.binary()),
+            ],
+            names=["media_id", "payload"],
+        )
+
+    return (
+        rd.range(n)
+        .map_batches(gen, batch_format="numpy", batch_size=128)
+        .map_batches(
+            TableStructure,
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=(1, 8),
+            num_cpus=1,
+        )
+    )

@@ -293,3 +293,36 @@ def test_video_frame_pipeline(ray_session):
     assert len(df) > 0
     assert (df["frame_idx"] % 2 == 0).all()
     assert (df["width"] > 0).all() and (df["mean_pixel"] >= 0).all()
+
+
+def test_table_structure_exact_recovery():
+    """The projection-profile CV kernel recovers the rendered grid
+    EXACTLY (detection bbox, row/col line positions in page coords,
+    row/col counts) on 100 randomized tables."""
+    from open_parse_ray.stages.table_vision import (
+        analyze_table_image,
+        make_table_image,
+    )
+
+    for i in range(100):
+        payload, truth = make_table_image(i)
+        r = analyze_table_image(payload)
+        assert r["n_rows"] == truth["n_rows"], i
+        assert r["n_cols"] == truth["n_cols"], i
+        assert (r["table_x0"], r["table_y0"]) == (truth["x0"], truth["y0"]), i
+        assert r["row_ys"] == truth["row_ys"], i
+        assert r["col_xs"] == truth["col_xs"], i
+
+
+def test_table_structure_pipeline(ray_session):
+    from open_parse_ray.stages.table_vision import (
+        make_table_image,
+        table_structure_pipeline,
+    )
+
+    df = table_structure_pipeline(60).to_pandas().set_index("media_id")
+    assert (df["status"] == "ok").all()
+    for i in (0, 7, 42):
+        _, truth = make_table_image(i)
+        assert df.loc[i, "n_rows"] == truth["n_rows"]
+        assert df.loc[i, "n_cols"] == truth["n_cols"]
