@@ -129,6 +129,15 @@ def _q_wav_features(sf_dir: str):
     return wav_features_pipeline(sf_dir)
 
 
+def _q_ocr_text(sf_dir: str):
+    """Real OCR path: documents typeset onto page images (deterministic
+    bitmap typeface) → segmentation + template-match OCR → recognized
+    lines through the reference OCR kernels."""
+    from open_parse_ray.stages.ocr_vision import ocr_pipeline
+
+    return ocr_pipeline(sf_dir)
+
+
 def _q_table_structure(sf_dir: str):
     """Image → table-structure recovery (table-transformers path analog,
     ML-free CV kernel): rasterized pages → detect → crop+pad → projection
@@ -202,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_features": _q_wav_features,
         "video_frames": _q_video_frames,
         "table_structure_from_images": _q_table_structure,
+        "ocr_text_from_images": _q_ocr_text,
     }
 
 

@@ -71,3 +71,56 @@ def test_actor_shape():
     assert len(els) == 1
     with pytest.raises(NotImplementedError):
         stage(None)
+
+
+# --- real OCR engine (stages/ocr_vision.py) --------------------------------
+
+
+def test_ocr_roundtrip_random_strings():
+    """OCR(render(text)) == text exactly, incl. interior multi-spaces,
+    single-char lines, and every charset member."""
+    import random
+
+    from open_parse_ray.stages.ocr_vision import CHARSET, ocr_image, render_text_image
+
+    # every glyph at least once
+    got = [t for t, _ in ocr_image(render_text_image([CHARSET[:16], CHARSET[16:32], CHARSET[32:]]))]
+    assert got == [CHARSET[:16], CHARSET[16:32], CHARSET[32:]]
+
+    rng = random.Random(7)
+    alphabet = CHARSET + " "
+    for _ in range(60):
+        lines = []
+        for _ in range(rng.randint(1, 3)):
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 16))).strip()
+            if s:
+                lines.append(s)
+        if not lines:
+            continue
+        assert [t for t, _ in ocr_image(render_text_image(lines))] == lines
+
+
+def test_ocr_pipeline_recovers_document_text(ray_session):
+    """End-to-end: every document's normalized text, typeset to a page
+    image and OCR'd through the Ray pipeline, comes back EXACTLY."""
+    import pandas as pd
+
+    from open_parse_ray.stages.ocr_vision import normalize_text, ocr_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    out = ocr_pipeline(sf).to_pandas()
+    assert (out["status"] == "ok").all()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    truth = {int(r.doc_id): normalize_text(r.text) for r in docs.itertuples()}
+    recovered = {
+        mid: list(g.sort_values("line_idx")["text"])
+        for mid, g in out.groupby("media_id")
+    }
+    checked = 0
+    for doc_id, lines in truth.items():
+        if not lines:
+            assert doc_id not in recovered
+            continue
+        assert recovered[doc_id] == lines, doc_id
+        checked += 1
+    assert checked > 100
