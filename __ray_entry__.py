@@ -129,6 +129,14 @@ def _q_wav_features(sf_dir: str):
     return wav_features_pipeline(sf_dir)
 
 
+def _q_table_markdown(sf_dir: str):
+    """Complete image→TableElement path: detect → structure → per-cell
+    OCR → markdown render, all genuinely computed from pixels."""
+    from open_parse_ray.stages.table_vision import table_markdown_pipeline
+
+    return table_markdown_pipeline(sf_dir)
+
+
 def _q_ocr_text(sf_dir: str):
     """Real OCR path: documents typeset onto page images (deterministic
     bitmap typeface) → segmentation + template-match OCR → recognized
@@ -211,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_features": _q_wav_features,
         "video_frames": _q_video_frames,
         "table_structure_from_images": _q_table_structure,
+        "table_markdown_from_images": _q_table_markdown,
         "ocr_text_from_images": _q_ocr_text,
     }
 

@@ -116,6 +116,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "wav_features",
         "video_frames",
         "table_structure_from_images",
+        "table_markdown_from_images",
         "ocr_text_from_images",
     ]
 

@@ -326,3 +326,31 @@ def test_table_structure_pipeline(ray_session):
         _, truth = make_table_image(i)
         assert df.loc[i, "n_rows"] == truth["n_rows"]
         assert df.loc[i, "n_cols"] == truth["n_cols"]
+
+
+def test_table_image_to_markdown_exact():
+    """Full image→TableElement path: detect + structure + per-cell OCR +
+    markdown render recovers the truth grid's rendering byte-exactly."""
+    from open_parse_ray.functions.tables import output_to_markdown
+    from open_parse_ray.stages.table_vision import (
+        make_table_with_text_image,
+        table_image_to_markdown,
+    )
+
+    for i in range(40):
+        payload, headers, rows = make_table_with_text_image(i)
+        assert table_image_to_markdown(payload) == output_to_markdown(headers, rows), i
+
+
+def test_table_markdown_pipeline(ray_session):
+    from open_parse_ray.functions.tables import output_to_markdown
+    from open_parse_ray.stages.table_vision import (
+        make_table_with_text_image,
+        table_markdown_pipeline,
+    )
+
+    df = table_markdown_pipeline(40).to_pandas().set_index("media_id")
+    assert (df["status"] == "ok").all()
+    for i in (0, 13, 39):
+        _, headers, rows = make_table_with_text_image(i)
+        assert df.loc[i, "markdown"] == output_to_markdown(headers, rows)
