@@ -74,6 +74,15 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     extract(
         read_pages(0.01, columns=["url", "html"]), pipeline="basic", output="docs"
     ).count()
+    # warm the OS page cache for the suite's corpus: without this the
+    # first timed query intermittently pays cold-disk reads on this VM
+    # (measured 7s vs 20s for the same query) and the recorded number
+    # stops measuring compute
+    import pyarrow as _pa
+
+    read_pages(sf, columns=["url", "html"]).map_batches(
+        lambda t: _pa.table({"n": [t.num_rows]}), batch_format="pyarrow"
+    ).count()
 
     qmap = entrymod.queries()
     bench_queries = [
