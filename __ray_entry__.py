@@ -74,6 +74,14 @@ def _q_extract_linked(sf_dir: str):
     )
 
 
+def _q_prepare_corpus(sf_dir: str):
+    """End-to-end training-data prep: extract → quality gate → corpus
+    exact-dedup, one streaming pipeline."""
+    from open_parse_ray.pipelines.extraction import prepare_training_corpus
+
+    return prepare_training_corpus(sf_dir)
+
+
 def _q_page_metadata(sf_dir: str):
     """file_metadata analog (reference: src/openparse/pdf.py:66-86): per-doc
     metadata projection — url, %Y-%m-%d date string, byte size, mimetype —
@@ -172,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_linked_nodes": _q_extract_linked,
         "page_metadata": _q_page_metadata,
         "page_bbox_svgs": _q_page_bbox_svgs,
+        "prepare_training_corpus": _q_prepare_corpus,
         # -- text analysis over documents --
         "doc_stats_by_lang": analysis.doc_stats_by_lang,
         "token_counts": analysis.token_counts,

@@ -315,3 +315,64 @@ def extract(
         return out_small.union(out_large)
 
     return ds.map_batches(kernel_cls(pipeline), batch_size=batch_size, **kw)
+
+
+def prepare_training_corpus(
+    sf_dir_or_ds,
+    lang: str = "en",
+    min_tokens: int = 50,
+    dedup_parts: int = 32,
+):
+    """The end-to-end training-data preparation pipeline this engine
+    exists for — every stage streaming, in one lazy Dataset:
+
+      pages → (lang filter at the read) → extraction (basic chain) →
+      quality gate (status ok, ≥ min_tokens) → corpus-level EXACT dedup
+      on the extracted text (16-byte fp shuffle, min-url survivor) →
+      (url, total_tokens, n_nodes, fp).
+
+    Composes the per-document reference semantics with the corpus-level
+    scale operators; deterministic output at any parallelism (gated by
+    tests/test_pipeline_identity.py::test_prepare_training_corpus_*).
+    """
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    from open_parse_ray.sources.pages import read_pages
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = (
+        sf_dir_or_ds
+        if hasattr(sf_dir_or_ds, "map_batches")
+        else read_pages(sf_dir_or_ds, columns=["url", "html", "lang"])
+    )
+    docs = extract(ds, pipeline="basic", output="docs", lang=lang)
+
+    def quality_gate(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["status"] == "ok") & (b["total_tokens"] >= min_tokens)]
+        fp = [
+            _hashlib.md5(t.encode("utf-8")).hexdigest()[:16]
+            for t in b["extracted_text"]
+        ]
+        return pd.DataFrame(
+            {
+                "url": b["url"],
+                "total_tokens": b["total_tokens"].astype("int64"),
+                "n_nodes": b["n_nodes"].astype("int64"),
+                "fp": fp,
+            }
+        )
+
+    gated = docs.map_batches(quality_gate, batch_format="pandas", batch_size=1024)
+
+    def keep_first(part: pd.DataFrame) -> pd.DataFrame:
+        # survivor = lexicographically smallest url per distinct text fp
+        return part.sort_values("url").drop_duplicates("fp", keep="first")
+
+    return salted_groupby(
+        gated,
+        lambda b: pd.util.hash_pandas_object(b["fp"], index=False).astype("int64"),
+        keep_first,
+        num_parts=dedup_parts,
+    )

@@ -77,3 +77,25 @@ def test_nodes_output_consistent_with_docs(ray_session):
         assert [r["text"] for r in rows] == list(docs[url]["node_texts"])
         # deterministic ids
         assert len({r["node_id"] for r in rows}) == len(rows)
+
+
+def test_prepare_training_corpus_deterministic_and_gated(ray_session):
+    """The end-to-end prep pipeline (extract → quality gate → corpus
+    dedup) is deterministic at different dedup partition counts, keeps
+    only ok/en/≥50-token docs, and emits one row per distinct text."""
+    from open_parse_ray.pipelines.extraction import prepare_training_corpus
+
+    sf = "/root/testdata/sf0.001"
+    a = prepare_training_corpus(sf).to_pandas().sort_values("url").reset_index(drop=True)
+    b = (
+        prepare_training_corpus(sf, dedup_parts=7)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    assert (a["total_tokens"] >= 50).all()
+    assert a["fp"].is_unique
