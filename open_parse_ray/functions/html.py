@@ -387,7 +387,10 @@ class _Layout:
         def flush_line():
             nonlocal cur, cur_w
             if cur:
-                width = sum([len(c[0]) * _char_width(c[2]) for c in cur])
+                # widths were computed per word at append time; summing the
+                # stored values left-to-right is bit-identical to a fresh
+                # left-to-right sum of the same expressions
+                width = sum([c[3] for c in cur])
                 lines.append((cur, width, max([c[2] for c in cur])))
             cur = []
             cur_w = 0.0
@@ -412,7 +415,7 @@ class _Layout:
                         flush_line()
                     if word == " " and not cur:
                         continue  # no leading spaces on wrapped lines
-                    cur.append((word, font, size))
+                    cur.append((word, font, size, w))
                     cur_w += w
         flush_line()
         return lines

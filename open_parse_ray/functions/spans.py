@@ -127,7 +127,8 @@ def group_char_items_into_spans(
         text = item[0]
         if len(text) != 1 and ws_search(text) is not None and not text.isspace():
             # rare mixed item: expand char-wise through the same state machine
-            _, fontname, size = item
+            # (index access: items may carry extra fields, e.g. cached width)
+            fontname, size = item[1], item[2]
             key = (fontname, size)
             mixed_style = style_cache.get(key)
             if mixed_style is None:
