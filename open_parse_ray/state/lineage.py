@@ -105,6 +105,7 @@ def _run_shard(
     out_dir: str,
     pipeline: str,
     batch_size: int,
+    format: str = "parquet",
 ) -> Dict:
     """Extract one input shard → committed partition dir + lineage record."""
     import ray.data as rd
@@ -126,10 +127,23 @@ def _run_shard(
     with _CONSTRUCT_LOCK:
         ds = rd.read_parquet(files)
         out = extract(ds, pipeline=pipeline, output="docs", batch_size=batch_size)
-    out.write_parquet(tmp)
+    if format == "json":
+        # the reference's parsed.json() serialization analog
+        out.write_json(tmp)
+    else:
+        out.write_parquet(tmp)
 
     # per-partition metrics from the written files (small: one shard)
-    tbl = pq.read_table(tmp)
+    if format == "json":
+        import pandas as _pd
+
+        frames = [
+            _pd.read_json(p, lines=True)
+            for p in sorted(glob.glob(os.path.join(tmp, "*.json")))
+        ]
+        tbl = pa.Table.from_pandas(_pd.concat(frames, ignore_index=True))
+    else:
+        tbl = pq.read_table(tmp)
     n_err = 0
     if "status" in tbl.column_names:
         import pyarrow.compute as pc
@@ -170,6 +184,7 @@ def run_job(
     batch_size: int = 32,
     fail_after_parts: Optional[int] = None,
     shard_concurrency: int = 4,
+    format: str = "parquet",
 ) -> Dict:
     """Run (or resume) the extraction job over all input shards.
 
@@ -196,7 +211,9 @@ def run_job(
     completed: List[Dict] = []
     if fail_after_parts is not None:
         for i in pending:
-            completed.append(_run_shard(i, shards[i], out_dir, pipeline, batch_size))
+            completed.append(
+                _run_shard(i, shards[i], out_dir, pipeline, batch_size, format)
+            )
             if len(completed) >= fail_after_parts:
                 raise RuntimeError(f"injected failure after {len(completed)} parts")
     else:
@@ -206,7 +223,7 @@ def run_job(
         with ThreadPoolExecutor(max_workers=max(1, shard_concurrency)) as pool:
             futs = {
                 pool.submit(
-                    _run_shard, i, shards[i], out_dir, pipeline, batch_size
+                    _run_shard, i, shards[i], out_dir, pipeline, batch_size, format
                 ): i
                 for i in pending
             }

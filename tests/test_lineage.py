@@ -60,3 +60,36 @@ def test_resume_after_injected_failure(pages_dir, tmp_path_factory):
 
     shutil.rmtree(out_a, ignore_errors=True)
     shutil.rmtree(out_b, ignore_errors=True)
+
+
+def test_job_json_sink(ray_session, tmp_path):
+    """The resumable job can write JSON partitions (parsed.json() analog):
+    same lineage/_SUCCESS layout, rows readable, resume skips."""
+    import glob
+    import json
+    import pandas as pd
+
+    from open_parse_ray.sources.pages import ensure_pages_parquet
+    from open_parse_ray.state import lineage
+
+    src = ensure_pages_parquet(0.001)
+    out = str(tmp_path / "json_out")
+    res = lineage.run_job(src, out, shard_size=4, format="json")
+    assert res["ran"] and not res["skipped"]
+    parts = glob.glob(f"{out}/part=*/_SUCCESS")
+    assert parts
+    files = [
+        f for f in glob.glob(f"{out}/part=*/*.json")
+        if not f.endswith("lineage.json")
+    ]
+    assert files
+    df = pd.concat([pd.read_json(f, lines=True) for f in files], ignore_index=True)
+    assert len(df) == 200 and "extracted_text" in df.columns
+    total = sum(
+        json.load(open(p))["n_docs"]
+        for p in glob.glob(f"{out}/part=*/lineage.json")
+    )
+    assert total == 200
+    # resume: nothing re-runs
+    res2 = lineage.run_job(src, out, shard_size=4, format="json")
+    assert not res2["ran"] and len(res2["skipped"]) == res["n_parts"]

@@ -39,6 +39,10 @@ def main() -> None:
     ap.add_argument("--shard-concurrency", type=int, default=4)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--format", default="parquet", choices=["parquet", "json"],
+        help="partition file format (json = the reference's parsed.json() analog)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -61,6 +65,7 @@ def main() -> None:
         shard_size=args.shard_size,
         batch_size=args.batch_size,
         shard_concurrency=args.shard_concurrency,
+        format=args.format,
     )
     metrics = lineage.job_metrics(args.out)
     metrics["job_wall_s"] = round(time.perf_counter() - t0, 3)
