@@ -354,3 +354,46 @@ def test_table_markdown_pipeline(ray_session):
     for i in (0, 13, 39):
         _, headers, rows = make_table_with_text_image(i)
         assert df.loc[i, "markdown"] == output_to_markdown(headers, rows)
+
+
+def test_media_stages_isolate_corrupt_payloads():
+    """Truncated/garbage payloads become status columns, never exceptions
+    (poison-row contract on the media paths)."""
+    import pyarrow as pa
+
+    from open_parse_ray.stages.multimodal import (
+        AudioFeatures,
+        DecodeMedia,
+        ThumbnailBmp,
+        encode_bmp,
+        encode_wav,
+        make_payload,
+    )
+
+    good_bmp = make_payload(1, "bmp")
+    good_wav = encode_wav(np.ones(50, dtype=np.int16))
+    bad = [b"", b"garbage", good_bmp[:20], good_wav[:10], b"BM\x00\x01"]
+
+    batch = pa.table(
+        {
+            "media_id": pa.array(range(len(bad) + 1), pa.int64()),
+            "payload": pa.array([good_bmp] + bad, pa.binary()),
+        }
+    )
+    out = DecodeMedia()(batch).to_pandas()
+    assert out.loc[0, "status"] == "ok"
+    assert (out.loc[1:, "status"].str.startswith("error:")).all()
+
+    out2 = ThumbnailBmp()(batch).to_pandas()
+    assert out2.loc[0, "status"] == "ok"
+    assert (out2.loc[1:, "status"].str.startswith("error:")).all()
+
+    wav_batch = pa.table(
+        {
+            "media_id": pa.array(range(len(bad) + 1), pa.int64()),
+            "payload": pa.array([good_wav] + bad, pa.binary()),
+        }
+    )
+    out3 = AudioFeatures()(wav_batch).to_pandas()
+    assert out3.loc[0, "status"] == "ok"
+    assert (out3.loc[1:, "status"].str.startswith("error:")).all()
