@@ -248,6 +248,12 @@ def read_result(out_dir: str) -> pa.Table:
     for p in parts:
         for f in sorted(glob.glob(os.path.join(p, "*.parquet"))):
             tables.append(pq.read_table(f))
+        for f in sorted(glob.glob(os.path.join(p, "*.json"))):
+            if f.endswith("lineage.json"):
+                continue
+            import pandas as _pd
+
+            tables.append(pa.Table.from_pandas(_pd.read_json(f, lines=True)))
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables)
