@@ -584,6 +584,117 @@ class _Layout:
         self.cursor = y0 - block.gap
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer path
+#
+# html.parser's pure-Python goahead loop costs ~20% of the extraction
+# kernel. This compiled-regex tokenizer emits the IDENTICAL event stream
+# (handle_starttag / handle_endtag / handle_data with html.parser's
+# lowercasing, charref conversion, raw-text <script>/<style> handling and
+# startendtag expansion) for well-formed markup, and raises _FastParseBail
+# on anything it is not certain about — a stray '<' in text, an
+# unterminated raw-text element — so those documents fall back to the
+# stdlib parser. Equivalence is gated by an event-stream A/B test over the
+# whole corpus (tests/test_model.py::test_fast_tokenizer_event_parity).
+# ---------------------------------------------------------------------------
+
+_FAST_TOKEN_RE = re.compile(
+    r"<!--.*?-->"
+    r"|<!\[CDATA\[.*?\]\]>"
+    r"|<![a-zA-Z][^>]*>"
+    r"|<\?[^>]*>"
+    r"|</(?P<end>[a-zA-Z][a-zA-Z0-9-]*)\s*>"
+    r"|<(?P<start>[a-zA-Z][a-zA-Z0-9-]*)"
+    r"(?P<attrs>(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
+    r"\s*(?P<selfclose>/?)>",
+    re.S,
+)
+_FAST_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+_RAWTEXT_CLOSE = {
+    t: re.compile(rf"</{t}\s*>", re.I) for t in ("script", "style", "title", "textarea")
+}
+
+
+class _FastParseBail(Exception):
+    pass
+
+
+def _fast_feed(html_text: str, handler) -> None:
+    """Drive the extractor with html.parser-equivalent events, or bail."""
+    import html as _htmlmod
+
+    unescape = _htmlmod.unescape
+    pos = 0
+    n = len(html_text)
+    while pos < n:
+        m = _FAST_TOKEN_RE.search(html_text, pos)
+        text_end = m.start() if m else n
+        if text_end > pos:
+            text = html_text[pos:text_end]
+            if "<" in text:
+                raise _FastParseBail("stray '<' in text")
+            if text:
+                handler.handle_data(unescape(text) if "&" in text else text)
+        if m is None:
+            break
+        pos = m.end()
+        end_tag = m.group("end")
+        if end_tag is not None:
+            handler.handle_endtag(end_tag.lower())
+            continue
+        start_tag = m.group("start")
+        if start_tag is None:
+            continue  # comment / doctype / CDATA / processing instruction
+        tag = start_tag.lower()
+        raw_attrs = m.group("attrs") or ""
+        attrs = []
+        if raw_attrs:
+            for am in _FAST_ATTR_RE.finditer(raw_attrs):
+                name = am.group(1).lower()
+                if am.group(2) is not None:
+                    val = am.group(2)
+                elif am.group(3) is not None:
+                    val = am.group(3)
+                elif am.group(4):
+                    val = am.group(4)
+                else:
+                    val = None
+                if val is not None and "&" in val:
+                    val = unescape(val)
+                attrs.append((name, val))
+        if m.group("selfclose"):
+            # html.parser: handle_startendtag → starttag then endtag
+            handler.handle_starttag(tag, attrs)
+            handler.handle_endtag(tag)
+            continue
+        handler.handle_starttag(tag, attrs)
+        close_re = _RAWTEXT_CLOSE.get(tag)
+        if close_re is not None:
+            cm = close_re.search(html_text, pos)
+            if cm is None:
+                raise _FastParseBail(f"unterminated <{tag}>")
+            if cm.start() > pos:
+                # CDATA content: html.parser passes it through unconverted
+                handler.handle_data(html_text[pos : cm.start()])
+            handler.handle_endtag(tag)
+            pos = cm.end()
+
+
+def _run_extractor(html_text: str) -> "_Extractor":
+    try:
+        extractor = _Extractor()
+        _fast_feed(html_text, extractor)
+        return extractor
+    except _FastParseBail:
+        extractor = _Extractor()
+        extractor.feed(html_text)
+        extractor.close()
+        return extractor
+
+
 def html_to_elements(html) -> List:
     """Parse + strip + lay out one HTML document into elements.
 
@@ -591,9 +702,7 @@ def html_to_elements(html) -> List:
     """
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", "replace")
-    extractor = _Extractor()
-    extractor.feed(html)
-    extractor.close()
+    extractor = _run_extractor(html)
 
     layout = _Layout()
     for block in extractor.blocks:
@@ -613,9 +722,7 @@ def visible_text(html) -> str:
     ``text`` input column and quick heuristics."""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", "replace")
-    extractor = _Extractor()
-    extractor.feed(html)
-    extractor.close()
+    extractor = _run_extractor(html)
     parts = []
     for block in extractor.blocks:
         if block.kind == "text":

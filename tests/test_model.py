@@ -184,3 +184,76 @@ def test_void_tags_do_not_desync_style_stack():
     last = texts[-1]
     assert last.text == "plain text here"
     assert all(not s.is_bold for line in last.lines for s in line.spans)
+
+
+def test_fast_tokenizer_event_parity():
+    """The compiled-regex tokenizer emits the IDENTICAL event stream as
+    html.parser (lowercasing, charrefs, raw-text script/style, selfclose
+    expansion) on the whole corpus and on adversarial markup; anything it
+    cannot handle bails to the stdlib parser."""
+    from html.parser import HTMLParser
+
+    from open_parse_ray.functions.html import _FastParseBail, _fast_feed
+    from open_parse_ray.sources.pages import gen_html
+
+    class Rec(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.events = []
+
+        def handle_starttag(self, tag, attrs):
+            self.events.append(("s", tag, tuple(attrs)))
+
+        def handle_endtag(self, tag):
+            self.events.append(("e", tag))
+
+        def handle_data(self, data):
+            self.events.append(("d", data))
+
+    class RecFast:
+        def __init__(self):
+            self.events = []
+
+        def handle_starttag(self, tag, attrs):
+            self.events.append(("s", tag, tuple(attrs)))
+
+        def handle_endtag(self, tag):
+            self.events.append(("e", tag))
+
+        def handle_data(self, data):
+            self.events.append(("d", data))
+
+    def merged(evts):
+        out = []
+        for e in evts:
+            if e[0] == "d" and out and out[-1][0] == "d":
+                out[-1] = ("d", out[-1][1] + e[1])
+            else:
+                out.append(e)
+        return out
+
+    cases = [gen_html(i)["html"] for i in list(range(80)) + [97]]
+    cases += [
+        "<p>a &amp; b &lt;tag&gt; &#65;</p>",
+        '<div class="x" id=y data-z>text</div>',
+        "<img src='a.png' width=320 height=140 alt='Fig'>",
+        '<script>if (a<b) {x="</di"+"v>";}</script><p>after</p>',
+        '<style>.a{content:"<"}</style><p>ok</p>',
+        "<br/><hr/><p>selfclose</p>",
+        "<!-- c --><!DOCTYPE html><p>x</p>",
+        '<P CLASS="UP">MiXeD</P>',
+        "plain < not a tag",  # must BAIL, not mis-parse
+    ]
+    bails = 0
+    for h in cases:
+        a = Rec()
+        a.feed(h)
+        a.close()
+        b = RecFast()
+        try:
+            _fast_feed(h, b)
+        except _FastParseBail:
+            bails += 1
+            continue
+        assert merged(a.events) == merged(b.events), h[:120]
+    assert bails == 1  # exactly the stray-'<' case
