@@ -26,7 +26,11 @@ from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
 from open_parse_ray import consts
-from open_parse_ray.functions.spans import group_char_items_into_spans
+from open_parse_ray.functions.spans import (
+    _WS_SEARCH,
+    group_char_items_into_spans,
+    single_style_span,
+)
 from open_parse_ray.functions.tables import output_to_markdown
 from open_parse_ray.model import (
     Bbox,
@@ -391,7 +395,20 @@ class _Layout:
                 # stored values left-to-right is bit-identical to a fresh
                 # left-to-right sum of the same expressions
                 width = sum([c[3] for c in cur])
-                lines.append((cur, width, max([c[2] for c in cur])))
+                # uniform-style detection for the span fast path: one
+                # (font, size) across the line and no item with embedded
+                # non-space whitespace (a " " item is fine)
+                f0, s0 = cur[0][1], cur[0][2]
+                uni = (f0, s0)
+                for c in cur:
+                    t = c[0]
+                    if c[1] is not f0 and c[1] != f0 or c[2] != s0:
+                        uni = None
+                        break
+                    if t != " " and _WS_SEARCH(t) is not None:
+                        uni = None
+                        break
+                lines.append((cur, width, max([c[2] for c in cur]), uni))
             cur = []
             cur_w = 0.0
 
@@ -444,7 +461,7 @@ class _Layout:
         )
 
     def _make_line(
-        self, chars, y1: float, width: float = None, max_size: float = None
+        self, chars, y1: float, width: float = None, max_size: float = None, uni=None
     ) -> LineElement:
         if max_size is None:
             max_size = max((c[2] for c in chars), default=_DEFAULT_SIZE)
@@ -456,8 +473,13 @@ class _Layout:
             consts.PAGE_MARGIN_X + width,
             y1,
         )
-        spans = group_char_items_into_spans(chars)
-        return LineElement(bbox=bbox, spans=tuple(spans))
+        if uni is not None:
+            # single-style line: the grouping state machine degenerates to
+            # one span (byte-identical; see single_style_span)
+            spans = (single_style_span([c[0] for c in chars], uni[0], uni[1]),)
+        else:
+            spans = tuple(group_char_items_into_spans(chars))
+        return LineElement(bbox=bbox, spans=spans)
 
     def place_text_block(self, block: _Block):
         lines = self._wrap(block.runs)
@@ -465,23 +487,23 @@ class _Layout:
             return
         if block.placement == "top":
             les = []
-            for chars, width, msize in lines:
-                le = self._make_line(chars, self.top_cursor, width, msize)
+            for chars, width, msize, uni in lines:
+                le = self._make_line(chars, self.top_cursor, width, msize, uni)
                 self.top_cursor -= msize * 1.2
                 les.append(le)
             self._emit_text_element(les, [le.text for le in les])
             return
         if block.placement == "bottom":
             les = []
-            for chars, width, msize in lines:
-                le = self._make_line(chars, self.bottom_cursor, width, msize)
+            for chars, width, msize, uni in lines:
+                le = self._make_line(chars, self.bottom_cursor, width, msize, uni)
                 self.bottom_cursor -= msize * 1.2
                 les.append(le)
             self._emit_text_element(les, [le.text for le in les])
             return
         if block.placement == "full":
             # one element spanning most of the page (watermark / full-page stub)
-            all_chars = [c for line, _, _ in lines for c in line]
+            all_chars = [c for line, _, _, _ in lines for c in line]
             spans = group_char_items_into_spans(all_chars)
             bbox = (36.0, 60.0, consts.PAGE_WIDTH - 36.0, consts.PAGE_HEIGHT - 36.0)
             le = LineElement(bbox=bbox, spans=tuple(spans))
@@ -504,13 +526,13 @@ class _Layout:
 
         # normal flow
         les: List[LineElement] = []
-        for chars, width, line_h in lines:
+        for chars, width, line_h, uni in lines:
             if self.cursor - line_h < consts.PAGE_BOTTOM_Y:
                 # page break: close the element on this page, continue on next
                 self._emit_text_element(les, [le.text for le in les])
                 les = []
                 self.new_page()
-            le = self._make_line(chars, self.cursor, width, line_h)
+            le = self._make_line(chars, self.cursor, width, line_h, uni)
             self.cursor -= round(line_h * 1.2, 2)
             les.append(le)
         self._emit_text_element(les, [le.text for le in les])

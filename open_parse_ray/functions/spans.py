@@ -216,3 +216,22 @@ def lines_bbox(lines: List[LineElement]) -> Tuple[float, float, float, float]:
         max(line.bbox[2] for line in lines),
         max(line.bbox[3] for line in lines),
     )
+
+
+_MULTISPACE_SUB = __import__("re").compile(r" {2,}").sub
+
+
+def single_style_span(texts, fontname: str, size: float) -> TextSpan:
+    """Fast path for a line whose items all share one style and contain
+    no embedded non-space whitespace: the run-length state machine
+    degenerates to concatenate + compress-spaces + trailing-space rule.
+    Byte-identical to group_char_items_into_spans on such input."""
+    joined = "".join(texts)
+    compressed = _MULTISPACE_SUB(" ", joined)
+    bold, italic = _font_style(fontname)
+    return TextSpan(
+        text=compressed.rstrip() + (" " if compressed.endswith(" ") else ""),
+        is_bold=bold,
+        is_italic=italic,
+        size=round(size, 2),
+    )
