@@ -30,12 +30,23 @@ _TOKEN_RE = re.compile(
 _LONG_RUN = 8
 
 
+_COUNT_CACHE: dict = {}
+_COUNT_CACHE_CAP = 200_000
+
+
 def num_tokens(string: Optional[str]) -> int:
-    """Deterministic token count (reference semantics: utils.py:6-10)."""
+    """Deterministic token count (reference semantics: utils.py:6-10).
+    Memoized per distinct text (repeated headers/footers/boilerplate
+    recur across documents); cap-bounded so worker memory stays flat."""
     if not string:
         return 0
-    n = 0
-    for m in _TOKEN_RE.finditer(string):
-        length = m.end() - m.start()
-        n += 1 + (length - 1) // _LONG_RUN
+    n = _COUNT_CACHE.get(string)
+    if n is None:
+        n = 0
+        for m in _TOKEN_RE.finditer(string):
+            length = m.end() - m.start()
+            n += 1 + (length - 1) // _LONG_RUN
+        if len(_COUNT_CACHE) >= _COUNT_CACHE_CAP:
+            _COUNT_CACHE.clear()
+        _COUNT_CACHE[string] = n
     return n
