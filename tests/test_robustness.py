@@ -88,3 +88,37 @@ def test_salted_groupby_num_parts_invariance(ray_session):
     assert results[0].equals(results[1])
     assert results[0].equals(results[2])
     assert len(results[0]) == 97
+
+
+def test_fast_tokenizer_fallback_documents_extract():
+    """Documents the fast tokenizer bails on (stray '<', unterminated
+    script) still extract via the stdlib fallback, and produce the SAME
+    elements the stdlib path produces."""
+    from html.parser import HTMLParser
+
+    from open_parse_ray.functions import html as H
+
+    body = "word " * 80
+    cases = [
+        f"<html><body><p>a < b and {body}</p></body></html>",      # stray '<'
+        f"<html><body><p>{body}</p><script>var x=1;</body></html>",  # unterminated
+        f"<html><body><p>{body}</p>" + "<div>" * 200 + "</body></html>",  # nesting
+    ]
+    for h in cases:
+        via_default = H.html_to_elements(h)
+
+        # force the stdlib path and compare
+        slow = H._Extractor()
+        slow.feed(h)
+        slow.close()
+        layout = H._Layout()
+        for block in slow.blocks:
+            if block.kind == "pagebreak":
+                layout.new_page()
+            elif block.kind == "table":
+                layout.place_table_block(block)
+            elif block.kind == "image":
+                layout.place_image_block(block)
+            else:
+                layout.place_text_block(block)
+        assert [e.text for e in via_default] == [e.text for e in layout.elements]
