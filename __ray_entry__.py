@@ -4,13 +4,19 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
-  the scale additions: dedup, similarity, text analysis, multimodal).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
-  query, same column names, over the pre-registered testdata views.
-  Extraction/minhash/simhash/ANN/langid/multimodal queries are not
-  SQL-expressible → rows-only checks (their correctness gate is the
-  pytest byte-identity harness in tests/).
+- ``queries()`` — 51 callables covering every implemented operator
+  (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
+  training-corpus prep), text analysis, dedup (exact/MinHash/SimHash/
+  Jaccard/embedding), similarity (kNN/LSH/IVF), relational+windowed
+  (joins incl. multi-way/anti/band, windows, sessionization, top-k,
+  quantiles, count-distinct, HLL sketch, JSON extraction), multimodal
+  (real BMP/WAV/BMPV codecs, image→table structure+markdown, OCR).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the 28 SQL-expressible
+  queries, same column names, over the pre-registered testdata views.
+  The rest (extraction, LSH/ANN, lang-id, sketches, media codecs) are
+  not SQL-expressible → rows-only driver checks; their correctness gates
+  are in tests/: live-reference byte-identity, exact OCR/codec
+  roundtrips, ANN recall vs brute force, HLL accuracy bound.
 """
 
 from __future__ import annotations
