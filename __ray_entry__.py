@@ -4,14 +4,14 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 51 callables covering every implemented operator
+- ``queries()`` — 52 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep), text analysis, dedup (exact/MinHash/SimHash/
   Jaccard/embedding), similarity (kNN/LSH/IVF), relational+windowed
   (joins incl. multi-way/anti/band, windows, sessionization, top-k,
   quantiles, count-distinct, HLL sketch, JSON extraction), multimodal
   (real BMP/WAV/BMPV codecs, image→table structure+markdown, OCR).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for the 28 SQL-expressible
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the 29 SQL-expressible
   queries, same column names, over the pre-registered testdata views.
   The rest (extraction, LSH/ANN, lang-id, sketches, media codecs) are
   not SQL-expressible → rows-only driver checks; their correctness gates
@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": analysis.top_terms,
         "term_doc_freq": analysis.term_doc_freq,
         "sample_documents": analysis.sample_documents,
+        "stratified_sample": analysis.stratified_sample,
         "doc_embeddings": analysis.doc_embeddings,
         # -- dedup family --
         "exact_dedup": dedup.exact_dedup_groups,
@@ -417,6 +418,17 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) < '2'
+        """,
+        "stratified_sample": """
+            WITH ranked AS (
+              SELECT lang, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS BIGINT) AS rank
+              FROM documents
+            )
+            SELECT lang, rank, doc_id FROM ranked WHERE rank <= 10
         """,
         "local_supplier_revenue": """
             SELECT n.n_name AS n_name,

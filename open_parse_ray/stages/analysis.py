@@ -336,6 +336,49 @@ def doc_embeddings(sf_dir: str, dim: int = 64):
     )
 
 
+def stratified_sample(sf_dir: str, per_group: int = 10):
+    """Deterministic STRATIFIED sampling: exactly ``per_group`` docs per
+    language, chosen by md5(doc_id) order — balanced-corpus sampling
+    (equal representation per stratum) with no RNG state and no full
+    shuffle: only (doc_id, lang, md5) rows move, salted on the stratum.
+    Returns (lang, rank, doc_id)."""
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "lang": b["lang"],
+                "h": [
+                    hashlib.md5(str(int(d)).encode("ascii")).hexdigest()
+                    for d in b["doc_id"]
+                ],
+            }
+        )
+
+    keyed = read_documents(sf_dir, columns=["doc_id", "lang"]).map_batches(
+        add_key, batch_format="pandas", batch_size=65536
+    )
+
+    def topk_per_lang(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["lang", "h", "doc_id"])
+        g = g.assign(rank=g.groupby("lang").cumcount() + 1)
+        g = g[g["rank"] <= per_group]
+        return pd.DataFrame(
+            {
+                "lang": g["lang"],
+                "rank": g["rank"].astype("int64"),
+                "doc_id": g["doc_id"].astype("int64"),
+            }
+        )
+
+    def salt(b: pd.DataFrame) -> pd.Series:
+        return pd.util.hash_pandas_object(b["lang"], index=False).astype("int64")
+
+    return salted_groupby(keyed, salt, topk_per_lang)
+
+
 def sample_documents(sf_dir: str):
     """Deterministic hash-based sampling (~1/8): keep docs whose
     md5(doc_id-as-string) hex digest sorts below '2'. Content-addressed

@@ -324,3 +324,18 @@ def test_events_props_stats_malformed_json(ray_session, tmp_path):
     assert out.loc["a", "sum_k"] == 10
     assert out.loc["a", "min_k"] == -2
     assert out.loc["a", "max_k"] == 7
+
+
+def test_stratified_sample_exact_and_balanced(ray_session):
+    """Exactly per_group docs per language, deterministic md5 order."""
+    from open_parse_ray.stages.analysis import stratified_sample
+
+    out = _df(stratified_sample(SF, per_group=5))
+    counts = out.groupby("lang").size()
+    assert (counts == 5).all()
+    for lang, g in out.groupby("lang"):
+        g = g.sort_values("rank")
+        hashes = [hashlib.md5(str(int(d)).encode()).hexdigest() for d in g["doc_id"]]
+        assert hashes == sorted(hashes)  # md5-ordered selection
+    again = _df(stratified_sample(SF, per_group=5))
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(again))
