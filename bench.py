@@ -120,6 +120,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "top_terms",
         "term_doc_freq",
         "sample_documents",
+        "stratified_sample",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",
