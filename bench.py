@@ -149,8 +149,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "sf": sf,
         "num_cpus": num_cpus,
         "docs_per_sec": round(n_docs / extract_s, 2) if extract_s else None,
-        "rows": counts,
     }
+    # row counts are diagnostics, not part of the driver contract — keep
+    # them OFF stdout so the one JSON line stays compact enough for the
+    # driver's bounded output tail to capture in full
+    print(json.dumps({"rows": counts}, separators=(",", ":")), file=sys.stderr)
     ray.shutdown()
     return result
 
@@ -276,9 +279,11 @@ def main() -> None:
         run_scaling_worker(argv[2], int(argv[1]))
         return
     if argv and argv[0] == "--scaling":
-        print(json.dumps(run_scaling(SF_DIR)))
+        print(json.dumps(run_scaling(SF_DIR), separators=(",", ":")))
         return
-    print(json.dumps(run_benchmarks(SF_DIR, NUM_CPUS)))
+    # the ONE driver-contract JSON line: compact separators, flushed, and
+    # the only thing this process writes to stdout (Ray logs to stderr)
+    print(json.dumps(run_benchmarks(SF_DIR, NUM_CPUS), separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -377,15 +377,17 @@ class _Layout:
         self.top_cursor = consts.PAGE_HEIGHT - 24.0
         self.bottom_cursor = 40.0
 
-    def _wrap(self, runs) -> List[Tuple[List[Tuple[str, str, float]], float, float]]:
+    def _wrap(self, runs) -> List[tuple]:
         """Greedy word-wrap of styled runs into lines of char tuples.
 
-        Returns (chars, width, max_size) per line — width/max_size are
-        computed ONCE at line flush (identical accumulation order to a
-        fresh left-to-right sum, so bboxes stay bit-identical) instead of
-        re-derived by every downstream consumer."""
-        lines: List[Tuple[List[Tuple[str, str, float]], float, float]] = []
-        cur: List[Tuple[str, str, float]] = []
+        Returns (chars, width, max_size, uni) per line — width/max_size
+        are computed ONCE at line flush (identical accumulation order to
+        a fresh left-to-right sum, so bboxes stay bit-identical) instead
+        of re-derived by every downstream consumer; ``uni`` is the
+        uniform-style (font, size) marker for the span fast path, or
+        None when the line mixes styles / embedded whitespace."""
+        lines: List[tuple] = []
+        cur: List[Tuple[str, str, float, float]] = []  # (text, font, size, width)
         cur_w = 0.0
 
         def flush_line():
@@ -635,8 +637,14 @@ _FAST_ATTR_RE = re.compile(
     r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
     r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
 )
+# Only script/style are CDATA (raw-text) elements for html.parser with
+# convert_charrefs=True (HTMLParser.CDATA_CONTENT_ELEMENTS); title and
+# textarea content is parsed NORMALLY by the stdlib (entities converted,
+# nested tags emitted as events), so the fast tokenizer must not treat
+# them as raw text or its event stream would diverge for e.g.
+# '<title>a &amp; b</title>' — gated by test_fast_tokenizer_event_parity.
 _RAWTEXT_CLOSE = {
-    t: re.compile(rf"</{t}\s*>", re.I) for t in ("script", "style", "title", "textarea")
+    t: re.compile(rf"</{t}\s*>", re.I) for t in ("script", "style")
 }
 
 

@@ -173,7 +173,9 @@ def minhash_signatures(batch: pd.DataFrame, hasher: FastMinHasher, shingle_k=3):
     return pd.DataFrame({"doc_id": batch["doc_id"], "sig": sigs})
 
 
-def estimate_jaccard(sig_a: bytes, sig_b: bytes, dtype=np.uint64) -> float:
+def estimate_jaccard(sig_a: bytes, sig_b: bytes, dtype=np.uint16) -> float:
+    """Fraction of equal signature components. Default dtype matches the
+    uint16 storage format emitted by ``minhash_signatures``."""
     a = np.frombuffer(sig_a, dtype=dtype)
     b = np.frombuffer(sig_b, dtype=dtype)
     return float((a == b).mean())

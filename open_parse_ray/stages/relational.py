@@ -741,7 +741,16 @@ def events_props_stats(sf_dir: str):
             v = json.loads(s).get("k")
         except (ValueError, AttributeError):
             return None
-        return int(v) if isinstance(v, (int, float)) else None
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return v
+        # non-integral floats would diverge from the oracle's
+        # CAST(... AS BIGINT) (round-half-even vs int() truncation):
+        # accept only exactly-integral values
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
+        return None
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         ks = pd.Series([extract_k(s) for s in b["props"]], index=b.index, dtype="float64")

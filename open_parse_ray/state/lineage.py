@@ -135,13 +135,7 @@ def _run_shard(
 
     # per-partition metrics from the written files (small: one shard)
     if format == "json":
-        import pandas as _pd
-
-        frames = [
-            _pd.read_json(p, lines=True)
-            for p in sorted(glob.glob(os.path.join(tmp, "*.json")))
-        ]
-        tbl = pa.Table.from_pandas(_pd.concat(frames, ignore_index=True))
+        tbl = _read_json_partition(tmp)
     else:
         tbl = pq.read_table(tmp)
     n_err = 0
@@ -167,6 +161,27 @@ def _run_shard(
     with open(os.path.join(pdir, "_SUCCESS"), "w") as f:
         f.write("ok")
     return lineage
+
+
+def _read_json_partition(part_dir: str) -> pa.Table:
+    """Read a JSON-format partition back against the explicit DOC_SCHEMA.
+
+    pandas' default dtype inference would widen int32 columns (n_nodes,
+    n_pages) to int64 and could coerce numeric-looking strings; casting
+    to DOC_SCHEMA keeps JSON and Parquet partitions concat-compatible."""
+    import pandas as _pd
+
+    from open_parse_ray.pipelines.extraction import DOC_SCHEMA
+
+    frames = [
+        _pd.read_json(p, lines=True, dtype=False)
+        for p in sorted(glob.glob(os.path.join(part_dir, "*.json")))
+        if not p.endswith("lineage.json")
+    ]
+    df = _pd.concat(frames, ignore_index=True)
+    return pa.Table.from_pandas(
+        df[DOC_SCHEMA.names], preserve_index=False
+    ).cast(DOC_SCHEMA)
 
 
 def done_parts(out_dir: str) -> List[int]:
@@ -198,12 +213,25 @@ def run_job(
     """
     os.makedirs(out_dir, exist_ok=True)
     shards = _shard_inputs(input_dir, shard_size)
+    # a job directory is single-format: resuming with a different --format
+    # would mix parquet and json partitions and read_result would fail or
+    # silently drift dtypes — refuse up front
+    mpath = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prev = json.load(f)
+        if prev.get("format", "parquet") != format:
+            raise ValueError(
+                f"job dir {out_dir} was started with format="
+                f"{prev.get('format', 'parquet')!r}; cannot resume with {format!r}"
+            )
     manifest = {
         "input_dir": input_dir,
+        "format": format,
         "n_parts": len(shards),
         "shards": {str(i): fs for i, fs in enumerate(shards)},
     }
-    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+    with open(mpath, "w") as f:
         json.dump(manifest, f, indent=1)
 
     done = set(done_parts(out_dir))
@@ -248,12 +276,13 @@ def read_result(out_dir: str) -> pa.Table:
     for p in parts:
         for f in sorted(glob.glob(os.path.join(p, "*.parquet"))):
             tables.append(pq.read_table(f))
-        for f in sorted(glob.glob(os.path.join(p, "*.json"))):
-            if f.endswith("lineage.json"):
-                continue
-            import pandas as _pd
-
-            tables.append(pa.Table.from_pandas(_pd.read_json(f, lines=True)))
+        data_json = [
+            f
+            for f in glob.glob(os.path.join(p, "*.json"))
+            if not f.endswith("lineage.json")
+        ]
+        if data_json:
+            tables.append(_read_json_partition(p))
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables)

@@ -242,6 +242,10 @@ def test_fast_tokenizer_event_parity():
         "<br/><hr/><p>selfclose</p>",
         "<!-- c --><!DOCTYPE html><p>x</p>",
         '<P CLASS="UP">MiXeD</P>',
+        # title/textarea are NOT CDATA elements for html.parser with
+        # convert_charrefs=True: entities convert, nested tags emit events
+        "<title>a &amp; b</title><p>x</p>",
+        "<textarea><b>bold?</b> &lt;kept&gt;</textarea><p>y</p>",
         "plain < not a tag",  # must BAIL, not mis-parse
     ]
     bails = 0
