@@ -58,24 +58,69 @@ def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def rolling_fingerprint_batch(batch: pd.DataFrame, window: int = 16) -> pd.DataFrame:
-    """Polynomial rolling-hash fingerprint (Rabin-Karp style) over the
-    document — a cheap shift-resistant fingerprint for chunk-level dedup.
-    Not SQL-expressible; covered by unit tests instead."""
-    B, M = 1_000_003, (1 << 61) - 1
-    fps = []
-    for t in batch["text"]:
-        data = t.encode("utf-8")
+_ROLL_B = np.uint64(1_000_003)
+_ROLL_BINV = np.uint64(pow(1_000_003, -1, 1 << 64))  # B odd → invertible mod 2^64
+
+
+def rolling_fp_scalar(data: bytes, window: int = 16) -> int:
+    """Scalar reference for the rolling fingerprint: max over all
+    ``window``-byte windows of the wrapping-uint64 polynomial hash
+    h = Σ d[i+j]·B^(window-1-j) mod 2^64 (whole-string Horner when the
+    doc is shorter than one window). Property tests drive the vectorized
+    kernel against this."""
+    M = (1 << 64) - 1
+    B = int(_ROLL_B)
+    if len(data) < window:
         h = 0
-        best = 0
-        pw = pow(B, window - 1, M) if len(data) >= window else 0
-        for i, byte in enumerate(data):
-            h = (h * B + byte) % M
-            if i >= window:
-                h = (h - data[i - window] * pw * B) % M
-            if i >= window - 1:
-                best = max(best, h)
-        fps.append(best if len(data) >= window else (h % M))
+        for byte in data:
+            h = (h * B + byte) & M
+        return h
+    pw = pow(B, window - 1, 1 << 64)
+    h = 0
+    best = 0
+    for i, byte in enumerate(data):
+        if i >= window:
+            h = (h - data[i - window] * pw) & M
+        h = (h * B + byte) & M
+        if i >= window - 1:
+            best = max(best, h)
+    return best
+
+
+def rolling_fingerprint_batch(batch: pd.DataFrame, window: int = 16) -> pd.DataFrame:
+    """Polynomial rolling-hash fingerprint (Rabin-Karp style) over each
+    document — a cheap shift-resistant fingerprint for chunk-level dedup.
+    Vectorized per document in O(len) numpy (no per-byte Python): with
+    weights A[j] = d[j]·B^(N-1-j) (wrapping uint64), any window sum is a
+    difference of prefix sums times a power of B^-1 — B is odd, hence
+    invertible mod 2^64 — so all windows come from one cumsum + one
+    elementwise multiply. Not SQL-expressible; gated by a property test
+    vs the scalar reference (rolling_fp_scalar)."""
+    w = window
+    enc = [t.encode("utf-8") for t in batch["text"]]
+    maxn = max((len(e) for e in enc), default=1)
+    # shared power tables for the whole batch: bp[t] = B^t, binv[t] = B^-t
+    bp = np.ones(max(maxn, 1), dtype=np.uint64)
+    if maxn > 1:
+        np.cumprod(np.full(maxn - 1, _ROLL_B, dtype=np.uint64), out=bp[1:])
+    binv = np.ones(max(maxn, 1), dtype=np.uint64)
+    if maxn > 1:
+        np.cumprod(np.full(maxn - 1, _ROLL_BINV, dtype=np.uint64), out=binv[1:])
+    fps = np.empty(len(batch), dtype=np.uint64)
+    for out_i, e in enumerate(enc):
+        d = np.frombuffer(e, dtype=np.uint8).astype(np.uint64)
+        n = len(d)
+        if n == 0:
+            fps[out_i] = 0
+            continue
+        if n < w:
+            fps[out_i] = (d * bp[n - 1 :: -1]).sum(dtype=np.uint64)
+            continue
+        c = np.cumsum(d * bp[n - 1 :: -1], dtype=np.uint64)  # wrapping prefix sums
+        wins = c[w - 1 :].copy()
+        wins[1:] -= c[: n - w]
+        # window i's hash = window sum × B^-(N-w-i)
+        fps[out_i] = (wins * binv[n - w :: -1]).max()
     return pd.DataFrame({"doc_id": batch["doc_id"], "rolling_fp": fps})
 
 

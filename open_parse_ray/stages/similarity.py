@@ -310,23 +310,59 @@ def ann_ivf_topk(
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3):
-    """Same-label blocking + per-group pairwise cosine >= threshold.
-    Returns (id_a, id_b) int pairs (no floats → exact oracle compare)."""
-    import ray.data as rd
+_TRI_MIX = np.uint64(0x9E3779B97F4A7C15)
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+
+def _neardup_chunk_of(vec_ids: np.ndarray, n_chunks: int) -> np.ndarray:
+    """Content-addressed chunk assignment (mixed hash of vec_id, no RNG)."""
+    h = vec_ids.astype(np.uint64) * _TRI_MIX
+    h = (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
+    return (h % np.uint64(n_chunks)).astype(np.int64)
+
+
+def _neardup_replicate(b: pd.DataFrame, n_chunks: int) -> pd.DataFrame:
+    """Triangle-join replication: a row in chunk c is copied to every
+    bucket (ca, cb) with ca <= cb and c ∈ {ca, cb} — n_chunks copies per
+    row, so each unordered same-label pair lands in EXACTLY one bucket."""
+    c = _neardup_chunk_of(np.asarray(b["vec_id"], dtype=np.int64), n_chunks)
+    cas, cbs = [], []
+    for j in range(n_chunks):
+        cas.append(np.minimum(c, j))
+        cbs.append(np.maximum(c, j))
+    # embeddings stay an object array of per-row vectors (asarray would
+    # collapse equal-length vectors into a 2D array)
+    emb_obj = b["embedding"].to_numpy()
+    rep = pd.DataFrame(
+        {
+            "label": np.tile(np.asarray(b["label"]), n_chunks),
+            "ca": np.concatenate(cas),
+            "cb": np.concatenate(cbs),
+            "chunk": np.tile(c, n_chunks),
+            "vec_id": np.tile(np.asarray(b["vec_id"], dtype=np.int64), n_chunks),
+            "embedding": np.tile(emb_obj, n_chunks),
+        }
     )
+    return rep
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        emb = np.array([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
-        ids = np.asarray(g["vec_id"], dtype=np.int64)
+
+def _neardup_bucket_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact cosine pairs within one (label, ca, cb) bucket: triu among
+    one chunk when ca == cb, full bipartite across the two chunks
+    otherwise. id_a < id_b in the output either way."""
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+    ids = np.asarray(g["vec_id"], dtype=np.int64)
+    emb = np.array([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+    if len(ids) < 2:
+        return empty
+    norms = np.linalg.norm(emb, axis=1)
+    norms[norms == 0] = 1.0
+    nm = emb / norms[:, None]
+    ca, cb = int(g["ca"].iloc[0]), int(g["cb"].iloc[0])
+    if ca == cb:
         order = np.argsort(ids)
-        emb, ids = emb[order], ids[order]
-        norms = np.linalg.norm(emb, axis=1)
-        norms[norms == 0] = 1.0
-        nm = emb / norms[:, None]
+        ids, nm = ids[order], nm[order]
         sims = nm @ nm.T
         ia, ib = np.where(np.triu(sims >= threshold, k=1))
         return pd.DataFrame(
@@ -335,5 +371,56 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3):
                 "id_b": pd.Series(ids[ib], dtype="int64"),
             }
         )
+    left = np.asarray(g["chunk"], dtype=np.int64) == ca
+    lids, rids = ids[left], ids[~left]
+    if not len(lids) or not len(rids):
+        return empty
+    sims = nm[left] @ nm[~left].T
+    ia, ib = np.where(sims >= threshold)
+    a, b = lids[ia], rids[ib]
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series(np.minimum(a, b), dtype="int64"),
+            "id_b": pd.Series(np.maximum(a, b), dtype="int64"),
+        }
+    )
 
-    return ds.groupby("label").map_groups(pairs, batch_format="pandas")
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3, n_chunks: int = 4):
+    """Same-label blocking + pairwise cosine >= threshold, with BOUNDED
+    per-task memory: each label is split into ``n_chunks``
+    content-addressed chunks and rows are replicated triangle-join style
+    so any one task holds at most 2/n_chunks of a label — a hot label at
+    corpus scale can no longer blow a single worker's heap (set n_chunks
+    ~ sqrt(max_label_rows / rows_per_task) on a real cluster). Exact:
+    every same-label pair is computed in exactly one bucket, so the SQL
+    oracle is unchanged. Returns (id_a, id_b) int pairs (no floats →
+    exact oracle compare)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    rep = ds.map_batches(
+        lambda b: _neardup_replicate(b, n_chunks),
+        batch_format="pandas",
+        batch_size=8192,
+    )
+
+    def part_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _neardup_bucket_pairs(g, threshold)
+            for _, g in part.groupby(["label", "ca", "cb"], sort=False)
+        ]
+        if not outs:
+            return _neardup_bucket_pairs(part.iloc[:0], threshold)
+        return pd.concat(outs, ignore_index=True)
+
+    def salt(b: pd.DataFrame) -> pd.Series:
+        return pd.util.hash_pandas_object(
+            b[["label", "ca", "cb"]], index=False
+        ).astype("int64")
+
+    return salted_groupby(rep, salt, part_pairs)

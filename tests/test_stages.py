@@ -54,6 +54,41 @@ def test_rolling_fingerprint_deterministic():
     assert a.rolling_fp[0] != a.rolling_fp[1]
 
 
+def test_rolling_fingerprint_vectorized_matches_scalar():
+    """The numpy prefix-sum kernel must agree with the per-byte scalar
+    reference on every edge shape: empty, shorter than / exactly one /
+    just over one window, long, multibyte UTF-8, repeated content."""
+    from open_parse_ray.stages.analysis import rolling_fp_scalar
+
+    texts = [
+        "",
+        "a",
+        "short",
+        "exactly16bytes!!",
+        "exactly17bytes!!x",
+        "hello world " * 50,
+        "übergrößenträger " * 9,  # multibyte UTF-8
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa",  # degenerate repeats
+        "The quick brown fox jumps over the lazy dog. " * 3,
+    ]
+    out = rolling_fingerprint_batch(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    for t, fp in zip(texts, out.rolling_fp):
+        assert int(fp) == rolling_fp_scalar(t.encode("utf-8")), repr(t[:30])
+
+
+def test_rolling_fingerprint_shift_resistant():
+    # the max-over-windows fingerprint survives a prefix insertion as
+    # long as the maximizing window is unchanged — the property that
+    # makes it useful for chunk-level dedup
+    base = "The quick brown fox jumps over the lazy dog. " * 5
+    shifted = "PREPENDED HEADER LINE\n" + base
+    a = rolling_fingerprint_batch(pd.DataFrame({"doc_id": [1], "text": [base]}))
+    b = rolling_fingerprint_batch(pd.DataFrame({"doc_id": [1], "text": [shifted]}))
+    assert int(a.rolling_fp[0]) == int(b.rolling_fp[0])
+
+
 def test_langid_heuristic():
     lid = LangId()
     assert lid.predict("the cat sat on the mat and the dog in the house") == "en"
@@ -68,9 +103,11 @@ def test_minhash_similar_docs_share_signature_bits():
     a = "the quick brown fox jumps over the lazy dog " * 10
     b = a.replace("lazy", "sleepy")
     c = "completely different words entirely unrelated content here " * 10
-    sa = h.signature(_word_shingles(a)).tobytes()
-    sb = h.signature(_word_shingles(b)).tobytes()
-    sc = h.signature(_word_shingles(c)).tobytes()
+    # uint16 truncation is the storage format (minhash_signatures) and
+    # the estimate_jaccard default
+    sa = h.signature(_word_shingles(a)).astype(np.uint16).tobytes()
+    sb = h.signature(_word_shingles(b)).astype(np.uint16).tobytes()
+    sc = h.signature(_word_shingles(c)).astype(np.uint16).tobytes()
     assert estimate_jaccard(sa, sb) > 0.3
     assert estimate_jaccard(sa, sc) < 0.1
     # estimate tracks true jaccard roughly
@@ -397,3 +434,46 @@ def test_media_stages_isolate_corrupt_payloads():
     out3 = AudioFeatures()(wav_batch).to_pandas()
     assert out3.loc[0, "status"] == "ok"
     assert (out3.loc[1:, "status"].str.startswith("error:")).all()
+
+
+def test_embedding_neardup_triangle_join_bounded_and_exact():
+    """The hot-label triangle join must (a) bound any one bucket to
+    ~2/n_chunks of the label and (b) emit exactly the brute-force pair
+    set — every same-label pair in exactly one bucket."""
+    from open_parse_ray.stages.similarity import (
+        _neardup_bucket_pairs,
+        _neardup_replicate,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim, k = 200, 8, 4
+    emb = rng.standard_normal((n, dim))
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    df = pd.DataFrame(
+        {
+            "vec_id": ids,
+            "label": ["hot"] * n,
+            "embedding": [emb[i] for i in range(n)],
+        }
+    )
+    rep = _neardup_replicate(df, k)
+    assert len(rep) == n * k  # n_chunks copies per row
+
+    # bucket occupancy: at most two chunks' worth of rows (+hash slack)
+    sizes = rep.groupby(["label", "ca", "cb"]).size()
+    assert len(sizes) == k * (k + 1) // 2  # all triangle buckets hit
+    assert sizes.max() <= int(2 * (n / k) * 1.6)
+
+    threshold = 0.5
+    got = set()
+    for _, g in rep.groupby(["label", "ca", "cb"], sort=False):
+        out = _neardup_bucket_pairs(g, threshold)
+        for a, b in zip(out.id_a, out.id_b):
+            assert (a, b) not in got  # exactly-once per pair
+            got.add((int(a), int(b)))
+
+    nm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    ia, ib = np.where(np.triu(sims >= threshold, k=1))
+    want = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))) for i, j in zip(ia, ib)}
+    assert got == want
