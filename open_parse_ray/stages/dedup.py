@@ -322,6 +322,29 @@ def salted_groupby(ds, salt_of, fn, num_parts: int = 32):
     return salted.groupby("_part").map_groups(run, batch_format="pandas")
 
 
+def salted_groupby_arrow(ds, salt_of, fn, num_parts: int = 32):
+    """Arrow-native variant of :func:`salted_groupby` for pipelines whose
+    pre-shuffle stages already emit pyarrow tables: the salt stage
+    appends ``_part`` to the Arrow block directly (zero-copy from the
+    object store — no pandas materialization before the exchange), while
+    ``fn`` still receives one vectorized pandas partition.
+
+    ``salt_of(table) -> np.ndarray`` computes an int64 salt per row.
+    """
+    import pyarrow as _pa
+
+    def add_salt(t: _pa.Table) -> _pa.Table:
+        part = (salt_of(t) % num_parts).astype(np.int64)
+        return t.append_column("_part", _pa.array(part, _pa.int64()))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=8192)
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["_part"]))
+
+    return salted.groupby("_part").map_groups(run, batch_format="pandas")
+
+
 def exact_dedup_groups(sf_dir: str):
     """(doc_id = min id per distinct text, n_copies). Shuffles a 16-byte
     fp (never the text), salted to 32 partitions (see salted_groupby)."""

@@ -157,41 +157,46 @@ def orders_customer_join(sf_dir: str):
     runs one vectorized pandas merge. Contrast with customers_by_region,
     which broadcasts the small side instead of shuffling. Returns
     (o_orderkey, o_custkey, c_nationkey, price_cents)."""
+    import pyarrow as pa
     import ray.data as rd
 
-    from open_parse_ray.stages.dedup import salted_groupby
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        # Arrow-native pure projection: no pandas block materialization
+        # before the exchange (_cents runs on the zero-copy numpy view;
+        # its float accumulation is unchanged, keeping the oracle hash)
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["o_custkey"].cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "price_cents": pa.array(_cents(t["o_totalprice"].to_numpy())),
+                "c_nationkey": pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
+
+    def proj_cust(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        fill = np.full(n, -1, dtype=np.int64)
+        return pa.table(
+            {
+                "key": t["c_custkey"].cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "o_orderkey": pa.array(fill),
+                "price_cents": pa.array(fill),
+                "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            }
+        )
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
-    ).map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "key": b["o_custkey"].astype("int64"),
-                "side": np.int64(0),
-                "o_orderkey": b["o_orderkey"].astype("int64"),
-                "price_cents": _cents(b["o_totalprice"]),
-                "c_nationkey": np.int64(-1),
-            }
-        ),
-        batch_format="pandas",
-        batch_size=65536,
-    )
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "key": b["c_custkey"].astype("int64"),
-                "side": np.int64(1),
-                "o_orderkey": np.int64(-1),
-                "price_cents": np.int64(-1),
-                "c_nationkey": b["c_nationkey"].astype("int64"),
-            }
-        ),
-        batch_format="pandas",
-        batch_size=65536,
-    )
+    ).map_batches(proj_cust, batch_format="pyarrow", batch_size=65536)
 
     def join(part: pd.DataFrame) -> pd.DataFrame:
         left = part[part["side"] == 0][["key", "o_orderkey", "price_cents"]]
@@ -207,7 +212,9 @@ def orders_customer_join(sf_dir: str):
         )
 
     both = orders.union(cust)
-    return salted_groupby(both, lambda b: b["key"], join)
+    return salted_groupby_arrow(
+        both, lambda t: t["key"].to_numpy(zero_copy_only=False), join
+    )
 
 
 def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
@@ -332,10 +339,11 @@ def local_supplier_revenue(sf_dir: str):
 
     Returns (n_name, revenue_cents, n_items).
     """
+    import pyarrow as pa
     import ray
     import ray.data as rd
 
-    from open_parse_ray.stages.dedup import salted_groupby
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
 
     sup = pd.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
@@ -347,34 +355,35 @@ def local_supplier_revenue(sf_dir: str):
     name_map = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
 
     # --- shuffle 1: orders ⋈ customer on custkey → (o_orderkey, c_nationkey)
+    # (pure Arrow projections: nothing converts to pandas pre-exchange)
+    def proj_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["o_custkey"].cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "c_nationkey": pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
+
+    def proj_cust(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["c_custkey"].cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "o_orderkey": pa.array(np.full(n, -1, dtype=np.int64)),
+                "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "key": b["o_custkey"].astype("int64"),
-                "side": np.int64(0),
-                "o_orderkey": b["o_orderkey"].astype("int64"),
-                "c_nationkey": np.int64(-1),
-            }
-        ),
-        batch_format="pandas",
-        batch_size=65536,
-    )
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "key": b["c_custkey"].astype("int64"),
-                "side": np.int64(1),
-                "o_orderkey": np.int64(-1),
-                "c_nationkey": b["c_nationkey"].astype("int64"),
-            }
-        ),
-        batch_format="pandas",
-        batch_size=65536,
-    )
+    ).map_batches(proj_cust, batch_format="pyarrow", batch_size=65536)
 
     def join_orders_cust(part: pd.DataFrame) -> pd.DataFrame:
         left = part[part["side"] == 0][["key", "o_orderkey"]]
@@ -387,17 +396,23 @@ def local_supplier_revenue(sf_dir: str):
             }
         )
 
-    o_c = salted_groupby(orders.union(cust), lambda b: b["key"], join_orders_cust)
+    o_c = salted_groupby_arrow(
+        orders.union(cust),
+        lambda t: t["key"].to_numpy(zero_copy_only=False),
+        join_orders_cust,
+    )
 
     # --- lineitem: broadcast supplier-nation lookup + revenue cents
     class TagLineitem:
         def __init__(self, ref):
             self.s_nation = ray.get(ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, b: pd.DataFrame) -> "pa.Table":
             # pre-aggregate by (orderkey, supplier-nation) BEFORE the
             # shuffle: ~4 lineitems/order collapse to ≤|nations| rows per
-            # order, so join #2 moves a fraction of the lineitem rows
+            # order, so join #2 moves a fraction of the lineitem rows.
+            # Emitted as Arrow so the union with proj_o_c is single-format
+            # (mixed pandas/arrow blocks break Ray's batch builder).
             df = pd.DataFrame(
                 {
                     "key": b["l_orderkey"].astype("int64"),
@@ -414,7 +429,7 @@ def local_supplier_revenue(sf_dir: str):
             )
             g.insert(1, "side", np.int64(0))
             g["c_nationkey"] = np.int64(-1)
-            return g
+            return pa.Table.from_pandas(g, preserve_index=False)
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -426,20 +441,21 @@ def local_supplier_revenue(sf_dir: str):
         batch_size=65536,
         concurrency=(1, 8),
     )
-    o_c_tagged = o_c.map_batches(
-        lambda b: pd.DataFrame(
+    def proj_o_c(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        fill = np.full(n, -1, dtype=np.int64)
+        return pa.table(
             {
-                "key": b["o_orderkey"].astype("int64"),
-                "side": np.int64(1),
-                "s_nationkey": np.int64(-1),
-                "rev_cents": np.int64(-1),
-                "n": np.int64(-1),
-                "c_nationkey": b["c_nationkey"].astype("int64"),
+                "key": t["o_orderkey"].cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "s_nationkey": pa.array(fill),
+                "rev_cents": pa.array(fill),
+                "n": pa.array(fill),
+                "c_nationkey": t["c_nationkey"].cast(pa.int64()),
             }
-        ),
-        batch_format="pandas",
-        batch_size=65536,
-    )
+        )
+
+    o_c_tagged = o_c.map_batches(proj_o_c, batch_format="pyarrow", batch_size=65536)
 
     def join_filter_partial(part: pd.DataFrame) -> pd.DataFrame:
         left = part[part["side"] == 0][["key", "s_nationkey", "rev_cents", "n"]]
@@ -457,8 +473,10 @@ def local_supplier_revenue(sf_dir: str):
             }
         )
 
-    partials = salted_groupby(
-        li.union(o_c_tagged), lambda b: b["key"], join_filter_partial
+    partials = salted_groupby_arrow(
+        li.union(o_c_tagged),
+        lambda t: t["key"].to_numpy(zero_copy_only=False),
+        join_filter_partial,
     )
     return _combine_partials(
         partials, ["n_name"], {"revenue_cents": "sum", "n_items": "sum"}
@@ -634,36 +652,43 @@ def customers_no_urgent_orders(sf_dir: str):
     intra-document spatial (RemoveTextInsideTables,
     basic_transforms.py:122-171); this is the cross-table scale analog.
     Returns (c_custkey, acctbal_cents)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import ray.data as rd
 
-    from open_parse_ray.stages.dedup import salted_groupby
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    def proj_cust(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["c_custkey"].cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "acctbal_cents": pa.array(_cents(t["c_acctbal"].to_numpy())),
+            }
+        )
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        # pre-dedup the probe side per batch: only distinct custkeys travel
+        keys = pc.unique(t["o_custkey"].combine_chunks()).cast(pa.int64())
+        n = len(keys)
+        return pa.table(
+            {
+                "key": keys,
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "acctbal_cents": pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
 
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
-    ).map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "key": b["c_custkey"].astype("int64"),
-                "side": np.int64(0),
-                "acctbal_cents": _cents(b["c_acctbal"]),
-            }
-        ),
-        batch_format="pandas",
-        batch_size=65536,
-    )
+    ).map_batches(proj_cust, batch_format="pyarrow", batch_size=65536)
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey"],
         filter=pads.field("o_orderpriority") == "1-URGENT",
-    ).map_batches(
-        # pre-dedup the probe side per batch: only distinct custkeys travel
-        lambda b: pd.DataFrame(
-            {"key": b["o_custkey"].astype("int64").unique()}
-        ).assign(side=np.int64(1), acctbal_cents=np.int64(-1)),
-        batch_format="pandas",
-        batch_size=65536,
-    )
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
 
     def anti(part: pd.DataFrame) -> pd.DataFrame:
         left = part[part["side"] == 0]
@@ -676,7 +701,9 @@ def customers_no_urgent_orders(sf_dir: str):
             }
         )
 
-    return salted_groupby(cust.union(orders), lambda b: b["key"], anti)
+    return salted_groupby_arrow(
+        cust.union(orders), lambda t: t["key"].to_numpy(zero_copy_only=False), anti
+    )
 
 
 def top_orders_per_customer(sf_dir: str, k: int = 3):
