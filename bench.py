@@ -89,6 +89,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "extract_docs",
         "extract_nodes",
         "extract_semantic",
+        "pdf_extract_text",
         "doc_stats_by_lang",
         "quality_scores",
         "fingerprints",

@@ -1,0 +1,646 @@
+"""Minimal real PDF text path — stdlib only (zlib), no pdfminer/pypdf.
+
+The reference's core payload is PDF: pdfminer's LTChar stream feeds
+CharElement → span grouping → TextElement (reference:
+src/openparse/text/pdfminer/core.py:43-157, src/openparse/pdf.py:89-116).
+Those libraries are absent from this environment, so this module
+implements the minimal slice of ISO 32000 needed to round-trip text:
+
+- a WRITER (:func:`typeset_pdf`) that typesets text into a structurally
+  valid PDF — FlateDecode content streams, Type1 standard fonts, a real
+  xref table — deliberately exercising the full text-operator set
+  (``Tf Td TD TL Tm T* Tj TJ '``);
+- a READER (:func:`parse_pdf`) that walks the object graph
+  (trailer → Catalog → Pages → Page → Contents/Resources), inflates
+  FlateDecode streams, interprets the content-stream text operators, and
+  emits (char, fontname, size) triples into the SAME span-grouping
+  kernel the HTML path uses (functions/spans.py), producing the same
+  TextElement IR (reference: core.py:209-273 ``ingest``).
+
+Deliberate simplifications (documented, deterministic):
+- glyph advance = 0.5 × fontsize per char (the engine's synthetic
+  metric, see functions/html.py::_char_width) instead of AFM widths —
+  bboxes are consistent between writer and reader;
+- strings are Latin-1 (the test corpus is pure ASCII); non-encodable
+  chars are written as ``?``. CID/ToUnicode fonts are out of scope;
+- line → element grouping uses baseline-gap + size-change rules rather
+  than pdfminer's full layout analysis (reference behavior for the
+  simple flowed layouts this writer produces is identical).
+
+The end-to-end gate is exact: parse(typeset(text)) reassembles to the
+whitespace-normalized input, verified by a DuckDB SQL oracle over the
+whole corpus (pdf_extract_text) and by adversarial pytest roundtrips
+(escapes, multi-page, styles, TJ kerning).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+from open_parse_ray import consts
+from open_parse_ray.functions.spans import extract_chars, create_line_element
+from open_parse_ray.model import Bbox, TextElement
+
+BODY_SIZE = 12.0
+TITLE_SIZE = 18.0
+_LEADING = 1.2  # line leading factor (baseline-to-baseline = size * 1.2)
+_MAX_WIDTH = consts.PAGE_WIDTH - 2 * consts.PAGE_MARGIN_X
+
+
+def _char_width(size: float) -> float:
+    """Deterministic glyph advance (matches functions/html.py:359)."""
+    return 0.5 * size
+
+
+def _wrap_words(words: List[str], size: float) -> List[str]:
+    """Greedy word wrap at the synthetic char width; single spaces."""
+    lines: List[str] = []
+    cur: List[str] = []
+    cur_w = 0.0
+    cw = _char_width(size)
+    for w in words:
+        ww = len(w) * cw
+        add = ww if not cur else ww + cw  # +1 space
+        if cur and cur_w + add > _MAX_WIDTH:
+            lines.append(" ".join(cur))
+            cur, cur_w = [w], ww
+        else:
+            cur.append(w)
+            cur_w += add
+    if cur:
+        lines.append(" ".join(cur))
+    return lines
+
+
+_ESC = {ord("\\"): b"\\\\", ord("("): b"\\(", ord(")"): b"\\)"}
+
+
+def _pdf_string(s: str) -> bytes:
+    """Latin-1 literal string with (, ), \\ escaped; CR/LF as octal so a
+    line break can never be mistaken for content-stream structure."""
+    raw = s.encode("latin-1", errors="replace")
+    out = bytearray(b"(")
+    for b in raw:
+        e = _ESC.get(b)
+        if e is not None:
+            out += e
+        elif 32 <= b <= 126 or b >= 128:
+            out.append(b)
+        else:
+            out += b"\\%03o" % b
+    out += b")"
+    return bytes(out)
+
+
+def typeset_pdf(text: str, title: Optional[str] = None) -> bytes:
+    """Typeset ``text`` (one flowed paragraph per ``\\n\\n`` block, plus an
+    optional bold title) into a valid multi-page PDF.
+
+    The content streams rotate through the text-positioning operators
+    (``Tm`` to open a block, then ``T*``, ``Td``, ``'``, and every 5th
+    line a kerned ``TJ``) so the reader's interpreter is exercised by
+    every document, not just by dedicated tests."""
+    pages: List[List[bytes]] = []  # per page: list of content-stream chunks
+    leading = BODY_SIZE * _LEADING
+
+    # layout state
+    y = consts.PAGE_TOP_Y
+    ops: List[bytes] = []
+    in_bt = False
+    line_no = 0
+
+    def close_bt():
+        nonlocal in_bt
+        if in_bt:
+            ops.append(b"ET")
+            in_bt = False
+
+    def new_page():
+        nonlocal y, ops
+        close_bt()
+        if ops:
+            pages.append(ops)
+        ops = []
+        y = consts.PAGE_TOP_Y
+
+    def emit_line(s: str, font: bytes, size: float):
+        """One text line at baseline ``y`` via a rotating operator mix."""
+        nonlocal y, in_bt, line_no
+        if y < consts.PAGE_BOTTOM_Y:
+            new_page()
+        if not in_bt:
+            ops.append(b"BT")
+            ops.append(b"/%s %s Tf" % (font, _num(size)))
+            ops.append(b"%s TL" % _num(size * _LEADING))
+            ops.append(
+                b"1 0 0 1 %s %s Tm" % (_num(consts.PAGE_MARGIN_X), _num(y))
+            )
+            in_bt = True
+            mode = 0  # first line of a block: plain Tj at the Tm position
+        else:
+            mode = 1 + (line_no % 3)
+        if mode == 0:
+            pass
+        elif mode == 1:
+            ops.append(b"T*")  # next line by leading
+        elif mode == 2:
+            ops.append(b"0 %s Td" % _num(-size * _LEADING))
+        # mode 3 uses the ' operator (T* + show) below
+        lit = _pdf_string(s)
+        if mode == 3:
+            ops.append(lit + b" '")
+        elif line_no % 5 == 4 and len(s) > 4:
+            # kerned TJ: split the string, zero adjustment between parts
+            a, b = s[: len(s) // 2], s[len(s) // 2 :]
+            ops.append(b"[" + _pdf_string(a) + b" 0 " + _pdf_string(b) + b"] TJ")
+        else:
+            ops.append(lit + b" Tj")
+        y -= size * _LEADING
+        line_no += 1
+
+    if title:
+        for ln in _wrap_words(title.split(), TITLE_SIZE):
+            emit_line(ln, b"F2", TITLE_SIZE)
+        close_bt()
+        y -= TITLE_SIZE * _LEADING * 0.5  # title/body gap
+
+    paras = [p for p in re.split(r"\n\s*\n", text) if p.split()]
+    for pi, para in enumerate(paras):
+        if pi:
+            y -= leading  # paragraph gap: one blank line
+            close_bt()
+        for ln in _wrap_words(para.split(), BODY_SIZE):
+            emit_line(ln, b"F1", BODY_SIZE)
+    close_bt()
+    if ops or not pages:
+        pages.append(ops)
+
+    return _assemble_pdf([b"\n".join(p) for p in pages])
+
+
+def _num(x: float) -> bytes:
+    """Compact PDF number: int when integral, else shortest float repr."""
+    if x == int(x):
+        return b"%d" % int(x)
+    return repr(round(x, 4)).encode("ascii")
+
+
+def _assemble_pdf(page_streams: List[bytes]) -> bytes:
+    """Object graph + xref around the per-page content streams.
+
+    Layout: 1 Catalog, 2 Pages, 3 /F1 Helvetica, 4 /F2 Helvetica-Bold,
+    then per page i: (5+2i) Page, (6+2i) FlateDecode content stream."""
+    n_pages = len(page_streams)
+    objs: Dict[int, bytes] = {}
+    kids = b" ".join(b"%d 0 R" % (5 + 2 * i) for i in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages)
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Name /F1 >>"
+    objs[4] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold /Name /F2 >>"
+    )
+    for i, stream in enumerate(page_streams):
+        page_num, content_num = 5 + 2 * i, 6 + 2 * i
+        objs[page_num] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %s %s] "
+            b"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> "
+            b"/Contents %d 0 R >>"
+            % (_num(consts.PAGE_WIDTH), _num(consts.PAGE_HEIGHT), content_num)
+        )
+        deflated = zlib.compress(stream, 6)
+        objs[content_num] = (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(deflated)
+            + deflated
+            + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: Dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num
+        out += objs[num]
+        out += b"\nendobj\n"
+    xref_off = len(out)
+    n = max(objs) + 1
+    out += b"xref\n0 %d\n" % n
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n, xref_off)
+    )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+_OBJ_HEAD = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_REF = re.compile(rb"(\d+)\s+\d+\s+R\b")
+
+
+def _scan_dict(buf: bytes, start: int) -> Tuple[bytes, int]:
+    """Balanced << >> scan; returns (dict bytes incl. brackets, end pos)."""
+    assert buf[start : start + 2] == b"<<"
+    depth = 0
+    i = start
+    while i < len(buf) - 1:
+        two = buf[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return buf[start:i], i
+        else:
+            i += 1
+    raise ValueError("unterminated dict")
+
+
+def _parse_objects(pdf: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
+    """num → (object dict bytes, raw stream bytes or None).
+
+    Sequential scan (not a blind regex to ``endobj`` — compressed stream
+    bytes may contain that token); stream length comes from /Length,
+    which this writer always emits as a direct integer."""
+    objs: Dict[int, Tuple[bytes, Optional[bytes]]] = {}
+    pos = 0
+    while True:
+        m = _OBJ_HEAD.search(pdf, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        i = m.end()
+        while i < len(pdf) and pdf[i : i + 1] in b" \r\n\t":
+            i += 1
+        if pdf[i : i + 2] == b"<<":
+            d, i = _scan_dict(pdf, i)
+        else:
+            nxt = pdf.find(b"endobj", i)
+            d = pdf[i:nxt].strip()
+            objs[num] = (d, None)
+            pos = nxt + 6
+            continue
+        while i < len(pdf) and pdf[i : i + 1] in b" \r\n\t":
+            i += 1
+        stream = None
+        if pdf[i : i + 6] == b"stream":
+            i += 6
+            if pdf[i : i + 2] == b"\r\n":
+                i += 2
+            elif pdf[i : i + 1] == b"\n":
+                i += 1
+            lm = re.search(rb"/Length\s+(\d+)\b", d)
+            if lm:
+                ln = int(lm.group(1))
+                stream = pdf[i : i + ln]
+                i += ln
+            else:  # fallback: delimit by endstream
+                e = pdf.find(b"endstream", i)
+                stream = pdf[i:e].rstrip(b"\r\n")
+                i = e
+            i = pdf.find(b"endstream", i) + 9
+        objs[num] = (d, stream)
+        pos = pdf.find(b"endobj", i) + 6
+    return objs
+
+
+def _get_stream(objs, num: int) -> bytes:
+    d, s = objs[num]
+    if s is None:
+        return b""
+    if b"/FlateDecode" in d:
+        return zlib.decompress(s)
+    return s
+
+
+def _page_objects(objs) -> List[int]:
+    """Page object numbers in document order (Catalog → Pages → Kids)."""
+    root = None
+    for num, (d, _) in objs.items():
+        if b"/Type /Catalog" in d or b"/Type/Catalog" in d:
+            root = num
+            break
+    if root is None:
+        raise ValueError("no /Catalog")
+    m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", objs[root][0])
+    pages_obj = int(m.group(1))
+    kids_m = re.search(rb"/Kids\s*\[(.*?)\]", objs[pages_obj][0], re.S)
+    return [int(r.group(1)) for r in _REF.finditer(kids_m.group(1))]
+
+
+def _font_map(objs, page_dict: bytes) -> Dict[bytes, str]:
+    """/F-name → BaseFont string for a page's /Resources."""
+    out: Dict[bytes, str] = {}
+    fm = re.search(rb"/Font\s*<<(.*?)>>", page_dict, re.S)
+    if not fm:
+        return out
+    for m in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+        fdict = objs[int(m.group(2))][0]
+        bm = re.search(rb"/BaseFont\s*/([#\w+-]+)", fdict)
+        out[m.group(1)] = (
+            bm.group(1).decode("latin-1") if bm else m.group(1).decode()
+        )
+    return out
+
+
+_STR_ESCAPES = {
+    ord("n"): b"\n",
+    ord("r"): b"\r",
+    ord("t"): b"\t",
+    ord("b"): b"\b",
+    ord("f"): b"\f",
+    ord("("): b"(",
+    ord(")"): b")",
+    ord("\\"): b"\\",
+}
+
+
+def _read_literal_string(buf: bytes, i: int) -> Tuple[bytes, int]:
+    """Parse a ( ... ) literal with escapes + balanced parens; returns
+    (decoded bytes, position after the closing paren)."""
+    assert buf[i : i + 1] == b"("
+    i += 1
+    out = bytearray()
+    depth = 1
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            nxt = buf[i + 1]
+            if 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+                j = i + 1
+                oct_digits = bytearray()
+                while j < n and len(oct_digits) < 3 and 0x30 <= buf[j] <= 0x37:
+                    oct_digits.append(buf[j])
+                    j += 1
+                out.append(int(oct_digits.decode(), 8) & 0xFF)
+                i = j
+                continue
+            rep = _STR_ESCAPES.get(nxt)
+            if rep is not None:
+                out += rep
+                i += 2
+                continue
+            if nxt in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if nxt == 0x0D and i < n and buf[i] == 0x0A:
+                    i += 1
+                continue
+            out.append(nxt)  # unknown escape: the char itself
+            i += 2
+            continue
+        if c == 0x28:  # (
+            depth += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+        out.append(c)
+        i += 1
+    raise ValueError("unterminated string")
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_NAME_RE = re.compile(rb"/([^\s/\[\]()<>{}%]*)")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _tokenize_content(buf: bytes):
+    """Yield ('num', float) | ('str', bytes) | ('name', bytes) |
+    ('arr_open'/'arr_close', None) | ('op', bytes) tokens."""
+    i = 0
+    n = len(buf)
+    while i < n:
+        c = buf[i : i + 1]
+        if c in b" \t\r\n\x00\x0c":
+            i += 1
+        elif c == b"%":  # comment to EOL
+            j = buf.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c == b"(":
+            s, i = _read_literal_string(buf, i)
+            yield ("str", s)
+        elif c == b"<" and buf[i + 1 : i + 2] != b"<":
+            j = buf.find(b">", i)
+            hexs = re.sub(rb"\s", b"", buf[i + 1 : j])
+            if len(hexs) % 2:
+                hexs += b"0"
+            yield ("str", bytes.fromhex(hexs.decode()))
+            i = j + 1
+        elif c == b"[":
+            yield ("arr_open", None)
+            i += 1
+        elif c == b"]":
+            yield ("arr_close", None)
+            i += 1
+        elif c == b"/":
+            m = _NAME_RE.match(buf, i)
+            yield ("name", m.group(1))
+            i = m.end()
+        elif c in b"+-.0123456789":
+            m = _NUM_RE.match(buf, i)
+            yield ("num", float(m.group(0)))
+            i = m.end()
+        else:
+            m = _OP_RE.match(buf, i)
+            if not m:
+                i += 1
+                continue
+            yield ("op", m.group(0))
+            i = m.end()
+
+
+class _Line:
+    __slots__ = ("y", "x0", "x1", "chars", "max_size")
+
+    def __init__(self, y: float, x0: float):
+        self.y = y
+        self.x0 = x0
+        self.x1 = x0
+        self.chars: List[Tuple[str, str, float]] = []
+        self.max_size = 0.0
+
+
+def _interpret_page(content: bytes, fonts: Dict[bytes, str]) -> List[_Line]:
+    """Run the text operators; return baseline-keyed lines (reading order).
+
+    Implements the text-state subset the reference's payloads use:
+    Tf Td TD TL Tm T* Tj TJ ' \" — translation-only text matrices (the
+    writer never emits rotation/scaling)."""
+    lines: Dict[float, _Line] = {}
+    fontname, size, leading = "", 0.0, 0.0
+    # line matrix origin (x, y) and current point
+    lx = ly = cx = 0.0
+    stack: List[float] = []
+    in_array: Optional[List] = None
+
+    def show(sbytes: bytes):
+        nonlocal cx
+        text = sbytes.decode("latin-1")
+        key = round(ly, 4)
+        line = lines.get(key)
+        if line is None:
+            line = _Line(ly, cx)
+            lines[key] = line
+        cw = _char_width(size)
+        for ch in text:
+            line.chars.append((ch, fontname, size))
+        cx += cw * len(text)
+        line.x1 = max(line.x1, cx)
+        line.x0 = min(line.x0, cx - cw * len(text))
+        line.max_size = max(line.max_size, size)
+
+    def newline(tx: float, ty: float):
+        nonlocal lx, ly, cx
+        lx += tx
+        ly += ty
+        cx = lx
+
+    for kind, val in _tokenize_content(content):
+        if kind == "arr_open":
+            in_array = []
+            continue
+        if kind == "arr_close":
+            continue
+        if kind in ("num", "str", "name"):
+            if in_array is not None and kind in ("num", "str"):
+                in_array.append((kind, val))
+            else:
+                stack.append(val)
+            continue
+        op = val
+        if op == b"Tf":
+            size = float(stack[-1])
+            fname = stack[-2]
+            fontname = fonts.get(fname, fname.decode("latin-1"))
+            stack.clear()
+        elif op == b"TL":
+            leading = float(stack[-1])
+            stack.clear()
+        elif op == b"Td":
+            newline(float(stack[-2]), float(stack[-1]))
+            stack.clear()
+        elif op == b"TD":
+            leading = -float(stack[-1])
+            newline(float(stack[-2]), float(stack[-1]))
+            stack.clear()
+        elif op == b"Tm":
+            lx, ly = float(stack[-2]), float(stack[-1])
+            cx = lx
+            stack.clear()
+        elif op == b"T*":
+            newline(0.0, -leading)
+            stack.clear()
+        elif op == b"Tj":
+            show(stack.pop())
+            stack.clear()
+        elif op == b"'":
+            newline(0.0, -leading)
+            show(stack.pop())
+            stack.clear()
+        elif op == b'"':
+            # aw ac string " : spacing ignored (advance model is synthetic)
+            s = stack.pop()
+            newline(0.0, -leading)
+            show(s)
+            stack.clear()
+        elif op == b"TJ":
+            if in_array is not None:
+                for k, v in in_array:
+                    if k == "str":
+                        show(v)
+                    else:  # kerning adjustment: move the current point
+                        cx -= float(v) / 1000.0 * size
+                in_array = None
+            stack.clear()
+        elif op in (b"BT", b"ET"):
+            lx = ly = cx = 0.0
+            stack.clear()
+        else:
+            stack.clear()  # untracked operator: discard operands
+
+    out = sorted(lines.values(), key=lambda l: -l.y)
+    return [l for l in out if l.chars]
+
+
+def parse_pdf(pdf_bytes: bytes) -> List[TextElement]:
+    """PDF bytes → TextElements (same IR as the HTML path).
+
+    Line → element grouping: a new element starts when the baseline gap
+    exceeds 1.6 × the previous line's leading or the dominant font size
+    changes — reproducing pdfminer's paragraph grouping for flowed
+    layouts (reference: core.py:209-243)."""
+    objs = _parse_objects(pdf_bytes)
+    elements: List[TextElement] = []
+    for page_no, pnum in enumerate(_page_objects(objs)):
+        pd, _ = objs[pnum]
+        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", pd)
+        if not cm:
+            continue
+        content = _get_stream(objs, int(cm.group(1)))
+        fonts = _font_map(objs, pd)
+        plines = _interpret_page(content, fonts)
+
+        groups: List[List[_Line]] = []
+        for ln in plines:
+            if groups:
+                prev = groups[-1][-1]
+                gap = prev.y - ln.y
+                if gap <= 1.6 * prev.max_size * _LEADING and (
+                    ln.max_size == prev.max_size
+                ):
+                    groups[-1].append(ln)
+                    continue
+            groups.append([ln])
+
+        for g in groups:
+            les = []
+            for ln in g:
+                chars = extract_chars((c, f, s) for c, f, s in ln.chars)
+                bbox = (ln.x0, ln.y, ln.x1, ln.y + ln.max_size)
+                les.append(create_line_element(chars, bbox))
+            x0 = min(le.bbox[0] for le in les)
+            y0 = min(le.bbox[1] for le in les)
+            x1 = max(le.bbox[2] for le in les)
+            y1 = max(le.bbox[3] for le in les)
+            elements.append(
+                TextElement(
+                    text="\n".join(le.text for le in les),
+                    lines=tuple(les),
+                    bbox=Bbox(
+                        page=page_no,
+                        page_height=consts.PAGE_HEIGHT,
+                        page_width=consts.PAGE_WIDTH,
+                        x0=x0,
+                        y0=y0,
+                        x1=x1,
+                        y1=y1,
+                    ),
+                )
+            )
+    return elements
+
+
+def pdf_extracted_text(pdf_bytes: bytes) -> str:
+    """All line texts in reading order joined by single spaces — equal to
+    the whitespace-normalized typeset input (the SQL-oracle invariant)."""
+    parts: List[str] = []
+    for el in parse_pdf(pdf_bytes):
+        for le in el.lines:
+            # raw span text (no markdown bold/italic markers)
+            t = "".join(sp.text for sp in le.spans).strip()
+            if t:
+                parts.append(t)
+    return " ".join(parts)
+
+
+def pdf_num_pages(pdf_bytes: bytes) -> int:
+    return len(_page_objects(_parse_objects(pdf_bytes)))

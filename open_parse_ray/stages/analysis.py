@@ -236,8 +236,8 @@ def bpe_token_counts(sf_dir: str):
     """Token counts with the BPE-ish regex tokenizer (the tiktoken
     cl100k_base analog used by the extraction thresholds — see
     open_parse_ray/tokens.py; reference: src/openparse/utils.py:6-10).
-    Deterministic; complements the whitespace-token `token_counts`
-    query, which has the SQL oracle."""
+    Oracle-checked: the tokenizer regex + long-run surcharge translate
+    directly to a DuckDB regexp_extract_all expression."""
     from open_parse_ray.tokens import num_tokens
 
     def batch_fn(b: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,142 @@
+"""stdlib-only PDF codec gates: structural validity, exact text
+roundtrip, operator coverage, style fidelity, node-pipeline integration.
+
+Reference semantics being reproduced: pdfminer char extraction → span
+grouping (src/openparse/text/pdfminer/core.py:43-157) and element
+assembly (core.py:209-273) — here driven by PDFs this engine typesets
+itself, since pdfminer/pypdf are absent from the environment.
+"""
+
+import re
+
+import pytest
+
+from open_parse_ray.functions.pdf import (
+    _parse_objects,
+    parse_pdf,
+    pdf_extracted_text,
+    pdf_num_pages,
+    typeset_pdf,
+)
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.split())
+
+
+def test_pdf_structure_is_valid():
+    pdf = typeset_pdf("hello world " * 50, title="Doc Title")
+    assert pdf.startswith(b"%PDF-1.4")
+    assert pdf.rstrip().endswith(b"%%EOF")
+    # xref offsets point at the right objects
+    sx = re.search(rb"startxref\s+(\d+)", pdf)
+    xref_off = int(sx.group(1))
+    assert pdf[xref_off : xref_off + 4] == b"xref"
+    body = pdf[xref_off:]
+    offs = re.findall(rb"^(\d{10}) 00000 n", body, re.M)
+    for i, off in enumerate(offs, start=1):
+        at = int(off)
+        assert re.match(rb"%d 0 obj" % i, pdf[at : at + 16]), f"obj {i}"
+
+
+def test_pdf_roundtrip_exact_text():
+    cases = [
+        "",
+        "one",
+        "two words",
+        "The quick brown fox jumps over the lazy dog. " * 60,
+        "Weird (parens) and \\ backslashes \\\\ and\ttabs.",
+        "para one here\n\npara two there\n\n\npara three everywhere",
+        "x" * 400 + " unbroken-long-token then tail",
+    ]
+    for text in cases:
+        got = pdf_extracted_text(typeset_pdf(text))
+        assert got == _norm(text), repr(text[:40])
+
+
+def test_pdf_roundtrip_with_title_and_multipage():
+    text = "Repeatable body words go here again and again. " * 400
+    pdf = typeset_pdf(text, title="A Heading That Wraps Because It Is Long " * 3)
+    assert pdf_num_pages(pdf) >= 2
+    want = _norm("A Heading That Wraps Because It Is Long " * 3 + text)
+    assert pdf_extracted_text(pdf) == want
+
+
+def test_pdf_operator_coverage_in_writer_output():
+    """The writer must keep exercising the full operator set the reader
+    implements — if this shrinks, parser coverage silently shrinks."""
+    pdf = typeset_pdf("word " * 300)
+    objs = _parse_objects(pdf)
+    import zlib
+
+    streams = b"\n".join(
+        zlib.decompress(s) for d, s in objs.values() if s and b"/FlateDecode" in d
+    )
+    for op in (b" Tj", b" TJ", b" Td", b" Tm", b" TL", b"T*", b" '"):
+        assert op in streams, op
+
+
+def test_pdf_styles_and_elements():
+    pdf = typeset_pdf("body text " * 30, title="Big Bold Title")
+    els = parse_pdf(pdf)
+    assert len(els) == 2  # title block, body block
+    title, body = els
+    assert title.lines[0].spans[0].is_bold
+    assert title.lines[0].spans[0].size == 18.0
+    assert not body.lines[0].spans[0].is_bold
+    assert body.lines[0].spans[0].size == 12.0
+    # y-down ordering: title above body, same page
+    assert title.bbox.page == body.bbox.page == 0
+    assert title.bbox.y0 > body.bbox.y1 - 1e-6
+
+
+def test_pdf_bbox_geometry_consistent():
+    from open_parse_ray import consts
+
+    pdf = typeset_pdf("some words spread over a line " * 10)
+    els = parse_pdf(pdf)
+    for el in els:
+        for le in el.lines:
+            x0, y0, x1, y1 = le.bbox
+            assert x0 == consts.PAGE_MARGIN_X
+            assert x1 <= consts.PAGE_WIDTH - consts.PAGE_MARGIN_X + 1e-6
+            assert 0 <= y0 < y1 <= consts.PAGE_HEIGHT
+
+
+def test_pdf_node_pipeline_integration():
+    """PDF elements flow through the SAME BasicIngestionPipeline as the
+    HTML path: heading + long body → nodes with tokens, no crashes, and
+    sub-stub docs drop to zero nodes (reference threshold semantics)."""
+    from open_parse_ray.stages.pdf_text import parse_pdf_page
+
+    long_doc = typeset_pdf("many words in this body " * 40, title="Section Head")
+    nodes = parse_pdf_page(long_doc)
+    assert nodes, "long doc must yield nodes"
+    assert all(n.tokens > 0 for n in nodes)
+    joined = " ".join(_norm(n.text.replace("**", "")) for n in nodes)
+    assert "many words in this body" in joined
+
+    stub = typeset_pdf("tiny")
+    assert parse_pdf_page(stub) == []  # below RemoveNodesBelowNTokens
+
+
+def test_pdf_extract_text_query(ray_session):
+    from open_parse_ray.stages.pdf_text import pdf_extract_text
+
+    out = pdf_extract_text("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500
+    import duckdb
+
+    con = duckdb.connect()
+    want = con.sql(
+        """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN ''
+                    ELSE array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')
+               END AS extracted_text
+        FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+        ORDER BY doc_id
+        """
+    ).df()
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
