@@ -154,6 +154,14 @@ def _q_table_markdown(sf_dir: str):
     return table_markdown_pipeline(sf_dir)
 
 
+def _q_table_html(sf_dir: str):
+    """Image→table→styled-HTML path (table-transformers to_html_str
+    analog with real pixel bboxes; reference schemas.py:202-235)."""
+    from open_parse_ray.stages.table_vision import table_html_pipeline
+
+    return table_html_pipeline(sf_dir)
+
+
 def _q_ocr_text(sf_dir: str):
     """Real OCR path: documents typeset onto page images (deterministic
     bitmap typeface) → segmentation + template-match OCR → recognized
@@ -260,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": _q_video_frames,
         "table_structure_from_images": _q_table_structure,
         "table_markdown_from_images": _q_table_markdown,
+        "table_html_from_images": _q_table_html,
         "ocr_text_from_images": _q_ocr_text,
         # ---- tail: pytest-pinned elsewhere (property tests / exact
         # roundtrips / unit goldens), safe outside the driver window ----

@@ -94,14 +94,22 @@ def _pdf_string(s: str) -> bytes:
     return bytes(out)
 
 
-def typeset_pdf(text: str, title: Optional[str] = None) -> bytes:
+def typeset_pdf(
+    text: str,
+    title: Optional[str] = None,
+    images: Optional[list] = None,
+) -> bytes:
     """Typeset ``text`` (one flowed paragraph per ``\\n\\n`` block, plus an
     optional bold title) into a valid multi-page PDF.
 
     The content streams rotate through the text-positioning operators
     (``Tm`` to open a block, then ``T*``, ``Td``, ``'``, and every 5th
     line a kerned ``TJ``) so the reader's interpreter is exercised by
-    every document, not just by dedicated tests."""
+    every document, not just by dedicated tests.
+
+    ``images`` (optional list of (H, W, 3) uint8 arrays) are embedded as
+    FlateDecode /DeviceRGB Image XObjects, each on its own trailing page
+    (reference image payloads: text/pdfminer/core.py:160-206)."""
     pages: List[List[bytes]] = []  # per page: list of content-stream chunks
     leading = BODY_SIZE * _LEADING
 
@@ -177,7 +185,7 @@ def typeset_pdf(text: str, title: Optional[str] = None) -> bytes:
     if ops or not pages:
         pages.append(ops)
 
-    return _assemble_pdf([b"\n".join(p) for p in pages])
+    return _assemble_pdf([b"\n".join(p) for p in pages], images or [])
 
 
 def _num(x: float) -> bytes:
@@ -187,11 +195,20 @@ def _num(x: float) -> bytes:
     return repr(round(x, 4)).encode("ascii")
 
 
-def _assemble_pdf(page_streams: List[bytes]) -> bytes:
+def _assemble_pdf(page_streams: List[bytes], images: List) -> bytes:
     """Object graph + xref around the per-page content streams.
 
     Layout: 1 Catalog, 2 Pages, 3 /F1 Helvetica, 4 /F2 Helvetica-Bold,
-    then per page i: (5+2i) Page, (6+2i) FlateDecode content stream."""
+    then per page i: (5+2i) Page, (6+2i) FlateDecode content stream;
+    each image adds a trailing page + an Image XObject pair."""
+    n_text = len(page_streams)
+    # image pages: one image per page, placed at natural size
+    for img in images:
+        h, w = img.shape[:2]
+        x, y = consts.PAGE_MARGIN_X, consts.PAGE_TOP_Y - h
+        page_streams = page_streams + [
+            b"q %s 0 0 %s %s %s cm /Im0 Do Q" % (_num(w), _num(h), _num(x), _num(y))
+        ]
     n_pages = len(page_streams)
     objs: Dict[int, bytes] = {}
     kids = b" ".join(b"%d 0 R" % (5 + 2 * i) for i in range(n_pages))
@@ -201,18 +218,37 @@ def _assemble_pdf(page_streams: List[bytes]) -> bytes:
     objs[4] = (
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold /Name /F2 >>"
     )
+    img_base = 5 + 2 * n_pages
     for i, stream in enumerate(page_streams):
         page_num, content_num = 5 + 2 * i, 6 + 2 * i
+        xobj = b""
+        if i >= n_text:  # an image page: register its XObject resource
+            xobj = b"/XObject << /Im0 %d 0 R >> " % (img_base + (i - n_text))
         objs[page_num] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %s %s] "
-            b"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> "
+            b"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> %s>> "
             b"/Contents %d 0 R >>"
-            % (_num(consts.PAGE_WIDTH), _num(consts.PAGE_HEIGHT), content_num)
+            % (
+                _num(consts.PAGE_WIDTH),
+                _num(consts.PAGE_HEIGHT),
+                xobj,
+                content_num,
+            )
         )
         deflated = zlib.compress(stream, 6)
         objs[content_num] = (
             b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(deflated)
             + deflated
+            + b"\nendstream"
+        )
+    for j, img in enumerate(images):
+        h, w = img.shape[:2]
+        raw = zlib.compress(img.astype("uint8").tobytes(), 6)
+        objs[img_base + j] = (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n" % (w, h, len(raw))
+            + raw
             + b"\nendstream"
         )
 
@@ -571,8 +607,66 @@ def _interpret_page(content: bytes, fonts: Dict[bytes, str]) -> List[_Line]:
     return [l for l in out if l.chars]
 
 
+_CM_DO = re.compile(
+    rb"([\d.]+)\s+0\s+0\s+([\d.]+)\s+([\d.-]+)\s+([\d.-]+)\s+cm\s*/(\w+)\s+Do"
+)
+_CS_MODE = {b"DeviceRGB": "RGB", b"DeviceGray": "L"}
+
+
+def _page_images(objs, page_dict: bytes, content: bytes, page_no: int):
+    """Image XObjects referenced by this page → ImageElements with PNG
+    payloads (the reference's `_process_png_image` path: raw FlateDecode
+    raster → PNG re-encode; core.py:160-206, 244-273)."""
+    from open_parse_ray.model import ImageElement
+    from open_parse_ray.stages.multimodal import process_raw_image
+
+    xm = re.search(rb"/XObject\s*<<(.*?)>>", page_dict, re.S)
+    if not xm:
+        return []
+    names = {
+        m.group(1): int(m.group(2))
+        for m in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", xm.group(1))
+    }
+    out = []
+    for m in _CM_DO.finditer(content):
+        w_disp, h_disp = float(m.group(1)), float(m.group(2))
+        x, y = float(m.group(3)), float(m.group(4))
+        num = names.get(m.group(5))
+        if num is None:
+            continue
+        d, _ = objs[num]
+        wm = re.search(rb"/Width\s+(\d+)", d)
+        hm = re.search(rb"/Height\s+(\d+)", d)
+        cs = re.search(rb"/ColorSpace\s*/(\w+)", d)
+        if not (wm and hm):
+            continue
+        mode = _CS_MODE.get(cs.group(1) if cs else b"DeviceRGB", "RGB")
+        png = process_raw_image(
+            _get_stream(objs, num), int(wm.group(1)), int(hm.group(1)), mode
+        )
+        if png is None:
+            continue
+        out.append(
+            ImageElement(
+                text="",
+                bbox=Bbox(
+                    page=page_no,
+                    page_height=consts.PAGE_HEIGHT,
+                    page_width=consts.PAGE_WIDTH,
+                    x0=x,
+                    y0=y,
+                    x1=x + w_disp,
+                    y1=y + h_disp,
+                ),
+                image=png,
+                image_mimetype="image/png",
+            )
+        )
+    return out
+
+
 def parse_pdf(pdf_bytes: bytes) -> List[TextElement]:
-    """PDF bytes → TextElements (same IR as the HTML path).
+    """PDF bytes → Text/Image elements (same IR as the HTML path).
 
     Line → element grouping: a new element starts when the baseline gap
     exceeds 1.6 × the previous line's leading or the dominant font size
@@ -587,6 +681,7 @@ def parse_pdf(pdf_bytes: bytes) -> List[TextElement]:
             continue
         content = _get_stream(objs, int(cm.group(1)))
         fonts = _font_map(objs, pd)
+        elements.extend(_page_images(objs, pd, content, page_no))
         plines = _interpret_page(content, fonts)
 
         groups: List[List[_Line]] = []
@@ -634,7 +729,7 @@ def pdf_extracted_text(pdf_bytes: bytes) -> str:
     the whitespace-normalized typeset input (the SQL-oracle invariant)."""
     parts: List[str] = []
     for el in parse_pdf(pdf_bytes):
-        for le in el.lines:
+        for le in getattr(el, "lines", ()) or ():
             # raw span text (no markdown bold/italic markers)
             t = "".join(sp.text for sp in le.spans).strip()
             if t:

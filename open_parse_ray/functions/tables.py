@@ -49,6 +49,78 @@ def output_to_markdown(
     return out
 
 
+def table_to_html_str(
+    header_rows: Sequence[Sequence[Tuple[Optional[str], Tuple[float, float, float, float]]]],
+    data_rows: Sequence[Sequence[Tuple[Optional[str], Tuple[float, float, float, float]]]],
+) -> str:
+    """Structured table → styled HTML with per-cell min-width from the
+    cell bbox, exactly the table-transformers renderer (reference:
+    tables/table_transformers/schemas.py:202-235): thead/tbody blocks,
+    ``min-width:{round(x1-x0)}px`` style, empty string for None content,
+    newline after every tag except the closing ``</table>``. Cell bboxes
+    are image coordinates, as in the reference."""
+    out = '<table border="1">\n'
+    if header_rows:
+        out += "<thead>\n"
+        for row in header_rows:
+            out += "<tr>\n"
+            for content, bbox in row:
+                min_width = round(bbox[2] - bbox[0])
+                out += f'<th style="min-width:{min_width}px;">{content or ""}</th>\n'
+            out += "</tr>\n"
+        out += "</thead>\n"
+    out += "<tbody>\n"
+    for row in data_rows:
+        out += "<tr>\n"
+        for content, bbox in row:
+            min_width = round(bbox[2] - bbox[0])
+            out += f'<td style="min-width:{min_width}px;">{content or ""}</td>\n'
+        out += "</tr>\n"
+    out += "</tbody>\n"
+    out += "</table>"
+    return out
+
+
+def build_table_from_html_and_cell(
+    structure: List[str], content: Optional[List[str]] = None
+) -> List[str]:
+    """Merge a unitable structure-token sequence with cell contents
+    (reference: tables/unitable/utils.py:113-133): every ``<td>[]</td>``
+    or ``>[]</td>`` placeholder consumes the next cell, other tokens
+    pass through; placeholders beyond the content list are dropped;
+    None content fills every slot with "placeholder"."""
+    assert structure is not None
+    html_code: List[str] = []
+    content_copy = (
+        ["placeholder"] * len(structure) if content is None else list(content)
+    )
+    for tag in structure:
+        if tag in ("<td>[]</td>", ">[]</td>"):
+            if len(content_copy) == 0:
+                continue
+            cell = content_copy.pop(0)
+            html_code.append(tag.replace("[]", cell))
+        else:
+            html_code.append(tag)
+    return html_code
+
+
+def grid_to_structure_tokens(n_cols: int, n_rows: int) -> List[str]:
+    """Dense-grid structure tokens in unitable's vocabulary
+    (``<thead>``/``<tbody>`` rows of ``<td>[]</td>`` placeholders) — what
+    the gated unitable model would emit for a regular grid; feeds
+    build_table_from_html_and_cell (reference: unitable/core.py:186-201)."""
+    toks = ["<table>", "<thead>", "<tr>"]
+    toks += ["<td>[]</td>"] * n_cols
+    toks += ["</tr>", "</thead>", "<tbody>"]
+    for _ in range(n_rows):
+        toks.append("<tr>")
+        toks += ["<td>[]</td>"] * n_cols
+        toks.append("</tr>")
+    toks += ["</tbody>", "</table>"]
+    return toks
+
+
 def combine_header_and_table_bboxes(
     bbox1: Tuple[float, float, float, float], bbox2: Tuple[float, float, float, float]
 ) -> Tuple[float, float, float, float]:

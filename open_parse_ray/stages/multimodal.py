@@ -83,6 +83,137 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+# ---------------------------------------------------------------------------
+# Real PNG codec (stdlib zlib — no PIL)
+#
+# The reference re-encodes raw PDF image rasters as PNG via PIL
+# (src/openparse/text/pdfminer/core.py:160-206); this is the same
+# capability from scratch: the encoder writes filter-0 scanlines into a
+# single zlib IDAT, the decoder handles bit-depth-8 RGB/RGBA/gray with
+# ALL five scanline filters (None/Sub/Up/Average/Paeth), so it reads
+# real-world PNGs of those shapes, not just its own output.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W) or (H, W, {1,3,4}) uint8 array → PNG bytes (filter 0)."""
+    import zlib as _z
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    assert img.dtype == np.uint8 and c in (1, 3, 4)
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 prepended to each scanline
+    raw = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 1:] = img.reshape(h, w * c)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa_, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, C) uint8 array. Bit depth 8, color types
+    0/2/6 (gray/RGB/RGBA), non-interlaced; all five scanline filters."""
+    import zlib as _z
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = bytearray()
+    w = h = None
+    color_type = None
+    while pos < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    c = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = np.frombuffer(_z.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * c
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w * c), dtype=np.uint8)
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            cur += prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            left = np.zeros(c, dtype=np.uint8)
+            for x in range(0, w * c, c):
+                seg = cur[x : x + c]
+                if ftype == 1:
+                    seg += left
+                elif ftype == 3:
+                    seg += (
+                        (left.astype(np.int16) + prev[x : x + c].astype(np.int16))
+                        // 2
+                    ).astype(np.uint8)
+                else:
+                    up_left = (
+                        prev[x - c : x] if x >= c else np.zeros(c, dtype=np.uint8)
+                    )
+                    seg += _paeth(left, prev[x : x + c], up_left)
+                left = seg
+        else:
+            raise ValueError(f"bad filter {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, c)
+
+
+def process_raw_image(
+    data: bytes, width: int, height: int, mode: str = "RGB"
+) -> Optional[bytes]:
+    """Raw raster bytes → PNG bytes, the reference's `_process_png_image`
+    analog (core.py:160-206): map the color space to an array shape,
+    build the image, return PNG — or None on any failure (the reference
+    logs and returns None rather than raising)."""
+    try:
+        channels = {"L": 1, "RGB": 3, "RGBA": 4}[mode]
+        arr = np.frombuffer(data, dtype=np.uint8, count=width * height * channels)
+        return encode_png(arr.reshape(height, width, channels))
+    except Exception:
+        return None
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Vectorized nearest-neighbor resize (pure numpy fancy indexing)."""
     h, w = img.shape[:2]
@@ -224,10 +355,10 @@ def media_table(sf_dir_or_n, kind: str = "image"):
 
 
 class DecodeMedia:
-    """Actor-pool decode stage. Real decoding (PIL) when available, else a
-    deterministic header parse — the actor signature, per-actor init, and
-    output schema are identical either way. NOTE: real image decode is
-    STUBBED in this container (no PIL); swap ``_decode`` when present."""
+    """Actor-pool decode stage. BMP and PNG decode are REAL (pure
+    numpy / stdlib zlib); the OPRI/OPRA synthetic formats decode by
+    header parse; JPEG would use PIL when present. The actor signature,
+    per-actor init, and output schema are identical in every case."""
 
     def __init__(self):
         self.has_pil = _HAS_PIL
@@ -236,6 +367,10 @@ class DecodeMedia:
     def _decode(self, payload: bytes):
         if payload[:2] == b"BM":  # real BMP decode, pure numpy
             img = decode_bmp(payload)
+            h, w = img.shape[:2]
+            return w, h, 1, img.tobytes()
+        if payload[:8] == _PNG_SIG:  # real PNG decode, stdlib zlib
+            img = decode_png(payload)
             h, w = img.shape[:2]
             return w, h, 1, img.tobytes()
         magic, rest = payload[:4], payload[4:]

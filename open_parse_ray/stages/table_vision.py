@@ -290,11 +290,11 @@ def make_table_with_text_image(i: int):
     return encode_bmp(img), grid[0], grid[1:]
 
 
-def table_image_to_markdown(payload: bytes) -> str:
-    """The complete kernel: decode → detect table bbox → structure
+def table_image_to_grid(payload: bytes):
+    """Shared image→cells kernel: decode → detect table bbox → structure
     (gridlines via projections over a text-robust threshold) → per-cell
-    crop → OCR → grid → markdown (reference renderer semantics)."""
-    from open_parse_ray.functions.tables import output_to_markdown
+    crop → OCR. Returns (grid of cell strings, matching grid of cell
+    bboxes in cropped-image coordinates)."""
     from open_parse_ray.stages.ocr_vision import ocr_image
 
     img = decode_bmp(payload)
@@ -303,8 +303,10 @@ def table_image_to_markdown(payload: bytes) -> str:
     crop = img[cy0 : y1 + 1 + PAD, cx0 : x1 + 1 + PAD]
     row_lines, col_lines = grid_from_projections(crop, y1 - y0 + 1, x1 - x0 + 1)
     grid: List[List[str]] = []
+    bboxes: List[List[tuple]] = []
     for r in range(len(row_lines) - 1):
         row: List[str] = []
+        brow: List[tuple] = []
         for c in range(len(col_lines) - 1):
             cell = crop[
                 row_lines[r] + 1 : row_lines[r + 1],
@@ -312,10 +314,46 @@ def table_image_to_markdown(payload: bytes) -> str:
             ]
             lines = ocr_image(encode_bmp(np.ascontiguousarray(cell)))
             row.append(" ".join(t for t, _ in lines))
+            brow.append(
+                (
+                    float(col_lines[c] + 1),
+                    float(row_lines[r] + 1),
+                    float(col_lines[c + 1]),
+                    float(row_lines[r + 1]),
+                )
+            )
         grid.append(row)
+        bboxes.append(brow)
+    return grid, bboxes
+
+
+def table_image_to_markdown(payload: bytes) -> str:
+    """The complete kernel: image → cells (table_image_to_grid) →
+    markdown (reference renderer semantics)."""
+    from open_parse_ray.functions.tables import output_to_markdown
+
+    grid, _ = table_image_to_grid(payload)
     if not grid:
         return output_to_markdown([], [])
     return output_to_markdown(grid[0], grid[1:])
+
+
+def table_image_to_html(payload: bytes) -> str:
+    """Image → cells → styled HTML with per-cell min-width from the real
+    pixel bboxes — the table-transformers ``to_html_str`` analog
+    (reference: tables/table_transformers/schemas.py:202-235). The
+    unitable token path (grid_to_structure_tokens +
+    build_table_from_html_and_cell, reference unitable/core.py:186-201)
+    is golden-tested separately; this renderer carries the bbox styling
+    the token path lacks."""
+    from open_parse_ray.functions.tables import table_to_html_str
+
+    grid, bboxes = table_image_to_grid(payload)
+    if not grid:
+        return table_to_html_str([], [])
+    headers = [list(zip(grid[0], bboxes[0]))]
+    rows = [list(zip(g, b)) for g, b in zip(grid[1:], bboxes[1:])]
+    return table_to_html_str(headers, rows)
 
 
 class TableToMarkdown:
@@ -341,6 +379,68 @@ class TableToMarkdown:
             ],
             names=["media_id", "markdown", "status"],
         )
+
+
+class TableToHtml:
+    """Actor-pool stage: rasterized table pages in, styled HTML out."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, htmls, statuses = [], [], []
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            ids.append(media_id)
+            try:
+                htmls.append(table_image_to_html(payload))
+                statuses.append("ok")
+            except Exception as exc:
+                htmls.append("")
+                statuses.append(f"error:{type(exc).__name__}")
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(htmls, pa.string()),
+                pa.array(statuses, pa.string()),
+            ],
+            names=["media_id", "html", "status"],
+        )
+
+
+def table_html_pipeline(sf_dir_or_n):
+    """Rasterized tables-with-text → actor-pool detect+structure+OCR →
+    styled-HTML TableElement texts (to_html_str analog)."""
+    import ray.data as rd
+
+    if isinstance(sf_dir_or_n, int):
+        n = sf_dir_or_n
+    else:
+        from open_parse_ray.sources.pages import sf_from_dir
+
+        n = max(50, int(round(20_000 * sf_from_dir(sf_dir_or_n))))
+
+    def gen(batch) -> pa.Table:
+        ids = [int(v) for v in batch["id"]]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(
+                    [make_table_with_text_image(i)[0] for i in ids], pa.binary()
+                ),
+            ],
+            names=["media_id", "payload"],
+        )
+
+    return (
+        rd.range(n)
+        .map_batches(gen, batch_format="numpy", batch_size=128)
+        .map_batches(
+            TableToHtml,
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=(1, 8),
+            num_cpus=1,
+        )
+    )
 
 
 def table_markdown_pipeline(sf_dir_or_n):

@@ -140,3 +140,29 @@ def test_pdf_extract_text_query(ray_session):
     ).df()
     got = out.sort_values("doc_id").reset_index(drop=True)
     assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
+
+
+def test_pdf_embedded_images_roundtrip_exact():
+    """Image XObjects embed as FlateDecode rasters and come back as
+    ImageElements whose PNG payload decodes to the EXACT source raster
+    (the reference's _process_png_image path, core.py:160-206)."""
+    import numpy as np
+
+    from open_parse_ray.model import ImageElement
+    from open_parse_ray.stages.multimodal import decode_png
+
+    rng = np.random.RandomState(3)
+    imgs = [
+        rng.randint(0, 256, size=(12, 20, 3), dtype=np.uint8),
+        rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8),
+    ]
+    pdf = typeset_pdf("words around the figure " * 30, images=imgs)
+    els = parse_pdf(pdf)
+    ims = [e for e in els if isinstance(e, ImageElement)]
+    assert len(ims) == 2
+    for im, src in zip(ims, imgs):
+        assert im.image_mimetype == "image/png"
+        assert np.array_equal(decode_png(im.image), src)
+        assert im.bbox.x1 - im.bbox.x0 == src.shape[1]
+    # text extraction is unaffected by image pages
+    assert pdf_extracted_text(pdf) == _norm("words around the figure " * 30)

@@ -477,3 +477,109 @@ def test_embedding_neardup_triangle_join_bounded_and_exact():
     ia, ib = np.where(np.triu(sims >= threshold, k=1))
     want = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))) for i, j in zip(ia, ib)}
     assert got == want
+
+
+def test_png_roundtrip_exact():
+    """encode_png → decode_png is lossless for gray/RGB/RGBA uint8."""
+    from open_parse_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    for shape in [(5, 7, 3), (16, 16), (9, 4, 4), (1, 1, 3), (32, 3, 1)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        back = decode_png(encode_png(img))
+        want = img[:, :, None] if img.ndim == 2 else img
+        assert np.array_equal(back, want), shape
+
+
+def test_png_decoder_handles_all_filters():
+    """The decoder must read real-world PNGs, which use Sub/Up/Average/
+    Paeth scanline filters — synthesize each filter per the spec and
+    check exact recovery."""
+    import struct
+    import zlib
+
+    from open_parse_ray.stages.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.RandomState(5)
+    h, w, c = 7, 6, 3
+    img = rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+
+    def filt(ftype, cur, prev):
+        cur = cur.astype(np.int16)
+        prevl = prev.astype(np.int16)
+        out = np.zeros_like(cur)
+        for x in range(w * c):
+            a = cur[x - c] if x >= c else 0
+            b = prevl[x]
+            cc = prevl[x - c] if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa_ <= pb and pa_ <= pc else (b if pb <= pc else cc)
+            out[x] = (cur[x] - pred) % 256
+        return out.astype(np.uint8)
+
+    flat = img.reshape(h, w * c)
+    raw = bytearray()
+    for y in range(h):
+        ftype = y % 5  # exercise every filter type
+        prev = flat[y - 1] if y else np.zeros(w * c, dtype=np.uint8)
+        raw.append(ftype)
+        raw += filt(ftype, flat[y].copy(), prev).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), img)
+
+
+def test_process_raw_image_reference_semantics():
+    """raw raster + mode → PNG bytes; None (not an exception) on bad
+    input — matching _process_png_image's error contract."""
+    from open_parse_ray.stages.multimodal import decode_png, process_raw_image
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, size=(4, 5, 3)).astype(np.uint8)
+    png = process_raw_image(img.tobytes(), 5, 4, "RGB")
+    assert png is not None and np.array_equal(decode_png(png), img)
+    gray = rng.randint(0, 256, size=(3, 3)).astype(np.uint8)
+    png2 = process_raw_image(gray.tobytes(), 3, 3, "L")
+    assert png2 is not None and np.array_equal(decode_png(png2)[:, :, 0], gray)
+    assert process_raw_image(b"short", 100, 100, "RGB") is None
+    assert process_raw_image(img.tobytes(), 5, 4, "CMYK-ish") is None
+
+
+def test_table_image_to_html_exact():
+    """Image→styled-HTML path: cell contents byte-match the truth grid
+    and every cell carries a positive pixel min-width."""
+    import re as _re
+
+    from open_parse_ray.stages.table_vision import (
+        make_table_with_text_image,
+        table_image_to_html,
+    )
+
+    for i in (0, 7, 23):
+        payload, headers, rows = make_table_with_text_image(i)
+        html = table_image_to_html(payload)
+        got_cells = _re.findall(r"<t[hd][^>]*>(.*?)</t[hd]>", html)
+        want = list(headers) + [c for row in rows for c in row]
+        assert got_cells == want, i
+        widths = [int(w) for w in _re.findall(r"min-width:(\d+)px", html)]
+        assert len(widths) == len(want) and all(w > 0 for w in widths)
+        assert html.count("<thead>") == 1 and html.count("<tbody>") == 1

@@ -109,3 +109,62 @@ def test_calc_bbox_intersection_rejects_negative_margin():
 def test_calc_bbox_intersection_rejects_degenerate():
     with pytest.raises(ValueError):
         calc_bbox_intersection((0, 0, 0, 1), (0, 0, 1, 1))
+
+
+def test_table_to_html_str_golden():
+    """Exact string semantics of the table-transformers to_html_str
+    (reference schemas.py:202-235): thead/tbody, min-width from bbox,
+    None content → empty, no newline after the final </table>."""
+    from open_parse_ray.functions.tables import table_to_html_str
+
+    headers = [[("Name", (0.0, 0.0, 40.4, 10.0)), ("Qty", (40.4, 0.0, 60.0, 10.0))]]
+    rows = [
+        [("ab", (0.0, 10.0, 40.4, 20.0)), (None, (40.4, 10.0, 60.0, 20.0))],
+    ]
+    got = table_to_html_str(headers, rows)
+    want = (
+        '<table border="1">\n'
+        "<thead>\n<tr>\n"
+        '<th style="min-width:40px;">Name</th>\n'
+        '<th style="min-width:20px;">Qty</th>\n'
+        "</tr>\n</thead>\n"
+        "<tbody>\n<tr>\n"
+        '<td style="min-width:40px;">ab</td>\n'
+        '<td style="min-width:20px;"></td>\n'
+        "</tr>\n</tbody>\n</table>"
+    )
+    assert got == want
+    # headerless: no thead block at all
+    assert table_to_html_str([], rows).startswith('<table border="1">\n<tbody>')
+
+
+def test_build_table_from_html_and_cell_golden():
+    """Unitable merge semantics (reference unitable/utils.py:113-133):
+    both placeholder spellings consume cells, pass-through tokens keep
+    order, placeholders beyond the content list are DROPPED, and None
+    content fills every slot with 'placeholder'."""
+    from open_parse_ray.functions.tables import build_table_from_html_and_cell
+
+    structure = ["<table>", "<tr>", "<td>[]</td>", ">[]</td>", "</tr>", "</table>"]
+    got = build_table_from_html_and_cell(structure, ["a", "b"])
+    assert got == ["<table>", "<tr>", "<td>a</td>", ">b</td>", "</tr>", "</table>"]
+    # content exhaustion: the extra placeholder disappears
+    got2 = build_table_from_html_and_cell(structure, ["only"])
+    assert got2 == ["<table>", "<tr>", "<td>only</td>", "</tr>", "</table>"]
+    # None → 'placeholder' everywhere
+    got3 = build_table_from_html_and_cell(["<td>[]</td>"], None)
+    assert got3 == ["<td>placeholder</td>"]
+
+
+def test_grid_structure_tokens_compose_with_cells():
+    from open_parse_ray.functions.tables import (
+        build_table_from_html_and_cell,
+        grid_to_structure_tokens,
+    )
+
+    toks = grid_to_structure_tokens(n_cols=2, n_rows=1)
+    html = "".join(build_table_from_html_and_cell(toks, ["h1", "h2", "a", "b"]))
+    assert html == (
+        "<table><thead><tr><td>h1</td><td>h2</td></tr></thead>"
+        "<tbody><tr><td>a</td><td>b</td></tr></tbody></table>"
+    )
