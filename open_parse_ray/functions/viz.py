@@ -28,6 +28,51 @@ _VARIANT_COLORS = {
 }
 
 
+def display_cells_svg(
+    cells: List[dict],
+    img_width: int,
+    img_height: int,
+    show_cell_types: str = "all",
+    use_blank_image: bool = False,
+    min_cell_confidence: float = 0.95,
+) -> str:
+    """Per-cell debug overlay, the `display_cells_on_img` analog
+    (reference: tables/utils.py:78-115): red rects over a table-image
+    frame, filtered by cell kind and confidence. ``cells`` entries carry
+    (x0, y0, x1, y1, kind in {'header','row','column'}, confidence) in
+    top-left IMAGE coordinates — no y-flip, unlike the node overlay.
+    ``use_blank_image`` keeps only the white frame, like the reference's
+    blank-image mode."""
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" '
+        f'width="{img_width}" height="{img_height}" '
+        f'viewBox="0 0 {img_width} {img_height}">',
+        f'<rect x="0" y="0" width="{img_width}" height="{img_height}" '
+        f'fill="white" stroke="#999" stroke-width="1"/>'
+        if use_blank_image
+        else f'<rect x="0" y="0" width="{img_width}" height="{img_height}" '
+        f'fill="#eee" stroke="#999" stroke-width="1"/>',
+    ]
+    want = {
+        "all": {"header", "row", "column"},
+        "headers": {"header"},
+        "rows": {"row"},
+        "columns": {"column"},
+    }[show_cell_types]
+    for c in cells:
+        if c.get("confidence", 1.0) < min_cell_confidence:
+            continue
+        if c.get("kind", "row") not in want:
+            continue
+        parts.append(
+            f'<rect x="{c["x0"]:.2f}" y="{c["y0"]:.2f}" '
+            f'width="{c["x1"] - c["x0"]:.2f}" height="{c["y1"] - c["y0"]:.2f}" '
+            f'fill="none" stroke="red" stroke-width="1"/>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
 def node_boxes_to_svg(
     boxes: List[dict], page_width: float, page_height: float
 ) -> str:

@@ -65,3 +65,84 @@ def test_svg_coordinates_flip():
     # y_svg = 792 - y1 = 722; height = y1 - y0 = 50
     assert 'x="10.00" y="722.00" width="100.00" height="50.00"' in svg
     assert 'stroke="#1f77b4"' in svg
+
+
+def test_display_cells_svg_reference_semantics():
+    """Cell overlay analog (reference tables/utils.py:78-115): type
+    filter, confidence gate, blank-image mode."""
+    from open_parse_ray.functions.viz import display_cells_svg
+
+    cells = [
+        {"x0": 1, "y0": 1, "x1": 10, "y1": 5, "kind": "header", "confidence": 0.99},
+        {"x0": 1, "y0": 6, "x1": 10, "y1": 9, "kind": "row", "confidence": 0.99},
+        {"x0": 1, "y0": 1, "x1": 4, "y1": 9, "kind": "column", "confidence": 0.5},
+    ]
+    svg = display_cells_svg(cells, 20, 10)
+    assert svg.count('stroke="red"') == 2  # low-confidence column dropped
+    assert display_cells_svg(cells, 20, 10, show_cell_types="headers").count(
+        'stroke="red"'
+    ) == 1
+    blank = display_cells_svg(cells, 20, 10, use_blank_image=True)
+    assert 'fill="white"' in blank and display_cells_svg(cells, 20, 10).count(
+        'fill="#eee"'
+    ) == 1
+    # deterministic
+    assert svg == display_cells_svg(cells, 20, 10)
+
+
+def test_weight_staging_roundtrip(tmp_path):
+    """Staged weight files reproduce the in-code models EXACTLY, and
+    re-staging skips existing files (the reference CLI contract)."""
+    import numpy as np
+
+    from open_parse_ray.stages.dedup import FastMinHasher, _word_shingles
+    from open_parse_ray.stages.ocr_vision import FONT, _TEMPLATES
+    from open_parse_ray.stages.similarity import HyperplaneLSH
+    from open_parse_ray.state.weights import (
+        lsh_from_file,
+        minhasher_from_file,
+        load_typeface,
+        stage_weights,
+        templates_from_file,
+    )
+
+    dest = str(tmp_path / "weights")
+    paths = stage_weights(dest, verbose=False)
+    assert len(paths) == 3 and all(p.endswith(".npz") for p in paths)
+
+    tf = load_typeface(f"{dest}/ocr_typeface.npz")
+    assert set(tf) == set(FONT)
+    assert all(np.array_equal(tf[c], FONT[c]) for c in FONT)
+    assert templates_from_file(f"{dest}/ocr_typeface.npz") == _TEMPLATES
+
+    mh = minhasher_from_file(f"{dest}/minhash_params.npz")
+    ref = FastMinHasher(128)
+    sh = _word_shingles("the quick brown fox jumps over the lazy dog " * 5)
+    assert np.array_equal(mh.signature(sh), ref.signature(sh))
+
+    lsh = lsh_from_file(f"{dest}/lsh_hyperplanes.npz")
+    ref_lsh = HyperplaneLSH(dim=64, n_bits=12)
+    v = np.arange(64, dtype=np.float64)[None, :] / 64.0
+    assert lsh.bucket(v)[0] == ref_lsh.bucket(v)[0]
+
+    # skip-if-present: mtimes unchanged on second staging
+    import os
+
+    before = [os.path.getmtime(p) for p in paths]
+    stage_weights(dest, verbose=False)
+    assert [os.path.getmtime(p) for p in paths] == before
+
+
+def test_weight_broadcast_to_object_store(ray_session, tmp_path):
+    import ray
+
+    from open_parse_ray.state.weights import stage_to_object_store
+
+    refs = stage_to_object_store(str(tmp_path / "w"))
+    assert set(refs) == {
+        "ocr_typeface.npz",
+        "minhash_params.npz",
+        "lsh_hyperplanes.npz",
+    }
+    got = ray.get(refs["minhash_params.npz"])
+    assert len(got["a"]) == 128
