@@ -424,32 +424,32 @@ def minhash_neardup_pairs(
     banded = sigs.map_batches(band_rows, batch_format="pandas", batch_size=4096)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "est_jaccard": pd.Series(dtype="float64"),
+            }
+        )
         if len(g) < 2:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series(dtype="int64"),
-                    "doc_b": pd.Series(dtype="int64"),
-                    "est_jaccard": pd.Series(dtype="float64"),
-                }
-            )
+            return empty
+        # vectorized pairwise estimate: stack signatures into (g, P)
+        # uint16, compare all pairs in one equality-mean matrix — the
+        # per-pair frombuffer loop disappears (same floats: mean over
+        # the same P component equalities)
         g = g.sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        sigs_ = g["sig"].tolist()
-        ra, rb, rj = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                ej = estimate_jaccard(sigs_[i], sigs_[j], dtype=np.uint16)
-                if ej >= threshold:
-                    ra.append(ids[i])
-                    rb.append(ids[j])
-                    rj.append(ej)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        mat = np.frombuffer(b"".join(g["sig"]), dtype=np.uint16).reshape(
+            len(g), num_perm
+        )
+        est = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+        keep = np.triu(est >= threshold, k=1) & (ids[:, None] != ids[None, :])
+        ia, ib = np.nonzero(keep)
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(ra, dtype="int64"),
-                "doc_b": pd.Series(rb, dtype="int64"),
-                "est_jaccard": pd.Series(rj, dtype="float64"),
+                "doc_a": pd.Series(ids[ia], dtype="int64"),
+                "doc_b": pd.Series(ids[ib], dtype="int64"),
+                "est_jaccard": pd.Series(est[ia, ib], dtype="float64"),
             }
         )
 
@@ -491,47 +491,56 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3):
     sh = simhash_table(sf_dir)
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for doc_id, h in zip(batch["doc_id"], batch["simhash"]):
-            h = int(np.uint64(h))
-            for b in range(4):
-                out.append(
-                    {
-                        "band_id": b,
-                        "band_val": (h >> (16 * b)) & 0xFFFF,
-                        "doc_id": doc_id,
-                        "simhash": h if h < (1 << 63) else h - (1 << 64),
-                    }
-                )
-        return pd.DataFrame(out)
+        # vectorized 4-way band explode: shift/mask the whole column at
+        # once instead of building a Python dict per (doc, band) row
+        h = batch["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        n = len(h)
+        band_ids = np.tile(np.arange(4, dtype=np.int64), n)
+        shifts = (band_ids.astype(np.uint64)) * np.uint64(16)
+        band_vals = ((np.repeat(h, 4) >> shifts) & np.uint64(0xFFFF)).astype(
+            np.int64
+        )
+        return pd.DataFrame(
+            {
+                "band_id": band_ids,
+                "band_val": band_vals,
+                "doc_id": np.repeat(
+                    batch["doc_id"].to_numpy(dtype=np.int64), 4
+                ),
+                "simhash": np.repeat(h, 4).view(np.int64),
+            }
+        )
 
     banded = sh.map_batches(bands, batch_format="pandas", batch_size=4096)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
         if len(g) < 2:
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series(dtype="int64"),
-                    "doc_b": pd.Series(dtype="int64"),
-                    "hamming": pd.Series(dtype="int64"),
-                }
-            )
+            return empty
+        # vectorized pairwise hamming: (g, g) XOR matrix + byte-LUT
+        # popcount, upper triangle, id inequality — no per-pair Python
         g = g.sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        hs = [int(np.uint64(v)) for v in g["simhash"]]
-        ra, rb, rh = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(hs[i] ^ hs[j]).count("1")
-                if d <= max_hamming and ids[i] != ids[j]:
-                    ra.append(ids[i])
-                    rb.append(ids[j])
-                    rh.append(d)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        hs = g["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        x = hs[:, None] ^ hs[None, :]
+        ham = _POPCOUNT8[x.view(np.uint8).reshape(len(hs), len(hs), 8)].sum(
+            axis=-1, dtype=np.int64
+        )
+        keep = (
+            np.triu(ham <= max_hamming, k=1) & (ids[:, None] != ids[None, :])
+        )
+        ia, ib = np.nonzero(keep)
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(ra, dtype="int64"),
-                "doc_b": pd.Series(rb, dtype="int64"),
-                "hamming": pd.Series(rh, dtype="int64"),
+                "doc_a": pd.Series(ids[ia], dtype="int64"),
+                "doc_b": pd.Series(ids[ib], dtype="int64"),
+                "hamming": pd.Series(ham[ia, ib], dtype="int64"),
             }
         )
 
