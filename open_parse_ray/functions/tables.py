@@ -121,6 +121,78 @@ def grid_to_structure_tokens(n_cols: int, n_rows: int) -> List[str]:
     return toks
 
 
+UNITABLE_TASK_TOKENS = ["[table]", "[html]", "[cell]", "[bbox]", "[cell+bbox]"]
+
+
+def html_table_template(table: str) -> str:
+    """The unitable HTML document wrapper (reference:
+    tables/unitable/utils.py:10-23), byte-identical template."""
+    return f"""<html>
+        <head> <meta charset="UTF-8">
+        <style>
+        table, th, td {{
+            border: 1px solid black;
+            font-size: 10px;
+        }}
+        </style> </head>
+        <body>
+        <table frame="hsides" rules="groups" width="100%%">
+            {table}
+        </table> </body> </html>"""
+
+
+def cell_str_to_token_list(seq: str) -> str:
+    """Decoder-output cleanup for cell content (reference:
+    unitable/utils.py:94-110): truncate at ``<eos>``, strip special and
+    task tokens, trim. (Returns a string, like the reference, despite
+    the historical name.)"""
+    seq = seq.split("<eos>")[0]
+    for tok in ["<eos>", "<pad>", *UNITABLE_TASK_TOKENS]:
+        seq = seq.replace(tok, "")
+    return seq.strip()
+
+
+def clean_cell_text(seq: str) -> str:
+    """Decimal re-join pass applied to every decoded cell (reference:
+    unitable/core.py:182): ``"3. 14"``-style splits collapse back to
+    ``"3.14"`` (the regex's ``.`` matches ANY separator char, as in the
+    reference)."""
+    import re
+
+    return re.sub(r"(\d).\s+(\d)", r"\1.\2", seq)
+
+
+def html_str_to_token_list(seq: str) -> List[str]:
+    """Decoder-output → structure-token list (reference:
+    unitable/utils.py:57-95): truncate at ``<eos>``, drop
+    ``<eos>``/``<pad>``, whitespace-contiguous split, then filter
+    whitespace-only tokens and tokens spanning a single source char."""
+    import re
+
+    seq = seq.split("<eos>")[0]
+    for tok in ("<eos>", "<pad>"):
+        seq = seq.replace(tok, "")
+    out = []
+    for m in re.finditer(r" +|[^ ]+", seq):
+        token, start, end = m.group(0), m.start(), m.end()
+        if len(token.strip()) > 0 and (end - start != 1):
+            out.append(token)
+    return out
+
+
+def bbox_str_to_token_list(seq: str) -> List[Tuple[int, int, int, int]]:
+    """Decoder-output → cell bbox 4-tuples (reference:
+    unitable/utils.py:137-157): truncate at ``<eos>``, strip special/task
+    tokens, parse the integer after each ``-``, group in fours (a
+    trailing partial group is dropped)."""
+    seq = seq.split("<eos>")[0]
+    for tok in ["<eos>", "<pad>", *UNITABLE_TASK_TOKENS]:
+        seq = seq.replace(tok, "")
+    ints = [int(t.split("-")[1]) for t in seq.split(" ") if t]
+    n = len(ints) // 4 * 4
+    return [tuple(ints[i : i + 4]) for i in range(0, n, 4)]
+
+
 def combine_header_and_table_bboxes(
     bbox1: Tuple[float, float, float, float], bbox2: Tuple[float, float, float, float]
 ) -> Tuple[float, float, float, float]:

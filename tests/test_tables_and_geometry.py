@@ -168,3 +168,36 @@ def test_grid_structure_tokens_compose_with_cells():
         "<table><thead><tr><td>h1</td><td>h2</td></tr></thead>"
         "<tbody><tr><td>a</td><td>b</td></tr></tbody></table>"
     )
+
+
+def test_unitable_token_utils_goldens():
+    """Pure unitable decode-cleanup utilities (reference
+    unitable/utils.py:10-157, core.py:182) — byte-level semantics."""
+    from open_parse_ray.functions.tables import (
+        bbox_str_to_token_list,
+        cell_str_to_token_list,
+        clean_cell_text,
+        html_str_to_token_list,
+        html_table_template,
+    )
+
+    # template wraps verbatim, double-%% preserved
+    doc = html_table_template("<tr><td>x</td></tr>")
+    assert "<tr><td>x</td></tr>" in doc
+    assert 'width="100%%"' in doc and doc.lstrip().startswith("<html>")
+
+    # cell cleanup: <eos> truncation + task-token strip + trim
+    assert cell_str_to_token_list(" [cell] 3.14 <pad><eos>junk") == "3.14"
+    # decimal re-join: '.' matches ANY separator char (reference regex)
+    assert clean_cell_text("3. 14") == "3.14"
+    assert clean_cell_text("3x  14") == "3.14"  # the reference's unescaped dot
+    assert clean_cell_text("no digits here") == "no digits here"
+
+    # html token list: contiguous split, whitespace-only and 1-char
+    # source spans dropped, truncation at <eos>
+    toks = html_str_to_token_list("<tr> <td>[]</td> x yy<eos><tr>")
+    assert toks == ["<tr>", "<td>[]</td>", "yy"]
+
+    # bbox tokens: ints after '-', grouped in fours, partial group dropped
+    s = "[bbox] bbox-1 bbox-2 bbox-3 bbox-4 bbox-5 bbox-6<eos>"
+    assert bbox_str_to_token_list(s) == [(1, 2, 3, 4)]
