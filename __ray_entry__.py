@@ -4,7 +4,7 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 55 callables covering every implemented operator
+- ``queries()`` — 56 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep), a REAL stdlib-only PDF payload path
   (typeset→FlateDecode→operator interpreter→span kernel), text analysis,
@@ -13,7 +13,7 @@ here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
   windows, sessionization, top-k, quantiles, count-distinct, HLL sketch,
   JSON extraction), multimodal (real BMP/WAV/BMPV codecs, image→table
   structure+markdown, OCR).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for the 31 SQL-expressible
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the 32 SQL-expressible
   queries, same column names, over the pre-registered testdata views
   (incl. the full PDF roundtrip and the BPE-regex token counts).
   The rest (extraction, LSH/ANN, lang-id, sketches, media codecs) are
@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_freq": analysis.term_doc_freq,
         "sample_documents": analysis.sample_documents,
         "stratified_sample": analysis.stratified_sample,
+        "gopher_quality_flags": analysis.gopher_quality_flags,
         "doc_embeddings": analysis.doc_embeddings,
         # -- dedup family --
         "exact_dedup": dedup.exact_dedup_groups,
@@ -265,13 +266,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal: REAL pixel/byte codecs (bmp/wav/bmpv/ocr) --
         "bmp_thumbnails": _q_bmp_thumbnails,
         "wav_features": _q_wav_features,
-        "video_frames": _q_video_frames,
         "table_structure_from_images": _q_table_structure,
         "table_markdown_from_images": _q_table_markdown,
         "table_html_from_images": _q_table_html,
         "ocr_text_from_images": _q_ocr_text,
         # ---- tail: pytest-pinned elsewhere (property tests / exact
         # roundtrips / unit goldens), safe outside the driver window ----
+        "video_frames": _q_video_frames,
         "pdf_docs": _q_pdf_docs,
         "rolling_fingerprints": analysis.rolling_fingerprints,
         "langid_preds": analysis.langid_preds,
@@ -315,6 +316,34 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-zÀ-ɏ]+| ?[0-9]+| ?[^\\sA-Za-z0-9À-ɏ]+|\\s+'),
                      m -> 1 + (length(m) - 1) // 8)), 0) AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "gopher_quality_flags": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS words
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     CAST(len(words) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT)
+                         AS total_word_chars,
+                     CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+                     CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+                         AS n_ellipsis,
+                     CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                         AS n_alpha_words
+              FROM w
+            )
+            SELECT doc_id, n_words, total_word_chars, n_hash, n_ellipsis, n_alpha_words,
+                   CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                              AND 3 * n_words <= total_word_chars
+                              AND total_word_chars <= 10 * n_words
+                              AND 10 * (n_hash + n_ellipsis) <= n_words
+                              AND 5 * n_alpha_words >= 4 * n_words
+                         THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
+            FROM c
         """,
         "doc_stats_by_lang": """
             SELECT lang,

@@ -122,6 +122,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "term_doc_freq",
         "sample_documents",
         "stratified_sample",
+        "gopher_quality_flags",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

@@ -140,6 +140,57 @@ def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+_ALPHA_SEARCH = re.compile(r"[A-Za-z]").search
+
+
+def gopher_quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Gopher/C4-style document quality rules (Rae et al. 2021, §A1.1),
+    integer-exact so the DuckDB oracle hash-matches: word count bounds,
+    mean-word-length bounds (as cross-multiplied integer comparisons),
+    symbol-to-word ratio (# and non-overlapping ...), alphabetic-word
+    fraction. ``passes_gopher`` is 0/1 int."""
+    n_words, total_chars, n_hash, n_ell, n_alpha = [], [], [], [], []
+    for t in batch["text"]:
+        words = t.split()
+        n_words.append(len(words))
+        total_chars.append(sum(len(w) for w in words))
+        n_hash.append(t.count("#"))
+        n_ell.append(t.count("..."))
+        n_alpha.append(sum(1 for w in words if _ALPHA_SEARCH(w)))
+    n = np.asarray(n_words, dtype=np.int64)
+    tc = np.asarray(total_chars, dtype=np.int64)
+    nh = np.asarray(n_hash, dtype=np.int64)
+    ne = np.asarray(n_ell, dtype=np.int64)
+    na = np.asarray(n_alpha, dtype=np.int64)
+    passes = (
+        (n >= 50)
+        & (n <= 100_000)
+        & (3 * n <= tc)
+        & (tc <= 10 * n)
+        & (10 * (nh + ne) <= n)
+        & (5 * na >= 4 * n)
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": n,
+            "total_word_chars": tc,
+            "n_hash": nh,
+            "n_ellipsis": ne,
+            "n_alpha_words": na,
+            "passes_gopher": passes,
+        }
+    )
+
+
+def gopher_quality_flags(sf_dir: str):
+    """Per-document Gopher-rule quality gate over the corpus — the
+    rule-based filter stage of a training-data pipeline (SQL oracle)."""
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        gopher_quality_batch, batch_format="pandas", batch_size=8192
+    )
+
+
 class LangId:
     """Stopword + character-class language heuristic (stateful stage:
     tables built once per actor in __init__)."""

@@ -583,3 +583,26 @@ def test_table_image_to_html_exact():
         widths = [int(w) for w in _re.findall(r"min-width:(\d+)px", html)]
         assert len(widths) == len(want) and all(w > 0 for w in widths)
         assert html.count("<thead>") == 1 and html.count("<tbody>") == 1
+
+
+def test_gopher_quality_rules():
+    """Gopher-rule kernel: each rule flips the flag independently."""
+    from open_parse_ray.stages.analysis import gopher_quality_batch
+
+    good = "solid readable words here " * 20  # 80 words, mean len ~5
+    cases = {
+        "good": (good, 1),
+        "too_short": ("just a few words", 0),
+        "long_words": (("superhypermegalongword " * 60).strip(), 0),
+        "short_words": (("a b c d " * 30).strip(), 0),
+        "symbol_heavy": (good + " " + "# # # # # # # # # #", 0),
+        "ellipsis_heavy": (good + " " + "... ... ... ... ... ... ... ... ...", 0),
+        "non_alpha": (("123 456 " * 40).strip(), 0),
+    }
+    df = gopher_quality_batch(
+        pd.DataFrame(
+            {"doc_id": range(len(cases)), "text": [t for t, _ in cases.values()]}
+        )
+    )
+    for (name, (_, want)), got in zip(cases.items(), df.passes_gopher):
+        assert got == want, name
