@@ -4,7 +4,7 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 56 callables covering every implemented operator
+- ``queries()`` — 58 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep), a REAL stdlib-only PDF payload path
   (typeset→FlateDecode→operator interpreter→span kernel), text analysis,
@@ -13,7 +13,7 @@ here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
   windows, sessionization, top-k, quantiles, count-distinct, HLL sketch,
   JSON extraction), multimodal (real BMP/WAV/BMPV codecs, image→table
   structure+markdown, OCR).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for the 32 SQL-expressible
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the 34 SQL-expressible
   queries, same column names, over the pre-registered testdata views
   (incl. the full PDF roundtrip and the BPE-regex token counts).
   The rest (extraction, LSH/ANN, lang-id, sketches, media codecs) are
@@ -217,7 +217,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs": _q_extract_docs,
         "extract_nodes": _q_extract_nodes,
         "extract_semantic": _q_extract_semantic,
-        "extract_linked_nodes": _q_extract_linked,
         "page_metadata": _q_page_metadata,
         "prepare_training_corpus": _q_prepare_corpus,
         # -- PDF payload path (stdlib codec; SQL-oracle roundtrip) --
@@ -233,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": analysis.sample_documents,
         "stratified_sample": analysis.stratified_sample,
         "gopher_quality_flags": analysis.gopher_quality_flags,
+        "repetition_stats": analysis.repetition_stats,
         "doc_embeddings": analysis.doc_embeddings,
         # -- dedup family --
         "exact_dedup": dedup.exact_dedup_groups,
@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": relational.approx_distinct_users,
         "events_quantiles": relational.events_quantiles,
         "events_followup": relational.events_followup,
+        "events_asof_prev_click": relational.events_asof_prev_click,
         "events_props_stats": relational.events_props_stats,
         "parts_by_brand": relational.parts_by_brand,
         "customers_no_urgent_orders": relational.customers_no_urgent_orders,
@@ -268,10 +269,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_features": _q_wav_features,
         "table_structure_from_images": _q_table_structure,
         "table_markdown_from_images": _q_table_markdown,
-        "table_html_from_images": _q_table_html,
         "ocr_text_from_images": _q_ocr_text,
         # ---- tail: pytest-pinned elsewhere (property tests / exact
         # roundtrips / unit goldens), safe outside the driver window ----
+        "extract_linked_nodes": _q_extract_linked,
+        "table_html_from_images": _q_table_html,
         "video_frames": _q_video_frames,
         "pdf_docs": _q_pdf_docs,
         "rolling_fingerprints": analysis.rolling_fingerprints,
@@ -344,6 +346,42 @@ def oracle_sql() -> dict[str, str]:
                               AND 5 * n_alpha_words >= 4 * n_words
                          THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
             FROM c
+        """,
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS words
+              FROM documents
+            ), bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, len(words)),
+                       i -> words[i] || ' ' || words[i + 1]
+                     )) AS bigram
+              FROM w WHERE len(words) >= 2
+            ), bc AS (
+              SELECT doc_id, max(n) AS top_n FROM (
+                SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram
+              ) GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(len(w.words) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(w.words)) AS BIGINT) AS n_distinct_words,
+                   CAST(coalesce(bc.top_n, 0) AS BIGINT) AS top_bigram_count
+            FROM w LEFT JOIN bc ON w.doc_id = bc.doc_id
+        """,
+        "events_asof_prev_click": """
+            WITH err AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+            ), clk AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT e.event_id,
+                   CAST(coalesce(epoch_us(c.ts), -1) AS BIGINT) AS prev_click_ts_us
+            FROM err e ASOF LEFT JOIN clk c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
         """,
         "doc_stats_by_lang": """
             SELECT lang,

@@ -116,6 +116,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "top_orders_per_customer",
         "events_quantiles",
         "events_followup",
+        "events_asof_prev_click",
+        "repetition_stats",
         "events_props_stats",
         "parts_by_brand",
         "top_terms",

@@ -143,6 +143,40 @@ def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
 _ALPHA_SEARCH = re.compile(r"[A-Za-z]").search
 
 
+def repetition_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Repetition quality signals (the Gopher §A1.1 duplicate-n-gram
+    family), integer-exact: word count, distinct word count, and the
+    highest adjacent-bigram frequency. High duplicate-word or
+    top-bigram mass marks boilerplate/spam for the filter stage."""
+    from collections import Counter
+
+    n_words, n_distinct, top_bigram = [], [], []
+    for t in batch["text"]:
+        words = t.split()
+        n_words.append(len(words))
+        n_distinct.append(len(set(words)))
+        if len(words) >= 2:
+            c = Counter(zip(words, words[1:]))
+            top_bigram.append(max(c.values()))
+        else:
+            top_bigram.append(0)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": np.asarray(n_words, dtype=np.int64),
+            "n_distinct_words": np.asarray(n_distinct, dtype=np.int64),
+            "top_bigram_count": np.asarray(top_bigram, dtype=np.int64),
+        }
+    )
+
+
+def repetition_stats(sf_dir: str):
+    """Per-document repetition signals over the corpus (SQL oracle)."""
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pandas", batch_size=8192
+    )
+
+
 def gopher_quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Gopher/C4-style document quality rules (Rae et al. 2021, §A1.1),
     integer-exact so the DuckDB oracle hash-matches: word count bounds,

@@ -642,6 +642,67 @@ def _followup_probe(part: pd.DataFrame, window_us: int) -> pd.DataFrame:
     return pd.DataFrame({"event_id": vid, "n_followups": counts})
 
 
+def events_asof_prev_click(sf_dir: str):
+    """AS-OF join across event types: every 'error' event annotated with
+    the most recent 'click' by the SAME user at-or-before its timestamp
+    (DuckDB ``ASOF LEFT JOIN`` oracle). Plan: salted shuffle on user_id,
+    then one vectorized per-partition pass — clicks sorted by (user, ts)
+    with per-user segment offsets making the key monotonic, each error's
+    match is one ``np.searchsorted`` (the same adjusted-key trick as the
+    band join in events_followup). Emits the matched click's epoch-µs
+    (tie-safe: equal timestamps give equal values) or -1 when the user
+    has no earlier click. Returns (event_id, prev_click_ts_us)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda b: b[b["event_type"].isin(["error", "click"])],
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def probe(part: pd.DataFrame) -> pd.DataFrame:
+        return _asof_probe(part)
+
+    return salted_groupby(ds, lambda b: b["user_id"], probe)
+
+
+def _asof_probe(part: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-partition as-of probe (see events_asof_prev_click);
+    module-level so property tests can drive it against brute force."""
+    ts_us = part["ts"].values.astype("datetime64[us]").astype(np.int64)
+    users = part["user_id"].values.astype(np.int64)
+    is_click = (part["event_type"] == "click").values
+    is_err = (part["event_type"] == "error").values
+
+    cu, ct = users[is_click], ts_us[is_click]
+    order = np.lexsort((ct, cu))
+    cu, ct = cu[order], ct[order]
+    uniq_users = np.unique(cu)
+    seg = np.searchsorted(uniq_users, cu)
+    adj = seg.astype(np.int64) * _FOLLOWUP_SEG + (ct - ts_us.min() if len(ts_us) else ct)
+
+    eu, et = users[is_err], ts_us[is_err]
+    eid = part["event_id"].values[is_err].astype(np.int64)
+    out = np.full(len(eu), -1, dtype=np.int64)
+    if len(uniq_users):
+        eseg = np.searchsorted(uniq_users, eu)
+        safe = np.minimum(eseg, len(uniq_users) - 1)
+        has_clicks = (eseg < len(uniq_users)) & (uniq_users[safe] == eu)
+        base = eseg.astype(np.int64) * _FOLLOWUP_SEG + (et - ts_us.min())
+        # rightmost click with adjusted key <= the error's key
+        pos = np.searchsorted(adj, base, side="right") - 1
+        valid = has_clicks & (pos >= 0)
+        # the found slot must belong to the same user's segment
+        pos_safe = np.maximum(pos, 0)
+        valid &= seg[pos_safe] == eseg
+        out[valid] = ct[pos_safe[valid]]
+    return pd.DataFrame({"event_id": eid, "prev_click_ts_us": out})
+
+
 def customers_no_urgent_orders(sf_dir: str):
     """Distributed ANTI-join: customers with no '1-URGENT' order. Same
     co-partitioned tagged-union shuffle as the hash join, but each

@@ -208,3 +208,47 @@ def test_quantiles_from_hist_match_brute_force(values, ps):
     for p in ps:
         idx = max(0, (n * p + 99) // 100 - 1)  # 1-based rank -> 0-based index
         assert out[p] == arr[idx]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_asof_probe_matches_brute_force(data):
+    """The segment-offset as-of probe equals the O(n²) definition: the
+    max same-user click ts at-or-before each error's ts, else -1."""
+    import numpy as np
+    import pandas as pd
+
+    from open_parse_ray.stages.relational import _asof_probe
+
+    n = data.draw(st.integers(0, 40))
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": data.draw(st.integers(0, 4)),
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.Timedelta(microseconds=data.draw(st.integers(0, 200))),
+                "event_type": data.draw(st.sampled_from(["error", "click"])),
+            }
+        )
+    part = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    if len(part) == 0:
+        part = part.astype(
+            {"event_id": "int64", "user_id": "int64",
+             "ts": "datetime64[us]", "event_type": "object"}
+        )
+    got = _asof_probe(part).set_index("event_id")["prev_click_ts_us"]
+    errors = part[part["event_type"] == "error"]
+    clicks = part[part["event_type"] == "click"]
+    for _, e in errors.iterrows():
+        prior = clicks[
+            (clicks["user_id"] == e["user_id"]) & (clicks["ts"] <= e["ts"])
+        ]
+        if prior.empty:
+            want = -1
+        else:
+            want = int(
+                prior["ts"].max().to_datetime64().astype("datetime64[us]").astype(np.int64)
+            )
+        assert got[e["event_id"]] == want, (e["event_id"], want, got[e["event_id"]])
