@@ -4,7 +4,7 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 58 callables covering every implemented operator
+- ``queries()`` — 59 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep), a REAL stdlib-only PDF payload path
   (typeset→FlateDecode→operator interpreter→span kernel), text analysis,
@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_linked_nodes": _q_extract_linked,
         "table_html_from_images": _q_table_html,
         "video_frames": _q_video_frames,
+        "neardup_clusters": dedup.neardup_clusters,
         "pdf_docs": _q_pdf_docs,
         "rolling_fingerprints": analysis.rolling_fingerprints,
         "langid_preds": analysis.langid_preds,

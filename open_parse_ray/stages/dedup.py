@@ -476,6 +476,70 @@ def minhash_neardup_pairs(
     ).select_columns(["doc_a", "doc_b", "est_jaccard"])
 
 
+def union_find_clusters(pairs) -> dict:
+    """Connected components over (a, b) pairs → {member: min id in its
+    component} (path-compressed union-find; canonical = smallest id,
+    matching exact_dedup's min-doc_id convention)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by canonical order: smaller id becomes the root
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent} | {
+        x: x for x in parent.values() if parent.get(x, x) == x
+    }
+
+
+def neardup_clusters(sf_dir: str, **minhash_kwargs):
+    """Near-duplicate CLUSTERS from the MinHash-LSH pair stream: each doc
+    that appears in any verified pair gets (doc_id, cluster_id = min
+    doc_id reachable through pairs, cluster_size) — the dedup DECISION
+    step (keep cluster_id, drop the rest) that follows pair generation
+    in a training-data pipeline.
+
+    Scale shape: the pair list is tiny relative to the corpus by
+    construction (LSH emits only verified near-dups), so the transitive
+    closure runs on the driver over the collected pairs; the corpus
+    itself never materializes. If a corpus ever produced a pair set too
+    big for one machine, swap the driver union-find for iterative
+    min-label propagation over the same pair Dataset (same output) —
+    the documented partitioning assumption is |pairs| ≪ |corpus|."""
+    import pandas as pd_
+    import ray.data as rd
+
+    pair_rows = minhash_neardup_pairs(sf_dir, **minhash_kwargs).take_all()
+    labels = union_find_clusters(
+        [(int(r["doc_a"]), int(r["doc_b"])) for r in pair_rows]
+    )
+    if not labels:
+        return rd.from_pandas(
+            pd_.DataFrame(
+                {
+                    "doc_id": pd_.Series(dtype="int64"),
+                    "cluster_id": pd_.Series(dtype="int64"),
+                    "cluster_size": pd_.Series(dtype="int64"),
+                }
+            )
+        )
+    df = pd_.DataFrame(
+        sorted(labels.items()), columns=["doc_id", "cluster_id"]
+    ).astype("int64")
+    sizes = df.groupby("cluster_id")["doc_id"].transform("size")
+    df["cluster_size"] = sizes.astype("int64")
+    return rd.from_pandas(df)
+
+
 def simhash_table(sf_dir: str):
     import ray.data as rd
 

@@ -606,3 +606,41 @@ def test_gopher_quality_rules():
     )
     for (name, (_, want)), got in zip(cases.items(), df.passes_gopher):
         assert got == want, name
+
+
+def test_union_find_clusters():
+    from open_parse_ray.stages.dedup import union_find_clusters
+
+    # chain a-b, b-c merges transitively; disjoint pair stays separate
+    labels = union_find_clusters([(5, 3), (3, 9), (20, 21), (21, 20)])
+    assert labels[3] == labels[5] == labels[9] == 3  # canonical = min id
+    assert labels[20] == labels[21] == 20
+    assert union_find_clusters([]) == {}
+    # order-independence
+    import itertools
+
+    for perm in itertools.permutations([(5, 3), (3, 9), (9, 1)]):
+        assert set(union_find_clusters(list(perm)).values()) == {1}
+
+
+def test_neardup_clusters_query(ray_session):
+    from open_parse_ray.stages.dedup import (
+        minhash_neardup_pairs,
+        neardup_clusters,
+    )
+
+    out = neardup_clusters("/root/testdata/sf0.01").to_pandas()
+    pairs = minhash_neardup_pairs("/root/testdata/sf0.01").to_pandas()
+    members = set(pairs.doc_a) | set(pairs.doc_b)
+    assert set(out.doc_id) == members
+    # every cluster_id is a member and the min of its cluster
+    g = out.groupby("cluster_id")["doc_id"]
+    assert all(cid == grp.min() for cid, grp in g)
+    # both endpoints of every pair share a cluster
+    lab = dict(zip(out.doc_id, out.cluster_id))
+    assert all(lab[a] == lab[b] for a, b in zip(pairs.doc_a, pairs.doc_b))
+    # cluster_size consistent
+    sizes = out.groupby("cluster_id").size()
+    assert all(
+        row.cluster_size == sizes[row.cluster_id] for row in out.itertuples()
+    )
