@@ -91,6 +91,39 @@ class TypesetExtractNodes:
         )
 
 
+class ParsePdfBytes:
+    """Actor stage for corpora that already hold PDF payloads: a
+    ``pdf_bytes`` binary column in, (extracted_text, n_pages, status)
+    out, with poison-payload isolation — corrupt or truncated PDFs
+    become ``error:<Type>`` rows, never task failures (the same error
+    contract as the media decode stages and the reference-path
+    extraction kernels)."""
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from open_parse_ray.functions.pdf import pdf_num_pages
+
+        texts, pages, status = [], [], []
+        for payload in b["pdf_bytes"]:
+            try:
+                texts.append(pdf_extracted_text(payload))
+                pages.append(pdf_num_pages(payload))
+                status.append("ok")
+            except Exception as exc:
+                texts.append("")
+                pages.append(0)
+                status.append(f"error:{type(exc).__name__}")
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "extracted_text": texts,
+                "n_pages": np.asarray(pages, dtype=np.int64),
+                "status": status,
+            }
+        )
+
+
 def pdf_extract_text(sf_dir: str):
     """Oracle-backed PDF roundtrip over the whole corpus: returns
     (doc_id, extracted_text) where extracted_text must equal the

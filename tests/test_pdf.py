@@ -166,3 +166,47 @@ def test_pdf_embedded_images_roundtrip_exact():
         assert im.bbox.x1 - im.bbox.x0 == src.shape[1]
     # text extraction is unaffected by image pages
     assert pdf_extracted_text(pdf) == _norm("words around the figure " * 30)
+
+
+def test_parse_pdf_bytes_stage_isolates_poison_payloads():
+    """Corrupt/truncated PDFs become error rows, never exceptions —
+    the DecodeMedia error contract on the PDF payload path."""
+    import pandas as pd
+
+    from open_parse_ray.stages.pdf_text import ParsePdfBytes
+
+    good = typeset_pdf("fifty good words " * 20)
+    payloads = [
+        good,
+        b"",
+        b"%PDF-1.4 garbage with no objects",
+        good[: len(good) // 2],  # truncated mid-stream
+        good.replace(b"/Catalog", b"/Nothing"),  # broken object graph
+    ]
+    out = ParsePdfBytes()(
+        pd.DataFrame({"doc_id": range(len(payloads)), "pdf_bytes": payloads})
+    )
+    assert out.loc[0, "status"] == "ok"
+    assert out.loc[0, "extracted_text"] == _norm("fifty good words " * 20)
+    assert (out.loc[1:, "status"].str.startswith("error:")).all()
+    assert (out.loc[1:, "extracted_text"] == "").all()
+
+
+def test_pdf_roundtrip_property():
+    """Randomized word-soup roundtrips (seeded hypothesis-lite): any
+    printable-ASCII word sequence survives typeset→parse exactly."""
+    import random
+
+    rng = random.Random(123)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789()\\/.,;:!?#$%&*+-=<>[]{}'\""
+    )
+    for trial in range(25):
+        n = rng.randint(0, 300)
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+            for _ in range(n)
+        ]
+        text = " ".join(words)
+        assert pdf_extracted_text(typeset_pdf(text)) == _norm(text), trial
