@@ -739,3 +739,110 @@ def pdf_extracted_text(pdf_bytes: bytes) -> str:
 
 def pdf_num_pages(pdf_bytes: bytes) -> int:
     return len(_page_objects(_parse_objects(pdf_bytes)))
+
+
+def _page_payloads(pdf_bytes: bytes):
+    """Per page: (decompressed content stream, raster or None) — the
+    building blocks `extract_pages` reassembles with `_assemble_pdf`."""
+    objs = _parse_objects(pdf_bytes)
+    out = []
+    for pnum in _page_objects(objs):
+        pd_, _ = objs[pnum]
+        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", pd_)
+        content = _get_stream(objs, int(cm.group(1))) if cm else b""
+        raster = None
+        xm = re.search(rb"/XObject\s*<<(.*?)>>", pd_, re.S)
+        if xm:
+            rm = re.search(rb"/(\w+)\s+(\d+)\s+\d+\s+R", xm.group(1))
+            if rm:
+                d, _s = objs[int(rm.group(2))]
+                wm = re.search(rb"/Width\s+(\d+)", d)
+                hm = re.search(rb"/Height\s+(\d+)", d)
+                if wm and hm:
+                    import numpy as _np
+
+                    raw = _get_stream(objs, int(rm.group(2)))
+                    w, h = int(wm.group(1)), int(hm.group(1))
+                    raster = _np.frombuffer(
+                        raw, dtype=_np.uint8, count=w * h * 3
+                    ).reshape(h, w, 3)
+        out.append((content, raster))
+    return out
+
+
+class Pdf:
+    """PDF handle (reference: src/openparse/pdf.py:89-150 — the
+    Pdf(file) wrapper over pypdf reader/writer), stdlib-only.
+
+    ``extract_layout_pages`` yields per-page element lists (the
+    ``extract_pages(LTPage)`` analog), ``save`` writes the bytes,
+    ``extract_pages(start, end)`` rebuilds a new valid PDF holding just
+    that page range (the reference's pypdf writer subset), ``to_imgs``
+    rasterizes text pages onto BMP page images with the engine's bitmap
+    typeface (the ``doc_to_imgs`` analog — uppercase charset; feeds the
+    OCR engine, closing the PDF→image→OCR loop)."""
+
+    def __init__(self, file):
+        if isinstance(file, (bytes, bytearray)):
+            self.file_path = None
+            self._bytes = bytes(file)
+        else:
+            self.file_path = str(file)
+            with open(file, "rb") as f:
+                self._bytes = f.read()
+        if not self._bytes.startswith(b"%PDF-"):
+            raise ValueError("not a PDF")
+        self.num_pages = pdf_num_pages(self._bytes)
+
+    @property
+    def bytes(self) -> bytes:
+        return self._bytes
+
+    def extract_layout_pages(self):
+        """Yield the element list of each page in order."""
+        for page_no in range(self.num_pages):
+            yield [
+                el
+                for el in parse_pdf(self._bytes)
+                if el.bbox.page == page_no
+            ]
+
+    def save(self, output_path) -> None:
+        with open(output_path, "wb") as f:
+            f.write(self._bytes)
+
+    def extract_pages(self, start: int, end: int) -> bytes:
+        """New valid PDF holding pages [start, end) of this one."""
+        payloads = _page_payloads(self._bytes)[start:end]
+        streams = [c for c, r in payloads if r is None]
+        rasters = [r for _, r in payloads if r is not None]
+        return _assemble_pdf(streams, rasters)
+
+    def to_imgs(self, page_w: int = 612, page_h: int = 792):
+        """Rasterize each TEXT page to a BMP image using the bitmap
+        typeface (chars outside its charset render as '?', lowercase is
+        uppercased — the deterministic stand-in for a real rasterizer)."""
+        from open_parse_ray.stages.ocr_vision import (
+            CHARSET,
+            render_text_image,
+        )
+
+        out = []
+        by_page: Dict[int, List[str]] = {}
+        for el in parse_pdf(self._bytes):
+            for le in getattr(el, "lines", ()) or ():
+                raw = "".join(sp.text for sp in le.spans).strip()
+                if raw:
+                    by_page.setdefault(el.bbox.page, []).append(raw)
+        for page_no in range(self.num_pages):
+            lines = [
+                "".join(
+                    ch if ch in CHARSET or ch == " " else "?"
+                    for ch in ln.upper()
+                )
+                for ln in by_page.get(page_no, [])
+            ]
+            h = max(60, 8 + len(lines) * 10 + 8)
+            w = max(140, 16 + max((len(l) for l in lines), default=0) * 6)
+            out.append(render_text_image(lines, page_w=w, page_h=h))
+        return out

@@ -210,3 +210,48 @@ def test_pdf_roundtrip_property():
         ]
         text = " ".join(words)
         assert pdf_extracted_text(typeset_pdf(text)) == _norm(text), trial
+
+
+def test_pdf_handle_class(tmp_path):
+    """Pdf handle analog (reference pdf.py:89-150): num_pages, save,
+    page-subset extraction producing a valid PDF, per-page layout."""
+    from open_parse_ray.functions.pdf import Pdf
+
+    text = "Repeated page filler words go here. " * 300
+    src = typeset_pdf(text)
+    pdf = Pdf(src)
+    assert pdf.num_pages >= 3
+
+    # save → reload is byte-identical
+    p = tmp_path / "doc.pdf"
+    pdf.save(str(p))
+    assert Pdf(str(p)).bytes == src
+
+    # page subset: new VALID pdf whose text equals those pages' lines
+    sub = pdf.extract_pages(1, 3)
+    assert sub.startswith(b"%PDF-") and pdf_num_pages(sub) == 2
+    pages = list(pdf.extract_layout_pages())
+    assert len(pages) == pdf.num_pages
+    want = " ".join(
+        "".join(sp.text for sp in le.spans).strip()
+        for pg in pages[1:3]
+        for el in pg
+        for le in el.lines
+    )
+    assert pdf_extracted_text(sub) == _norm(want)
+
+
+def test_pdf_to_imgs_ocr_roundtrip():
+    """PDF → rasterized page images → OCR engine recovers the text:
+    the full PDF→image→OCR loop with zero external libraries."""
+    from open_parse_ray.functions.pdf import Pdf
+    from open_parse_ray.stages.ocr_vision import ocr_image
+
+    text = "THE QUICK BROWN FOX 123 JUMPS OVER DOG. " * 30
+    pdf = Pdf(typeset_pdf(text))
+    imgs = pdf.to_imgs()
+    assert len(imgs) == pdf.num_pages
+    got_lines = []
+    for bmp in imgs:
+        got_lines.extend(t for t, _ in ocr_image(bmp))
+    assert " ".join(" ".join(got_lines).split()) == _norm(text)
