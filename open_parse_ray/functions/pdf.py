@@ -799,13 +799,10 @@ class Pdf:
         return self._bytes
 
     def extract_layout_pages(self):
-        """Yield the element list of each page in order."""
+        """Yield the element list of each page in order (one parse)."""
+        els = parse_pdf(self._bytes)
         for page_no in range(self.num_pages):
-            yield [
-                el
-                for el in parse_pdf(self._bytes)
-                if el.bbox.page == page_no
-            ]
+            yield [el for el in els if el.bbox.page == page_no]
 
     def save(self, output_path) -> None:
         with open(output_path, "wb") as f:

@@ -140,6 +140,40 @@ def pdf_extract_text(sf_dir: str):
     )
 
 
+def read_pdf_dir(path: str):
+    """Source connector for the reference's file-based workflow: a
+    directory of .pdf files → Dataset of (url, pdf_bytes) rows via
+    Ray's binary-file reader (parallel over files; at corpus scale
+    point it at the object-store prefix instead)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path, include_paths=True, file_extensions=["pdf"])
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t["path"], "pdf_bytes": t["bytes"]})
+
+    return ds.map_batches(to_rows, batch_format="pyarrow")
+
+
+def extract_pdf_dir(path: str):
+    """Directory of PDFs → per-file extracted text (the reference's
+    one-file loop, distributed): read_binary_files → ParsePdfBytes with
+    poison-payload isolation. Returns (url, extracted_text, n_pages,
+    status)."""
+    class Run:
+        def __init__(self):
+            self.kernel = ParsePdfBytes()
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b.rename(columns={"url": "doc_id"})
+            return self.kernel(b).rename(columns={"doc_id": "url"})
+
+    return read_pdf_dir(path).map_batches(
+        Run, batch_format="pandas", batch_size=64, concurrency=(1, 8)
+    )
+
+
 def pdf_docs(sf_dir: str):
     """PDF payloads through the full node pipeline: (doc_id, n_pages,
     n_nodes, total_tokens). Rows-checked by the driver; the node-level

@@ -255,3 +255,25 @@ def test_pdf_to_imgs_ocr_roundtrip():
     for bmp in imgs:
         got_lines.extend(t for t, _ in ocr_image(bmp))
     assert " ".join(" ".join(got_lines).split()) == _norm(text)
+
+
+def test_extract_pdf_dir_source(ray_session, tmp_path):
+    """Directory-of-PDFs source: read_binary_files → poison-isolated
+    extraction, matching the per-file typeset text."""
+    from open_parse_ray.stages.pdf_text import extract_pdf_dir
+
+    texts = {
+        "a.pdf": "first document body words " * 20,
+        "b.pdf": "second document other words " * 30,
+    }
+    for name, t in texts.items():
+        (tmp_path / name).write_bytes(typeset_pdf(t))
+    (tmp_path / "bad.pdf").write_bytes(b"%PDF-1.4 not really")
+
+    out = extract_pdf_dir(str(tmp_path)).to_pandas()
+    assert len(out) == 3
+    by_name = {row.url.split("/")[-1]: row for row in out.itertuples()}
+    for name, t in texts.items():
+        assert by_name[name].status == "ok"
+        assert by_name[name].extracted_text == _norm(t)
+    assert by_name["bad.pdf"].status.startswith("error:")
