@@ -244,6 +244,8 @@ _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 def _popcount64_rows(words: np.ndarray) -> np.ndarray:
     """Sum of set bits along the last axis of a uint64 array."""
+    if words.size == 0:
+        return np.zeros(words.shape[:-1], dtype=np.int64)
     by = words.view(np.uint8).reshape(*words.shape[:-1], -1)
     return _POPCOUNT8[by].sum(axis=-1, dtype=np.int64)
 
@@ -271,6 +273,24 @@ def _charset_bits(texts, alphabet: np.ndarray):
             np.uint64(1) << (idx & np.uint64(63)),
         )
     return bits, sizes
+
+
+def charset_jaccard_matrix(texts, sample_texts) -> np.ndarray:
+    """(len(texts) × len(sample_texts)) exact char-set Jaccard matrix via
+    the bitset AND+popcount kernel — the pure math behind
+    char_jaccard_pairs, exposed for property testing against the scalar
+    char_jaccard definition."""
+    if not sample_texts:
+        return np.zeros((len(texts), 0), dtype=np.float64)
+    alphabet = np.unique(
+        np.frombuffer("".join(sample_texts).encode("utf-32-le"), dtype=np.uint32)
+    )
+    qbits, qsizes = _charset_bits(list(sample_texts), alphabet)
+    bbits, bsizes = _charset_bits(list(texts), alphabet)
+    inter = _popcount64_rows(bbits[:, None, :] & qbits[None, :, :])
+    union = bsizes[:, None] + qsizes[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return inter / union
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:

@@ -252,3 +252,57 @@ def test_asof_probe_matches_brute_force(data):
                 prior["ts"].max().to_datetime64().astype("datetime64[us]").astype(np.int64)
             )
         assert got[e["event_id"]] == want, (e["event_id"], want, got[e["event_id"]])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.text(min_size=0, max_size=30), min_size=0, max_size=6),
+    st.lists(st.text(min_size=1, max_size=30), min_size=0, max_size=4),
+)
+def test_charset_jaccard_matrix_matches_scalar(texts, sample):
+    """The bitset AND+popcount kernel equals the scalar set definition
+    on arbitrary unicode (incl. chars absent from the sample alphabet,
+    astral plane, empties)."""
+    import numpy as np
+
+    from open_parse_ray.stages.dedup import char_jaccard, charset_jaccard_matrix
+
+    jac = charset_jaccard_matrix(texts, sample)
+    assert jac.shape == (len(texts), len(sample))
+    for i, t in enumerate(texts):
+        for j, q in enumerate(sample):
+            if len(set(t) | set(q)) == 0:
+                assert not np.isfinite(jac[i, j])
+            else:
+                assert jac[i, j] == char_jaccard(t, q), (t, q)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="ab \t\n", min_size=0, max_size=60),
+    st.text(alphabet="ab \t\n", min_size=0, max_size=60),
+)
+def test_shingle_hash_set_jaccard_matches_strings(a, b):
+    """Hashed-shingle set Jaccard equals string-shingle set Jaccard
+    (collision-free at these sizes), incl. the <k-words → None rule."""
+    from open_parse_ray.stages.dedup import _shingle_hash_set
+
+    k = 3
+
+    def str_shingles(t):
+        w = t.split()
+        if len(w) < k:
+            return None
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    ha, hb = _shingle_hash_set(a, k), _shingle_hash_set(b, k)
+    sa, sb = str_shingles(a), str_shingles(b)
+    assert (ha is None) == (sa is None)
+    assert (hb is None) == (sb is None)
+    if ha is None or hb is None:
+        return
+    import numpy as np
+
+    inter = len(np.intersect1d(ha, hb))
+    union = len(np.union1d(ha, hb))
+    assert inter == len(sa & sb) and union == len(sa | sb)
