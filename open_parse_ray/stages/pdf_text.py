@@ -135,8 +135,8 @@ def pdf_extract_text(sf_dir: str):
     ).map_batches(
         TypesetExtract,
         batch_format="pandas",
-        batch_size=512,
-        concurrency=(1, 8),
+        batch_size=256,
+        concurrency=(1, 16),
     )
 
 
@@ -185,6 +185,6 @@ def pdf_docs(sf_dir: str):
     ).map_batches(
         TypesetExtractNodes,
         batch_format="pandas",
-        batch_size=512,
-        concurrency=(1, 8),
+        batch_size=256,
+        concurrency=(1, 16),
     )
