@@ -4,7 +4,7 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 59 callables covering every implemented operator
+- ``queries()`` — 60 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep), a REAL stdlib-only PDF payload path
   (typeset→FlateDecode→operator interpreter→span kernel), text analysis,
@@ -13,7 +13,7 @@ here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
   windows, sessionization, top-k, quantiles, count-distinct, HLL sketch,
   JSON extraction), multimodal (real BMP/WAV/BMPV codecs, image→table
   structure+markdown, OCR).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for the 34 SQL-expressible
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the 35 SQL-expressible
   queries, same column names, over the pre-registered testdata views
   (incl. the full PDF roundtrip and the BPE-regex token counts).
   The rest (extraction, LSH/ANN, lang-id, sketches, media codecs) are
@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_neardup": dedup.minhash_neardup_pairs,
         "simhash_neardup": dedup.simhash_neardup_pairs,
+        "decontamination_flags": dedup.decontamination_flags,
         # -- similarity search over embeddings --
         "knn_topk": similarity.knn_brute_force,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -265,7 +266,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent_orders": relational.customers_no_urgent_orders,
         "top_orders_per_customer": relational.top_orders_per_customer,
         # -- multimodal: REAL pixel/byte codecs (bmp/wav/bmpv/ocr) --
-        "bmp_thumbnails": _q_bmp_thumbnails,
         "wav_features": _q_wav_features,
         "table_structure_from_images": _q_table_structure,
         "table_markdown_from_images": _q_table_markdown,
@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tail: pytest-pinned elsewhere (property tests / exact
         # roundtrips / unit goldens), safe outside the driver window ----
         "extract_linked_nodes": _q_extract_linked,
+        "bmp_thumbnails": _q_bmp_thumbnails,
         "table_html_from_images": _q_table_html,
         "video_frames": _q_video_frames,
         "neardup_clusters": dedup.neardup_clusters,
@@ -442,6 +443,31 @@ def oracle_sql() -> dict[str, str]:
                 ON a.doc_id % 50 = 0 AND a.doc_id <> b.doc_id AND a.lang = b.lang
             )
             SELECT query_id, doc_id, jac FROM pairs WHERE jac >= 0.2
+        """,
+        "decontamination_flags": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS words
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(words) - 3),
+                       i -> array_to_string(list_slice(words, i, i + 4), ' ')
+                     )) AS g
+              FROM w WHERE len(words) >= 5
+            ), bench AS (
+              SELECT list_distinct(flatten(list(g))) AS bg
+              FROM sh WHERE doc_id % 97 = 0
+            )
+            SELECT s.doc_id,
+                   CAST(len(list_intersect(s.g, b.bg)) AS BIGINT) AS n_overlap,
+                   CAST(CASE WHEN len(list_intersect(s.g, b.bg)) > 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+            FROM sh s CROSS JOIN bench b
+            WHERE s.doc_id % 97 <> 0
         """,
         "knn_topk": _knn_oracle(10),
         "embedding_neardup": """

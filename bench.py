@@ -98,6 +98,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "ngram_jaccard_pairs",
         "minhash_neardup",
         "simhash_neardup",
+        "decontamination_flags",
         "knn_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",

@@ -785,6 +785,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontamination_flags(sf_dir: str, bench_mod: int = 97, k: int = 5):
+    """Eval-set decontamination (the any-overlap n-gram check training
+    pipelines run against benchmark suites): docs with doc_id %
+    bench_mod == 0 form the held-out "benchmark"; every OTHER doc with
+    ≥ k words is flagged with its count of distinct word-k-grams shared
+    with the benchmark's shingle union. Returns (doc_id, n_overlap,
+    is_contaminated 0/1) — SQL-oracle-checked.
+
+    Scale shape: the benchmark slice is selected by a distributed scan;
+    only its DISTINCT shingle hashes reach the driver (union size is
+    bounded by the benchmark's vocabulary, not the corpus) and broadcast
+    once via ray.put; each batch does one sorted-array membership
+    searchsorted — no shuffle, no per-pair loop."""
+    import ray
+    import ray.data as rd
+
+    bench_tbl = _read_sample_docs(sf_dir, bench_mod)
+    bench_sets = [
+        s
+        for s in (_shingle_hash_set(t, k) for t in bench_tbl["text"])
+        if s is not None
+    ]
+    bench_union = (
+        np.unique(np.concatenate(bench_sets))
+        if bench_sets
+        else np.array([], dtype=np.uint64)
+    )
+    bref = ray.put(bench_union)
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    class Flag:
+        def __init__(self, ref):
+            self.bench = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ids, overlaps = [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                if int(doc_id) % bench_mod == 0:
+                    continue  # benchmark rows are not training docs
+                s = _shingle_hash_set(text, k)
+                if s is None:
+                    continue  # <k words: no shingles (oracle excludes too)
+                pos = np.searchsorted(self.bench, s)
+                ok = pos < len(self.bench)
+                n = int((self.bench[pos[ok]] == s[ok]).sum())
+                ids.append(int(doc_id))
+                overlaps.append(n)
+            ov = np.asarray(overlaps, dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_overlap": ov,
+                    "is_contaminated": (ov > 0).astype(np.int64),
+                }
+            )
+
+    return docs.map_batches(
+        Flag,
+        fn_constructor_args=(bref,),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+
 def char_jaccard_pairs(sf_dir: str, sample_mod: int = 50, threshold: float = 0.5):
     """Broadcast-join near-dup check: a small sample of query docs
     (doc_id % sample_mod == 0, selected by a DISTRIBUTED scan) is
