@@ -500,14 +500,36 @@ class ThumbnailBmp:
         )
 
 
+def spectral_features(x: np.ndarray, rate: int) -> tuple:
+    """(centroid_hz, rolloff85_hz): real FFT-based spectral shape — the
+    magnitude-weighted mean frequency and the 85%-energy rolloff point,
+    the two classic audio-classification descriptors. Deterministic,
+    vectorized (one rfft); (0, 0) for silent/empty signals."""
+    if len(x) == 0:
+        return 0, 0
+    mag = np.abs(np.fft.rfft(x))
+    total = mag.sum()
+    if total <= 0:
+        return 0, 0
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+    centroid = float((freqs * mag).sum() / total)
+    cum = np.cumsum(mag)
+    roll_idx = int(np.searchsorted(cum, 0.85 * total))
+    rolloff = float(freqs[min(roll_idx, len(freqs) - 1)])
+    return int(round(centroid)), int(round(rolloff))
+
+
 class AudioFeatures:
     """REAL audio feature-extraction stage: decode PCM WAV → vectorized
-    RMS energy + zero-crossing count + duration. The numpy kernels are
-    what a real fingerprinting/VAD stage computes; swap in an ML feature
-    extractor with the same actor shape."""
+    RMS energy + zero-crossing count + duration + FFT spectral centroid
+    and 85% rolloff. The numpy kernels are what a real
+    fingerprinting/VAD/classification stage computes; swap in an ML
+    feature extractor with the same actor shape."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, n_samp, dur_ms, rms, zc, statuses = [], [], [], [], [], []
+        ids, n_samp, dur_ms, rms, zc, cent, roll, statuses = (
+            [], [], [], [], [], [], [], [],
+        )
         for media_id, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
@@ -519,12 +541,17 @@ class AudioFeatures:
                 dur_ms.append(int(len(s) * 1000 / rate))
                 rms.append(int(np.sqrt(np.mean(x * x))) if len(s) else 0)
                 zc.append(int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+                c, r = spectral_features(x, rate)
+                cent.append(c)
+                roll.append(r)
                 statuses.append("ok")
             except Exception as exc:
                 n_samp.append(0)
                 dur_ms.append(0)
                 rms.append(0)
                 zc.append(0)
+                cent.append(0)
+                roll.append(0)
                 statuses.append(f"error:{type(exc).__name__}")
         return pa.Table.from_arrays(
             [
@@ -533,9 +560,20 @@ class AudioFeatures:
                 pa.array(dur_ms, pa.int64()),
                 pa.array(rms, pa.int64()),
                 pa.array(zc, pa.int64()),
+                pa.array(cent, pa.int64()),
+                pa.array(roll, pa.int64()),
                 pa.array(statuses, pa.string()),
             ],
-            names=["media_id", "n_samples", "duration_ms", "rms", "zero_crossings", "status"],
+            names=[
+                "media_id",
+                "n_samples",
+                "duration_ms",
+                "rms",
+                "zero_crossings",
+                "spectral_centroid_hz",
+                "rolloff85_hz",
+                "status",
+            ],
         )
 
 

@@ -644,3 +644,27 @@ def test_neardup_clusters_query(ray_session):
     assert all(
         row.cluster_size == sizes[row.cluster_id] for row in out.itertuples()
     )
+
+
+def test_spectral_features_pure_tones():
+    """FFT descriptors: a pure tone's centroid/rolloff sit at its
+    frequency; a higher tone moves both up; silence → zeros."""
+    from open_parse_ray.stages.multimodal import encode_wav, decode_wav, spectral_features
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    for f0 in (440, 2000):
+        x = np.sin(2 * np.pi * f0 * t) * 10000
+        c, r = spectral_features(x, rate)
+        assert abs(c - f0) < 60, (f0, c)   # centroid near the tone
+        assert abs(r - f0) < 60, (f0, r)   # rolloff too (single peak)
+    c1, _ = spectral_features(np.sin(2 * np.pi * 440 * t), rate)
+    c2, _ = spectral_features(np.sin(2 * np.pi * 2000 * t), rate)
+    assert c2 > c1
+    assert spectral_features(np.zeros(100), rate) == (0, 0)
+    assert spectral_features(np.zeros(0), rate) == (0, 0)
+    # end-to-end through the WAV codec
+    pcm = (np.sin(2 * np.pi * 1000 * t) * 20000).astype(np.int16)
+    rate2, back = decode_wav(encode_wav(pcm))
+    c3, _ = spectral_features(back.astype(np.float64), rate2)
+    assert abs(c3 - 1000 * rate2 / rate) < 80
