@@ -13,10 +13,10 @@ here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
   windows, sessionization, top-k, quantiles, count-distinct, HLL sketch,
   JSON extraction), multimodal (real BMP/WAV/BMPV codecs, image→table
   structure+markdown, OCR).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for the 35 SQL-expressible
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the 36 SQL-expressible
   queries, same column names, over the pre-registered testdata views
   (incl. the full PDF roundtrip and the BPE-regex token counts).
-  The rest (extraction, LSH/ANN, lang-id, sketches, media codecs) are
+  The rest (extraction, LSH/ANN, sketches, media codecs) are
   not SQL-expressible → rows-only driver checks; their correctness gates
   are in tests/: live-reference byte-identity, exact OCR/codec
   roundtrips, ANN recall vs brute force, HLL accuracy bound.
@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": analysis.stratified_sample,
         "gopher_quality_flags": analysis.gopher_quality_flags,
         "repetition_stats": analysis.repetition_stats,
+        "langid_preds": analysis.langid_preds,
         "doc_embeddings": analysis.doc_embeddings,
         # -- dedup family --
         "exact_dedup": dedup.exact_dedup_groups,
@@ -243,7 +244,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontamination_flags": dedup.decontamination_flags,
         # -- similarity search over embeddings --
         "knn_topk": similarity.knn_brute_force,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
         # -- relational / windowed --
@@ -276,10 +276,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bmp_thumbnails": _q_bmp_thumbnails,
         "table_html_from_images": _q_table_html,
         "video_frames": _q_video_frames,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
         "neardup_clusters": dedup.neardup_clusters,
         "pdf_docs": _q_pdf_docs,
         "rolling_fingerprints": analysis.rolling_fingerprints,
-        "langid_preds": analysis.langid_preds,
         "multimodal_meta": _q_multimodal,
         "page_bbox_svgs": _q_page_bbox_svgs,
     }
@@ -347,6 +347,33 @@ def oracle_sql() -> dict[str, str]:
                               AND 10 * (n_hash + n_ellipsis) <= n_words
                               AND 5 * n_alpha_words >= 4 * n_words
                          THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
+            FROM c
+        """,
+        "langid_preds": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_transform(
+                       regexp_extract_all(text, '[^\\W\\d_]+'), x -> lower(x)
+                     ) AS words
+              FROM documents
+            ), c AS (
+              SELECT doc_id, len(words) AS n,
+                len(list_filter(words, x -> list_contains(
+                  ['the','of','and','to','in','for','with','on','is','a'], x))) AS en_n,
+                len(list_filter(words, x -> list_contains(
+                  ['der','die','das','und','zu','in','für','mit','auf','ist'], x))) AS de_n,
+                len(list_filter(words, x -> list_contains(
+                  ['le','la','les','et','de','pour','avec','sur','est','un'], x))) AS fr_n
+              FROM w
+            )
+            SELECT doc_id,
+              CASE WHEN n = 0 THEN 'xx'
+                   WHEN fr_n >= en_n AND fr_n >= de_n
+                     THEN (CASE WHEN 100 * fr_n >= 3 * n THEN 'fr' ELSE 'xx' END)
+                   WHEN en_n >= de_n
+                     THEN (CASE WHEN 100 * en_n >= 3 * n THEN 'en' ELSE 'xx' END)
+                   ELSE (CASE WHEN 100 * de_n >= 3 * n THEN 'de' ELSE 'xx' END)
+              END AS pred_lang
             FROM c
         """,
         "repetition_stats": """

@@ -8,10 +8,11 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
      "docs_per_sec": ...}
 
-``bench.py --scaling`` runs the flagship extraction pipeline twice in
-FRESH processes (num_cpus=8 then num_cpus=32 — the N / 4N cluster-size
-proxy, see BASELINE.md) on the same input and reports both throughputs
-plus scaling efficiency = (T_4N / T_N) / 4.
+``bench.py --scaling`` runs the flagship extraction pipeline at 4, 8,
+16 and 32 CPUs in FRESH processes (the N → 4N cluster-size proxy, see
+BASELINE.md) on the same input and reports the 4→16 and 8→32
+efficiencies (T_4N/T_N)/4 plus a Ray-free multiprocessing control that
+isolates the single node's memory-bus ceiling.
 
 This script OWNS its Ray session (the only places allowed to call
 ray.init are bench.py, CLI entry points, and the test fixture).

@@ -227,7 +227,11 @@ def gopher_quality_flags(sf_dir: str):
 
 class LangId:
     """Stopword + character-class language heuristic (stateful stage:
-    tables built once per actor in __init__)."""
+    tables built once per actor in __init__). Oracle-checked: the
+    stopword-ratio argmax translates to integer-exact SQL (same-doc
+    denominators cancel, so 100*count >= 3*n replaces the float
+    threshold); the CJK branch never fires on the ASCII corpus and is
+    unit-tested instead."""
 
     def __init__(self):
         self.stopwords = _STOPWORDS
