@@ -793,23 +793,41 @@ def decontamination_flags(sf_dir: str, bench_mod: int = 97, k: int = 5):
     with the benchmark's shingle union. Returns (doc_id, n_overlap,
     is_contaminated 0/1) — SQL-oracle-checked.
 
-    Scale shape: the benchmark slice is selected by a distributed scan;
-    only its DISTINCT shingle hashes reach the driver (union size is
-    bounded by the benchmark's vocabulary, not the corpus) and broadcast
-    once via ray.put; each batch does one sorted-array membership
-    searchsorted — no shuffle, no per-pair loop."""
+    Scale shape: the benchmark slice is selected AND shingle-hashed by a
+    distributed scan (each task emits its batch's DISTINCT hashes); only
+    those per-batch unions reach the driver, whose final merge is
+    bounded by the benchmark's shingle vocabulary, not the corpus. The
+    union broadcasts once via ray.put; each probe batch does one
+    sorted-array membership searchsorted — no shuffle, no per-pair
+    loop."""
     import ray
     import ray.data as rd
 
-    bench_tbl = _read_sample_docs(sf_dir, bench_mod)
-    bench_sets = [
-        s
-        for s in (_shingle_hash_set(t, k) for t in bench_tbl["text"])
-        if s is not None
-    ]
+    def bench_hashes(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        sets = [
+            s
+            for doc_id, txt in zip(ids, texts)
+            if doc_id % bench_mod == 0
+            for s in (_shingle_hash_set(txt, k),)
+            if s is not None
+        ]
+        h = (
+            np.unique(np.concatenate(sets))
+            if sets
+            else np.array([], dtype=np.uint64)
+        )
+        return pa.table({"h": pa.array(h, pa.uint64())})
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(bench_hashes, batch_format="pyarrow", batch_size=8192)
+        .take_all()
+    )
     bench_union = (
-        np.unique(np.concatenate(bench_sets))
-        if bench_sets
+        np.unique(np.array([r["h"] for r in parts], dtype=np.uint64))
+        if parts
         else np.array([], dtype=np.uint64)
     )
     bref = ray.put(bench_union)
