@@ -122,3 +122,32 @@ def test_fast_tokenizer_fallback_documents_extract():
             else:
                 layout.place_text_block(block)
         assert [e.text for e in via_default] == [e.text for e in layout.elements]
+
+
+def test_new_queries_block_structure_invariance(ray_session):
+    """Round-2 operators must produce identical results regardless of
+    block structure (the determinism-at-any-parallelism contract the
+    extraction path already pins)."""
+    import ray.data
+
+    from open_parse_ray.stages import analysis, dedup, relational
+
+    sf = "/root/testdata/sf0.001"
+    checks = [
+        (analysis.gopher_quality_flags, ["doc_id"]),
+        (relational.events_asof_prev_click, ["event_id"]),
+        (dedup.decontamination_flags, ["doc_id"]),
+    ]
+
+    def norm(ds, keys):
+        return ds.to_pandas().sort_values(keys).reset_index(drop=True)
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        base = [norm(fn(sf), k) for fn, k in checks]
+        ctx.target_max_block_size = 64 * 1024  # force many small blocks
+        for (fn, k), want in zip(checks, base):
+            assert norm(fn(sf), k).equals(want), fn.__name__
+    finally:
+        ctx.target_max_block_size = old
