@@ -621,7 +621,7 @@ def video_frame_pipeline(sf_dir: str, stride: int = 2):
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, 8),
+        concurrency=(1, 16),
         num_cpus=1,
     )
 
@@ -634,7 +634,7 @@ def wav_features_pipeline(sf_dir: str):
         AudioFeatures,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 8),
+        concurrency=(1, 16),
         num_cpus=1,
     )
 
@@ -649,7 +649,7 @@ def bmp_thumbnail_pipeline(sf_dir: str, out_w: int = 16, out_h: int = 16):
         fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 8),
+        concurrency=(1, 16),
         num_cpus=1,
     )
 

@@ -241,6 +241,6 @@ def ocr_pipeline(sf_dir: str):
         OcrEngine,
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, 8),
+        concurrency=(1, 16),
         num_cpus=1,
     )

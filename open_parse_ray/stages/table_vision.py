@@ -220,7 +220,7 @@ def table_structure_pipeline(sf_dir_or_n):
             TableStructure,
             batch_format="pyarrow",
             batch_size=128,
-            concurrency=(1, 8),
+            concurrency=(1, 16),
             num_cpus=1,
         )
     )
@@ -437,7 +437,7 @@ def table_html_pipeline(sf_dir_or_n):
             TableToHtml,
             batch_format="pyarrow",
             batch_size=128,
-            concurrency=(1, 8),
+            concurrency=(1, 16),
             num_cpus=1,
         )
     )
@@ -475,7 +475,7 @@ def table_markdown_pipeline(sf_dir_or_n):
             TableToMarkdown,
             batch_format="pyarrow",
             batch_size=128,
-            concurrency=(1, 8),
+            concurrency=(1, 16),
             num_cpus=1,
         )
     )
