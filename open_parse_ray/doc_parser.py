@@ -143,7 +143,8 @@ class DocumentParser:
             payload = payload.decode("utf-8", "replace")
         from open_parse_ray.functions.html import html_to_elements
 
-        return html_to_elements(payload)
+        fmt = (self.table_args or {}).get("table_output_format", "markdown")
+        return html_to_elements(payload, table_output_format=fmt)
 
     def _ocr_elements(self, payload: bytes):
         from open_parse_ray.functions.ocr import lines_from_ocr_output

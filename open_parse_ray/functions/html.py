@@ -363,13 +363,16 @@ def _char_width(size: float) -> float:
 class _Layout:
     """Deterministic top-down flow layout over US-letter pages."""
 
-    def __init__(self):
+    def __init__(self, table_output_format: str = "markdown"):
         self.page = 0
         self.cursor = consts.PAGE_TOP_Y
         self.top_cursor = consts.PAGE_HEIGHT - 24.0
         self.bottom_cursor = 40.0
         self.elements: List = []
         self.max_width = consts.PAGE_WIDTH - 2 * consts.PAGE_MARGIN_X
+        # table_args.table_output_format (reference doc_parser.py:31-34);
+        # "markdown" is the byte-identity default
+        self.table_output_format = table_output_format
 
     def new_page(self):
         self.page += 1
@@ -545,7 +548,12 @@ class _Layout:
         height = n_rows * 16.0 + 8.0
         if self.cursor - height < consts.PAGE_BOTTOM_Y:
             self.new_page()
-        text = output_to_markdown(block.headers, block.rows)
+        if self.table_output_format == "html":
+            from open_parse_ray.functions.tables import output_to_html
+
+            text = output_to_html(block.headers, block.rows)
+        else:
+            text = output_to_markdown(block.headers, block.rows)
         y1 = self.cursor
         y0 = max(consts.PAGE_BOTTOM_Y, y1 - height)
         self.elements.append(
@@ -725,16 +733,19 @@ def _run_extractor(html_text: str) -> "_Extractor":
         return extractor
 
 
-def html_to_elements(html) -> List:
+def html_to_elements(html, table_output_format: str = "markdown") -> List:
     """Parse + strip + lay out one HTML document into elements.
 
-    Pure and deterministic: the per-url byte-identity contract starts here.
+    Pure and deterministic: the per-url byte-identity contract starts here
+    (``table_output_format`` defaults to the contract's markdown; "html"
+    renders TableElements with the reference's html renderer instead —
+    doc_parser.py table_args semantics).
     """
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", "replace")
     extractor = _run_extractor(html)
 
-    layout = _Layout()
+    layout = _Layout(table_output_format)
     for block in extractor.blocks:
         if block.kind == "pagebreak":
             layout.new_page()

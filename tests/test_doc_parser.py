@@ -102,3 +102,23 @@ def test_top_level_api_surface():
     with _pytest.raises(ValueError):
         opr.config.set_device("tpu")
     opr.config.set_device("cpu")
+
+
+def test_table_output_format_honored():
+    """table_args.table_output_format switches TableElement rendering
+    (reference doc_parser.py:31-34 semantics); default stays markdown."""
+    html = (
+        "<html><body><p>intro text " + "w " * 60 + "</p>"
+        "<table><tr><th>A</th><th>B</th></tr>"
+        "<tr><td>1</td><td>2</td></tr></table></body></html>"
+    )
+    md_doc = DocumentParser(processing_pipeline=None).parse(html)
+    md_tables = [n for n in md_doc.nodes if "table" in n.variant]
+    assert md_tables and md_tables[0].text.startswith("|")
+
+    html_doc = DocumentParser(
+        processing_pipeline=None,
+        table_args={"parsing_algorithm": "pymupdf", "table_output_format": "html"},
+    ).parse(html)
+    html_tables = [n for n in html_doc.nodes if "table" in n.variant]
+    assert html_tables and html_tables[0].text.startswith('<table border="1">')
