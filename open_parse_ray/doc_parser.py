@@ -130,6 +130,17 @@ class DocumentParser:
     # -- payload → elements ------------------------------------------------
     def _elements(self, payload: Union[str, bytes], ocr: bool):
         if isinstance(payload, bytes) and payload[:5] == b"%PDF-":
+            if ocr:
+                # the reference's parse(ocr=True) path (doc_parser.py:91-100,
+                # "inherently slower and less accurate"): rasterize pages
+                # with the bitmap typeface, then recognize — exercises the
+                # full PDF→image→OCR loop instead of direct text extraction
+                from open_parse_ray.functions.pdf import Pdf
+
+                els = []
+                for page_img in Pdf(payload).to_imgs():
+                    els.extend(self._ocr_elements(page_img))
+                return els
             from open_parse_ray.functions.pdf import parse_pdf
 
             return parse_pdf(payload)

@@ -122,3 +122,16 @@ def test_table_output_format_honored():
     ).parse(html)
     html_tables = [n for n in html_doc.nodes if "table" in n.variant]
     assert html_tables and html_tables[0].text.startswith('<table border="1">')
+
+
+def test_parse_pdf_with_ocr_path():
+    """parse(pdf, ocr=True) routes through rasterize→OCR (the pymupdf
+    OCR analog): recognized text matches the typeset content for
+    typeface-charset input."""
+    from open_parse_ray.functions.pdf import typeset_pdf
+
+    text = "OCR PATH WORDS 42 GO HERE. " * 30
+    pdf = typeset_pdf(text)
+    doc = DocumentParser(processing_pipeline=None).parse(pdf, ocr=True)
+    got = " ".join(" ".join(n.text.split()) for n in doc.nodes)
+    assert " ".join(text.split()) == got
