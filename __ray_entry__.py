@@ -4,7 +4,7 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 60 callables covering every implemented operator
+- ``queries()`` — 61 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep), a REAL stdlib-only PDF payload path
   (typeset→FlateDecode→operator interpreter→span kernel), text analysis,
@@ -13,7 +13,7 @@ here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
   windows, sessionization, top-k, quantiles, count-distinct, HLL sketch,
   JSON extraction), multimodal (real BMP/WAV/BMPV codecs, image→table
   structure+markdown, OCR).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for the 36 SQL-expressible
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the 37 SQL-expressible
   queries, same column names, over the pre-registered testdata views
   (incl. the full PDF roundtrip and the BPE-regex token counts).
   The rest (extraction, LSH/ANN, sketches, media codecs) are
@@ -198,6 +198,15 @@ def _q_pdf_extract_text(sf_dir: str):
     return pdf_extract_text(sf_dir)
 
 
+def _q_pack_offsets(sf_dir: str):
+    """Training-sequence packing via a distributed prefix scan: global
+    token offsets + packed-sequence assignment per document (the
+    concat-then-chunk loader layout); window-function SQL oracle."""
+    from open_parse_ray.stages.packing import pack_offsets
+
+    return pack_offsets(sf_dir)
+
+
 def _q_pdf_docs(sf_dir: str):
     """PDF payloads through the full node pipeline (pytest-gated)."""
     from open_parse_ray.stages.pdf_text import pdf_docs
@@ -234,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_flags": analysis.gopher_quality_flags,
         "repetition_stats": analysis.repetition_stats,
         "langid_preds": analysis.langid_preds,
+        "pack_offsets": _q_pack_offsets,
         "doc_embeddings": analysis.doc_embeddings,
         # -- dedup family --
         "exact_dedup": dedup.exact_dedup_groups,
@@ -244,7 +254,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontamination_flags": dedup.decontamination_flags,
         # -- similarity search over embeddings --
         "knn_topk": similarity.knn_brute_force,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
         # -- relational / windowed --
         "revenue_by_returnflag": relational.revenue_by_returnflag,
@@ -277,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_html_from_images": _q_table_html,
         "video_frames": _q_video_frames,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "neardup_clusters": dedup.neardup_clusters,
         "pdf_docs": _q_pdf_docs,
         "rolling_fingerprints": analysis.rolling_fingerprints,
@@ -348,6 +358,28 @@ def oracle_sql() -> dict[str, str]:
                               AND 5 * n_alpha_words >= 4 * n_words
                          THEN 1 ELSE 0 END AS BIGINT) AS passes_gopher
             FROM c
+        """,
+        "pack_offsets": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), o AS (
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(coalesce(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS global_offset
+              FROM t
+            )
+            SELECT doc_id, n_tokens, global_offset,
+                   CAST(global_offset // 512 AS BIGINT) AS start_seq,
+                   CAST((global_offset + CASE WHEN n_tokens > 0
+                         THEN n_tokens - 1 ELSE 0 END) // 512 AS BIGINT) AS end_seq,
+                   CAST(global_offset % 512 AS BIGINT) AS start_pos
+            FROM o
         """,
         "langid_preds": """
             WITH w AS (

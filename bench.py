@@ -127,6 +127,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "sample_documents",
         "stratified_sample",
         "gopher_quality_flags",
+        "pack_offsets",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

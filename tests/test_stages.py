@@ -668,3 +668,32 @@ def test_spectral_features_pure_tones():
     rate2, back = decode_wav(encode_wav(pcm))
     c3, _ = spectral_features(back.astype(np.float64), rate2)
     assert abs(c3 - 1000 * rate2 / rate) < 80
+
+
+def test_pack_offsets_scan(ray_session):
+    """Distributed prefix scan: offsets are the exclusive cumsum over
+    doc_id order; sequences cover the stream contiguously."""
+    from open_parse_ray.stages.packing import pack_offsets
+
+    out = (
+        pack_offsets("/root/testdata/sf0.001", seq_len=512, bucket_size=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = out["n_tokens"].to_numpy()
+    off = out["global_offset"].to_numpy()
+    assert off[0] == 0
+    assert (off == np.concatenate(([0], np.cumsum(n)[:-1]))).all()
+    assert (out["start_seq"] == off // 512).all()
+    assert (out["start_pos"] == off % 512).all()
+    end = off + np.maximum(n - 1, 0)
+    assert (out["end_seq"] == end // 512).all()
+    # a small bucket_size exercises many bucket boundaries inside blocks
+    out2 = (
+        pack_offsets("/root/testdata/sf0.001", seq_len=512, bucket_size=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out2.equals(out)
