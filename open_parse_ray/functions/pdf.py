@@ -333,7 +333,9 @@ def _parse_objects(pdf: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
                 i += 2
             elif pdf[i : i + 1] == b"\n":
                 i += 1
-            lm = re.search(rb"/Length\s+(\d+)\b", d)
+            # direct /Length only — an indirect length ("/Length 5 0 R",
+            # common in third-party PDFs) must NOT match as 5
+            lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", d)
             if lm:
                 ln = int(lm.group(1))
                 stream = pdf[i : i + ln]
@@ -355,6 +357,22 @@ def _get_stream(objs, num: int) -> bytes:
     if b"/FlateDecode" in d:
         return zlib.decompress(s)
     return s
+
+
+def _page_content(objs, page_dict: bytes) -> Optional[bytes]:
+    """A page's content stream(s): single reference or an ARRAY of
+    references (third-party writers split streams; the spec says the
+    concatenation is interpreted as one stream)."""
+    am = re.search(rb"/Contents\s*\[(.*?)\]", page_dict, re.S)
+    if am:
+        parts = [
+            _get_stream(objs, int(m.group(1))) for m in _REF.finditer(am.group(1))
+        ]
+        return b"\n".join(parts) if parts else None
+    cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", page_dict)
+    if cm:
+        return _get_stream(objs, int(cm.group(1)))
+    return None
 
 
 def _page_objects(objs) -> List[int]:
@@ -676,10 +694,9 @@ def parse_pdf(pdf_bytes: bytes) -> List[TextElement]:
     elements: List[TextElement] = []
     for page_no, pnum in enumerate(_page_objects(objs)):
         pd, _ = objs[pnum]
-        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", pd)
-        if not cm:
+        content = _page_content(objs, pd)
+        if content is None:
             continue
-        content = _get_stream(objs, int(cm.group(1)))
         fonts = _font_map(objs, pd)
         elements.extend(_page_images(objs, pd, content, page_no))
         plines = _interpret_page(content, fonts)
@@ -748,8 +765,7 @@ def _page_payloads(pdf_bytes: bytes):
     out = []
     for pnum in _page_objects(objs):
         pd_, _ = objs[pnum]
-        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", pd_)
-        content = _get_stream(objs, int(cm.group(1))) if cm else b""
+        content = _page_content(objs, pd_) or b""
         raster = None
         xm = re.search(rb"/XObject\s*<<(.*?)>>", pd_, re.S)
         if xm:

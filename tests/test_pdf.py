@@ -277,3 +277,39 @@ def test_extract_pdf_dir_source(ray_session, tmp_path):
         assert by_name[name].status == "ok"
         assert by_name[name].extracted_text == _norm(t)
     assert by_name["bad.pdf"].status.startswith("error:")
+
+
+def test_reader_handles_third_party_structures():
+    """Hand-written PDF with features OUR writer never emits but real
+    writers do: a /Contents ARRAY of two uncompressed streams and an
+    indirect /Length reference."""
+    body1 = b"BT /F1 12 Tf 1 0 0 1 56 700 Tm (first part) Tj ET"
+    body2 = b"BT /F1 12 Tf 1 0 0 1 56 680 Tm (second part) Tj ET"
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents [5 0 R 6 0 R] >>\nendobj\n",
+        b"4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Name /F1 >>\nendobj\n",
+        b"5 0 obj\n<< /Length %d >>\nstream\n" % len(body1)
+        + body1
+        + b"\nendstream\nendobj\n",
+        # indirect /Length: must fall back to endstream delimiting,
+        # NOT read "7" as the byte count
+        b"6 0 obj\n<< /Length 7 0 R >>\nstream\n"
+        + body2
+        + b"\nendstream\nendobj\n",
+        b"7 0 obj\n%d\nendobj\n" % len(body2),
+    ]
+    pdf = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for o in objs:
+        offsets.append(len(pdf))
+        pdf += o
+    xref_off = len(pdf)
+    pdf += b"xref\n0 8\n0000000000 65535 f \n"
+    for off in offsets:
+        pdf += b"%010d 00000 n \n" % off
+    pdf += b"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_off
+
+    assert pdf_extracted_text(bytes(pdf)) == "first part second part"
