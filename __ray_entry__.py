@@ -4,12 +4,12 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 61 callables covering every implemented operator
+- ``queries()`` — 62 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep), a REAL stdlib-only PDF payload path
   (typeset→FlateDecode→operator interpreter→span kernel), text analysis,
   dedup (exact/MinHash/SimHash/Jaccard/embedding), similarity
-  (kNN/LSH/IVF), relational+windowed (joins incl. multi-way/anti/band,
+  (kNN/LSH/IVF/PQ), relational+windowed (joins incl. multi-way/anti/band,
   windows, sessionization, top-k, quantiles, count-distinct, HLL sketch,
   JSON extraction), multimodal (real BMP/WAV/BMPV codecs, image→table
   structure+markdown, OCR).
@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": _q_video_frames,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_pq_topk": similarity.ann_pq_topk,
         "neardup_clusters": dedup.neardup_clusters,
         "pdf_docs": _q_pdf_docs,
         "rolling_fingerprints": analysis.rolling_fingerprints,

@@ -386,6 +386,143 @@ def _neardup_bucket_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     )
 
 
+def train_pq_codebooks(
+    sample: np.ndarray, n_sub: int = 8, n_cent: int = 16, iters: int = 10
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks: plain L2 k-means
+    (fixed seed/iters, like build_ivf_centroids) independently per
+    subspace over a bounded driver-side sample. Returns
+    (n_sub, n_cent, dim // n_sub)."""
+    sample = np.asarray(sample, dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1)
+    sample = sample[norms > 0] / norms[norms > 0][:, None]  # cosine → unit L2
+    d = sample.shape[1]
+    sub = d // n_sub
+    books = np.empty((n_sub, n_cent, sub), dtype=np.float64)
+    rng = np.random.RandomState(42)
+    for m in range(n_sub):
+        x = sample[:, m * sub : (m + 1) * sub]
+        idx = rng.choice(len(x), size=min(n_cent, len(x)), replace=False)
+        cents = x[np.sort(idx)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[m, : len(cents)] = cents
+        if len(cents) < n_cent:  # degenerate tiny sample: repeat last
+            books[m, len(cents) :] = cents[-1]
+    return books
+
+
+def pq_encode(vecs: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Unit-normalized vectors → (N, n_sub) uint8 codes (argmin L2 per
+    subspace), fully vectorized."""
+    n_sub, n_cent, sub = books.shape
+    codes = np.empty((len(vecs), n_sub), dtype=np.uint8)
+    for m in range(n_sub):
+        x = vecs[:, m * sub : (m + 1) * sub]
+        d2 = ((x[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def ann_pq_topk(
+    sf_dir: str,
+    queries: Optional[np.ndarray] = None,
+    k: int = 10,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    shortlist: int = 128,
+):
+    """Product-quantization ANN — the memory-bound scale path (32x
+    compression at dim 64: 8 uint8 codes vs 256 float bytes; at 10^12
+    vectors the codes fit where raw vectors cannot). Per batch:
+    asymmetric-distance (ADC) scan via one LUT lookup per subspace →
+    shortlist by ADC → EXACT cosine rerank of the shortlist (vectors are
+    still in-batch; a codes-only deployment would fetch shortlisted
+    vectors instead) → per-batch top-k partials → tiny final reduce.
+    Codebooks train once on a bounded driver sample and broadcast.
+    Returns (query_id, rank, vec_id); recall vs brute force gated in
+    tests."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    if queries is None:
+        queries = default_query_vectors(1)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    sample_tbl = pf.read_row_group(0, columns=["embedding"])
+    sample = np.array(
+        [np.asarray(e, dtype=np.float64) for e in sample_tbl["embedding"].to_pylist()]
+    )
+    books = train_pq_codebooks(sample, n_sub=n_sub, n_cent=n_cent)
+    qn = np.ascontiguousarray(queries, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    # per-query ADC lookup tables: ||q_m - c||^2 per subspace centroid
+    sub = books.shape[2]
+    luts = np.empty((len(qn), n_sub, n_cent), dtype=np.float64)
+    for m in range(n_sub):
+        qm = qn[:, m * sub : (m + 1) * sub]
+        luts[:, m, :] = ((qm[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+    ref = ray.put((qn, books, luts))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    class PQScan:
+        def __init__(self, ref, k, shortlist):
+            self.qn, self.books, self.luts = ray.get(ref)
+            self.k = k
+            self.shortlist = shortlist
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            emb = np.array(
+                [np.asarray(e, dtype=np.float64) for e in batch["embedding"]]
+            )
+            vec_ids = np.asarray(batch["vec_id"], dtype=np.int64)
+            norms = np.linalg.norm(emb, axis=1)
+            norms[norms == 0] = 1.0
+            nm = emb / norms[:, None]
+            codes = pq_encode(nm, self.books)  # (B, n_sub)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self.qn)):
+                # ADC distance: sum of LUT entries selected by the codes
+                adc = self.luts[qi][np.arange(codes.shape[1])[None, :], codes].sum(
+                    axis=1
+                )
+                short = np.argsort(adc, kind="stable")[: self.shortlist]
+                sims = nm[short] @ self.qn[qi]  # exact rerank
+                top = np.argsort(-sims, kind="stable")[: self.k]
+                out_q.extend([qi] * len(top))
+                out_v.extend(vec_ids[short][top].tolist())
+                out_s.extend(sims[top].tolist())
+            return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "sim": out_s})
+
+    partials = ds.map_batches(
+        PQScan,
+        fn_constructor_args=(ref, k, shortlist),
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=(1, 8),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype(np.int64),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "vec_id": g["vec_id"].astype(np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3, n_chunks: int = 4):
     """Same-label blocking + pairwise cosine >= threshold, with BOUNDED
     per-task memory: each label is split into ``n_chunks``

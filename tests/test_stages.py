@@ -697,3 +697,32 @@ def test_pack_offsets_scan(ray_session):
         .reset_index(drop=True)
     )
     assert out2.equals(out)
+
+
+def test_pq_codebooks_and_encode_deterministic():
+    from open_parse_ray.stages.similarity import pq_encode, train_pq_codebooks
+
+    rng = np.random.RandomState(1)
+    sample = rng.standard_normal((400, 64))
+    a = train_pq_codebooks(sample)
+    b = train_pq_codebooks(sample)
+    assert np.array_equal(a, b)
+    v = rng.standard_normal((10, 64))
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    assert np.array_equal(pq_encode(v, a), pq_encode(v, a))
+    # a vector equal to a centroid concatenation encodes to those codes
+    probe = np.concatenate([a[m][3] for m in range(a.shape[0])])
+    assert (pq_encode(probe[None, :], a)[0] == 3).all()
+
+
+def test_ann_pq_recall_vs_brute_force(ray_session):
+    from open_parse_ray.stages.similarity import ann_pq_topk, knn_brute_force
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_brute_force(sf, k=10).to_pandas()
+    approx = ann_pq_topk(sf, k=10).to_pandas()
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / len(
+        set(exact["vec_id"])
+    )
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+    assert list(approx.columns) == ["query_id", "rank", "vec_id"]
