@@ -4,7 +4,7 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 62 callables covering every implemented operator
+- ``queries()`` — 63 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep), a REAL stdlib-only PDF payload path
   (typeset→FlateDecode→operator interpreter→span kernel), text analysis,
@@ -207,6 +207,14 @@ def _q_pack_offsets(sf_dir: str):
     return pack_offsets(sf_dir)
 
 
+def _q_prepare_sequences(sf_dir: str):
+    """Complete training chain: extract → gate → dedup → prefix scan →
+    packed-sequence layout (pytest exclusive-cumsum identity gate)."""
+    from open_parse_ray.stages.packing import prepare_training_sequences
+
+    return prepare_training_sequences(sf_dir)
+
+
 def _q_pdf_docs(sf_dir: str):
     """PDF payloads through the full node pipeline (pytest-gated)."""
     from open_parse_ray.stages.pdf_text import pdf_docs
@@ -289,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_pq_topk": similarity.ann_pq_topk,
         "neardup_clusters": dedup.neardup_clusters,
+        "prepare_training_sequences": _q_prepare_sequences,
         "pdf_docs": _q_pdf_docs,
         "rolling_fingerprints": analysis.rolling_fingerprints,
         "multimodal_meta": _q_multimodal,

@@ -26,64 +26,53 @@ import numpy as np
 import pandas as pd
 
 
-def pack_offsets(sf_dir: str, seq_len: int = 512, bucket_size: int = 4096):
-    """Per-document global token offsets + packed-sequence assignment.
-
-    Returns (doc_id, n_tokens, global_offset, start_seq, end_seq,
-    start_pos): the document's tokens occupy the concatenated stream at
-    [global_offset, global_offset + n_tokens), i.e. packed sequences
-    ``start_seq`` .. ``end_seq`` (docs may straddle sequence borders,
-    exactly like concat-then-chunk pretraining loaders), starting at
-    ``start_pos`` within ``start_seq``. Zero-token docs get
-    start_seq = end_seq = global_offset // seq_len and start_pos =
-    global_offset %% seq_len."""
+def scan_pack(tok, seq_len: int, bucket_size: int, order_cols=("key",)):
+    """Generic distributed prefix scan over a Dataset with columns
+    (key:int64 bucket-ordering key, n_tokens:int64, ...): adds
+    global_offset / start_seq / end_seq / start_pos. Stream order =
+    ascending ``order_cols`` (the first must be ``key``; extra columns
+    break ties deterministically). See module docstring for the
+    three-phase shape."""
     import ray
-    import ray.data as rd
 
-    from open_parse_ray.stages.analysis import n_tokens_sql_semantics
     from open_parse_ray.stages.dedup import salted_groupby
     from open_parse_ray.stages.relational import _combine_partials
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = b["key"].to_numpy(dtype=np.int64) // bucket_size
+        return b
 
-    def tokens_and_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        n = np.asarray(
-            [n_tokens_sql_semantics(t) for t in b["text"]], dtype=np.int64
-        )
-        ids = b["doc_id"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {"doc_id": ids, "n_tokens": n, "bucket": ids // bucket_size}
-        )
+    tok = tok.map_batches(add_bucket, batch_format="pandas", batch_size=8192)
 
-    tok = ds.map_batches(tokens_and_bucket, batch_format="pandas", batch_size=8192)
-
-    # phase 1: bucket partial sums (bounded-cardinality combine)
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("bucket", as_index=False).agg(s=("n_tokens", "sum"))
 
     bucket_sums = _combine_partials(
-        tok.map_batches(partial, batch_format="pandas", batch_size=8192),
+        tok.map_batches(
+            lambda b: partial(b[["bucket", "n_tokens"]]),
+            batch_format="pandas",
+            batch_size=8192,
+        ),
         ["bucket"],
         {"s": "sum"},
     ).to_pandas()
 
-    # phase 2: driver cumsum over the tiny bucket table → base offsets
     bucket_sums = bucket_sums.sort_values("bucket").reset_index(drop=True)
-    bases = np.concatenate(
-        ([0], np.cumsum(bucket_sums["s"].to_numpy(dtype=np.int64))[:-1])
-    ) if len(bucket_sums) else np.array([], dtype=np.int64)
-    base_of = dict(
-        zip(bucket_sums["bucket"].astype(np.int64), bases.astype(np.int64))
+    bases = (
+        np.concatenate(([0], np.cumsum(bucket_sums["s"].to_numpy(dtype=np.int64))[:-1]))
+        if len(bucket_sums)
+        else np.array([], dtype=np.int64)
     )
+    base_of = dict(zip(bucket_sums["bucket"].astype(np.int64), bases.astype(np.int64)))
     base_ref = ray.put(base_of)
+    order_cols = list(order_cols)
 
-    # phase 3: per-bucket exclusive cumsum + base, fully vectorized
     def assign(part: pd.DataFrame) -> pd.DataFrame:
         bases_local = ray.get(base_ref)
-        g = part.sort_values("doc_id").reset_index(drop=True)
+        g = part.sort_values(order_cols).reset_index(drop=True)
         n = g["n_tokens"].to_numpy(dtype=np.int64)
         buckets = g["bucket"].to_numpy(dtype=np.int64)
-        # exclusive cumsum restarting at every bucket boundary
         cs = np.concatenate(([0], np.cumsum(n)[:-1]))
         starts = np.flatnonzero(
             np.concatenate(([True], buckets[1:] != buckets[:-1]))
@@ -93,15 +82,95 @@ def pack_offsets(sf_dir: str, seq_len: int = 512, bucket_size: int = 4096):
         base = np.array([bases_local[b] for b in buckets], dtype=np.int64)
         off = base + within
         end = off + np.maximum(n - 1, 0)
+        out = g.drop(columns=["bucket"])
+        out["global_offset"] = off
+        out["start_seq"] = off // seq_len
+        out["end_seq"] = end // seq_len
+        out["start_pos"] = off % seq_len
+        return out
+
+    return salted_groupby(tok, lambda b: b["bucket"], assign)
+
+
+def pack_offsets(sf_dir: str, seq_len: int = 512, bucket_size: int = 4096):
+    """Per-document global token offsets + packed-sequence assignment
+    over the documents table, stream-ordered by doc_id (the
+    concat-then-chunk pretraining loader layout). Returns (doc_id,
+    n_tokens, global_offset, start_seq, end_seq, start_pos); DuckDB
+    window-cumsum oracle hash-matches bit for bit."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.analysis import n_tokens_sql_semantics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tokens(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {
-                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
-                "n_tokens": n,
-                "global_offset": off,
-                "start_seq": off // seq_len,
-                "end_seq": end // seq_len,
-                "start_pos": off % seq_len,
+                "key": ids,
+                "doc_id": ids,
+                "n_tokens": np.asarray(
+                    [n_tokens_sql_semantics(t) for t in b["text"]], dtype=np.int64
+                ),
             }
         )
 
-    return salted_groupby(tok, lambda b: b["bucket"], assign)
+    tok = ds.map_batches(tokens, batch_format="pandas", batch_size=8192)
+    out = scan_pack(tok, seq_len, bucket_size)
+    return out.select_columns(
+        ["doc_id", "n_tokens", "global_offset", "start_seq", "end_seq", "start_pos"]
+    )
+
+
+def prepare_training_sequences(
+    sf_dir: str, lang: str = "en", min_tokens: int = 50, seq_len: int = 512
+):
+    """The COMPLETE training-data chain, one streaming plan end to end:
+
+      pages → extraction (reference node semantics) → quality gate
+      (ok + ≥ min_tokens) → exact corpus dedup (min-url survivor per
+      text fingerprint) → distributed prefix scan → packed-sequence
+      layout.
+
+    Documents are stream-ordered by (md5(url) int64, url) — content-
+    addressed, deterministic at any parallelism, and uniformly spread
+    across scan buckets regardless of url skew. Returns (url,
+    total_tokens, global_offset, start_seq, end_seq, start_pos).
+    Components are individually oracle/pytest-gated; the composition is
+    gated by an exclusive-cumsum identity test."""
+    import hashlib
+
+    from open_parse_ray.pipelines.extraction import prepare_training_corpus
+
+    corpus = prepare_training_corpus(sf_dir, lang=lang, min_tokens=min_tokens)
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        keys = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(u.encode()).digest()[:8], "big", signed=True
+                )
+                >> 20  # keep ~2^43 distinct buckets/key space, positive skew-free
+                for u in b["url"]
+            ],
+            dtype=np.int64,
+        )
+        return pd.DataFrame(
+            {
+                "key": keys,
+                "url": b["url"],
+                "n_tokens": b["total_tokens"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    tok = corpus.map_batches(keyed, batch_format="pandas", batch_size=4096)
+    out = scan_pack(tok, seq_len, bucket_size=1 << 30, order_cols=("key", "url"))
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"n_tokens": "total_tokens"})
+        return b[
+            ["url", "total_tokens", "global_offset", "start_seq", "end_seq", "start_pos"]
+        ]
+
+    return out.map_batches(project, batch_format="pandas", batch_size=8192)

@@ -726,3 +726,34 @@ def test_ann_pq_recall_vs_brute_force(ray_session):
     )
     assert recall >= 0.5, f"PQ recall too low: {recall}"
     assert list(approx.columns) == ["query_id", "rank", "vec_id"]
+
+
+def test_prepare_training_sequences_end_to_end(ray_session):
+    """The full chain's offsets are an exclusive cumsum of total_tokens
+    in (md5(url), url) order over the gated+deduped corpus — and
+    sequences tile the stream contiguously."""
+    import hashlib
+
+    from open_parse_ray.stages.packing import prepare_training_sequences
+
+    out = prepare_training_sequences("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+
+    def key(u):
+        return (
+            int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big", signed=True)
+            >> 20,
+            u,
+        )
+
+    out = out.sort_values("url", key=lambda s: s.map(key)).reset_index(drop=True)
+    n = out["total_tokens"].to_numpy()
+    off = out["global_offset"].to_numpy()
+    assert (off == np.concatenate(([0], np.cumsum(n)[:-1]))).all()
+    assert (out["start_seq"] == off // 512).all()
+    assert (out["start_pos"] == off % 512).all()
+    # deterministic across runs
+    again = prepare_training_sequences("/root/testdata/sf0.001").to_pandas()
+    assert again.sort_values("url").reset_index(drop=True).equals(
+        out.sort_values("url").reset_index(drop=True)
+    )
