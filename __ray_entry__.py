@@ -4,7 +4,7 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 63 callables covering every implemented operator
+- ``queries()`` — 64 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep), a REAL stdlib-only PDF payload path
   (typeset→FlateDecode→operator interpreter→span kernel), text analysis,
@@ -13,7 +13,7 @@ here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
   windows, sessionization, top-k, quantiles, count-distinct, HLL sketch,
   JSON extraction), multimodal (real BMP/WAV/BMPV codecs, image→table
   structure+markdown, OCR).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for the 37 SQL-expressible
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the 38 SQL-expressible
   queries, same column names, over the pre-registered testdata views
   (incl. the full PDF roundtrip and the BPE-regex token counts).
   The rest (extraction, LSH/ANN, sketches, media codecs) are
@@ -250,9 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": analysis.stratified_sample,
         "gopher_quality_flags": analysis.gopher_quality_flags,
         "repetition_stats": analysis.repetition_stats,
+        "chunk_spans": analysis.chunk_spans,
         "langid_preds": analysis.langid_preds,
         "pack_offsets": _q_pack_offsets,
-        "doc_embeddings": analysis.doc_embeddings,
         # -- dedup family --
         "exact_dedup": dedup.exact_dedup_groups,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_pq_topk": similarity.ann_pq_topk,
+        "doc_embeddings": analysis.doc_embeddings,
         "neardup_clusters": dedup.neardup_clusters,
         "prepare_training_sequences": _q_prepare_sequences,
         "pdf_docs": _q_pdf_docs,
@@ -390,6 +391,30 @@ def oracle_sql() -> dict[str, str]:
                          THEN n_tokens - 1 ELSE 0 END) // 512 AS BIGINT) AS end_seq,
                    CAST(global_offset % 512 AS BIGINT) AS start_pos
             FROM o
+        """,
+        "chunk_spans": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS words
+              FROM documents
+            ), nn AS (
+              SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) > 0
+            ), c AS (
+              SELECT doc_id, words, n,
+                     unnest(range(0, CASE WHEN n <= 64 THEN 1
+                                         ELSE 1 + (n - 17) // 48 END)) AS i
+              FROM nn
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(1 + 48 * i AS BIGINT) AS start_tok,
+                   CAST(least(48 * i + 64, n) AS BIGINT) AS end_tok,
+                   array_to_string(
+                     list_slice(words, 1 + 48 * i, least(48 * i + 64, n)), ' '
+                   ) AS chunk_text
+            FROM c
         """,
         "langid_preds": """
             WITH w AS (

@@ -436,6 +436,50 @@ def term_doc_freq(sf_dir: str):
     return salted_groupby(partials, salt, sum_df)
 
 
+def chunk_spans_batch(
+    batch: pd.DataFrame, max_tokens: int = 64, overlap: int = 16
+) -> pd.DataFrame:
+    """Sliding-window document chunking (the RAG/embedding prep step):
+    whitespace tokens split into chunks of ≤ max_tokens with ``overlap``
+    tokens shared between neighbors (stride = max_tokens - overlap).
+    1-based inclusive token positions so the DuckDB list_slice oracle
+    reproduces chunk_text byte-for-byte. Zero-token docs emit no rows."""
+    stride = max_tokens - overlap
+    ids, idxs, starts, ends, texts = [], [], [], [], []
+    for doc_id, t in zip(batch["doc_id"], batch["text"]):
+        words = t.split()
+        n = len(words)
+        if n == 0:
+            continue
+        count = 1 if n <= max_tokens else 1 + (n - overlap - 1) // stride
+        for i in range(count):
+            s = 1 + stride * i
+            e = min(s + max_tokens - 1, n)
+            ids.append(int(doc_id))
+            idxs.append(i)
+            starts.append(s)
+            ends.append(e)
+            texts.append(" ".join(words[s - 1 : e]))
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "chunk_idx": pd.Series(idxs, dtype="int64"),
+            "start_tok": pd.Series(starts, dtype="int64"),
+            "end_tok": pd.Series(ends, dtype="int64"),
+            "chunk_text": pd.Series(texts, dtype="object"),
+        }
+    )
+
+
+def chunk_spans(sf_dir: str, max_tokens: int = 64, overlap: int = 16):
+    """Per-document overlapping chunks over the corpus (SQL oracle)."""
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda b: chunk_spans_batch(b, max_tokens, overlap),
+        batch_format="pandas",
+        batch_size=8192,
+    )
+
+
 class EmbedDocs:
     """Actor-pool embedding stage: the hermetic hashed-ngram model is
     built once per actor in ``__init__`` (the shape a real transformer

@@ -757,3 +757,30 @@ def test_prepare_training_sequences_end_to_end(ray_session):
     assert again.sort_values("url").reset_index(drop=True).equals(
         out.sort_values("url").reset_index(drop=True)
     )
+
+
+def test_chunk_spans_semantics():
+    from open_parse_ray.stages.analysis import chunk_spans_batch
+
+    # 100 tokens, max 64, overlap 16 → chunks [1,64], [49,100]
+    words = " ".join(f"w{i}" for i in range(1, 101))
+    out = chunk_spans_batch(pd.DataFrame({"doc_id": [1], "text": [words]}))
+    assert list(out.start_tok) == [1, 49]
+    assert list(out.end_tok) == [64, 100]
+    assert out.chunk_text[0].split()[0] == "w1" and out.chunk_text[0].split()[-1] == "w64"
+    assert out.chunk_text[1].split()[0] == "w49" and out.chunk_text[1].split()[-1] == "w100"
+    # neighbors share exactly `overlap` tokens
+    assert out.chunk_text[0].split()[-16:] == out.chunk_text[1].split()[:16]
+    # short doc → one chunk; empty doc → none
+    short = chunk_spans_batch(pd.DataFrame({"doc_id": [1], "text": ["a b c"]}))
+    assert len(short) == 1 and short.end_tok[0] == 3
+    assert len(chunk_spans_batch(pd.DataFrame({"doc_id": [1], "text": ["  "]}))) == 0
+    # every token of a long doc is covered
+    n = 500
+    out2 = chunk_spans_batch(
+        pd.DataFrame({"doc_id": [1], "text": [" ".join("x" * 1 for _ in range(n))]})
+    )
+    covered = set()
+    for s, e in zip(out2.start_tok, out2.end_tok):
+        covered.update(range(s, e + 1))
+    assert covered == set(range(1, n + 1))
