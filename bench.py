@@ -128,6 +128,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "stratified_sample",
         "gopher_quality_flags",
         "pack_offsets",
+        "chunk_spans",
+        "langid_preds",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",
