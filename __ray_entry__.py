@@ -4,7 +4,7 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 64 callables covering every implemented operator
+- ``queries()`` — 65 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep), a REAL stdlib-only PDF payload path
   (typeset→FlateDecode→operator interpreter→span kernel), text analysis,
@@ -13,7 +13,7 @@ here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
   windows, sessionization, top-k, quantiles, count-distinct, HLL sketch,
   JSON extraction), multimodal (real BMP/WAV/BMPV codecs, image→table
   structure+markdown, OCR).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for the 38 SQL-expressible
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the 39 SQL-expressible
   queries, same column names, over the pre-registered testdata views
   (incl. the full PDF roundtrip and the BPE-regex token counts).
   The rest (extraction, LSH/ANN, sketches, media codecs) are
@@ -258,8 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_neardup": dedup.minhash_neardup_pairs,
-        "simhash_neardup": dedup.simhash_neardup_pairs,
         "decontamination_flags": dedup.decontamination_flags,
+        "dup_span_flags": dedup.dup_span_flags,
         # -- similarity search over embeddings --
         "knn_topk": similarity.knn_brute_force,
         "embedding_neardup": similarity.embedding_neardup_pairs,
@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bmp_thumbnails": _q_bmp_thumbnails,
         "table_html_from_images": _q_table_html,
         "video_frames": _q_video_frames,
+        "simhash_neardup": dedup.simhash_neardup_pairs,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_pq_topk": similarity.ann_pq_topk,
@@ -391,6 +392,35 @@ def oracle_sql() -> dict[str, str]:
                          THEN n_tokens - 1 ELSE 0 END) // 512 AS BIGINT) AS end_seq,
                    CAST(global_offset % 512 AS BIGINT) AS start_pos
             FROM o
+        """,
+        "dup_span_flags": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS words
+              FROM documents
+            ), nn AS (
+              SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) >= 16
+            ), g AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_slice(words, 1 + 8 * i, 8 * i + 16), ' '
+                     ) AS gram
+              FROM (
+                SELECT doc_id, words,
+                       unnest(range(0, 1 + (n - 16) // 8)) AS i
+                FROM nn
+              )
+            ), shared AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_windows
+            FROM g LEFT JOIN shared s ON g.gram = s.gram
+            GROUP BY g.doc_id
         """,
         "chunk_spans": """
             WITH w AS (

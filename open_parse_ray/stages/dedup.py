@@ -785,6 +785,114 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_span_flags(sf_dir: str, window: int = 16, stride: int = 8):
+    """Cross-document duplicated-SPAN detection — the exact-substring
+    dedup shape (Lee et al. 2022) at word granularity: every full
+    ``window``-word window at ``stride`` spacing is hashed; a window
+    position is duplicated when its gram occurs in ≥ 2 DISTINCT
+    documents. Returns (doc_id, n_windows, n_dup_windows) for docs with
+    ≥ window words — the boilerplate/contamination signal substring
+    dedup pipelines cut on.
+
+    Scale shape: the exchange carries (uint64 gram hash, doc_id) pairs —
+    ~n/stride rows per doc, the inherent cost of substring dedup — salted
+    on the hash; shared grams collapse to per-doc duplicate counts,
+    which re-shuffle on doc_id (tiny) to join the per-doc totals."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def window_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out_h, out_d = [], []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            words = t.split()
+            n = len(words)
+            if n < window:
+                continue
+            wh = _hash_words(words)
+            count = 1 + (n - window) // stride
+            # hash of each full window: polynomial over its word hashes
+            acc = np.zeros(count, dtype=np.uint64)
+            starts = np.arange(count) * stride
+            for j in range(window):
+                acc = acc * _SHINGLE_MIX + wh[starts + j]
+            out_h.extend(acc.view(np.int64).tolist())
+            out_d.extend([int(doc_id)] * count)
+        return pd.DataFrame(
+            {
+                "h": pd.Series(out_h, dtype="int64"),
+                "doc_id": pd.Series(out_d, dtype="int64"),
+            }
+        )
+
+    def total_rows(b: pd.DataFrame) -> pd.DataFrame:
+        # totals need only token counts — no hashing pass
+        ids, totals = [], []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            n = len(t.split())
+            if n >= window:
+                ids.append(int(doc_id))
+                totals.append(1 + (n - window) // stride)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_windows": pd.Series(totals, dtype="int64"),
+            }
+        )
+
+    wrows = docs.map_batches(window_rows, batch_format="pandas", batch_size=4096)
+
+    def dup_counts(part: pd.DataFrame) -> pd.DataFrame:
+        # positions whose gram is shared by >= 2 distinct docs
+        nd = part.groupby("h")["doc_id"].transform("nunique")
+        dup = part[nd >= 2]
+        out = dup.groupby("doc_id", as_index=False).agg(n_dup=("h", "size"))
+        return out.astype({"doc_id": "int64", "n_dup": "int64"})
+
+    dups = salted_groupby(wrows, lambda b: b["h"], dup_counts)
+    totals = docs.map_batches(total_rows, batch_format="pandas", batch_size=4096)
+
+    # join totals with dup counts on doc_id (tagged union, salted)
+    def tag_tot(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_windows": b["n_windows"].astype("int64"),
+                "n_dup": np.int64(-1),
+            }
+        )
+
+    def tag_dup(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_windows": np.int64(-1),
+                "n_dup": b["n_dup"].astype("int64"),
+            }
+        )
+
+    both = totals.map_batches(tag_tot, batch_format="pandas").union(
+        dups.map_batches(tag_dup, batch_format="pandas")
+    )
+
+    def join(part: pd.DataFrame) -> pd.DataFrame:
+        tot = part[part["n_windows"] >= 0][["doc_id", "n_windows"]]
+        # a doc's duplicate counts arrive as one partial per gram
+        # partition — sum them before the join
+        dup = (
+            part[part["n_dup"] >= 0]
+            .groupby("doc_id", as_index=False)["n_dup"]
+            .sum()
+        )
+        out = tot.merge(dup, on="doc_id", how="left")
+        out["n_dup_windows"] = out["n_dup"].fillna(0).astype("int64")
+        return out[["doc_id", "n_windows", "n_dup_windows"]]
+
+    return salted_groupby(both, lambda b: b["doc_id"], join)
+
+
 def decontamination_flags(sf_dir: str, bench_mod: int = 97, k: int = 5):
     """Eval-set decontamination (the any-overlap n-gram check training
     pipelines run against benchmark suites): docs with doc_id %

@@ -784,3 +784,42 @@ def test_chunk_spans_semantics():
     for s, e in zip(out2.start_tok, out2.end_tok):
         covered.update(range(s, e + 1))
     assert covered == set(range(1, n + 1))
+
+
+def test_dup_span_flags(ray_session, tmp_path):
+    """Duplicated-span detection: shared 16-word windows across docs are
+    counted per position; unique docs report zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = " ".join(f"s{i}" for i in range(16))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    shared + " " + " ".join(f"a{i}" for i in range(8)),
+                    shared + " " + " ".join(f"b{i}" for i in range(8)),
+                    " ".join(f"c{i}" for i in range(24)),  # unique
+                    "too short",  # < 16 words: excluded
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    from open_parse_ray.stages.dedup import dup_span_flags
+
+    out = (
+        dup_span_flags(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.doc_id) == [1, 2, 3]  # the short doc is excluded
+    # docs 1/2: windows at positions 1 and 9; position-1 gram == shared
+    # 16-gram in both docs → 1 dup window each; doc 3 has none
+    assert list(out.n_windows) == [2, 2, 2]
+    assert list(out.n_dup_windows) == [1, 1, 0]
