@@ -100,6 +100,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "minhash_neardup",
         "simhash_neardup",
         "decontamination_flags",
+        "dup_span_flags",
         "knn_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
