@@ -23,8 +23,12 @@ DEFAULT_DIM = 64
 
 
 def cosine_similarity(a, b) -> float:
-    """(reference: semantic_transforms.py:14-17)"""
-    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    """(reference: semantic_transforms.py:14-17). Zero vectors produce
+    nan exactly like the reference (nan >= threshold is False, so
+    zero-embedding nodes never merge); the warning is suppressed, the
+    value is not changed."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
 
 
 _TOKEN_HASH_CACHE: dict = {}
