@@ -6,13 +6,16 @@ here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
 - ``queries()`` — 65 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
-  training-corpus prep), a REAL stdlib-only PDF payload path
-  (typeset→FlateDecode→operator interpreter→span kernel), text analysis,
-  dedup (exact/MinHash/SimHash/Jaccard/embedding), similarity
-  (kNN/LSH/IVF/PQ), relational+windowed (joins incl. multi-way/anti/band,
-  windows, sessionization, top-k, quantiles, count-distinct, HLL sketch,
-  JSON extraction), multimodal (real BMP/WAV/BMPV codecs, image→table
-  structure+markdown, OCR).
+  training-corpus prep + packed-sequence chain), a REAL stdlib-only PDF
+  payload path (typeset→FlateDecode→operator interpreter→span kernel),
+  text analysis (quality/Gopher/repetition/lang-id/tokens/fingerprints/
+  chunking/TF-DF/sampling/packing), dedup (exact/MinHash/SimHash/
+  Jaccard/embedding/span-level/decontamination/clustering), similarity
+  (kNN/LSH/IVF/PQ), relational+windowed (joins incl. multi-way/anti/
+  band/AS-OF, windows, sessionization, top-k, quantiles, count-distinct,
+  HLL sketch, JSON extraction, distributed prefix scan), multimodal
+  (real BMP/PNG/WAV/BMPV codecs, image→table structure+markdown+html,
+  OCR, FFT audio descriptors).
 - ``oracle_sql()`` — DuckDB-equivalent SQL for the 39 SQL-expressible
   queries, same column names, over the pre-registered testdata views
   (incl. the full PDF roundtrip and the BPE-regex token counts).
