@@ -4,7 +4,7 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 65 callables covering every implemented operator
+- ``queries()`` — 66 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep + packed-sequence chain), a REAL stdlib-only PDF
   payload path (typeset→FlateDecode→operator interpreter→span kernel),
@@ -16,7 +16,7 @@ here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
   HLL sketch, JSON extraction, distributed prefix scan), multimodal
   (real BMP/PNG/WAV/BMPV codecs, image→table structure+markdown+html,
   OCR, FFT audio descriptors).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for the 39 SQL-expressible
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the 40 SQL-expressible
   queries, same column names, over the pre-registered testdata views
   (incl. the full PDF roundtrip and the BPE-regex token counts).
   The rest (extraction, LSH/ANN, sketches, media codecs) are
@@ -238,11 +238,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_nodes": _q_extract_nodes,
         "extract_semantic": _q_extract_semantic,
         "page_metadata": _q_page_metadata,
-        "prepare_training_corpus": _q_prepare_corpus,
         # -- PDF payload path (stdlib codec; SQL-oracle roundtrip) --
         "pdf_extract_text": _q_pdf_extract_text,
         # -- text analysis over documents --
         "doc_stats_by_lang": analysis.doc_stats_by_lang,
+        "source_lang_matrix": analysis.source_lang_matrix,
         "token_counts": analysis.token_counts,
         "bpe_token_counts": analysis.bpe_token_counts,
         "fingerprints": analysis.fingerprints,
@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_text_from_images": _q_ocr_text,
         # ---- tail: pytest-pinned elsewhere (property tests / exact
         # roundtrips / unit goldens), safe outside the driver window ----
+        "prepare_training_corpus": _q_prepare_corpus,
         "extract_linked_nodes": _q_extract_linked,
         "bmp_thumbnails": _q_bmp_thumbnails,
         "table_html_from_images": _q_table_html,
@@ -511,6 +512,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(epoch_us(c.ts), -1) AS BIGINT) AS prev_click_ts_us
             FROM err e ASOF LEFT JOIN clk c
               ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "source_lang_matrix": """
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source, lang
         """,
         "doc_stats_by_lang": """
             SELECT lang,

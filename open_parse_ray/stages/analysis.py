@@ -300,6 +300,29 @@ def doc_stats_by_lang(sf_dir: str):
     return out
 
 
+def source_lang_matrix(sf_dir: str):
+    """Corpus composition crosstab — the mixture table a training run
+    balances against: per (source, lang): docs and chars. Two-phase
+    partial aggregation; bounded cardinality (sources × langs)."""
+    import ray.data as rd
+
+    ds = read_documents(sf_dir, columns=["source", "lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(n=np.int64(1))
+        return b.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n", "sum"), total_chars=("n_chars", "sum")
+        )
+
+    from open_parse_ray.stages.relational import _combine_partials
+
+    return _combine_partials(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["source", "lang"],
+        {"n_docs": "sum", "total_chars": "sum"},
+    )
+
+
 def token_counts(sf_dir: str):
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         token_count_batch, batch_format="pandas", batch_size=8192
