@@ -133,10 +133,14 @@ def test_new_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages import analysis, dedup, relational
 
     sf = "/root/testdata/sf0.001"
+    from open_parse_ray.stages.packing import pack_offsets
+
     checks = [
         (analysis.gopher_quality_flags, ["doc_id"]),
         (relational.events_asof_prev_click, ["event_id"]),
         (dedup.decontamination_flags, ["doc_id"]),
+        (dedup.dup_span_flags, ["doc_id"]),
+        (pack_offsets, ["doc_id"]),
     ]
 
     def norm(ds, keys):
