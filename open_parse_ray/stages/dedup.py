@@ -422,6 +422,7 @@ def minhash_neardup_pairs(
             return pd.DataFrame(
                 {
                     "bucket": pd.Series(dtype="int64"),
+                    "band": pd.Series(dtype="int64"),
                     "doc_id": pd.Series(dtype="int64"),
                     "sig": pd.Series(dtype="object"),
                 }
@@ -434,6 +435,7 @@ def minhash_neardup_pairs(
         return pd.DataFrame(
             {
                 "bucket": buckets.reshape(-1),
+                "band": np.tile(np.arange(bands, dtype=np.int64), len(sig_list)),
                 "doc_id": np.repeat(
                     np.asarray(batch["doc_id"], dtype=np.int64), bands
                 ),
@@ -464,6 +466,14 @@ def minhash_neardup_pairs(
         )
         est = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
         keep = np.triu(est >= threshold, k=1) & (ids[:, None] != ids[None, :])
+        # first-matching-band rule: a pair found in several buckets is
+        # emitted ONLY from the bucket of its lowest equal band — the
+        # textbook LSH trick that removes the cross-band dedup shuffle
+        rpb = num_perm // bands
+        chunks = mat.reshape(len(g), bands, rpb)
+        band_eq = (chunks[:, None, :, :] == chunks[None, :, :, :]).all(axis=3)
+        first = np.argmax(band_eq, axis=2)  # (g, g): lowest equal band
+        keep &= first == int(g["band"].iloc[0])
         ia, ib = np.nonzero(keep)
         return pd.DataFrame(
             {
@@ -485,14 +495,10 @@ def minhash_neardup_pairs(
             return pairs_in_bucket(part.iloc[:0])
         return pd.concat(outs, ignore_index=True)
 
-    pairs = salted_groupby(banded, lambda b: b["bucket"], pairs_in_partition)
-
-    # dedupe pairs found in multiple bands (salt on the pair key)
-    def uniq_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        return part.drop_duplicates(["doc_a", "doc_b"])
-
+    # first-matching-band emission means each pair appears in exactly one
+    # bucket — no cross-band dedup shuffle needed
     return salted_groupby(
-        pairs, lambda b: b["doc_a"] * 1000003 + b["doc_b"], uniq_pairs
+        banded, lambda b: b["bucket"], pairs_in_partition
     ).select_columns(["doc_a", "doc_b", "est_jaccard"])
 
 
@@ -619,6 +625,14 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3):
         keep = (
             np.triu(ham <= max_hamming, k=1) & (ids[:, None] != ids[None, :])
         )
+        # first-matching-band rule (see minhash): emit a pair only from
+        # the bucket of its lowest equal 16-bit band — kills the
+        # cross-band dedup shuffle
+        shifts = (np.arange(4, dtype=np.uint64)) * np.uint64(16)
+        bvals = (hs[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)  # (g, 4)
+        beq = bvals[:, None, :] == bvals[None, :, :]  # (g, g, 4)
+        first = np.argmax(beq, axis=2)
+        keep &= first == int(g["band_id"].iloc[0])
         ia, ib = np.nonzero(keep)
         return pd.DataFrame(
             {
@@ -638,12 +652,8 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3):
             return pairs(part.iloc[:0])
         return pd.concat(outs, ignore_index=True)
 
-    cand = salted_groupby(
-        banded, lambda b: b["band_val"] * 7 + b["band_id"], pairs_in_partition
-    )
     return salted_groupby(
-        cand, lambda b: b["doc_a"] * 1000003 + b["doc_b"],
-        lambda part: part.drop_duplicates(["doc_a", "doc_b"]),
+        banded, lambda b: b["band_val"] * 7 + b["band_id"], pairs_in_partition
     ).select_columns(["doc_a", "doc_b", "hamming"])
 
 
