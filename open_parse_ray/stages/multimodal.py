@@ -613,7 +613,7 @@ class SampleFrames:
 
 
 def video_frame_pipeline(sf_dir: str, stride: int = 2):
-    """Real video pipeline: BMPV media → actor-pool frame sample + decode
+    """Real video pipeline: BMPV media → task-pool frame sample + decode
     → per-frame stats table (no stubs on this path)."""
     ds = media_table(sf_dir, kind="bmpv")
     return ds.map_batches(
@@ -625,7 +625,7 @@ def video_frame_pipeline(sf_dir: str, stride: int = 2):
 
 
 def wav_features_pipeline(sf_dir: str):
-    """Real audio pipeline: WAV media → actor-pool decode + vectorized
+    """Real audio pipeline: WAV media → task-pool decode + vectorized
     feature extraction (no stubs on this path)."""
     ds = media_table(sf_dir, kind="wav")
     return ds.map_batches(
@@ -637,7 +637,7 @@ def wav_features_pipeline(sf_dir: str):
 
 
 def bmp_thumbnail_pipeline(sf_dir: str, out_w: int = 16, out_h: int = 16):
-    """Real image pipeline: BMP media → actor-pool decode+resize+encode →
+    """Real image pipeline: BMP media → task-pool decode+resize+encode →
     thumbnail table. Every byte is genuinely decoded and re-encoded (no
     stubs on this path)."""
     ds = media_table(sf_dir, kind="bmp")
@@ -650,7 +650,7 @@ def bmp_thumbnail_pipeline(sf_dir: str, out_w: int = 16, out_h: int = 16):
 
 
 def decode_meta_pipeline(sf_dir: str):
-    """media → actor-pool decode → meta table. Small batch size: wide
+    """media → decode stage → meta table. Small batch size: wide
     binary rows must not blow a worker's heap."""
     ds = media_table(sf_dir)
     return ds.map_batches(

@@ -140,8 +140,8 @@ def analyze_table_image(payload: bytes) -> Dict:
 
 
 class TableStructure:
-    """Actor-pool stage: rasterized pages in, recovered table structure
-    out. Per-row errors isolate into the status column."""
+    """Batch kernel (task pool): rasterized pages in, recovered table
+    structure out. Per-row errors isolate into the status column."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -190,7 +190,7 @@ class TableStructure:
 
 
 def table_structure_pipeline(sf_dir_or_n):
-    """Synthetic rasterized-page dataset → actor-pool structure recovery.
+    """Synthetic rasterized-page dataset → task-pool structure recovery.
     Mirrors _ingest_with_table_transformers' stage composition
     (reference: tables/parse.py:92-156) with the CV kernel in place of
     the DETR models."""
@@ -360,7 +360,7 @@ def table_image_to_html(payload: bytes) -> str:
 
 
 class TableToMarkdown:
-    """Actor-pool stage: rasterized table pages in, markdown tables out."""
+    """Batch kernel (task pool): rasterized table pages in, markdown tables out."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mds, statuses = [], [], []
@@ -385,7 +385,7 @@ class TableToMarkdown:
 
 
 class TableToHtml:
-    """Actor-pool stage: rasterized table pages in, styled HTML out."""
+    """Batch kernel (task pool): rasterized table pages in, styled HTML out."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, htmls, statuses = [], [], []
@@ -410,7 +410,7 @@ class TableToHtml:
 
 
 def table_html_pipeline(sf_dir_or_n):
-    """Rasterized tables-with-text → actor-pool detect+structure+OCR →
+    """Rasterized tables-with-text → task-pool detect+structure+OCR →
     styled-HTML TableElement texts (to_html_str analog)."""
     import ray.data as rd
 
@@ -450,7 +450,7 @@ def table_html_pipeline(sf_dir_or_n):
 
 
 def table_markdown_pipeline(sf_dir_or_n):
-    """Rasterized tables-with-text → actor-pool detect+structure+OCR+
+    """Rasterized tables-with-text → task-pool detect+structure+OCR+
     render → markdown TableElement texts (full image→TableElement path,
     zero stubs)."""
     import ray.data as rd
