@@ -320,6 +320,8 @@ def _parse_objects(pdf: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
             d, i = _scan_dict(pdf, i)
         else:
             nxt = pdf.find(b"endobj", i)
+            if nxt < 0:
+                raise ValueError("unterminated object")
             d = pdf[i:nxt].strip()
             objs[num] = (d, None)
             pos = nxt + 6
@@ -342,11 +344,19 @@ def _parse_objects(pdf: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
                 i += ln
             else:  # fallback: delimit by endstream
                 e = pdf.find(b"endstream", i)
+                if e < 0:
+                    raise ValueError("unterminated stream")
                 stream = pdf[i:e].rstrip(b"\r\n")
                 i = e
-            i = pdf.find(b"endstream", i) + 9
+            es = pdf.find(b"endstream", i)
+            if es < 0:
+                raise ValueError("unterminated stream")
+            i = es + 9
         objs[num] = (d, stream)
-        pos = pdf.find(b"endobj", i) + 6
+        eo = pdf.find(b"endobj", i)
+        # a missing endobj must ADVANCE the scan (corrupt input), never
+        # rewind it — a rewound `pos` re-finds the same header forever
+        pos = (eo + 6) if eo >= 0 else max(i, m.end())
     return objs
 
 
@@ -484,6 +494,8 @@ def _tokenize_content(buf: bytes):
             yield ("str", s)
         elif c == b"<" and buf[i + 1 : i + 2] != b"<":
             j = buf.find(b">", i)
+            if j < 0:
+                raise ValueError("unterminated hex string")
             hexs = re.sub(rb"\s", b"", buf[i + 1 : j])
             if len(hexs) % 2:
                 hexs += b"0"

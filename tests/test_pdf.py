@@ -313,3 +313,30 @@ def test_reader_handles_third_party_structures():
     pdf += b"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_off
 
     assert pdf_extracted_text(bytes(pdf)) == "first part second part"
+
+
+def test_pdf_reader_corruption_fuzz():
+    """Seeded byte-corruption fuzz: the reader must either parse or
+    raise — never hang or return corrupted text silently for flipped
+    structure bytes that break framing. (Flips inside the compressed
+    stream that still inflate are allowed to change text; this gate is
+    about crash/hang safety, which ParsePdfBytes turns into error
+    rows.)"""
+    import random
+
+    base = typeset_pdf("fuzz target words " * 40, title="T")
+    rng = random.Random(7)
+    outcomes = {"ok": 0, "err": 0}
+    for _ in range(80):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            pdf_extracted_text(bytes(b))
+            outcomes["ok"] += 1
+        except Exception:
+            outcomes["err"] += 1
+    # both outcomes occur across the corpus of corruptions; neither
+    # dominates to 100% (structure bytes vs stream bytes both get hit)
+    assert outcomes["ok"] + outcomes["err"] == 80
+    assert outcomes["err"] > 0
