@@ -823,3 +823,41 @@ def test_dup_span_flags(ray_session, tmp_path):
     # 16-gram in both docs → 1 dup window each; doc 3 has none
     assert list(out.n_windows) == [2, 2, 2]
     assert list(out.n_dup_windows) == [1, 1, 0]
+
+
+def test_binary_decoders_corruption_fuzz():
+    """Seeded byte-corruption fuzz over the binary decoders: decode or
+    raise, never hang — the no-hang contract the media stages' error
+    isolation relies on."""
+    import random
+
+    from open_parse_ray.stages.multimodal import (
+        decode_bmp,
+        decode_png,
+        decode_wav,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+        iter_bmpv_frames,
+        make_payload,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(9, 11, 3)).astype(np.uint8)
+    wav = encode_wav((rng.randint(-100, 100, size=400)).astype(np.int16))
+    bases = [
+        (encode_bmp(img), decode_bmp),
+        (encode_png(img), decode_png),
+        (wav, decode_wav),
+        (make_payload(3, "bmpv"), lambda p: list(iter_bmpv_frames(p))),
+    ]
+    r = random.Random(11)
+    for base, dec in bases:
+        for _ in range(60):
+            b = bytearray(base)
+            for _ in range(r.randint(1, 3)):
+                b[r.randrange(len(b))] = r.randrange(256)
+            try:
+                dec(bytes(b))
+            except Exception:
+                pass  # raising is fine; hanging or crashing is not
