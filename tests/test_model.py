@@ -261,3 +261,56 @@ def test_fast_tokenizer_event_parity():
             continue
         assert merged(a.events) == merged(b.events), h[:120]
     assert bails == 1  # exactly the stray-'<' case
+
+
+def test_fast_tokenizer_fuzz_no_hang_and_parity():
+    """Seeded random-markup fuzz: the fast tokenizer either produces the
+    stdlib-identical event stream or bails — and never hangs."""
+    import random
+    from html.parser import HTMLParser
+
+    from open_parse_ray.functions.html import _FastParseBail, _fast_feed
+
+    class Rec(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.events = []
+
+        def handle_starttag(self, tag, attrs):
+            self.events.append(("s", tag, tuple(attrs)))
+
+        def handle_endtag(self, tag):
+            self.events.append(("e", tag))
+
+        def handle_data(self, data):
+            self.events.append(("d", data))
+
+    class RecFast(Rec):
+        def __init__(self):
+            HTMLParser.__init__(self)
+            self.events = []
+
+    def merged(evts):
+        out = []
+        for e in evts:
+            if e[0] == "d" and out and out[-1][0] == "d":
+                out[-1] = ("d", out[-1][1] + e[1])
+            else:
+                out.append(e)
+        return out
+
+    rng = random.Random(5)
+    pieces = ["<p>", "</p>", "<b>", "</b>", "text", " ", "&amp;", "<", ">",
+              "<img src=x>", "<div class='a'>", "</div>", "<br/>", "&#65;",
+              "<script>x<y</script>", "<!-- c -->", "'", '"', "=", "a1"]
+    for _ in range(120):
+        h = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 25)))
+        b = RecFast()
+        try:
+            _fast_feed(h, b)
+        except _FastParseBail:
+            continue
+        a = Rec()
+        a.feed(h)
+        a.close()
+        assert merged(a.events) == merged(b.events), h[:120]
