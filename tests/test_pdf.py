@@ -340,3 +340,22 @@ def test_pdf_reader_corruption_fuzz():
     # dominates to 100% (structure bytes vs stream bytes both get hit)
     assert outcomes["ok"] + outcomes["err"] == 80
     assert outcomes["err"] > 0
+
+
+def test_content_interpreter_fuzz_no_hang():
+    """Random operator soup through the content-stream interpreter:
+    interpret or raise, never hang."""
+    import random
+
+    from open_parse_ray.functions.pdf import _interpret_page
+
+    rng = random.Random(9)
+    toks = ["BT", "ET", "Tf", "Td", "TD", "TL", "Tm", "T*", "Tj", "TJ", "'",
+            "(abc)", "(x\\)y)", "<414243>", "12", "-3.5", "/F1", "[", "]",
+            "q", "Q", "cm", "Do", "%comment", "(", "garbage"]
+    for _ in range(150):
+        soup = " ".join(rng.choice(toks) for _ in range(rng.randint(1, 40)))
+        try:
+            _interpret_page(soup.encode("latin-1"), {})
+        except Exception:
+            pass
