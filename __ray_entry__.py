@@ -596,9 +596,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT list_distinct(flatten(list(g))) AS bg
               FROM sh WHERE doc_id % 97 = 0
             )
+            -- coalesce: an EMPTY benchmark slice leaves bench.bg NULL
+            -- (aggregate over zero rows) while the Ray path returns 0
+            -- overlaps; both sides must agree on 0
             SELECT s.doc_id,
-                   CAST(len(list_intersect(s.g, b.bg)) AS BIGINT) AS n_overlap,
-                   CAST(CASE WHEN len(list_intersect(s.g, b.bg)) > 0
+                   CAST(coalesce(len(list_intersect(s.g, b.bg)), 0) AS BIGINT)
+                       AS n_overlap,
+                   CAST(CASE WHEN coalesce(len(list_intersect(s.g, b.bg)), 0) > 0
                         THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
             FROM sh s CROSS JOIN bench b
             WHERE s.doc_id % 97 <> 0

@@ -196,20 +196,24 @@ def _num(x: float) -> bytes:
 
 
 def _assemble_pdf(page_streams: List[bytes], images: List) -> bytes:
-    """Object graph + xref around the per-page content streams.
+    """Writer entry: text pages first, one trailing page per image —
+    the layout this engine's writer always emits. Order-preserving
+    callers (``Pdf.extract_pages``) use ``_assemble_pdf_pages``."""
+    return _assemble_pdf_pages(
+        [(s, None) for s in page_streams] + [(None, img) for img in images]
+    )
+
+
+def _assemble_pdf_pages(pages: List[Tuple[Optional[bytes], object]]) -> bytes:
+    """Object graph + xref around an ORDERED list of page payloads
+    ``(content_stream | None, raster | None)`` — a raster payload
+    becomes an image page (XObject + `cm /Im0 Do` placement) in place,
+    so interleaved text/image documents keep their page order.
 
     Layout: 1 Catalog, 2 Pages, 3 /F1 Helvetica, 4 /F2 Helvetica-Bold,
     then per page i: (5+2i) Page, (6+2i) FlateDecode content stream;
-    each image adds a trailing page + an Image XObject pair."""
-    n_text = len(page_streams)
-    # image pages: one image per page, placed at natural size
-    for img in images:
-        h, w = img.shape[:2]
-        x, y = consts.PAGE_MARGIN_X, consts.PAGE_TOP_Y - h
-        page_streams = page_streams + [
-            b"q %s 0 0 %s %s %s cm /Im0 Do Q" % (_num(w), _num(h), _num(x), _num(y))
-        ]
-    n_pages = len(page_streams)
+    Image XObjects follow, numbered in page order."""
+    n_pages = len(pages)
     objs: Dict[int, bytes] = {}
     kids = b" ".join(b"%d 0 R" % (5 + 2 * i) for i in range(n_pages))
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
@@ -219,11 +223,31 @@ def _assemble_pdf(page_streams: List[bytes], images: List) -> bytes:
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold /Name /F2 >>"
     )
     img_base = 5 + 2 * n_pages
-    for i, stream in enumerate(page_streams):
+    img_idx = 0
+    for i, (stream, img) in enumerate(pages):
         page_num, content_num = 5 + 2 * i, 6 + 2 * i
         xobj = b""
-        if i >= n_text:  # an image page: register its XObject resource
-            xobj = b"/XObject << /Im0 %d 0 R >> " % (img_base + (i - n_text))
+        if img is not None:  # an image page: register its XObject resource
+            h, w = img.shape[:2]
+            x, y = consts.PAGE_MARGIN_X, consts.PAGE_TOP_Y - h
+            stream = b"q %s 0 0 %s %s %s cm /Im0 Do Q" % (
+                _num(w),
+                _num(h),
+                _num(x),
+                _num(y),
+            )
+            xobj = b"/XObject << /Im0 %d 0 R >> " % (img_base + img_idx)
+            raw = zlib.compress(img.astype("uint8").tobytes(), 6)
+            cspace = b"/DeviceGray" if img.ndim == 2 else b"/DeviceRGB"
+            objs[img_base + img_idx] = (
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace %s /BitsPerComponent 8 "
+                b"/Filter /FlateDecode /Length %d >>\nstream\n"
+                % (w, h, cspace, len(raw))
+                + raw
+                + b"\nendstream"
+            )
+            img_idx += 1
         objs[page_num] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %s %s] "
             b"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> %s>> "
@@ -235,20 +259,10 @@ def _assemble_pdf(page_streams: List[bytes], images: List) -> bytes:
                 content_num,
             )
         )
-        deflated = zlib.compress(stream, 6)
+        deflated = zlib.compress(stream or b"", 6)
         objs[content_num] = (
             b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(deflated)
             + deflated
-            + b"\nendstream"
-        )
-    for j, img in enumerate(images):
-        h, w = img.shape[:2]
-        raw = zlib.compress(img.astype("uint8").tobytes(), 6)
-        objs[img_base + j] = (
-            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
-            b"/Filter /FlateDecode /Length %d >>\nstream\n" % (w, h, len(raw))
-            + raw
             + b"\nendstream"
         )
 
@@ -336,9 +350,12 @@ def _parse_objects(pdf: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
             elif pdf[i : i + 1] == b"\n":
                 i += 1
             # direct /Length only — an indirect length ("/Length 5 0 R",
-            # common in third-party PDFs) must NOT match as 5
-            lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", d)
-            if lm:
+            # common in third-party PDFs) must NOT match as 5. The optional
+            # "\d+ R" tail is captured (never lookahead-excluded: a negative
+            # lookahead lets the engine backtrack "/Length 12 0 R" into a
+            # bogus direct length of 1) and forces the endstream fallback.
+            lm = re.search(rb"/Length\s+(\d+)(\s+\d+\s+R)?", d)
+            if lm and not lm.group(2):
                 ln = int(lm.group(1))
                 stream = pdf[i : i + ln]
                 i += ln
@@ -791,9 +808,18 @@ def _page_payloads(pdf_bytes: bytes):
 
                     raw = _get_stream(objs, int(rm.group(2)))
                     w, h = int(wm.group(1)), int(hm.group(1))
-                    raster = _np.frombuffer(
-                        raw, dtype=_np.uint8, count=w * h * 3
-                    ).reshape(h, w, 3)
+                    # channel count from /ColorSpace (a DeviceGray
+                    # XObject must not be reshaped as RGB)
+                    csm = re.search(rb"/ColorSpace\s*/(\w+)", d)
+                    gray = csm is not None and csm.group(1) == b"DeviceGray"
+                    if gray:
+                        raster = _np.frombuffer(
+                            raw, dtype=_np.uint8, count=w * h
+                        ).reshape(h, w)
+                    else:
+                        raster = _np.frombuffer(
+                            raw, dtype=_np.uint8, count=w * h * 3
+                        ).reshape(h, w, 3)
         out.append((content, raster))
     return out
 
@@ -837,11 +863,13 @@ class Pdf:
             f.write(self._bytes)
 
     def extract_pages(self, start: int, end: int) -> bytes:
-        """New valid PDF holding pages [start, end) of this one."""
+        """New valid PDF holding pages [start, end) of this one, in the
+        ORIGINAL page order (interleaved text/image documents keep their
+        sequence — the payload list is passed through ordered)."""
         payloads = _page_payloads(self._bytes)[start:end]
-        streams = [c for c, r in payloads if r is None]
-        rasters = [r for _, r in payloads if r is not None]
-        return _assemble_pdf(streams, rasters)
+        return _assemble_pdf_pages(
+            [(c, r) if r is None else (None, r) for c, r in payloads]
+        )
 
     def to_imgs(self, page_w: int = 612, page_h: int = 792):
         """Rasterize each TEXT page to a BMP image using the bitmap

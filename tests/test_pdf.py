@@ -241,6 +241,44 @@ def test_pdf_handle_class(tmp_path):
     assert pdf_extracted_text(sub) == _norm(want)
 
 
+def test_extract_pages_preserves_interleaved_order_and_gray():
+    """Regression: subsetting a document with text/image/text pages must
+    keep the original sequence (the old path appended all image pages at
+    the end), and a /DeviceGray XObject must roundtrip as a 1-channel
+    raster, not be misread as RGB."""
+    import numpy as np
+
+    from open_parse_ray.functions.pdf import (
+        Pdf,
+        _assemble_pdf_pages,
+        _page_payloads,
+    )
+
+    t1 = b"BT /F1 12 Tf 1 0 0 1 56 700 Tm (page one text) Tj ET"
+    t2 = b"BT /F1 12 Tf 1 0 0 1 56 700 Tm (page three text) Tj ET"
+    rgb = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    gray = np.arange(5 * 7, dtype=np.uint8).reshape(5, 7)
+    src = _assemble_pdf_pages(
+        [(t1, None), (None, rgb), (t2, None), (None, gray)]
+    )
+    pdf = Pdf(src)
+    assert pdf.num_pages == 4
+
+    payloads = _page_payloads(src)
+    assert payloads[0][1] is None and payloads[2][1] is None
+    assert np.array_equal(payloads[1][1], rgb)
+    assert np.array_equal(payloads[3][1], gray)  # 1-channel, exact
+
+    # subset [1, 4): raster page FIRST, then text, then gray raster
+    sub = Pdf(pdf.extract_pages(1, 4))
+    assert sub.num_pages == 3
+    sub_payloads = _page_payloads(sub.bytes)
+    assert np.array_equal(sub_payloads[0][1], rgb)
+    assert sub_payloads[1][1] is None
+    assert np.array_equal(sub_payloads[2][1], gray)
+    assert pdf_extracted_text(sub.bytes) == "page three text"
+
+
 def test_pdf_to_imgs_ocr_roundtrip():
     """PDF → rasterized page images → OCR engine recovers the text:
     the full PDF→image→OCR loop with zero external libraries."""
@@ -311,6 +349,33 @@ def test_reader_handles_third_party_structures():
     for off in offsets:
         pdf += b"%010d 00000 n \n" % off
     pdf += b"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_off
+
+    assert pdf_extracted_text(bytes(pdf)) == "first part second part"
+
+
+def test_reader_indirect_length_multidigit_object_number():
+    """Regression: "/Length 12 0 R" must NOT backtrack into a direct
+    length of 1 (the old negative-lookahead regex did exactly that,
+    silently truncating the stream to one byte). Object number chosen
+    multi-digit on purpose."""
+    body = b"BT /F1 12 Tf 1 0 0 1 56 700 Tm (first part) Tj "
+    body += b"1 0 0 1 56 680 Tm (second part) Tj ET"
+    objs = {
+        1: b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        2: b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        3: b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\nendobj\n",
+        4: b"4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Name /F1 >>\nendobj\n",
+        5: b"5 0 obj\n<< /Length 12 0 R >>\nstream\n"
+        + body
+        + b"\nendstream\nendobj\n",
+        12: b"12 0 obj\n%d\nendobj\n" % len(body),
+    }
+    pdf = bytearray(b"%PDF-1.4\n")
+    for o in objs.values():
+        pdf += o
+    pdf += b"trailer\n<< /Size 13 /Root 1 0 R >>\nstartxref\n0\n%%%%EOF\n"
 
     assert pdf_extracted_text(bytes(pdf)) == "first part second part"
 
