@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Literal, Optional
 
+import numpy as np
+
 from open_parse_ray.model import Bbox, ImageElement, Node, TextElement
 
 
@@ -72,15 +74,52 @@ class RemoveTextInsideTables(ProcessingStep):
 
 class CombineSlicedImages(ProcessingStep):
     """Re-join images sliced by the source format (reference:
-    basic_transforms.py:32-119). Pixel stitching needs an image library
-    which this container lacks; the grouping + node-rewrite plumbing is
-    real, and the stitch is a deterministic byte-concat fallback (the
-    actor-pool decode stage in stages/multimodal.py owns real decoding)."""
+    basic_transforms.py:32-119). Real PIXEL stitch via the in-repo
+    PNG/BMP codecs (stages/multimodal.py): decode every slice, paste
+    vertically at x=0 onto a black RGB canvas of (max width, summed
+    height) — exactly the reference's `Image.new("RGB")` + sequential
+    `paste` — and re-encode as PNG. Payloads no codec recognizes fall
+    back to the deterministic byte-concat (still groups + rewrites)."""
+
+    @staticmethod
+    def _decode_rgb(payload: bytes):
+        """Slice bytes → (H, W, 3) uint8 or None if not decodable."""
+        from open_parse_ray.stages.multimodal import decode_bmp, decode_png
+
+        try:
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                img = decode_png(payload)
+            elif payload[:2] == b"BM":
+                img = decode_bmp(payload)
+            else:
+                return None
+        except Exception:
+            return None
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[2] == 1:  # gray → RGB, as PIL convert would
+            img = np.repeat(img, 3, axis=2)
+        elif img.shape[2] == 4:  # RGBA paste w/o mask drops alpha
+            img = img[:, :, :3]
+        return img
 
     def _combine_images_in_group(self, image_elements) -> ImageElement:
         if not image_elements:
             raise ValueError("No images to combine.")
-        stitched = b"".join(e.image for e in image_elements)
+        from open_parse_ray.stages.multimodal import encode_png
+
+        imgs = [self._decode_rgb(e.image) for e in image_elements]
+        if any(i is None for i in imgs):
+            stitched = b"".join(e.image for e in image_elements)
+        else:
+            width = max(i.shape[1] for i in imgs)
+            total_height = sum(i.shape[0] for i in imgs)
+            canvas = np.zeros((total_height, width, 3), dtype=np.uint8)
+            y = 0
+            for img in imgs:
+                canvas[y : y + img.shape[0], : img.shape[1]] = img
+                y += img.shape[0]
+            stitched = encode_png(canvas)
         return ImageElement(
             bbox=image_elements[0].bbox,
             image=stitched,

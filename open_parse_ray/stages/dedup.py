@@ -5,12 +5,18 @@ Scale shapes (the part that matters at 100 TB):
 - exact: hash in a vectorized map (shrinks the shuffle key from full text
   to 16 bytes) → ``groupby(fp)`` → per-group first. One shuffle, keyed on
   a short uniform hash — no skew.
-- MinHash-LSH: per-batch numpy signatures → explode to (band, band_hash,
-  doc_id) rows → ``groupby`` on the band key → candidate pairs per bucket
-  → signature-estimated Jaccard filter. The only all-to-all is over the
-  tiny band table (bands × docs rows of 3 ints), never the texts.
-- SimHash: 64-bit signature per doc, 4×16-bit band blocking for
-  hamming<=3-style candidates, same explode/groupby shape.
+- MinHash-LSH: per-batch numpy signatures → exact collapse of equal
+  signatures (one shuffle shipping each 256 B sig once per doc) → SLIM
+  band rows (bucket, band, rep_id — 24 B, signatures never ride along)
+  → bucket routing with adaptive triangle chunking (a hot bucket
+  degrades into bounded chunk-pair tasks of <= 2 × chunk_size rows) →
+  signatures re-attached to the small non-singleton-bucket membership
+  via a salted union-join against the materialized signature index →
+  per-chunk verification → bounded expansion of exact-dup groups.
+  Texts are never shuffled anywhere.
+- SimHash: 64-bit signature per doc, same collapse + 4×16-bit band
+  blocking + adaptive chunking; the 8-byte signature rides the band
+  rows directly (no side-table join needed).
 """
 
 from __future__ import annotations
@@ -395,111 +401,481 @@ def exact_dedup_groups(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# LSH near-dup scaffolding (bounded buckets, slim exchanges)
+# ---------------------------------------------------------------------------
+
+
+def _ids_to_bytes(ids: np.ndarray) -> bytes:
+    """Pack sorted int64 doc ids as little-endian bytes (binary columns
+    survive Arrow schema unification across heterogeneous blocks, unlike
+    object-dtype lists, and cost 8B/id in every exchange)."""
+    return np.ascontiguousarray(ids, dtype="<i8").tobytes()
+
+
+def _bytes_to_ids(b: bytes) -> np.ndarray:
+    return np.frombuffer(b, dtype="<i8")
+
+
+def _collapse_by_key(ds, key_col: str, salt_of, num_parts: int = 32):
+    """Exact-duplicate collapse at the SIGNATURE level: one row per
+    distinct ``key_col`` value with rep_id = min doc_id and copies = the
+    sorted member ids packed as bytes.
+
+    Equal texts have equal signatures, so this subsumes exact text dedup
+    for bucket-capping purposes WITHOUT ever shuffling text — the
+    exchange ships each signature once per doc (vs. once per band row
+    before this stage existed). A corpus already collapsed with
+    ``exact_dedup_groups`` passes through unchanged (all groups size 1).
+    """
+
+    def collapse(part: pd.DataFrame) -> pd.DataFrame:
+        reps, keys, copies = [], [], []
+        for key, g in part.groupby(key_col, sort=False):
+            ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
+            reps.append(ids[0])
+            keys.append(key)
+            copies.append(_ids_to_bytes(ids))
+        return pd.DataFrame(
+            {
+                "rep_id": pd.Series(reps, dtype="int64"),
+                # dtype inferred: bytes keys stay object→binary, int
+                # keys (simhash) stay int64
+                key_col: pd.Series(
+                    keys, dtype=None if keys else part[key_col].dtype
+                ),
+                "copies": pd.Series(copies, dtype="object"),
+            }
+        )
+
+    return salted_groupby(ds, salt_of, collapse, num_parts=num_parts)
+
+
+def _triangle_assign(n: int, chunk_size: int):
+    """Adaptive triangle-join replication for one bucket of ``n`` sorted
+    members: chunk c = position // chunk_size (deterministic — a pure
+    function of the sorted id multiset), each member replicated to every
+    chunk-pair bucket (min(c, j), max(c, j)). Any verify task then holds
+    at most 2 × chunk_size rows NO MATTER how hot the bucket is — the
+    content-addressed chunking `embedding_neardup_pairs` proved, with
+    n_chunks chosen per bucket (ceil(n / chunk_size)) instead of fixed.
+    Returns (row_idx, ca, cb) replication arrays."""
+    c = np.arange(n, dtype=np.int64) // chunk_size
+    k = int(c[-1]) + 1 if n else 1
+    idx = np.tile(np.arange(n, dtype=np.int64), k)
+    cj = np.repeat(np.arange(k, dtype=np.int64), n)
+    return idx, np.minimum(c[idx], cj), np.maximum(c[idx], cj)
+
+
+_EXP_SCHEMA = pa.schema(
+    [
+        ("ids_a", pa.binary()),
+        ("ids_b", pa.binary()),
+        ("tri", pa.int64()),
+        ("value", pa.float64()),
+    ]
+)
+
+
+def _exp_table(rows: list) -> pa.Table:
+    """(ids_a, ids_b, tri, value) tuples → Arrow table with the EXPLICIT
+    expansion schema (an empty pandas object column would otherwise
+    infer Arrow ``null`` and break schema unification in unions)."""
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.binary()),
+            pa.array([r[1] for r in rows], pa.binary()),
+            pa.array([r[2] for r in rows], pa.int64()),
+            pa.array([r[3] for r in rows], pa.float64()),
+        ],
+        schema=_EXP_SCHEMA,
+    )
+
+
+def _chunk_pair_rows(ids: np.ndarray, chunk_size: int, value: float) -> list:
+    """Expansion-task rows covering all unordered pairs WITHIN one sorted
+    id array, each row bounded to chunk_size ids per side: triangular
+    rows for each chunk, cross rows for each chunk pair."""
+    k = max(1, -(-len(ids) // chunk_size))
+    chunks = [
+        _ids_to_bytes(ids[i * chunk_size : (i + 1) * chunk_size])
+        for i in range(k)
+    ]
+    rows = [(chunks[i], chunks[i], 1, value) for i in range(k)]
+    rows += [
+        (chunks[i], chunks[j], 0, value)
+        for i in range(k)
+        for j in range(i + 1, k)
+    ]
+    return rows
+
+
+def _within_group_rows(part: pd.DataFrame, chunk_size: int, value: float):
+    """reps rows → expansion rows for every exact-duplicate group with
+    >= 2 copies (each such pair has identical signatures, hence the
+    constant ``value``: est 1.0 / hamming 0)."""
+    rows = []
+    for cp in part["copies"]:
+        ids = _bytes_to_ids(cp)
+        if len(ids) >= 2:
+            rows.extend(_chunk_pair_rows(ids, chunk_size, value))
+    return _exp_table(rows)
+
+
+def _expand_pair_rows(batch: pd.DataFrame):
+    """Generator UDF: expansion rows → (doc_a, doc_b, value) pairs,
+    flushed in bounded slices so one task never materializes more than
+    ~2M pairs regardless of how many rows land in its batch."""
+    buf_a, buf_b, buf_v, n_buf = [], [], [], 0
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "value": pd.Series(dtype="float64"),
+        }
+    )
+    for ids_a, ids_b, tri, value in zip(
+        batch["ids_a"], batch["ids_b"], batch["tri"], batch["value"]
+    ):
+        a_ids = _bytes_to_ids(ids_a)
+        if tri:
+            ia, ib = np.triu_indices(len(a_ids), k=1)
+            lo, hi = a_ids[ia], a_ids[ib]
+        else:
+            b_ids = _bytes_to_ids(ids_b)
+            a = np.repeat(a_ids, len(b_ids))
+            b = np.tile(b_ids, len(a_ids))
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+        buf_a.append(lo)
+        buf_b.append(hi)
+        buf_v.append(np.full(len(lo), value, dtype=np.float64))
+        n_buf += len(lo)
+        if n_buf >= 2_000_000:
+            yield pd.DataFrame(
+                {
+                    "doc_a": np.concatenate(buf_a),
+                    "doc_b": np.concatenate(buf_b),
+                    "value": np.concatenate(buf_v),
+                }
+            )
+            buf_a, buf_b, buf_v, n_buf = [], [], [], 0
+    if n_buf:
+        yield pd.DataFrame(
+            {
+                "doc_a": np.concatenate(buf_a),
+                "doc_b": np.concatenate(buf_b),
+                "value": np.concatenate(buf_v),
+            }
+        )
+    else:
+        yield empty
+
+
+def _expand_rep_pairs(rep_pairs, reps_ds, chunk_size: int):
+    """Verified REP pairs (small by LSH construction — the documented
+    |pairs| ≪ |corpus| assumption) → expansion rows over the members of
+    each side's exact-duplicate group. Copy lists are fetched with a
+    distributed broadcast-filter over the materialized reps table (the
+    involved-rep set is bounded by the pair stream), never a full
+    collect."""
+    import ray
+
+    if not rep_pairs:
+        return _exp_table([])
+    involved = {int(p["rep_a"]) for p in rep_pairs}
+    involved |= {int(p["rep_b"]) for p in rep_pairs}
+    ref = ray.put(involved)
+
+    def keep_involved(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        ids = t.column("rep_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array([int(i) in want for i in ids]))
+
+    rows = (
+        reps_ds.select_columns(["rep_id", "copies"])
+        .map_batches(keep_involved, batch_format="pyarrow", batch_size=4096)
+        .take_all()
+    )
+    copies = {int(r["rep_id"]): _bytes_to_ids(r["copies"]) for r in rows}
+    out = []
+    for p in rep_pairs:
+        a_ids = copies[int(p["rep_a"])]
+        b_ids = copies[int(p["rep_b"])]
+        v = float(p["value"])
+        for i in range(0, len(a_ids), chunk_size):
+            for j in range(0, len(b_ids), chunk_size):
+                out.append(
+                    (
+                        _ids_to_bytes(a_ids[i : i + chunk_size]),
+                        _ids_to_bytes(b_ids[j : j + chunk_size]),
+                        0,
+                        v,
+                    )
+                )
+    return _exp_table(out)
+
+
 def minhash_neardup_pairs(
     sf_dir: str,
     num_perm: int = 128,
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    chunk_size: int = 1024,
 ):
     """Candidate pairs from LSH banding, verified by signature-estimated
-    Jaccard >= threshold. Returns (doc_a, doc_b, est_jaccard)."""
+    Jaccard >= threshold. Returns (doc_a, doc_b, est_jaccard) — the same
+    rows as pairwise est >= threshold among docs sharing >= 1 band,
+    each pair exactly once (first-matching-band rule).
+
+    Scale shape (bounded buckets, slim exchanges — round-3 redesign):
+    1. signatures per doc (map, no shuffle), then EXACT COLLAPSE of equal
+       signatures into (rep_id, sig, copies): a viral cluster of g
+       byte-identical docs costs ONE bucket slot instead of an O(g^2)
+       verify task. Exchange: sig shipped once per doc (256 B).
+    2. band rows over reps ship (bucket, band, rep_id) ONLY — 24 B/row
+       vs 280 B/row when the signature rode along with every band row
+       (~16x less banding exchange at 128 perms / 16 bands).
+    3. bucket routing: each bucket with >= 2 reps is triangle-chunked
+       adaptively (ceil(g / chunk_size) chunks, see _triangle_assign) so
+       any verify task holds <= 2 * chunk_size signatures — a hot
+       near-identical bucket degrades into many bounded tasks, never one
+       OOM straggler.
+    4. signatures re-attach to routing rows via a salted union-join
+       against the materialized signature side-table (reps) — the only
+       stage that ships sigs again, and only for members of
+       non-singleton buckets.
+    5. per chunk-pair verification (est matrix + first-matching-band
+       over recomputed band buckets), then bounded expansion of exact-
+       duplicate groups (copies) back into doc-level pairs.
+
+    The materialized reps table is a signature INDEX (~264 B per
+    distinct sig — a few percent of corpus bytes), not a mid-pipeline
+    materialization of the input."""
     import ray.data as rd
 
     hasher = FastMinHasher(num_perm)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    sigs = ds.map_batches(
-        lambda b: minhash_signatures(b, hasher, shingle_k),
-        batch_format="pandas",
-        batch_size=4096,
-    )
+    def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = minhash_signatures(batch, hasher, shingle_k)
+        if len(out):
+            mat = np.frombuffer(b"".join(out["sig"]), dtype=np.uint16).reshape(
+                len(out), num_perm
+            )
+            out["sighash"] = _band_buckets(mat, 1).reshape(-1)
+        else:
+            out["sighash"] = pd.Series(dtype="int64")
+        return out
 
-    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        # bucket = int64 band-content hash (see _band_buckets): one
-        # integer column replaces (band_id, hex) and salts vectorized
-        if not len(batch):
-            return pd.DataFrame(
+    sigs = ds.map_batches(sig_rows, batch_format="pandas", batch_size=4096)
+    reps = _collapse_by_key(
+        sigs.select_columns(["doc_id", "sig", "sighash"]),
+        "sig",
+        lambda b: b["sighash"],
+    ).materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
                 {
-                    "bucket": pd.Series(dtype="int64"),
-                    "band": pd.Series(dtype="int64"),
-                    "doc_id": pd.Series(dtype="int64"),
-                    "sig": pd.Series(dtype="object"),
+                    "bucket": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int64()),
+                    "rep_id": pa.array([], pa.int64()),
                 }
             )
-        sig_list = list(batch["sig"])
+        sig_list = [s.as_py() for s in t.column("sig")]
         mat = np.frombuffer(b"".join(sig_list), dtype=np.uint16).reshape(
             len(sig_list), num_perm
         )
         buckets = _band_buckets(mat, bands)
-        return pd.DataFrame(
+        rep_ids = t.column("rep_id").to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "bucket": buckets.reshape(-1),
-                "band": np.tile(np.arange(bands, dtype=np.int64), len(sig_list)),
-                "doc_id": np.repeat(
-                    np.asarray(batch["doc_id"], dtype=np.int64), bands
+                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int64), len(sig_list)),
+                    pa.int64(),
                 ),
-                "sig": np.repeat(np.asarray(sig_list, dtype=object), bands),
+                "rep_id": pa.array(
+                    np.repeat(rep_ids.astype(np.int64), bands), pa.int64()
+                ),
             }
         )
 
-    banded = sigs.map_batches(band_rows, batch_format="pandas", batch_size=4096)
+    banded = reps.select_columns(["rep_id", "sig"]).map_batches(
+        band_rows, batch_format="pyarrow", batch_size=4096
+    )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "doc_a": pd.Series(dtype="int64"),
-                "doc_b": pd.Series(dtype="int64"),
-                "est_jaccard": pd.Series(dtype="float64"),
-            }
-        )
-        if len(g) < 2:
-            return empty
-        # vectorized pairwise estimate: stack signatures into (g, P)
-        # uint16, compare all pairs in one equality-mean matrix — the
-        # per-pair frombuffer loop disappears (same floats: mean over
-        # the same P component equalities)
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        mat = np.frombuffer(b"".join(g["sig"]), dtype=np.uint16).reshape(
-            len(g), num_perm
-        )
-        est = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
-        keep = np.triu(est >= threshold, k=1) & (ids[:, None] != ids[None, :])
-        # first-matching-band rule: a pair found in several buckets is
-        # emitted ONLY from the bucket of its lowest equal band — the
-        # textbook LSH trick that removes the cross-band dedup shuffle
-        rpb = num_perm // bands
-        chunks = mat.reshape(len(g), bands, rpb)
-        band_eq = (chunks[:, None, :, :] == chunks[None, :, :, :]).all(axis=3)
-        first = np.argmax(band_eq, axis=2)  # (g, g): lowest equal band
-        keep &= first == int(g["band"].iloc[0])
-        ia, ib = np.nonzero(keep)
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(ids[ia], dtype="int64"),
-                "doc_b": pd.Series(ids[ib], dtype="int64"),
-                "est_jaccard": pd.Series(est[ia, ib], dtype="float64"),
-            }
-        )
-
-    def pairs_in_partition(part: pd.DataFrame) -> pd.DataFrame:
-        # all rows of any one bucket are co-located here (salt is a
-        # function of the bucket key)
-        outs = [
-            pairs_in_bucket(g)
-            for _, g in part.groupby("bucket", sort=False)
-            if len(g) > 1
-        ]
+    def route(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for bucket, g in part.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            ids = np.sort(g["rep_id"].to_numpy(dtype=np.int64))
+            idx, ca, cb = _triangle_assign(len(ids), chunk_size)
+            c = np.arange(len(ids), dtype=np.int64) // chunk_size
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "bucket": np.full(len(idx), bucket, dtype=np.int64),
+                        "band": np.full(
+                            len(idx), int(g["band"].iloc[0]), dtype=np.int64
+                        ),
+                        "ca": ca,
+                        "cb": cb,
+                        "chunk": c[idx],
+                        "rep_id": ids[idx],
+                    }
+                )
+            )
         if not outs:
-            return pairs_in_bucket(part.iloc[:0])
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int64"),
+                    "band": pd.Series(dtype="int64"),
+                    "ca": pd.Series(dtype="int64"),
+                    "cb": pd.Series(dtype="int64"),
+                    "chunk": pd.Series(dtype="int64"),
+                    "rep_id": pd.Series(dtype="int64"),
+                }
+            )
         return pd.concat(outs, ignore_index=True)
 
-    # first-matching-band emission means each pair appears in exactly one
-    # bucket — no cross-band dedup shuffle needed
-    return salted_groupby(
-        banded, lambda b: b["bucket"], pairs_in_partition
-    ).select_columns(["doc_a", "doc_b", "est_jaccard"])
+    routing = salted_groupby_arrow(
+        banded, lambda t: t.column("bucket").to_numpy(), route
+    )
+
+    # --- attach signatures: tagged union-join against the side-table.
+    # Both sides carry the full column set (ints -1 / empty bytes as
+    # placeholders) so Arrow block schemas unify.
+    def tag_routing(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column(
+            "sig", pa.array([b""] * n, pa.binary())
+        )
+
+    def tag_reps(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "bucket": pa.array(np.full(n, -1, dtype=np.int64)),
+            "band": pa.array(np.full(n, -1, dtype=np.int64)),
+            "ca": pa.array(np.full(n, -1, dtype=np.int64)),
+            "cb": pa.array(np.full(n, -1, dtype=np.int64)),
+            "chunk": pa.array(np.full(n, -1, dtype=np.int64)),
+            "rep_id": t.column("rep_id"),
+            "sig": t.column("sig").cast(pa.binary()),
+        }
+        return pa.table(cols)
+
+    unioned = routing.map_batches(
+        tag_routing, batch_format="pyarrow", batch_size=8192
+    ).union(
+        reps.select_columns(["rep_id", "sig"]).map_batches(
+            tag_reps, batch_format="pyarrow", batch_size=8192
+        )
+    )
+
+    def attach(part: pd.DataFrame) -> pd.DataFrame:
+        side = part[part["bucket"] == -1]
+        tgt = part[part["bucket"] != -1]
+        if not len(tgt):
+            return tgt
+        return tgt.drop(columns=["sig"]).merge(
+            side[["rep_id", "sig"]], on="rep_id", how="inner"
+        )
+
+    attached = salted_groupby_arrow(
+        unioned, lambda t: t.column("rep_id").to_numpy(), attach
+    )
+
+    def verify(part: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_v = [], [], []
+        for _, g in part.groupby(["bucket", "ca", "cb"], sort=False):
+            order = np.argsort(g["rep_id"].to_numpy(dtype=np.int64), kind="stable")
+            ids = g["rep_id"].to_numpy(dtype=np.int64)[order]
+            mat = np.frombuffer(b"".join(g["sig"]), dtype=np.uint16).reshape(
+                len(g), num_perm
+            )[order]
+            bb = _band_buckets(mat, bands)
+            band = int(g["band"].iloc[0])
+            ca, cb = int(g["ca"].iloc[0]), int(g["cb"].iloc[0])
+            if ca == cb:
+                if len(ids) < 2:
+                    continue
+                est = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+                keep = np.triu(est >= threshold, k=1)
+                keep &= ids[:, None] != ids[None, :]  # band-hash collision guard
+                first = np.argmax(bb[:, None, :] == bb[None, :, :], axis=2)
+                keep &= first == band
+                ia, ib = np.nonzero(keep)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+                out_v.append(est[ia, ib])
+            else:
+                chunk = g["chunk"].to_numpy(dtype=np.int64)[order]
+                left = chunk == ca
+                if not left.any() or left.all():
+                    continue
+                A, B = np.nonzero(left)[0], np.nonzero(~left)[0]
+                est = (mat[A][:, None, :] == mat[B][None, :, :]).mean(axis=2)
+                keep = est >= threshold
+                first = np.argmax(bb[A][:, None, :] == bb[B][None, :, :], axis=2)
+                keep &= first == band
+                ia, ib = np.nonzero(keep)
+                a, b = ids[A[ia]], ids[B[ib]]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_v.append(est[ia, ib])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "rep_a": pd.Series(dtype="int64"),
+                    "rep_b": pd.Series(dtype="int64"),
+                    "value": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "rep_a": np.concatenate(out_a).astype(np.int64),
+                "rep_b": np.concatenate(out_b).astype(np.int64),
+                "value": np.concatenate(out_v).astype(np.float64),
+            }
+        )
+
+    verified = salted_groupby_arrow(
+        attached,
+        lambda t: (
+            t.column("bucket").to_numpy()
+            + t.column("ca").to_numpy() * 0x9E3779B9
+            + t.column("cb").to_numpy() * 31
+        ),
+        verify,
+    )
+
+    rep_pairs = verified.take_all()  # small by LSH construction
+    import ray.data as _rd
+
+    cross_rows = _expand_rep_pairs(rep_pairs, reps, chunk_size)
+    within = reps.map_batches(
+        lambda b: _within_group_rows(b, chunk_size, 1.0),
+        batch_format="pandas",
+        batch_size=4096,
+    )
+    expansion = _rd.from_arrow(cross_rows).union(within)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": b["doc_a"].astype("int64"),
+                "doc_b": b["doc_b"].astype("int64"),
+                "est_jaccard": b["value"].astype("float64"),
+            }
+        )
+
+    return expansion.map_batches(
+        _expand_pair_rows, batch_format="pandas", batch_size=32
+    ).map_batches(finish, batch_format="pandas", batch_size=1_000_000)
 
 
 def union_find_clusters(pairs) -> dict:
@@ -573,12 +949,23 @@ def simhash_table(sf_dir: str):
     return ds.map_batches(simhash_batch, batch_format="pandas", batch_size=4096)
 
 
-def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3):
+def simhash_neardup_pairs(
+    sf_dir: str, max_hamming: int = 3, chunk_size: int = 1024
+):
     """4×16-bit band blocking: any pair with hamming <= 3 shares at least
-    one exact 16-bit band (pigeonhole). Returns (doc_a, doc_b, hamming)."""
+    one exact 16-bit band (pigeonhole). Returns (doc_a, doc_b, hamming).
+
+    Same bounded-bucket shape as :func:`minhash_neardup_pairs`: equal
+    simhashes collapse into (rep_id, simhash, copies) first (a cluster
+    of g identical docs costs one bucket slot), oversized buckets are
+    adaptively triangle-chunked so a verify task holds <= 2 * chunk_size
+    rows, and exact-duplicate groups expand back in bounded slices. The
+    simhash itself is 8 bytes, so band rows carry it directly — no
+    signature side-table join is needed here."""
     import ray.data as rd
 
     sh = simhash_table(sf_dir)
+    reps = _collapse_by_key(sh, "simhash", lambda b: b["simhash"]).materialize()
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
         # vectorized 4-way band explode: shift/mask the whole column at
@@ -594,67 +981,153 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3):
             {
                 "band_id": band_ids,
                 "band_val": band_vals,
-                "doc_id": np.repeat(
-                    batch["doc_id"].to_numpy(dtype=np.int64), 4
+                "rep_id": np.repeat(
+                    batch["rep_id"].to_numpy(dtype=np.int64), 4
                 ),
                 "simhash": np.repeat(h, 4).view(np.int64),
             }
         )
 
-    banded = sh.map_batches(bands, batch_format="pandas", batch_size=4096)
+    banded = reps.select_columns(["rep_id", "simhash"]).map_batches(
+        bands, batch_format="pandas", batch_size=4096
+    )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "doc_a": pd.Series(dtype="int64"),
-                "doc_b": pd.Series(dtype="int64"),
-                "hamming": pd.Series(dtype="int64"),
-            }
-        )
-        if len(g) < 2:
-            return empty
-        # vectorized pairwise hamming: (g, g) XOR matrix + byte-LUT
-        # popcount, upper triangle, id inequality — no per-pair Python
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        hs = g["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
-        x = hs[:, None] ^ hs[None, :]
-        ham = _POPCOUNT8[x.view(np.uint8).reshape(len(hs), len(hs), 8)].sum(
-            axis=-1, dtype=np.int64
-        )
-        keep = (
-            np.triu(ham <= max_hamming, k=1) & (ids[:, None] != ids[None, :])
-        )
-        # first-matching-band rule (see minhash): emit a pair only from
-        # the bucket of its lowest equal 16-bit band — kills the
-        # cross-band dedup shuffle
-        shifts = (np.arange(4, dtype=np.uint64)) * np.uint64(16)
-        bvals = (hs[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)  # (g, 4)
-        beq = bvals[:, None, :] == bvals[None, :, :]  # (g, g, 4)
-        first = np.argmax(beq, axis=2)
-        keep &= first == int(g["band_id"].iloc[0])
-        ia, ib = np.nonzero(keep)
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(ids[ia], dtype="int64"),
-                "doc_b": pd.Series(ids[ib], dtype="int64"),
-                "hamming": pd.Series(ham[ia, ib], dtype="int64"),
-            }
-        )
-
-    def pairs_in_partition(part: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            pairs(g)
-            for _, g in part.groupby(["band_id", "band_val"], sort=False)
-            if len(g) > 1
-        ]
+    def route(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (band_id, band_val), g in part.groupby(
+            ["band_id", "band_val"], sort=False
+        ):
+            if len(g) < 2:
+                continue
+            order = np.argsort(
+                g["rep_id"].to_numpy(dtype=np.int64), kind="stable"
+            )
+            ids = g["rep_id"].to_numpy(dtype=np.int64)[order]
+            hs = g["simhash"].to_numpy(dtype=np.int64)[order]
+            idx, ca, cb = _triangle_assign(len(ids), chunk_size)
+            c = np.arange(len(ids), dtype=np.int64) // chunk_size
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "band_id": np.full(len(idx), band_id, dtype=np.int64),
+                        "band_val": np.full(len(idx), band_val, dtype=np.int64),
+                        "ca": ca,
+                        "cb": cb,
+                        "chunk": c[idx],
+                        "rep_id": ids[idx],
+                        "simhash": hs[idx],
+                    }
+                )
+            )
         if not outs:
-            return pairs(part.iloc[:0])
+            return pd.DataFrame(
+                {
+                    "band_id": pd.Series(dtype="int64"),
+                    "band_val": pd.Series(dtype="int64"),
+                    "ca": pd.Series(dtype="int64"),
+                    "cb": pd.Series(dtype="int64"),
+                    "chunk": pd.Series(dtype="int64"),
+                    "rep_id": pd.Series(dtype="int64"),
+                    "simhash": pd.Series(dtype="int64"),
+                }
+            )
         return pd.concat(outs, ignore_index=True)
 
-    return salted_groupby(
-        banded, lambda b: b["band_val"] * 7 + b["band_id"], pairs_in_partition
-    ).select_columns(["doc_a", "doc_b", "hamming"])
+    routing = salted_groupby(
+        banded, lambda b: b["band_val"] * 7 + b["band_id"], route
+    )
+
+    def _pair_hamming(ha: np.ndarray, hb: np.ndarray) -> np.ndarray:
+        x = ha[:, None].view(np.uint64) ^ hb[None, :].view(np.uint64)
+        return _POPCOUNT8[
+            x.view(np.uint8).reshape(len(ha), len(hb), 8)
+        ].sum(axis=-1, dtype=np.int64)
+
+    def verify(part: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_v = [], [], []
+        shifts = (np.arange(4, dtype=np.uint64)) * np.uint64(16)
+        for (band_id, _bv, ca, cb), g in part.groupby(
+            ["band_id", "band_val", "ca", "cb"], sort=False
+        ):
+            order = np.argsort(
+                g["rep_id"].to_numpy(dtype=np.int64), kind="stable"
+            )
+            ids = g["rep_id"].to_numpy(dtype=np.int64)[order]
+            hs = g["simhash"].to_numpy(dtype=np.int64)[order]
+            hu = hs.view(np.uint64)
+            bvals = (hu[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+            if ca == cb:
+                if len(ids) < 2:
+                    continue
+                ham = _pair_hamming(hs, hs)
+                keep = np.triu(ham <= max_hamming, k=1)
+                keep &= ids[:, None] != ids[None, :]  # duplicate-row guard
+                first = np.argmax(bvals[:, None, :] == bvals[None, :, :], axis=2)
+                keep &= first == band_id
+                ia, ib = np.nonzero(keep)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+                out_v.append(ham[ia, ib])
+            else:
+                chunk = g["chunk"].to_numpy(dtype=np.int64)[order]
+                left = chunk == ca
+                if not left.any() or left.all():
+                    continue
+                A, B = np.nonzero(left)[0], np.nonzero(~left)[0]
+                ham = _pair_hamming(hs[A], hs[B])
+                keep = ham <= max_hamming
+                first = np.argmax(
+                    bvals[A][:, None, :] == bvals[B][None, :, :], axis=2
+                )
+                keep &= first == band_id
+                ia, ib = np.nonzero(keep)
+                a, b = ids[A[ia]], ids[B[ib]]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_v.append(ham[ia, ib])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "rep_a": pd.Series(dtype="int64"),
+                    "rep_b": pd.Series(dtype="int64"),
+                    "value": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "rep_a": np.concatenate(out_a).astype(np.int64),
+                "rep_b": np.concatenate(out_b).astype(np.int64),
+                "value": np.concatenate(out_v).astype(np.float64),
+            }
+        )
+
+    verified = salted_groupby(
+        routing,
+        lambda b: b["band_val"] * 7 + b["band_id"] + b["ca"] * 131 + b["cb"],
+        verify,
+    )
+
+    rep_pairs = verified.take_all()  # small by LSH construction
+    cross_rows = _expand_rep_pairs(rep_pairs, reps, chunk_size)
+    within = reps.map_batches(
+        lambda b: _within_group_rows(b, chunk_size, 0.0),
+        batch_format="pandas",
+        batch_size=4096,
+    )
+    expansion = rd.from_arrow(cross_rows).union(within)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": b["doc_a"].astype("int64"),
+                "doc_b": b["doc_b"].astype("int64"),
+                "hamming": b["value"].astype("int64"),
+            }
+        )
+
+    return expansion.map_batches(
+        _expand_pair_rows, batch_format="pandas", batch_size=32
+    ).map_batches(finish, batch_format="pandas", batch_size=1_000_000)
 
 
 def _shingle_hash_set(text: str, k: int):

@@ -3,6 +3,7 @@ multimodal kernels) — pure-kernel level, no Ray session needed."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from open_parse_ray.stages.analysis import (
     LangId,
@@ -621,6 +622,136 @@ def test_union_find_clusters():
 
     for perm in itertools.permutations([(5, 3), (3, 9), (9, 1)]):
         assert set(union_find_clusters(list(perm)).values()) == {1}
+
+
+def _brute_minhash_pairs(df, num_perm=128, bands=16, k=3, thr=0.5):
+    """Semantic oracle for minhash_neardup_pairs: ALL doc pairs with
+    estimated Jaccard >= thr that share at least one band bucket, each
+    exactly once — independent of collapse/banding/chunking internals."""
+    from open_parse_ray.stages.dedup import (
+        FastMinHasher,
+        _band_buckets,
+        _word_shingles,
+    )
+
+    h = FastMinHasher(num_perm)
+    sigs = np.stack(
+        [
+            h.signature(_word_shingles(t, k)).astype(np.uint16)
+            for t in df["text"]
+        ]
+    )
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    bb = _band_buckets(sigs, bands)
+    est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+    share = (bb[:, None, :] == bb[None, :, :]).any(axis=2)
+    keep = np.triu(est >= thr, k=1) & share
+    ia, ib = np.nonzero(keep)
+    a, b = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
+    return sorted(zip(a.tolist(), b.tolist(), est[ia, ib].tolist()))
+
+
+def _brute_simhash_pairs(df, max_hamming=3):
+    from open_parse_ray.stages.dedup import _POPCOUNT8, simhash64
+
+    hs = np.array(
+        [simhash64(t) for t in df["text"]], dtype=np.uint64
+    )
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    x = hs[:, None] ^ hs[None, :]
+    ham = _POPCOUNT8[x.view(np.uint8).reshape(len(hs), len(hs), 8)].sum(
+        axis=-1, dtype=np.int64
+    )
+    keep = np.triu(ham <= max_hamming, k=1)
+    ia, ib = np.nonzero(keep)
+    a, b = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
+    return sorted(zip(a.tolist(), b.tolist(), ham[ia, ib].tolist()))
+
+
+def test_minhash_simhash_match_bruteforce_oracle(ray_session):
+    """The full distributed LSH path (collapse → slim banding → adaptive
+    chunking → side-table attach → verify → expansion) emits EXACTLY the
+    brute-force pair set on sf0.001, for the default and a tiny
+    chunk_size (which forces the multi-chunk triangle path)."""
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.dedup import (
+        minhash_neardup_pairs,
+        simhash_neardup_pairs,
+    )
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    want_mh = _brute_minhash_pairs(docs)
+    want_sh = _brute_simhash_pairs(docs)
+    for chunk_size in (1024, 16):
+        mh = minhash_neardup_pairs(
+            "/root/testdata/sf0.001", chunk_size=chunk_size
+        ).to_pandas()
+        got = sorted(
+            zip(mh["doc_a"], mh["doc_b"], mh["est_jaccard"])
+        )
+        assert got == want_mh, chunk_size
+        sh = simhash_neardup_pairs(
+            "/root/testdata/sf0.001", chunk_size=chunk_size
+        ).to_pandas()
+        got_s = sorted(zip(sh["doc_a"], sh["doc_b"], sh["hamming"]))
+        assert got_s == want_sh, chunk_size
+
+
+def test_minhash_hot_identical_cluster_bounded(ray_session, tmp_path):
+    """Scale gate: a 10k-doc byte-identical viral cluster. The old code
+    built a (10k × 10k × 128) equality tensor in ONE task (~25 GB);
+    the collapse path reduces it to one rep and expands the 10k·9999/2
+    pairs in bounded slices (<= chunk_size^2 pairs per expansion row,
+    <= ~2M rows per yielded block)."""
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.dedup import minhash_neardup_pairs
+
+    n = 10_000
+    text = "viral boilerplate page " + "word salad tokens " * 20
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array([text] * n),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    pairs = minhash_neardup_pairs(str(tmp_path), chunk_size=512)
+    assert pairs.count() == n * (n - 1) // 2
+    # spot-check the value semantics without materializing all pairs
+    head = pairs.take(5)
+    assert all(r["est_jaccard"] == 1.0 for r in head)
+    assert all(r["doc_a"] < r["doc_b"] for r in head)
+
+
+def test_minhash_hot_distinct_bucket_chunked(ray_session, tmp_path):
+    """Near-identical-but-DISTINCT template cluster (the case collapse
+    cannot shrink): 600 docs sharing most shingles land in shared
+    buckets; with chunk_size=64 the bucket is triangle-chunked into
+    ~10 chunks and the verified pair set still matches brute force."""
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.dedup import minhash_neardup_pairs
+
+    base = "common template body text " * 30
+    texts = [base + f"unique suffix number {i}" for i in range(600)]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(600, dtype=np.int64), "text": texts}
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+    got = (
+        minhash_neardup_pairs(str(tmp_path), chunk_size=64)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+    )
+    want = _brute_minhash_pairs(df)
+    assert sorted(zip(got["doc_a"], got["doc_b"], got["est_jaccard"])) == want
+    assert len(want) > 1000  # the cluster really is hot
 
 
 def test_neardup_clusters_query(ray_session):

@@ -380,3 +380,73 @@ def test_no_combine_when_no_heading(short_text_node, longer_text_node):
         [short_text_node, longer_text_node]
     )
     assert len(processed) == 2
+
+
+### CombineSlicedImages — real pixel stitch ###
+
+
+def _image_node(payload, x0, y0, x1, y1, page=1):
+    from open_parse_ray.model import ImageElement
+
+    return Node(
+        elements=(
+            ImageElement(
+                text="",
+                bbox=Bbox(
+                    x0=x0, y0=y0, x1=x1, y1=y1,
+                    page=page, page_height=5000, page_width=5000,
+                ),
+                image=payload,
+                image_mimetype="image/png",
+            ),
+        ),
+    )
+
+
+def test_combine_sliced_images_pixel_stitch():
+    """The stitch is the reference's PIL paste (basic_transforms.py:70-88):
+    black RGB canvas of (max width, total height), slices pasted at x=0
+    top-to-bottom — verified on decoded pixels, across mixed widths and
+    mixed color types (RGB / gray / RGBA)."""
+    import numpy as np
+
+    from open_parse_ray.functions.transforms import CombineSlicedImages
+    from open_parse_ray.stages.multimodal import decode_png, encode_png
+
+    rgb = np.zeros((3, 4, 3), np.uint8)
+    rgb[..., 0] = 200  # red-ish block, 4 wide
+    gray = np.full((2, 6), 90, np.uint8)  # gray block, 6 wide (max)
+    rgba = np.zeros((2, 2, 4), np.uint8)
+    rgba[..., 2] = 150  # blue block w/ alpha channel (dropped on paste)
+
+    nodes = [
+        _image_node(encode_png(rgb), 0, 30, 10, 40),
+        _image_node(encode_png(gray), 0, 20, 10, 30),
+        _image_node(encode_png(rgba), 0, 10, 10, 20),
+    ]
+    out = CombineSlicedImages().process(nodes)
+    assert len(out) == 1
+    (el,) = out[0].elements
+    got = decode_png(el.image)
+    assert got.shape == (7, 6, 3)  # sum heights x max width x RGB
+    # slice 1: rgb rows 0-2, cols 0-3; padding cols black
+    assert (got[0:3, 0:4] == rgb).all() and (got[0:3, 4:6] == 0).all()
+    # slice 2: gray expanded to 3 channels, full width
+    assert (got[3:5] == 90).all()
+    # slice 3: rgba alpha dropped, cols 2-5 black
+    assert (got[5:7, 0:2] == rgba[..., :3]).all() and (got[5:7, 2:6] == 0).all()
+
+
+def test_combine_sliced_images_fallback_concat():
+    """Payloads no in-repo codec recognizes still group + rewrite, with
+    the deterministic byte-concat fallback."""
+    from open_parse_ray.functions.transforms import CombineSlicedImages
+
+    nodes = [
+        _image_node(b"\xff\xd8opaque-jpeg-1", 0, 30, 10, 40),
+        _image_node(b"\xff\xd8opaque-jpeg-2", 0, 20, 10, 30),
+    ]
+    out = CombineSlicedImages().process(nodes)
+    assert len(out) == 1
+    (el,) = out[0].elements
+    assert el.image == b"\xff\xd8opaque-jpeg-1\xff\xd8opaque-jpeg-2"
