@@ -68,12 +68,13 @@ def _q_extract_semantic(sf_dir: str):
     from open_parse_ray.pipelines.extraction import extract
     from open_parse_ray.sources.pages import read_pages
 
-    # semantic chain is heavier; run on the en subset (prune at the read)
+    # semantic chain is heavier; run on the en subset — the lang
+    # predicate is pushed into the parquet scan (read_pages(lang=...)),
+    # so non-en html payloads never decode or leave the read stage
     return extract(
-        read_pages(sf_dir, columns=["url", "html", "lang"]),
+        read_pages(sf_dir, columns=["url", "html"], lang="en"),
         pipeline="semantic",
         output="docs",
-        lang="en",
     )
 
 

@@ -45,6 +45,8 @@ NODE_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("node_idx", pa.int32()),
         ("node_id", pa.string()),
+        ("status", pa.string()),
+        ("error", pa.string()),
         ("variants", pa.list_(pa.string())),
         ("text", pa.string()),
         ("tokens", pa.int64()),
@@ -152,7 +154,12 @@ class ExtractDocs:
 
 
 class ExtractNodes:
-    """map_batches kernel: pages batch → one row per extracted node."""
+    """map_batches kernel: pages batch → one row per extracted node.
+
+    Poison-doc parity with :class:`ExtractDocs`: a document whose parse
+    raises emits ONE counted error row (status="error", node_idx=-1)
+    instead of silently vanishing — at corpus scale a silent drop is an
+    unaccounted row with no way to audit coverage."""
 
     def __init__(self, pipeline: str = "basic"):
         self.pipeline = make_pipeline(pipeline)
@@ -162,7 +169,23 @@ class ExtractNodes:
         for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
             try:
                 nodes = parse_page(html, self.pipeline)
-            except Exception:
+            except Exception as exc:  # poison-doc isolation, counted
+                rows.append(
+                    {
+                        "url": url,
+                        "node_idx": -1,
+                        "node_id": "",
+                        "status": "error",
+                        "error": f"{type(exc).__name__}: {exc}"[:500],
+                        "variants": [],
+                        "text": "",
+                        "tokens": 0,
+                        "start_page": 0,
+                        "end_page": 0,
+                        "n_elements": 0,
+                        "bbox": [],
+                    }
+                )
                 continue
             for idx, n in enumerate(nodes):
                 rows.append(
@@ -170,6 +193,8 @@ class ExtractNodes:
                         "url": url,
                         "node_idx": idx,
                         "node_id": node_id(url, idx),
+                        "status": "ok",
+                        "error": "",
                         "variants": sorted(n.variant),
                         "text": n.text,
                         "tokens": n.tokens,
@@ -199,6 +224,8 @@ LINKED_NODE_SCHEMA = pa.schema(
         ("doc_id", pa.string()),
         ("node_idx", pa.int32()),
         ("node_id", pa.string()),
+        ("status", pa.string()),
+        ("error", pa.string()),
         ("text", pa.string()),
         ("tokens", pa.int64()),
         ("prev_id", pa.string()),
@@ -223,11 +250,26 @@ class ExtractLinkedNodes:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
         for url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            doc_id = hashlib.sha1(url.encode()).hexdigest()[:16]
             try:
                 nodes = parse_page(html, self.pipeline)
-            except Exception:
+            except Exception as exc:  # poison-doc isolation, counted
+                rows.append(
+                    {
+                        "url": url,
+                        "doc_id": doc_id,
+                        "node_idx": -1,
+                        "node_id": "",
+                        "status": "error",
+                        "error": f"{type(exc).__name__}: {exc}"[:500],
+                        "text": "",
+                        "tokens": 0,
+                        "prev_id": "",
+                        "next_id": "",
+                        "parent_id": doc_id,
+                    }
+                )
                 continue
-            doc_id = hashlib.sha1(url.encode()).hexdigest()[:16]
             ids = [node_id(url, i) for i in range(len(nodes))]
             for i, n in enumerate(nodes):
                 rows.append(
@@ -236,6 +278,8 @@ class ExtractLinkedNodes:
                         "doc_id": doc_id,
                         "node_idx": i,
                         "node_id": ids[i],
+                        "status": "ok",
+                        "error": "",
                         "text": n.text,
                         "tokens": n.tokens,
                         "prev_id": ids[i - 1] if i > 0 else "",
@@ -342,12 +386,14 @@ def prepare_training_corpus(
     from open_parse_ray.sources.pages import read_pages
     from open_parse_ray.stages.dedup import salted_groupby
 
-    ds = (
-        sf_dir_or_ds
-        if hasattr(sf_dir_or_ds, "map_batches")
-        else read_pages(sf_dir_or_ds, columns=["url", "html", "lang"])
-    )
-    docs = extract(ds, pipeline="basic", output="docs", lang=lang)
+    if hasattr(sf_dir_or_ds, "map_batches"):
+        # caller-supplied Dataset: apply lang as a vectorized post-read
+        # filter (we can't reach into its scan)
+        docs = extract(sf_dir_or_ds, pipeline="basic", output="docs", lang=lang)
+    else:
+        # dir input: push the lang predicate into the parquet scan
+        ds = read_pages(sf_dir_or_ds, columns=["url", "html"], lang=lang)
+        docs = extract(ds, pipeline="basic", output="docs")
 
     def quality_gate(b: pd.DataFrame) -> pd.DataFrame:
         b = b[(b["status"] == "ok") & (b["total_tokens"] >= min_tokens)]

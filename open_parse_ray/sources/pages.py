@@ -257,13 +257,23 @@ def ensure_pages_parquet(sf: float, seed: int = SEED) -> str:
     return out_dir
 
 
-def read_pages(sf_dir_or_sf, columns=None, seed: int = SEED):
-    """Dataset of pages for an sf directory (or a float sf), column-pruned."""
+def read_pages(sf_dir_or_sf, columns=None, seed: int = SEED, lang=None):
+    """Dataset of pages for an sf directory (or a float sf), column-pruned.
+
+    ``lang`` becomes a PUSHED-DOWN parquet scan predicate (row groups are
+    pruned by statistics and non-matching rows never decode or ship), not
+    a post-read filter — at corpus scale a post-read lang filter decodes
+    and moves every foreign-language html payload one hop for nothing."""
     import ray.data as rd
 
     sf = sf_dir_or_sf if isinstance(sf_dir_or_sf, float) else sf_from_dir(sf_dir_or_sf)
     path = ensure_pages_parquet(sf, seed)
-    return rd.read_parquet(path, columns=columns)
+    kw = {}
+    if lang is not None:
+        import pyarrow.dataset as pads
+
+        kw["filter"] = pads.field("lang") == lang
+    return rd.read_parquet(path, columns=columns, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -59,6 +59,38 @@ def test_extract_kernel_exception_becomes_error_row(monkeypatch):
     assert df["n_nodes"].iloc[1] == 0
 
 
+def test_all_three_output_modes_emit_counted_error_rows(monkeypatch):
+    """ExtractDocs, ExtractNodes, ExtractLinkedNodes must all account
+    for poison documents with a status='error' row — a silent `continue`
+    is an unauditable row drop at corpus scale."""
+    import open_parse_ray.pipelines.extraction as ex
+
+    orig = ex.parse_page
+
+    def flaky(html, pipeline=None):
+        if b"BOOM" in (html if isinstance(html, bytes) else html.encode()):
+            raise ValueError("synthetic parser crash")
+        return orig(html, pipeline)
+
+    monkeypatch.setattr(ex, "parse_page", flaky)
+    rows = [
+        {"url": "https://x.test/a", "warc_ts": 0,
+         "html": b"<p>" + b"word " * 100 + b"</p>", "text": "", "lang": "en"},
+        {"url": "https://x.test/b", "warc_ts": 0, "html": b"<p>BOOM</p>",
+         "text": "", "lang": "en"},
+    ]
+    t = _pages_table(rows)
+    for cls in (ex.ExtractDocs, ex.ExtractNodes, ex.ExtractLinkedNodes):
+        df = cls("basic")(t).to_pandas()
+        err = df[df["status"] == "error"]
+        assert len(err) == 1, cls.__name__
+        assert err["url"].iloc[0] == "https://x.test/b"
+        assert "synthetic parser crash" in err["error"].iloc[0]
+        assert (df[df["url"] == "https://x.test/a"]["status"] == "ok").all()
+        if "node_idx" in df.columns:
+            assert err["node_idx"].iloc[0] == -1
+
+
 def test_salted_groupby_num_parts_invariance(ray_session):
     import ray.data as rd
 
