@@ -903,35 +903,221 @@ def union_find_clusters(pairs) -> dict:
     }
 
 
-def neardup_clusters(sf_dir: str, **minhash_kwargs):
+_EMPTY_CLUSTERS = {
+    "doc_id": "int64",
+    "cluster_id": "int64",
+    "cluster_size": "int64",
+}
+
+
+def _edge_checksum(edges_ds) -> tuple:
+    """(n_edges, order-independent multiset checksum) of a canonical
+    (a, b) edge Dataset — per-batch partial sums, one tiny aggregate."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype=np.int64).view(np.uint64)
+        bb = b["b"].to_numpy(dtype=np.int64).view(np.uint64)
+        h = a * np.uint64(0x9E3779B97F4A7C15) ^ bb * np.uint64(0xC2B2AE3D27D4EB4F)
+        return pd.DataFrame(
+            {"n": [len(b)], "h": [int(h.sum(dtype=np.uint64))]}
+        )
+
+    rows = edges_ds.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).take_all()
+    return (
+        sum(int(r["n"]) for r in rows),
+        sum(int(r["h"]) for r in rows) & 0xFFFFFFFFFFFFFFFF,
+    )
+
+
+def labelprop_clusters(pairs_ds, num_parts: int = 32, max_iters: int = 64):
+    """Distributed connected components over a (doc_a, doc_b) pair
+    Dataset via alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14):
+
+    - large-star(u): for every neighbor v > u, emit (v, m) with
+      m = min(Γ(u) ∪ {u});
+    - small-star(u): over edges directed max→min, emit (v, m) for every
+      smaller neighbor v plus u itself, m = the smallest neighbor.
+
+    Both steps are salted groupbys on a node id (each task holds one
+    node's adjacency — memory bounded by max degree, never cluster²);
+    the edge multiset shrinks toward per-component stars rooted at the
+    component minimum in O(log n) rounds even for path graphs. The
+    driver runs only the CONTROL loop — per round it reads a two-int
+    (count, checksum) aggregate, never the edges. Converged when the
+    canonical edge set's (count, checksum) is a fixed point.
+
+    Output matches :func:`union_find_clusters` labeling: (doc_id,
+    cluster_id = component min, cluster_size), docs in >= 1 pair only.
+    """
+    import ray.data as rd
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(b["doc_a"], b["doc_b"]).to_numpy(dtype=np.int64)
+        bb = np.maximum(b["doc_a"], b["doc_b"]).to_numpy(dtype=np.int64)
+        keep = a != bb
+        return pd.DataFrame({"a": a[keep], "b": bb[keep]}).drop_duplicates()
+
+    edges = pairs_ds.map_batches(
+        canon, batch_format="pandas", batch_size=65536
+    ).materialize()
+
+    def bidir(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype=np.int64)
+        bb = b["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "u": np.concatenate([a, bb]),
+                "v": np.concatenate([bb, a]),
+            }
+        )
+
+    def large_star(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        out_a, out_b = [], []
+        for u, g in part.groupby("u", sort=False):
+            vs = g["v"].to_numpy(dtype=np.int64)
+            m = min(int(u), int(vs.min()))
+            big = vs[vs > u]
+            if len(big):
+                out_a.append(np.full(len(big), m, dtype=np.int64))
+                out_b.append(big)  # m < u < v: already canonical
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    def small_star(part: pd.DataFrame) -> pd.DataFrame:
+        # rows: (u = larger endpoint, v = smaller); one group per u
+        part = part.drop_duplicates()
+        out_a, out_b = [], []
+        for u, g in part.groupby("u", sort=False):
+            vs = g["v"].to_numpy(dtype=np.int64)
+            m = int(vs.min())
+            rest = np.concatenate([vs[vs != m], [int(u)]])
+            out_a.append(np.full(len(rest), m, dtype=np.int64))
+            out_b.append(rest)  # m < everything else in the group
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    state = _edge_checksum(edges)
+    for _ in range(max_iters):
+        after_large = salted_groupby(
+            edges.map_batches(bidir, batch_format="pandas", batch_size=65536),
+            lambda b: b["u"],
+            large_star,
+            num_parts=num_parts,
+        )
+        # small-star input: edges directed larger → smaller (u=b, v=a)
+        edges = salted_groupby(
+            after_large.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "u": b["b"].to_numpy(dtype=np.int64),
+                        "v": b["a"].to_numpy(dtype=np.int64),
+                    }
+                ),
+                batch_format="pandas",
+                batch_size=65536,
+            ),
+            lambda b: b["u"],
+            small_star,
+            num_parts=num_parts,
+        ).materialize()
+        new_state = _edge_checksum(edges)
+        if new_state == state:
+            break
+        state = new_state
+    else:
+        raise RuntimeError(
+            f"labelprop_clusters did not converge in {max_iters} rounds"
+        )
+
+    # fixed point = per-component stars rooted at the min: every member
+    # b is labeled by its unique neighbor a; roots label themselves
+    def to_labels(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["b"].to_numpy(dtype=np.int64),
+                "cluster_id": b["a"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    labels = edges.map_batches(to_labels, batch_format="pandas", batch_size=65536)
+
+    def root_rows(part: pd.DataFrame) -> pd.DataFrame:
+        roots = np.unique(part["cluster_id"].to_numpy(dtype=np.int64))
+        return pd.concat(
+            [
+                part,
+                pd.DataFrame({"doc_id": roots, "cluster_id": roots}),
+            ],
+            ignore_index=True,
+        )
+
+    def with_sizes(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        part = part.copy()
+        part["cluster_size"] = (
+            part.groupby("cluster_id")["doc_id"].transform("size").astype("int64")
+        )
+        return part
+
+    # one salted exchange keyed on cluster_id: add the root's own row
+    # (deduped — several star edges share a root) and annotate sizes
+    return salted_groupby(
+        labels.map_batches(root_rows, batch_format="pandas", batch_size=65536),
+        lambda b: b["cluster_id"],
+        with_sizes,
+        num_parts=num_parts,
+    )
+
+
+def neardup_clusters(
+    sf_dir: str, max_driver_pairs: int = 5_000_000, **minhash_kwargs
+):
     """Near-duplicate CLUSTERS from the MinHash-LSH pair stream: each doc
     that appears in any verified pair gets (doc_id, cluster_id = min
     doc_id reachable through pairs, cluster_size) — the dedup DECISION
     step (keep cluster_id, drop the rest) that follows pair generation
     in a training-data pipeline.
 
-    Scale shape: the pair list is tiny relative to the corpus by
-    construction (LSH emits only verified near-dups), so the transitive
-    closure runs on the driver over the collected pairs; the corpus
-    itself never materializes. If a corpus ever produced a pair set too
-    big for one machine, swap the driver union-find for iterative
-    min-label propagation over the same pair Dataset (same output) —
-    the documented partitioning assumption is |pairs| ≪ |corpus|."""
+    Scale shape: the pair list is normally tiny relative to the corpus
+    (LSH emits only verified near-dups), so up to ``max_driver_pairs``
+    the transitive closure runs on the driver over the collected pairs —
+    the corpus itself never materializes. A bigger pair stream switches
+    to :func:`labelprop_clusters`, the distributed large-star/small-star
+    rounds over the same pair Dataset (identical output, gated by
+    tests/test_stages.py equivalence + giant-cluster tests)."""
     import pandas as pd_
     import ray.data as rd
 
-    pair_rows = minhash_neardup_pairs(sf_dir, **minhash_kwargs).take_all()
+    pairs = (
+        minhash_neardup_pairs(sf_dir, **minhash_kwargs)
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+    if pairs.count() > max_driver_pairs:
+        return labelprop_clusters(pairs)
+
+    pair_rows = pairs.take_all()
     labels = union_find_clusters(
         [(int(r["doc_a"]), int(r["doc_b"])) for r in pair_rows]
     )
     if not labels:
         return rd.from_pandas(
             pd_.DataFrame(
-                {
-                    "doc_id": pd_.Series(dtype="int64"),
-                    "cluster_id": pd_.Series(dtype="int64"),
-                    "cluster_size": pd_.Series(dtype="int64"),
-                }
+                {k: pd_.Series(dtype=v) for k, v in _EMPTY_CLUSTERS.items()}
             )
         )
     df = pd_.DataFrame(

@@ -777,6 +777,93 @@ def test_neardup_clusters_query(ray_session):
     )
 
 
+def _labelprop_vs_unionfind(edges, ray_session=None):
+    """Run both closure implementations over the same edge list and
+    assert identical (doc_id, cluster_id, cluster_size) rows."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import (
+        labelprop_clusters,
+        union_find_clusters,
+    )
+
+    pairs_ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_a": np.array([a for a, _ in edges], dtype=np.int64),
+                "doc_b": np.array([b for _, b in edges], dtype=np.int64),
+            }
+        )
+    )
+    got = (
+        labelprop_clusters(pairs_ds, num_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    labels = union_find_clusters(edges)
+    want = pd.DataFrame(
+        sorted(labels.items()), columns=["doc_id", "cluster_id"]
+    ).astype("int64")
+    want["cluster_size"] = (
+        want.groupby("cluster_id")["doc_id"].transform("size").astype("int64")
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_labelprop_equals_unionfind_random_graph(ray_session):
+    """Distributed large-star/small-star closure == driver union-find on
+    a seeded random multi-component graph with chains, cliques and
+    isolated pairs (duplicate + reversed edges included)."""
+    rng = np.random.default_rng(7)
+    edges = []
+    # 30 random components over disjoint id ranges
+    base = 0
+    for _ in range(30):
+        n = int(rng.integers(2, 40))
+        ids = base + rng.permutation(n)
+        # spanning chain + random extra edges + a reversed duplicate
+        edges += [(int(ids[i]), int(ids[i + 1])) for i in range(n - 1)]
+        for _ in range(n // 2):
+            i, j = rng.integers(0, n, 2)
+            if i != j:
+                edges.append((int(ids[i]), int(ids[j])))
+        edges.append((int(ids[-1]), int(ids[0])))
+        base += n + int(rng.integers(1, 10))
+    _labelprop_vs_unionfind(edges)
+
+
+def test_labelprop_giant_cluster_star_and_chain(ray_session):
+    """Giant-cluster gate: a 20k-member star (viral boilerplate hub) and
+    a 512-node path (worst case for plain min propagation — large-star /
+    small-star must close it in O(log n) rounds, far under max_iters=64)
+    resolve to single clusters labeled by the component min."""
+    star = [(100_000, 100_000 + i) for i in range(1, 20_000)]
+    chain_ids = list(range(1_000_000, 1_000_512))
+    chain = list(zip(chain_ids[:-1], chain_ids[1:]))
+    _labelprop_vs_unionfind(star + chain)
+
+
+def test_neardup_clusters_distributed_path_matches(ray_session):
+    """neardup_clusters with max_driver_pairs=0 (forcing the distributed
+    labelprop fallback) emits exactly the default driver-path rows."""
+    from open_parse_ray.stages.dedup import neardup_clusters
+
+    a = (
+        neardup_clusters("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        neardup_clusters("/root/testdata/sf0.001", max_driver_pairs=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
 def test_spectral_features_pure_tones():
     """FFT descriptors: a pure tone's centroid/rolloff sit at its
     frequency; a higher tone moves both up; silence → zeros."""
