@@ -377,13 +377,226 @@ def _parse_objects(pdf: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
     return objs
 
 
+def _unpredict_png(data: bytes, columns: int, colors: int = 1) -> bytes:
+    """Undo PNG row predictors (/Predictor >= 10) on a decoded stream —
+    the encoding xref streams almost universally use (Predictor 12 = Up).
+    8-bit components; bpp = colors bytes. Strictly row-bounded: truncated
+    input yields the rows that fit, never a scan loop."""
+    bpp = max(1, colors)
+    stride = columns * bpp
+    rows = len(data) // (stride + 1)
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(rows):
+        base = r * (stride + 1)
+        ftype = data[base]
+        cur = bytearray(data[base + 1 : base + 1 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad predictor filter {ftype}")
+        out += cur
+        prev = cur
+    return bytes(out)
+
+
 def _get_stream(objs, num: int) -> bytes:
     d, s = objs[num]
     if s is None:
         return b""
     if b"/FlateDecode" in d:
-        return zlib.decompress(s)
+        s = zlib.decompress(s)
+        pm = re.search(rb"/Predictor\s+(\d+)", d)
+        if pm and int(pm.group(1)) >= 10:
+            cm = re.search(rb"/Columns\s+(\d+)", d)
+            colm = re.search(rb"/Colors\s+(\d+)", d)
+            s = _unpredict_png(
+                s,
+                int(cm.group(1)) if cm else 1,
+                int(colm.group(1)) if colm else 1,
+            )
     return s
+
+
+def _expand_object_streams(objs) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
+    """PDF 1.5 object streams (/Type /ObjStm): compressed containers
+    holding many small non-stream objects (catalog, pages, fonts...).
+    Decode each, slice by the /First-relative offset table, and register
+    the embedded objects; existing top-level objects win (an
+    incrementally-updated top-level object supersedes a packed one).
+    Offsets are trusted only within bounds and consumed left-to-right —
+    a corrupt table skips entries, never loops."""
+    for num in list(objs):
+        d, s = objs[num]
+        if s is None or not re.search(rb"/Type\s*/ObjStm", d):
+            continue
+        try:
+            data = _get_stream(objs, num)
+            nm = re.search(rb"/N\s+(\d+)", d)
+            fm = re.search(rb"/First\s+(\d+)", d)
+            if not (nm and fm):
+                continue
+            n, first = int(nm.group(1)), int(fm.group(1))
+            if not (0 <= first <= len(data)):
+                continue
+            head = data[:first].split()
+            pairs = []
+            for i in range(min(n, len(head) // 2)):
+                pairs.append((int(head[2 * i]), int(head[2 * i + 1])))
+        except Exception:
+            continue  # a broken container loses its objects, nothing else
+        for idx, (onum, off) in enumerate(pairs):
+            start = first + off
+            end = (
+                first + pairs[idx + 1][1] if idx + 1 < len(pairs) else len(data)
+            )
+            if not (first <= start <= end <= len(data)):
+                continue
+            body = data[start:end].strip()
+            if body and onum not in objs:
+                objs[onum] = (body, None)
+    return objs
+
+
+def _xref_stream_entries(pdf: bytes) -> Dict[int, Tuple[int, int, int]]:
+    """Decode every PDF 1.5 cross-reference STREAM (/Type /XRef):
+    {obj_num: (type, field2, field3)} with the spec field semantics —
+    type 1 = (1, byte offset, gen), type 2 = (2, containing ObjStm
+    number, index within it), type 0 = free. Handles /W widths (a
+    zero-width type column defaults to 1), /Index subsections, and the
+    PNG-predictor encoding. The extraction path itself locates objects
+    by full scan (more robust than trusting offsets); this decoder is
+    the structural reader third-party tooling needs, and is gated by a
+    constructed-fixture test."""
+    entries: Dict[int, Tuple[int, int, int]] = {}
+    objs = _parse_objects(pdf)
+    for num, (d, s) in objs.items():
+        if s is None or not re.search(rb"/Type\s*/XRef", d):
+            continue
+        try:
+            data = _get_stream(objs, num)
+            W = [
+                int(x)
+                for x in re.search(rb"/W\s*\[([^\]]*)\]", d).group(1).split()
+            ]
+            size = int(re.search(rb"/Size\s+(\d+)", d).group(1))
+            im = re.search(rb"/Index\s*\[([^\]]*)\]", d)
+            index = (
+                [int(x) for x in im.group(1).split()] if im else [0, size]
+            )
+        except Exception:
+            continue
+        rw = sum(W)
+        if rw <= 0:
+            continue
+        pos = 0
+        for k in range(0, len(index) - 1, 2):
+            start, cnt = index[k], index[k + 1]
+            for j in range(cnt):
+                row = data[pos : pos + rw]
+                if len(row) < rw:
+                    break
+                pos += rw
+                fields = []
+                o = 0
+                for wi, w in enumerate(W):
+                    if w == 0:
+                        fields.append(1 if wi == 0 else 0)
+                    else:
+                        fields.append(int.from_bytes(row[o : o + w], "big"))
+                        o += w
+                entries[start + j] = (fields[0], fields[1], fields[2])
+    return entries
+
+
+def _parse_tounicode(data: bytes) -> Optional[Dict]:
+    """A /ToUnicode CMap stream → {"bytes_per_code": 1|2, "map":
+    {code → unicode str}}. Covers bfchar entries, bfrange with an
+    increment target and bfrange with an explicit array, UTF-16BE
+    destination strings (surrogate pairs included), and derives the code
+    width from the codespace range (fallback: widest source seen)."""
+
+    def _dst(hexs: bytes) -> str:
+        h = hexs.decode("ascii")
+        if len(h) % 4:
+            h = h.zfill((len(h) + 3) // 4 * 4)
+        return bytes.fromhex(h).decode("utf-16-be", errors="replace")
+
+    cmap: Dict[int, str] = {}
+    width = 0
+    csm = re.search(
+        rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", data
+    )
+    if csm:
+        width = max(1, len(csm.group(1)) // 2)
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for hm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            cmap[int(hm.group(1), 16)] = _dst(hm.group(2))
+            width = max(width, len(hm.group(1)) // 2)
+    entry = re.compile(
+        rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+        re.S,
+    )
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for em in entry.finditer(m.group(1)):
+            lo, hi = int(em.group(1), 16), int(em.group(2), 16)
+            if hi < lo or hi - lo > 0x10000:
+                continue  # bounded: a hostile range cannot explode memory
+            width = max(width, len(em.group(1)) // 2)
+            if em.group(3) is not None:
+                base = int(em.group(3), 16)
+                for c in range(lo, hi + 1):
+                    cmap[c] = chr(base + (c - lo))
+            else:
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", em.group(4))
+                for c, dh in zip(range(lo, hi + 1), dsts):
+                    cmap[c] = _dst(dh)
+    if not cmap:
+        return None
+    return {"bytes_per_code": min(max(width, 1), 2), "map": cmap}
+
+
+def _font_cmaps(objs, page_dict: bytes) -> Dict[bytes, Dict]:
+    """/F-name → parsed ToUnicode CMap for fonts that carry one."""
+    out: Dict[bytes, Dict] = {}
+    fm = re.search(rb"/Font\s*<<(.*?)>>", page_dict, re.S)
+    if not fm:
+        return out
+    for m in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+        fref = int(m.group(2))
+        if fref not in objs:
+            continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", objs[fref][0])
+        if not tm or int(tm.group(1)) not in objs:
+            continue
+        try:
+            parsed = _parse_tounicode(_get_stream(objs, int(tm.group(1))))
+        except Exception:
+            continue
+        if parsed:
+            out[m.group(1)] = parsed
+    return out
 
 
 def _page_content(objs, page_dict: bytes) -> Optional[bytes]:
@@ -552,14 +765,22 @@ class _Line:
         self.max_size = 0.0
 
 
-def _interpret_page(content: bytes, fonts: Dict[bytes, str]) -> List[_Line]:
+def _interpret_page(
+    content: bytes,
+    fonts: Dict[bytes, str],
+    cmaps: Optional[Dict[bytes, Dict]] = None,
+) -> List[_Line]:
     """Run the text operators; return baseline-keyed lines (reading order).
 
     Implements the text-state subset the reference's payloads use:
     Tf Td TD TL Tm T* Tj TJ ' \" — translation-only text matrices (the
-    writer never emits rotation/scaling)."""
+    writer never emits rotation/scaling). Fonts carrying a /ToUnicode
+    CMap (``cmaps``) decode string bytes through it — 1- or 2-byte
+    codes → Unicode — so non-Latin third-party text survives; fonts
+    without one keep the latin-1 byte decode."""
     lines: Dict[float, _Line] = {}
     fontname, size, leading = "", 0.0, 0.0
+    cur_cmap: Optional[Dict] = None
     # line matrix origin (x, y) and current point
     lx = ly = cx = 0.0
     stack: List[float] = []
@@ -567,7 +788,18 @@ def _interpret_page(content: bytes, fonts: Dict[bytes, str]) -> List[_Line]:
 
     def show(sbytes: bytes):
         nonlocal cx
-        text = sbytes.decode("latin-1")
+        if cur_cmap is not None:
+            bpc = cur_cmap["bytes_per_code"]
+            mp = cur_cmap["map"]
+            text = "".join(
+                mp.get(
+                    code := int.from_bytes(sbytes[i : i + bpc], "big"),
+                    chr(code) if code < 256 else "�",
+                )
+                for i in range(0, len(sbytes) - bpc + 1, bpc)
+            )
+        else:
+            text = sbytes.decode("latin-1")
         key = round(ly, 4)
         line = lines.get(key)
         if line is None:
@@ -604,6 +836,7 @@ def _interpret_page(content: bytes, fonts: Dict[bytes, str]) -> List[_Line]:
             size = float(stack[-1])
             fname = stack[-2]
             fontname = fonts.get(fname, fname.decode("latin-1"))
+            cur_cmap = cmaps.get(fname) if cmaps else None
             stack.clear()
         elif op == b"TL":
             leading = float(stack[-1])
@@ -719,7 +952,7 @@ def parse_pdf(pdf_bytes: bytes) -> List[TextElement]:
     exceeds 1.6 × the previous line's leading or the dominant font size
     changes — reproducing pdfminer's paragraph grouping for flowed
     layouts (reference: core.py:209-243)."""
-    objs = _parse_objects(pdf_bytes)
+    objs = _expand_object_streams(_parse_objects(pdf_bytes))
     elements: List[TextElement] = []
     for page_no, pnum in enumerate(_page_objects(objs)):
         pd, _ = objs[pnum]
@@ -727,8 +960,9 @@ def parse_pdf(pdf_bytes: bytes) -> List[TextElement]:
         if content is None:
             continue
         fonts = _font_map(objs, pd)
+        cmaps = _font_cmaps(objs, pd)
         elements.extend(_page_images(objs, pd, content, page_no))
-        plines = _interpret_page(content, fonts)
+        plines = _interpret_page(content, fonts, cmaps)
 
         groups: List[List[_Line]] = []
         for ln in plines:
@@ -784,13 +1018,13 @@ def pdf_extracted_text(pdf_bytes: bytes) -> str:
 
 
 def pdf_num_pages(pdf_bytes: bytes) -> int:
-    return len(_page_objects(_parse_objects(pdf_bytes)))
+    return len(_page_objects(_expand_object_streams(_parse_objects(pdf_bytes))))
 
 
 def _page_payloads(pdf_bytes: bytes):
     """Per page: (decompressed content stream, raster or None) — the
     building blocks `extract_pages` reassembles with `_assemble_pdf`."""
-    objs = _parse_objects(pdf_bytes)
+    objs = _expand_object_streams(_parse_objects(pdf_bytes))
     out = []
     for pnum in _page_objects(objs):
         pd_, _ = objs[pnum]

@@ -424,3 +424,184 @@ def test_content_interpreter_fuzz_no_hang():
             _interpret_page(soup.encode("latin-1"), {})
         except Exception:
             pass
+
+
+### PDF 1.5+: object streams, xref streams, ToUnicode CMaps ###
+
+
+def _build_pdf15_fixture():
+    """Hand-constructed PDF 1.5: catalog/pages/page/font packed in a
+    FlateDecode object stream, a top-level content stream, and a
+    cross-reference STREAM (W [1 2 1], /Index subsections, PNG Up
+    predictor) instead of an xref table. Returns (pdf_bytes, offsets)."""
+    import zlib
+
+    inner = {
+        10: b"<< /Type /Catalog /Pages 11 0 R >>",
+        11: b"<< /Type /Pages /Kids [12 0 R] /Count 1 >>",
+        12: b"<< /Type /Page /Parent 11 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 13 0 R >> >> /Contents 2 0 R >>",
+        13: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    bodies, offs, pos = [], [], 0
+    for num, body in inner.items():
+        offs.append(b"%d %d" % (num, pos))
+        bodies.append(body)
+        pos += len(body) + 1
+    header = b" ".join(offs)
+    first = len(header) + 1
+    payload = header + b"\n" + b"\n".join(bodies) + b"\n"
+    zs = zlib.compress(payload)
+
+    content = b"BT /F1 12 Tf 72 720 Td (packed objects speak) Tj ET"
+
+    pdf = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+
+    def add(num, obj_bytes):
+        offsets[num] = len(pdf)
+        pdf.extend(obj_bytes)
+
+    add(
+        1,
+        b"1 0 obj\n<< /Type /ObjStm /N 4 /First %d /Length %d /Filter /FlateDecode >>\n"
+        b"stream\n" % (first, len(zs)) + zs + b"\nendstream\nendobj\n",
+    )
+    add(
+        2,
+        b"2 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream\nendobj\n",
+    )
+    # xref stream rows: W [1 2 1] → (type, field2, field3)
+    rows = [
+        (1, offsets[1], 0),  # obj 1: top level
+        (1, offsets[2], 0),  # obj 2: top level
+        (1, 0, 0),  # obj 3: itself (offset patched below)
+    ] + [(2, 1, i) for i in range(4)]  # objs 10-13: in ObjStm 1, index i
+    xref_off = len(pdf)
+    rows[2] = (1, xref_off, 0)
+    raw = b"".join(
+        bytes([t]) + f2.to_bytes(2, "big") + bytes([f3]) for t, f2, f3 in rows
+    )
+    # PNG Up predictor over 4-byte rows
+    stride = 4
+    pred = bytearray()
+    prev = bytes(stride)
+    for i in range(0, len(raw), stride):
+        row = raw[i : i + stride]
+        pred.append(2)
+        pred.extend((row[j] - prev[j]) & 0xFF for j in range(stride))
+        prev = row
+    zx = zlib.compress(bytes(pred))
+    add(
+        3,
+        b"3 0 obj\n<< /Type /XRef /Size 14 /W [1 2 1] /Index [1 3 10 4] "
+        b"/Root 10 0 R /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 12 /Columns 4 >> /Length %d >>\nstream\n" % len(zx)
+        + zx
+        + b"\nendstream\nendobj\n",
+    )
+    pdf += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(pdf), offsets
+
+
+def test_pdf15_object_streams_parse():
+    """A PDF 1.5 document whose catalog/pages/page/font live inside a
+    compressed object stream (and whose only xref is a stream) extracts
+    its text and page count like any other document."""
+    pdf, _ = _build_pdf15_fixture()
+    from open_parse_ray.functions.pdf import pdf_num_pages
+
+    assert pdf_extracted_text(pdf) == "packed objects speak"
+    assert pdf_num_pages(pdf) == 1
+
+
+def test_xref_stream_decodes_exactly():
+    """The /Type /XRef decoder recovers every entry: type-1 rows carry
+    the true byte offsets of the top-level objects, type-2 rows the
+    (ObjStm number, index) of each packed object, honoring /Index
+    subsections, /W widths and the PNG Up predictor."""
+    from open_parse_ray.functions.pdf import _xref_stream_entries
+
+    pdf, offsets = _build_pdf15_fixture()
+    entries = _xref_stream_entries(pdf)
+    assert entries[1] == (1, offsets[1], 0)
+    assert entries[2] == (1, offsets[2], 0)
+    assert entries[3] == (1, offsets[3], 0)
+    for i, num in enumerate((10, 11, 12, 13)):
+        assert entries[num] == (2, 1, i)
+    assert set(entries) == {1, 2, 3, 10, 11, 12, 13}
+
+
+def _pdf_with_tounicode(cmap_body: bytes, content_string: bytes):
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\nendobj\n",
+        b"4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+        b"/ToUnicode 6 0 R >>\nendobj\n",
+        b"5 0 obj\n<< /Length %d >>\nstream\n" % len(content_string)
+        + content_string
+        + b"\nendstream\nendobj\n",
+        b"6 0 obj\n<< /Length %d >>\nstream\n" % len(cmap_body)
+        + cmap_body
+        + b"\nendstream\nendobj\n",
+    ]
+    return b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF\n"
+
+
+def test_tounicode_bfchar_and_bfrange():
+    """1-byte codes through bfchar + increment bfrange + array bfrange:
+    non-Latin text (Greek, Cyrillic) comes out in Unicode, and unmapped
+    codes keep their latin-1 fallback."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<41> <0393>\n<42> <03B1>\nendbfchar\n"
+        b"2 beginbfrange\n"
+        b"<50> <52> <0430>\n"
+        b"<60> <61> [<0416> <0429>]\n"
+        b"endbfrange\nendcmap\nend\n"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (AB PQR `a x) Tj ET"
+    pdf = _pdf_with_tounicode(cmap, content)
+    # A->GAMMA B->alpha, P/Q/R->a-/b-/v-Cyrillic, `/a->Zhe/Shcha, x unmapped
+    assert pdf_extracted_text(pdf) == "Γα абв ЖЩ x"
+
+
+def test_tounicode_two_byte_codes_and_surrogates():
+    """2-byte codespace with a UTF-16BE surrogate-pair destination: hex
+    string <...> input decodes through 2-byte codes to astral chars."""
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0001> <D83DDE00>\n<0002> <4F60>\nendbfchar\n"
+        b"endcmap\n"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td <00010002> Tj ET"
+    pdf = _pdf_with_tounicode(cmap, content)
+    assert pdf_extracted_text(pdf) == "\U0001f600你"
+
+
+def test_pdf15_fixture_corruption_fuzz_no_hang():
+    """The 1.5 fixture under seeded byte flips: every ObjStm/XRef/CMap
+    parsing loop must parse or raise within the same strict-advance
+    contract as the 1.4 reader — never hang."""
+    import random
+
+    from open_parse_ray.functions.pdf import _xref_stream_entries
+
+    base, _ = _build_pdf15_fixture()
+    rng = random.Random(11)
+    for _ in range(80):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        for fn in (pdf_extracted_text, _xref_stream_entries):
+            try:
+                fn(bytes(b))
+            except Exception:
+                pass
