@@ -257,8 +257,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_spans": analysis.chunk_spans,
         "langid_preds": analysis.langid_preds,
         "pack_offsets": _q_pack_offsets,
+        "split_assignments": analysis.split_assignments,
+        "source_capped_sample": analysis.source_capped_sample,
         # -- dedup family --
         "exact_dedup": dedup.exact_dedup_groups,
+        "normalized_exact_dedup": dedup.normalized_exact_dedup,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_neardup": dedup.minhash_neardup_pairs,
@@ -287,12 +290,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent_orders": relational.customers_no_urgent_orders,
         "top_orders_per_customer": relational.top_orders_per_customer,
         # -- multimodal: REAL pixel/byte codecs (bmp/wav/bmpv/ocr) --
-        "wav_features": _q_wav_features,
-        "table_structure_from_images": _q_table_structure,
-        "table_markdown_from_images": _q_table_markdown,
         "ocr_text_from_images": _q_ocr_text,
         # ---- tail: pytest-pinned elsewhere (property tests / exact
         # roundtrips / unit goldens), safe outside the driver window ----
+        "wav_features": _q_wav_features,
+        "table_structure_from_images": _q_table_structure,
+        "table_markdown_from_images": _q_table_markdown,
         "prepare_training_corpus": _q_prepare_corpus,
         "extract_linked_nodes": _q_extract_linked,
         "bmp_thumbnails": _q_bmp_thumbnails,
@@ -718,6 +721,34 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT lang, rank, doc_id FROM ranked WHERE rank <= 10
+        """,
+        "split_assignments": """
+            SELECT doc_id,
+                   ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+                   CASE
+                     WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80
+                       THEN 'train'
+                     WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
+        """,
+        "source_capped_sample": """
+            WITH ranked AS (
+              SELECT source, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS BIGINT) AS rank
+              FROM documents
+            )
+            SELECT source, rank, doc_id FROM ranked WHERE rank <= 20
+        """,
+        "normalized_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents
+            GROUP BY lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))
         """,
         "local_supplier_revenue": """
             SELECT n.n_name AS n_name,

@@ -598,3 +598,83 @@ def sample_documents(sf_dir: str):
     return read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"]).map_batches(
         keep, batch_format="pandas", batch_size=65536
     )
+
+
+def split_assignments(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
+    """Deterministic train/val/test SPLIT assignment — the step every
+    training-data pipeline runs last. bucket = (doc_id * 2654435761)
+    mod 2^32 mod 100 (Knuth multiplicative hash: decorrelates the split
+    from id order so range-partitioned corpora don't put one shard's
+    docs in one split); split by (train_pct, val_pct) thresholds.
+
+    Content-addressed and stateless: no RNG, no shuffle, reproducible at
+    any parallelism / cluster size — a seeded random_shuffle would be an
+    all-to-all over 10^12 rows for nothing. Integer-exact, hence
+    SQL-oracle-checkable. Returns (doc_id, bucket, split)."""
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        bucket = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(100)
+        bucket = bucket.astype(np.int64)
+        split = np.where(
+            bucket < train_pct,
+            "train",
+            np.where(bucket < train_pct + val_pct, "val", "test"),
+        )
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "bucket": bucket, "split": split}
+        )
+
+    return read_documents(sf_dir, columns=["doc_id"]).map_batches(
+        assign, batch_format="pandas", batch_size=65536
+    )
+
+
+def source_capped_sample(sf_dir: str, cap: int = 20):
+    """Per-SOURCE document cap — the standard web-corpus guard against a
+    single domain dominating training data: keep at most ``cap`` docs
+    per source, deterministically chosen by md5(doc_id) order (content-
+    addressed, so the kept set is stable across runs and cluster sizes,
+    and not biased toward low doc_ids).
+
+    Scale shape: only (doc_id, source, md5) rows move, salted on the
+    source key (at web scale sources are fine-grained — millions of
+    hosts — exactly what salted_groupby bounds). Returns
+    (source, rank, doc_id)."""
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "source": b["source"],
+                "h": [
+                    hashlib.md5(str(int(d)).encode("ascii")).hexdigest()
+                    for d in b["doc_id"]
+                ],
+            }
+        )
+
+    keyed = read_documents(sf_dir, columns=["doc_id", "source"]).map_batches(
+        add_key, batch_format="pandas", batch_size=65536
+    )
+
+    def cap_per_source(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["source", "h", "doc_id"])
+        g = g.assign(rank=g.groupby("source").cumcount() + 1)
+        g = g[g["rank"] <= cap]
+        return pd.DataFrame(
+            {
+                "source": g["source"],
+                "rank": g["rank"].astype("int64"),
+                "doc_id": g["doc_id"].astype("int64"),
+            }
+        )
+
+    return salted_groupby(
+        keyed,
+        lambda b: pd.util.hash_pandas_object(b["source"], index=False).astype(
+            "int64"
+        ),
+        cap_per_source,
+    )

@@ -22,6 +22,7 @@ Scale shapes (the part that matters at 100 TB):
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import List
 
 import numpy as np
@@ -1718,4 +1719,48 @@ def char_jaccard_pairs(sf_dir: str, sample_mod: int = 50, threshold: float = 0.5
         batch_format="pandas",
         batch_size=4096,
         concurrency=(1, 8),
+    )
+
+
+_WS_RE = re.compile(r"[ \t\n\r]+")
+
+
+def normalized_exact_dedup(sf_dir: str):
+    """Exact dedup AFTER text normalization (lowercase + collapse ASCII
+    whitespace runs + strip) — the CCNet-style "near-exact" first pass
+    that catches reflowed/recased copies plain exact dedup misses while
+    staying a pure hash shuffle (no shingling, no LSH).
+
+    Same scale shape as :func:`exact_dedup_groups`: the exchange carries
+    a 16-byte fp of the NORMALIZED text, never the text itself. Returns
+    (doc_id = min id per normalized-distinct text, n_copies)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "fp": [
+                    hashlib.md5(
+                        _WS_RE.sub(" ", t).strip().lower().encode()
+                    ).hexdigest()
+                    for t in batch["text"]
+                ],
+            }
+        )
+
+    hashed = ds.map_batches(add_fp, batch_format="pandas", batch_size=8192)
+
+    def groups(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby("fp", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+        )
+        return out[["doc_id", "n_copies"]].astype(
+            {"doc_id": "int64", "n_copies": "int64"}
+        )
+
+    return salted_groupby(
+        hashed, lambda b: b["fp"].str[:8].apply(int, base=16), groups
     )
