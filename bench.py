@@ -131,6 +131,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "pack_offsets",
         "chunk_spans",
         "langid_preds",
+        "split_assignments",
+        "source_capped_sample",
+        "normalized_exact_dedup",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

@@ -428,6 +428,9 @@ def _collapse_by_key(ds, key_col: str, salt_of, num_parts: int = 32):
     exchange ships each signature once per doc (vs. once per band row
     before this stage existed). A corpus already collapsed with
     ``exact_dedup_groups`` passes through unchanged (all groups size 1).
+
+    ``salt_of(pa.Table) -> np.ndarray`` — the salt stage is Arrow-native
+    (no pandas copy before the exchange, see salted_groupby_arrow).
     """
 
     def collapse(part: pd.DataFrame) -> pd.DataFrame:
@@ -449,7 +452,7 @@ def _collapse_by_key(ds, key_col: str, salt_of, num_parts: int = 32):
             }
         )
 
-    return salted_groupby(ds, salt_of, collapse, num_parts=num_parts)
+    return salted_groupby_arrow(ds, salt_of, collapse, num_parts=num_parts)
 
 
 def _triangle_assign(n: int, chunk_size: int):
@@ -673,7 +676,7 @@ def minhash_neardup_pairs(
     reps = _collapse_by_key(
         sigs.select_columns(["doc_id", "sig", "sighash"]),
         "sig",
-        lambda b: b["sighash"],
+        lambda t: t.column("sighash").to_numpy(),
     ).materialize()
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -1152,7 +1155,9 @@ def simhash_neardup_pairs(
     import ray.data as rd
 
     sh = simhash_table(sf_dir)
-    reps = _collapse_by_key(sh, "simhash", lambda b: b["simhash"]).materialize()
+    reps = _collapse_by_key(
+        sh, "simhash", lambda t: t.column("simhash").to_numpy()
+    ).materialize()
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
         # vectorized 4-way band explode: shift/mask the whole column at
