@@ -34,7 +34,7 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from open_parse_ray.stages import analysis, dedup, relational, similarity
+from open_parse_ray.stages import analysis, dedup, ranking, relational, similarity, web
 from open_parse_ray.stages.similarity import default_query_vectors
 
 
@@ -238,7 +238,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs": _q_extract_docs,
         "extract_nodes": _q_extract_nodes,
         "extract_semantic": _q_extract_semantic,
-        "page_metadata": _q_page_metadata,
         # -- PDF payload path (stdlib codec; SQL-oracle roundtrip) --
         "pdf_extract_text": _q_pdf_extract_text,
         # -- text analysis over documents --
@@ -259,12 +258,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_offsets": _q_pack_offsets,
         "split_assignments": analysis.split_assignments,
         "source_capped_sample": analysis.source_capped_sample,
+        "tfidf_top_terms": analysis.tfidf_top_terms,
+        # -- tier extraction: distributed global rank + ntile --
+        "doc_tiers": ranking.doc_tiers,
+        # -- web/URL operators --
+        "url_canonical_dedup": web.url_canonical_dedup,
+        "url_domain_stats": web.url_domain_stats,
         # -- dedup family --
         "exact_dedup": dedup.exact_dedup_groups,
         "normalized_exact_dedup": dedup.normalized_exact_dedup,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "minhash_neardup": dedup.minhash_neardup_pairs,
         "decontamination_flags": dedup.decontamination_flags,
         "dup_span_flags": dedup.dup_span_flags,
         # -- similarity search over embeddings --
@@ -281,7 +285,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": relational.orders_customer_join,
         "local_supplier_revenue": relational.local_supplier_revenue,
         "distinct_users_by_type": relational.distinct_users_by_type,
-        "approx_distinct_users": relational.approx_distinct_users,
         "events_quantiles": relational.events_quantiles,
         "events_followup": relational.events_followup,
         "events_asof_prev_click": relational.events_asof_prev_click,
@@ -289,10 +292,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": relational.parts_by_brand,
         "customers_no_urgent_orders": relational.customers_no_urgent_orders,
         "top_orders_per_customer": relational.top_orders_per_customer,
-        # -- multimodal: REAL pixel/byte codecs (bmp/wav/bmpv/ocr) --
-        "ocr_text_from_images": _q_ocr_text,
         # ---- tail: pytest-pinned elsewhere (property tests / exact
         # roundtrips / unit goldens), safe outside the driver window ----
+        "page_metadata": _q_page_metadata,
+        "minhash_neardup": dedup.minhash_neardup_pairs,
+        "approx_distinct_users": relational.approx_distinct_users,
+        "ocr_text_from_images": _q_ocr_text,
         "wav_features": _q_wav_features,
         "table_structure_from_images": _q_table_structure,
         "table_markdown_from_images": _q_table_markdown,
@@ -706,6 +711,54 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE trim(text) <> ''
             )
             SELECT term, count(*) AS df FROM w GROUP BY term
+        """,
+        "tfidf_top_terms": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM w GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            j AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                         CAST(row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY CAST(tf.tf AS DOUBLE)/df.df DESC, tf.term)
+                              AS BIGINT) AS rank
+                  FROM tf JOIN df USING (term))
+            SELECT doc_id, rank, term, tf, df FROM j WHERE rank <= 3
+        """,
+        "doc_tiers": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rank,
+                   CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS tier
+            FROM t
+        """,
+        "url_canonical_dedup": """
+            WITH c AS (
+              SELECT doc_id,
+                     'https://' || source || '.org/d/' || CAST(doc_id % 50 AS VARCHAR) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '?page=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+                     AS canonical_url
+              FROM documents
+            )
+            SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
+                   CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+            FROM c GROUP BY canonical_url
+        """,
+        "url_domain_stats": """
+            SELECT source || '.org' AS domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
         """,
         "sample_documents": """
             SELECT doc_id, lang, n_chars FROM documents

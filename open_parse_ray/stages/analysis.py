@@ -678,3 +678,77 @@ def source_capped_sample(sf_dir: str, cap: int = 20):
         ),
         cap_per_source,
     )
+
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Per-document top-k TF-IDF terms — the keyword-extraction /
+    domain-labeling step of corpus curation. Scored by tf/df (monotone
+    in tf·idf for ranking within one corpus), ties broken by the term
+    string ascending, exactly as the DuckDB oracle's
+    row_number() OVER (PARTITION BY doc ORDER BY tf/df DESC, term).
+
+    Scale shape — two salted exchanges over (doc_id, term, tf) rows and
+    NO df side-table or join: because the per-batch tokenize emits
+    exactly one row per (doc, term), a term's document frequency IS its
+    row count, so the first shuffle (salt=hash(term)) computes df with
+    a vectorized group-size transform in the same partition that holds
+    the rows; the second shuffle (salt=hash(doc_id)) ranks within each
+    document. Both partitions are salt-bounded; the comparator is IEEE
+    double tf/df (exact vs DuckDB: counts ≪ 2^26, so distinct rationals
+    never collide after rounding). Returns (doc_id, rank, term, tf, df).
+    """
+    from collections import Counter
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, terms, tfs = [], [], []
+        for d, t in zip(b["doc_id"].to_numpy(), b["text"]):
+            t = t.strip()
+            if not t:
+                continue
+            c = Counter(_WS_SPLIT.split(t))
+            doc_ids.extend([int(d)] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                "term": terms,
+                "tf": np.asarray(tfs, dtype=np.int64),
+            }
+        )
+
+    tf = ds.map_batches(tf_rows, batch_format="pandas", batch_size=8192)
+
+    def attach_df(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy()
+        part["df"] = part.groupby("term")["term"].transform("size").astype("int64")
+        return part
+
+    with_df = salted_groupby(
+        tf,
+        lambda b: pd.util.hash_pandas_object(b["term"], index=False).astype("int64"),
+        attach_df,
+    )
+
+    def topk_per_doc(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy()
+        part["score"] = part["tf"].to_numpy(dtype=np.float64) / part["df"].to_numpy(
+            dtype=np.float64
+        )
+        part = part.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True]
+        )
+        part["rank"] = part.groupby("doc_id").cumcount().to_numpy(dtype=np.int64) + 1
+        part = part[part["rank"] <= k]
+        return part[["doc_id", "rank", "term", "tf", "df"]].astype(
+            {"doc_id": "int64", "rank": "int64", "tf": "int64", "df": "int64"}
+        )
+
+    return salted_groupby(
+        with_df,
+        lambda b: pd.util.hash_pandas_object(b["doc_id"], index=False).astype("int64"),
+        topk_per_doc,
+    )

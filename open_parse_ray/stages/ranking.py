@@ -1,0 +1,206 @@
+"""Distributed global ranking → quantile-tier assignment ("tier
+extraction"): the curriculum / quality-bucketing step of a training-data
+pipeline — assign every document an exact global rank under a total
+order and an ntile-style equal-count tier, without ever sorting the
+whole corpus on one machine.
+
+Plan shape (the classic range-partition + offset-scan zipWithIndex,
+expressed in Ray Data):
+
+1. one streaming pass projects each row to a compact (id, value) pair
+   and materializes it (16 B/row — at 10^12 docs production would
+   checkpoint this projection to Parquet via state/lineage instead of
+   the object store; the plan is otherwise identical),
+2. a per-batch partial HISTOGRAM of the value column (bounded
+   cardinality: distinct whitespace token counts ≤ max document length)
+   flows to the driver, which derives range-partition boundaries over
+   the composite key (value, id); a value whose count straddles a
+   partition target is sub-split by id cuts, so a corpus where one
+   value dominates (10^9 docs of length 512) still yields bounded
+   partitions — boundary placement affects only balance, never
+   correctness,
+3. the ONE all-to-all: groupby(partition) over the compact pairs; each
+   partition sorts locally by (value, id) and emits 0-based local ranks,
+4. per-partition counts (per-batch bincount partials, ~num_parts rows)
+   give the driver an exclusive prefix sum of partition sizes; a final
+   streaming map adds the broadcast offset → exact global rank → ntile
+   tier.
+
+Every exchanged row is ≤ 24 bytes; the driver only ever sees the value
+histogram and num_parts partition counts. No reference counterpart —
+this is a scale-layer addition (the reference processes one document at
+a time); semantics pinned by the DuckDB row_number()/ntile() oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_ID_BITS = 40  # composite key = (value << 40) | id ; requires id < 2^40
+_ID_MASK = (1 << _ID_BITS) - 1
+
+
+def ntile_of_rank(rank: np.ndarray, n_rows: int, k: int) -> np.ndarray:
+    """SQL ntile(k) over 1-based ranks: the first n_rows % k tiles get
+    floor(n/k)+1 rows, the rest floor(n/k)."""
+    q, rem = divmod(n_rows, k)
+    big = q + 1
+    threshold = rem * big
+    r = np.asarray(rank, dtype=np.int64)
+    q_safe = max(q, 1)
+    return np.where(
+        r <= threshold,
+        (r - 1) // big + 1,
+        rem + 1 + (r - 1 - threshold) // q_safe,
+    ).astype(np.int64)
+
+
+def _composite(value: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    v = np.asarray(value, dtype=np.uint64)
+    i = np.asarray(ids, dtype=np.uint64)
+    if i.size and int(i.max()) > _ID_MASK:
+        raise ValueError("id exceeds 2^40; widen _ID_BITS")
+    return (v << np.uint64(_ID_BITS)) | i
+
+
+def _boundaries(hist: pd.DataFrame, max_id: int, num_parts: int) -> np.ndarray:
+    """num_parts-1 composite cut keys from the (value, count) histogram.
+    A value straddling a partition target is sub-split by id cuts placed
+    uniformly over [0, max_id] — balance heuristic only; ranks stay
+    exact because partitioning only co-locates, the sort happens inside
+    each partition and offsets come from measured partition counts."""
+    hist = hist.sort_values("v").reset_index(drop=True)
+    values = hist["v"].to_numpy(dtype=np.int64)
+    counts = hist["cnt"].to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    cuts: list[int] = []
+    cum = 0
+    targets = [(i * total) // num_parts for i in range(1, num_parts)]
+    ti = 0
+    for v, c in zip(values, counts):
+        while ti < len(targets) and targets[ti] < cum + c:
+            inside = targets[ti] - cum  # rows of this value below the cut
+            if inside <= 0:
+                # cut at the lower edge of this value: key just below it
+                cuts.append(int(_composite(np.array([v]), np.array([0]))[0]) - 1)
+            else:
+                frac_id = min(max_id, (max_id * inside) // max(c, 1))
+                cuts.append(int(_composite(np.array([v]), np.array([frac_id]))[0]))
+            ti += 1
+        cum += c
+    while ti < len(targets):  # degenerate: fewer rows than partitions
+        cuts.append(np.iinfo(np.int64).max - 1)
+        ti += 1
+    return np.asarray(sorted(set(cuts)), dtype=np.uint64)
+
+
+def global_rank(keyed, k: int = 4, num_parts: int = 32):
+    """Exact 1-based global rank + ntile(k) tier over a Dataset of
+    (doc_id:int64, n_tokens:int64) pairs, total-ordered by
+    (n_tokens, doc_id). Returns (doc_id, n_tokens, rank, tier)."""
+    import ray
+
+    keyed = keyed.materialize()
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "v": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                    "max_id": pd.Series([], dtype="int64"),
+                }
+            )
+        vc = b["n_tokens"].value_counts()
+        return pd.DataFrame(
+            {
+                "v": vc.index.to_numpy(dtype=np.int64),
+                "cnt": vc.to_numpy(dtype=np.int64),
+                "max_id": np.int64(b["doc_id"].max()),
+            }
+        )
+
+    hp = keyed.map_batches(hist_partial, batch_format="pandas", batch_size=65536).to_pandas()
+    if len(hp) == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                    "tier": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+    max_id = int(hp["max_id"].max())
+    hist = hp.groupby("v", as_index=False).agg(cnt=("cnt", "sum"))
+    n_rows = int(hist["cnt"].sum())
+    bounds_ref = ray.put(_boundaries(hist, max_id, num_parts))
+
+    def assign_pid(b: pd.DataFrame) -> pd.DataFrame:
+        bounds = ray.get(bounds_ref)
+        key = _composite(
+            b["n_tokens"].to_numpy(dtype=np.int64), b["doc_id"].to_numpy(dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tokens": b["n_tokens"].astype("int64"),
+                "pid": np.searchsorted(bounds, key, side="right").astype(np.int64),
+            }
+        )
+
+    def local_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", "doc_id"]).reset_index(drop=True)
+        g["lrank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    ranked = (
+        keyed.map_batches(assign_pid, batch_format="pandas", batch_size=65536)
+        .groupby("pid")
+        .map_groups(local_rank, batch_format="pandas")
+        .materialize()
+    )
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["pid"].value_counts()
+        return pd.DataFrame(
+            {"pid": vc.index.to_numpy(dtype=np.int64), "n": vc.to_numpy(dtype=np.int64)}
+        )
+
+    cp = ranked.map_batches(count_partial, batch_format="pandas", batch_size=65536).to_pandas()
+    counts = cp.groupby("pid", as_index=False).agg(n=("n", "sum")).sort_values("pid")
+    offsets = np.zeros(int(counts["pid"].max()) + 2, dtype=np.int64)
+    offsets[counts["pid"].to_numpy(dtype=np.int64) + 1] = counts["n"].to_numpy(dtype=np.int64)
+    offsets = np.cumsum(offsets)
+    offsets_ref = ray.put(offsets)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)
+        rank = off[b["pid"].to_numpy(dtype=np.int64)] + b["lrank"].to_numpy(dtype=np.int64) + 1
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tokens": b["n_tokens"].astype("int64"),
+                "rank": rank,
+                "tier": ntile_of_rank(rank, n_rows, k),
+            }
+        )
+
+    return ranked.map_batches(finalize, batch_format="pandas", batch_size=65536)
+
+
+def doc_tiers(sf_dir: str, k: int = 4, num_parts: int = 32):
+    """Length-quantile tier extraction over the documents corpus: exact
+    global rank by (whitespace token count, doc_id) and ntile(k) tier.
+    The short-doc tiers are what a quality-curriculum drops first.
+    Oracle: DuckDB row_number()/ntile() over the same total order."""
+    from open_parse_ray.stages.analysis import read_documents, token_count_batch
+
+    keyed = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pandas", batch_size=8192
+    )
+    return global_rank(keyed, k=k, num_parts=num_parts)

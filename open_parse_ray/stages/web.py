@@ -1,0 +1,174 @@
+"""Web-corpus URL operators: canonicalization, canonical-URL dedup, and
+per-domain composition stats — the first dedup/quality pass every
+Common-Crawl-style pipeline runs (the same crawl URL is fetched many
+times with varying case, ports, fragments and tracking parameters).
+
+Oracle strategy (the `pdf_extract_text` pattern): the driver's SQL
+views carry no URL column, so both sides SYNTHESIZE the same messy URL
+deterministically from (doc_id, source) — the Python side then has to
+RECOVER the clean canonical form through the real parser/normalizer,
+while the DuckDB oracle derives the expected canonical independently
+(a closed-form expression over doc_id/source that never sees the messy
+string). A hash match therefore proves the canonicalizer inverts every
+perturbation variant.
+
+Scale shape: canonicalization is a stateless per-row map (compiled
+rules, no state); the dedup groupby ships (canonical, doc_id) rows
+salted on hash(canonical) — bounded partitions at any corpus size;
+domain stats collapse per batch to ≤|domains-in-block| partial rows
+before the tiny final combine (bounded cardinality: registered domains
+number ~10^8 ≪ 10^12 pages, and partials collapse per block anyway).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urlsplit
+
+import numpy as np
+import pandas as pd
+
+# Tracking parameters dropped by canonicalization (the usual
+# analytics/click-id noise that multiplies crawl URLs).
+_TRACKING_KEYS = {"fbclid", "gclid", "ref", "mc_cid", "mc_eid"}
+
+_DEFAULT_PORTS = {"https": ":443", "http": ":80"}
+
+
+def canonicalize_url(url: str) -> str:
+    """Normalize a URL to its canonical form:
+
+    - scheme and host lowercased; leading ``www.`` stripped
+    - default port stripped (``:443`` for https, ``:80`` for http)
+    - duplicate slashes in the path collapsed; trailing slash stripped
+      (a bare ``/`` root collapses to the empty path)
+    - fragment dropped
+    - query: tracking params (``utm_*`` and _TRACKING_KEYS) dropped,
+      the rest sorted by (key, value) and re-encoded
+    """
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    host = parts.netloc.lower()
+    port = _DEFAULT_PORTS.get(scheme)
+    if port and host.endswith(port):
+        host = host[: -len(port)]
+    if host.startswith("www."):
+        host = host[4:]
+    path = parts.path
+    while "//" in path:
+        path = path.replace("//", "/")
+    if path.endswith("/"):
+        path = path[:-1]
+    pairs = [
+        (k, v)
+        for k, v in parse_qsl(parts.query, keep_blank_values=True)
+        if not k.startswith("utm_") and k not in _TRACKING_KEYS
+    ]
+    query = urlencode(sorted(pairs))
+    out = f"{scheme}://{host}{path}"
+    return f"{out}?{query}" if query else out
+
+
+def registered_domain(url: str) -> str:
+    """Host of the URL with case, port and a leading ``www.`` removed.
+    (A public-suffix list would be needed for true eTLD+1 on multi-label
+    TLDs like .co.uk; the corpus here uses single-label TLDs.)"""
+    host = urlsplit(url).netloc.lower()
+    if ":" in host:
+        host = host.split(":", 1)[0]
+    if host.startswith("www."):
+        host = host[4:]
+    return host
+
+
+def synth_messy_url(doc_id: int, source: str) -> str:
+    """Deterministic messy crawl URL for (doc_id, source): one of six
+    perturbation variants of the canonical
+    ``https://{source}.org/d/{doc_id % 50}[?page={doc_id % 7}]`` —
+    case noise, www, default port, fragments, tracking params, slash
+    noise. canonicalize_url() must invert every variant (that inversion
+    is exactly what the SQL oracle checks)."""
+    m = doc_id % 50
+    page = f"page={doc_id % 7}" if doc_id % 3 == 0 else ""
+    v = doc_id % 6
+    if v == 0:
+        q = f"?{page}" if page else ""
+        return f"https://{source}.org/d/{m}{q}"
+    if v == 1:
+        q = f"?{page}" if page else ""
+        return f"HTTPS://WWW.{source.upper()}.ORG/d/{m}{q}"
+    if v == 2:
+        q = f"?{page}" if page else ""
+        return f"https://{source}.org:443/d/{m}{q}#sec2"
+    if v == 3:
+        q = f"?utm_source=feed&{page}&fbclid=IwAR0x" if page else "?utm_source=feed&fbclid=IwAR0x"
+        return f"https://{source}.org/d/{m}{q}"
+    if v == 4:
+        q = f"?{page}" if page else ""
+        return f"https://www.{source}.org//d//{m}/{q}"
+    q = f"?utm_campaign=x&{page}" if page else "?utm_campaign=x"
+    return f"HTTPS://{source.upper()}.org:443//d//{m}/{q}#frag"
+
+
+def _messy_urls(b: pd.DataFrame) -> list:
+    return [
+        synth_messy_url(int(d), s) for d, s in zip(b["doc_id"].to_numpy(), b["source"])
+    ]
+
+
+def url_canonical_dedup(sf_dir: str):
+    """Canonical-URL dedup: canonicalize each (synthesized) crawl URL
+    and collapse duplicates — (canonical_url, n_dups, rep_doc_id=min).
+    The exchange ships only (canonical, doc_id) salted on
+    hash(canonical); text never moves."""
+    from open_parse_ray.stages.analysis import read_documents
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    def to_canon(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "canonical_url": [canonicalize_url(u) for u in _messy_urls(b)],
+                "doc_id": b["doc_id"].astype("int64"),
+            }
+        )
+
+    canon = read_documents(sf_dir, columns=["doc_id", "source"]).map_batches(
+        to_canon, batch_format="pandas", batch_size=65536
+    )
+
+    def collapse(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("canonical_url", as_index=False).agg(
+            n_dups=("doc_id", "size"), rep_doc_id=("doc_id", "min")
+        )
+        return g.astype({"n_dups": "int64", "rep_doc_id": "int64"})
+
+    return salted_groupby(
+        canon,
+        lambda b: pd.util.hash_pandas_object(b["canonical_url"], index=False).astype(
+            "int64"
+        ),
+        collapse,
+    )
+
+
+def url_domain_stats(sf_dir: str):
+    """Per-registered-domain corpus composition: document count and
+    total characters — the over-representation report used to cap hot
+    domains. Bounded-cardinality two-phase aggregate: per-batch partials
+    collapse each block to ≤|domains-in-block| rows before the tiny
+    final combine. Returns (domain, n_docs, total_chars)."""
+    from open_parse_ray.stages.analysis import read_documents
+    from open_parse_ray.stages.relational import _combine_partials
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dom = pd.Series([registered_domain(u) for u in _messy_urls(b)], name="domain")
+        g = pd.DataFrame(
+            {"domain": dom, "n_docs": 1, "total_chars": b["n_chars"].to_numpy(dtype=np.int64)}
+        ).groupby("domain", as_index=False).agg(
+            n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")
+        )
+        return g.astype({"n_docs": "int64", "total_chars": "int64"})
+
+    partials = read_documents(sf_dir, columns=["doc_id", "source", "n_chars"]).map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    )
+    return _combine_partials(partials, ["domain"], {"n_docs": "sum", "total_chars": "sum"})

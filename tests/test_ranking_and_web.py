@@ -1,0 +1,205 @@
+"""Gates for the tier-extraction ranking operator (stages/ranking.py)
+and the web/URL operators (stages/web.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- ntile
+
+
+def test_ntile_formula_matches_duckdb():
+    import duckdb
+
+    for n in list(range(1, 26)) + [100, 101]:
+        for k in range(1, 8):
+            exp = duckdb.sql(
+                f"SELECT ntile({k}) OVER (ORDER BY i) AS t "
+                f"FROM range(1, {n + 1}) r(i) ORDER BY i"
+            ).df()["t"].to_numpy(dtype=np.int64)
+            from open_parse_ray.stages.ranking import ntile_of_rank
+
+            got = ntile_of_rank(np.arange(1, n + 1), n, k)
+            assert np.array_equal(got, exp), (n, k)
+
+
+# ------------------------------------------------------- global ranking
+
+
+def _rank_df(df, k=4, num_parts=8):
+    import ray.data as rd
+
+    from open_parse_ray.stages.ranking import global_rank
+
+    out = global_rank(rd.from_pandas(df), k=k, num_parts=num_parts).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _expected(df, k=4):
+    from open_parse_ray.stages.ranking import ntile_of_rank
+
+    e = df.sort_values(["n_tokens", "doc_id"]).reset_index(drop=True)
+    e["rank"] = np.arange(1, len(e) + 1, dtype=np.int64)
+    e["tier"] = ntile_of_rank(e["rank"].to_numpy(), len(e), k)
+    return e.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_tokens", "rank", "tier"]
+    ]
+
+
+def test_global_rank_random_and_partition_invariance(ray_session):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype=np.int64),
+            "n_tokens": rng.integers(0, 40, 500).astype(np.int64),
+        }
+    )
+    exp = _expected(df)
+    a = _rank_df(df, num_parts=3)
+    b = _rank_df(df, num_parts=17)
+    pd.testing.assert_frame_equal(a[exp.columns], exp)
+    pd.testing.assert_frame_equal(b[exp.columns], exp)
+
+
+def test_global_rank_single_hot_value_splits_partitions(ray_session):
+    """A corpus where EVERY doc has the same token count (the viral-
+    boilerplate shape): the composite (value, id) sub-split must keep
+    partitions bounded and ranks exact by doc_id."""
+    from open_parse_ray.stages.ranking import _boundaries
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(2000, dtype=np.int64),
+            "n_tokens": np.full(2000, 37, dtype=np.int64),
+        }
+    )
+    # boundary builder places >1 distinct cut INSIDE the hot value
+    hist = pd.DataFrame({"v": [37], "cnt": [2000]})
+    cuts = _boundaries(hist, max_id=1999, num_parts=8)
+    assert len(cuts) == 7
+    exp = _expected(df)
+    got = _rank_df(df, num_parts=8)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_doc_tiers_matches_local_reference(ray_session):
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.analysis import n_tokens_sql_semantics
+    from open_parse_ray.stages.ranking import doc_tiers
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    df = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "n_tokens": [n_tokens_sql_semantics(t) for t in docs["text"]],
+        }
+    )
+    exp = _expected(df)
+    got = doc_tiers(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+# ------------------------------------------------------------- web/URL
+
+
+TRICKY = [
+    ("HTTPS://WWW.Example.COM:443/a//b/?utm_source=x&b=2&a=1#frag", "https://example.com/a/b?a=1&b=2"),
+    ("http://example.com:80/", "http://example.com"),
+    ("http://example.com:8080/x/", "http://example.com:8080/x"),
+    ("https://example.com/a?fbclid=zz&gclid=yy&ref=rss", "https://example.com/a"),
+    ("https://example.com/a?b=&a=", "https://example.com/a?a=&b="),
+    ("https://example.com///", "https://example.com"),
+    ("https://sub.www.example.com/a", "https://sub.www.example.com/a"),
+]
+
+
+def test_canonicalize_url_cases():
+    from open_parse_ray.stages.web import canonicalize_url
+
+    for raw, want in TRICKY:
+        assert canonicalize_url(raw) == want, raw
+
+
+def test_canonicalize_idempotent():
+    from open_parse_ray.stages.web import canonicalize_url, synth_messy_url
+
+    urls = [raw for raw, _ in TRICKY] + [
+        synth_messy_url(i, "src") for i in range(300)
+    ]
+    for u in urls:
+        c = canonicalize_url(u)
+        assert canonicalize_url(c) == c, u
+
+
+def test_synth_variants_recover_closed_form():
+    from open_parse_ray.stages.web import canonicalize_url, synth_messy_url
+
+    for i in range(600):
+        m = i % 50
+        want = f"https://src.org/d/{m}"
+        if i % 3 == 0:
+            want += f"?page={i % 7}"
+        assert canonicalize_url(synth_messy_url(i, "src")) == want, i
+
+
+def test_registered_domain():
+    from open_parse_ray.stages.web import registered_domain
+
+    assert registered_domain("HTTPS://WWW.Ex.ORG:443/a") == "ex.org"
+    assert registered_domain("http://ex.org:8080/a") == "ex.org"
+
+
+def test_url_canonical_dedup_group_counts(ray_session):
+    """Group sizes must sum to the corpus size and every member of a
+    group must share the representative's canonical form."""
+    from open_parse_ray.stages.web import url_canonical_dedup
+
+    out = url_canonical_dedup(SF).to_pandas()
+    assert out["n_dups"].sum() == 500
+    assert (out["n_dups"] > 1).any()  # the corpus really has URL dups
+    assert out["canonical_url"].is_unique
+
+
+# ---------------------------------------------------------------- tfidf
+
+
+def test_tfidf_top_terms_matches_local_reference(ray_session):
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.analysis import tfidf_top_terms
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    ws = re.compile(r"\s+")
+    tf_rows = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        t = t.strip()
+        if not t:
+            continue
+        for term, tf in Counter(ws.split(t)).items():
+            tf_rows.append((int(d), term, tf))
+    tf = pd.DataFrame(tf_rows, columns=["doc_id", "term", "tf"])
+    df_map = tf.groupby("term")["doc_id"].size()
+    tf["df"] = tf["term"].map(df_map).astype("int64")
+    tf["score"] = tf["tf"].to_numpy(dtype=np.float64) / tf["df"].to_numpy(np.float64)
+    tf = tf.sort_values(["doc_id", "score", "term"], ascending=[True, False, True])
+    tf["rank"] = tf.groupby("doc_id").cumcount() + 1
+    exp = (
+        tf[tf["rank"] <= 3][["doc_id", "rank", "term", "tf", "df"]]
+        .astype({"doc_id": "int64", "rank": "int64", "tf": "int64", "df": "int64"})
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = (
+        tfidf_top_terms(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
