@@ -226,6 +226,15 @@ def _q_pdf_docs(sf_dir: str):
     return pdf_docs(sf_dir)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table
+    (fixed-point partial sums for bit-reproducibility at any block
+    structure; pytest-gated against a single-process reference)."""
+    from open_parse_ray.stages.clustering import kmeans_clusters
+
+    return kmeans_clusters(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so every oracle-backed query and every query without an
     equivalent pytest rows-gate sits in the FIRST 50 entries: the
@@ -312,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": similarity.ann_pq_topk,
         "doc_embeddings": analysis.doc_embeddings,
         "neardup_clusters": dedup.neardup_clusters,
+        "kmeans_clusters": _q_kmeans_clusters,
         "prepare_training_sequences": _q_prepare_sequences,
         "pdf_docs": _q_pdf_docs,
         "rolling_fingerprints": analysis.rolling_fingerprints,

@@ -1,0 +1,161 @@
+"""Distributed k-means over the embeddings table (spherical / cosine
+variant) — the corpus-curation clustering step (domain discovery,
+curriculum buckets, IVF coarse-quantizer training).
+
+Scale shape (classic Lloyd's as Ray Data passes; nothing ever gathers
+the vectors):
+
+- each iteration is ONE streaming map over the table: an actor pool
+  holds the broadcast centroids (``ray.put`` once per iteration, read
+  in ``__init__``), assigns each batch by cosine and emits ≤k partial
+  rows (cluster, count, quantized sum vector) per batch,
+- the driver reduces batches×k tiny partials and updates centroids;
+  empty clusters keep their previous centroid,
+- a final pass emits (vec_id, cluster).
+
+Bit-reproducibility at ANY block structure (the repo's determinism
+invariant): float partial sums would make centroid updates depend on
+batch boundaries (accumulation order), so vectors are quantized to
+fixed-point int64 (2^-20 resolution) and partial sums are EXACT integer
+arithmetic — order-independent by construction. Assignment dots are
+computed with a fixed-length last-axis reduction (numpy's pairwise tree
+over the 64-dim axis only), so they are bitwise identical regardless of
+batch size. At 10^12 rows per-cluster int64 sums approach overflow
+(2^20 scale × |x| × count); production would accumulate driver-side in
+Python ints (arbitrary precision) — the partial shape is unchanged.
+
+No reference counterpart (scale-layer addition); gated by a pytest
+equivalence test against a single-process numpy reference and a
+block-structure invariance test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_SCALE = 1 << 20
+
+
+def _quantize(emb: np.ndarray) -> np.ndarray:
+    return np.round(emb * _SCALE).astype(np.int64)
+
+
+def _assign(q_emb: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest centroid by cosine for fixed-point vectors. ``centroids``
+    is float64 (k, d) and must be bitwise-identical across callers; the
+    last-axis reduction makes the dots independent of batch size."""
+    x = q_emb.astype(np.float64) / _SCALE
+    c_norm = np.sqrt((centroids * centroids).sum(axis=1))
+    c_norm[c_norm == 0] = 1.0
+    # (B, k): fixed-length axis-2 reduction — deterministic per row
+    dots = (x[:, None, :] * centroids[None, :, :]).sum(axis=2)
+    return np.argmax(dots / c_norm[None, :], axis=1).astype(np.int64)
+
+
+def _read_embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _init_centroids(sf_dir: str, k: int, dim: int) -> np.ndarray:
+    """Deterministic init: the embeddings of the k smallest vec_ids,
+    fetched with a pushed-down row filter (never a full scan)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=pads.field("vec_id") < k,
+    )
+    df = tbl.to_pandas().sort_values("vec_id")
+    cents = np.array([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    if cents.shape != (k, dim):
+        raise ValueError(f"init centroids shape {cents.shape} != ({k}, {dim})")
+    return _quantize(cents).astype(np.float64) / _SCALE
+
+
+class _PartialSums:
+    """Actor: assigns a batch and emits ≤k (cluster, n, sums-bytes)."""
+
+    def __init__(self, cent_ref):
+        import ray
+
+        self.centroids = ray.get(cent_ref)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        q = _quantize(np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]]))
+        a = _assign(q, self.centroids)
+        rows = []
+        for c in np.unique(a):
+            sel = q[a == c]
+            rows.append(
+                {
+                    "cluster": int(c),
+                    "n": np.int64(sel.shape[0]),
+                    "sums": sel.sum(axis=0, dtype=np.int64).tobytes(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+
+class _FinalAssign:
+    def __init__(self, cent_ref):
+        import ray
+
+        self.centroids = ray.get(cent_ref)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        q = _quantize(np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]]))
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].astype("int64"),
+                "cluster": _assign(q, self.centroids),
+            }
+        )
+
+
+def kmeans_fit(sf_dir: str, k: int = 8, iters: int = 5, dim: int = 64, batch_size: int = 4096) -> np.ndarray:
+    """Run ``iters`` Lloyd iterations; returns the (k, dim) float64
+    centroid matrix (a pure function of the quantized inputs)."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    centroids = _init_centroids(sf_dir, k, dim)
+    for _ in range(iters):
+        cent_ref = ray.put(centroids)
+        partials = ds.map_batches(
+            _PartialSums,
+            fn_constructor_args=(cent_ref,),
+            batch_format="pandas",
+            batch_size=batch_size,
+            concurrency=(1, 8),
+        ).to_pandas()
+        new = centroids.copy()
+        for c, grp in partials.groupby("cluster"):
+            n = int(grp["n"].sum())
+            if n == 0:
+                continue
+            s = np.zeros(dim, dtype=np.int64)
+            for raw in grp["sums"]:
+                s += np.frombuffer(raw, dtype=np.int64)
+            new[int(c)] = s.astype(np.float64) / (_SCALE * n)
+        centroids = new
+    return centroids
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5, dim: int = 64, batch_size: int = 4096):
+    """(vec_id, cluster) assignments after ``iters`` Lloyd rounds."""
+    import ray
+
+    centroids = kmeans_fit(sf_dir, k=k, iters=iters, dim=dim, batch_size=batch_size)
+    cent_ref = ray.put(centroids)
+    return _read_embeddings(sf_dir).map_batches(
+        _FinalAssign,
+        fn_constructor_args=(cent_ref,),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )

@@ -1,0 +1,69 @@
+"""Gates for distributed spherical k-means (stages/clustering.py):
+single-process numpy equivalence + block-structure invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reference_kmeans(emb: np.ndarray, vec_ids: np.ndarray, k: int, iters: int):
+    """Single-process reference of the exact quantized algorithm."""
+    from open_parse_ray.stages.clustering import _SCALE, _assign, _quantize
+
+    q = _quantize(emb)
+    order = np.argsort(vec_ids)
+    cents = q[order[:k]].astype(np.float64) / _SCALE  # init = k smallest ids
+    for _ in range(iters):
+        a = _assign(q, cents)
+        new = cents.copy()
+        for c in range(k):
+            sel = q[a == c]
+            if len(sel):
+                new[c] = sel.sum(axis=0, dtype=np.int64).astype(np.float64) / (
+                    _SCALE * len(sel)
+                )
+        cents = new
+    return cents, _assign(q, cents)
+
+
+def _load():
+    df = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    emb = np.array([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    return emb, df["vec_id"].to_numpy(dtype=np.int64)
+
+
+def test_kmeans_matches_single_process_reference(ray_session):
+    from open_parse_ray.stages.clustering import kmeans_clusters, kmeans_fit
+
+    emb, ids = _load()
+    exp_cents, exp_assign = _reference_kmeans(emb, ids, k=8, iters=5)
+    got_cents = kmeans_fit(SF, k=8, iters=5)
+    assert np.array_equal(got_cents, exp_cents)  # bitwise, not allclose
+    got = (
+        kmeans_clusters(SF, k=8, iters=5)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(got["cluster"].to_numpy(), exp_assign)
+    assert np.array_equal(got["vec_id"].to_numpy(), ids)
+
+
+def test_kmeans_block_structure_invariance(ray_session):
+    """Fixed-point partial sums make centroids bitwise identical no
+    matter how Ray splits the batches."""
+    from open_parse_ray.stages.clustering import kmeans_fit
+
+    a = kmeans_fit(SF, k=4, iters=3, batch_size=64)
+    b = kmeans_fit(SF, k=4, iters=3, batch_size=4096)
+    assert np.array_equal(a, b)
+
+
+def test_kmeans_clusters_nontrivial(ray_session):
+    from open_parse_ray.stages.clustering import kmeans_clusters
+
+    got = kmeans_clusters(SF, k=8, iters=3).to_pandas()
+    assert got["cluster"].between(0, 7).all()
+    assert got["cluster"].nunique() > 1  # data actually separates
