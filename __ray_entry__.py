@@ -4,19 +4,22 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 66 callables covering every implemented operator
+- ``queries()`` — 74 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep + packed-sequence chain), a REAL stdlib-only PDF
   payload path (typeset→FlateDecode→operator interpreter→span kernel),
   text analysis (quality/Gopher/repetition/lang-id/tokens/fingerprints/
-  chunking/TF-DF/sampling/packing), dedup (exact/MinHash/SimHash/
-  Jaccard/embedding/span-level/decontamination/clustering), similarity
-  (kNN/LSH/IVF/PQ), relational+windowed (joins incl. multi-way/anti/
+  chunking/TF-DF/TF-IDF-top-k/sampling/splits/caps/packing), tier
+  extraction (distributed global rank + ntile), web/URL ops
+  (canonicalization, URL dedup, domain stats), dedup (exact/MinHash/
+  SimHash/Jaccard/embedding/span-level/decontamination/clustering),
+  similarity (kNN/LSH/IVF/PQ, spherical k-means), relational+windowed
+  (joins incl. multi-way/anti/
   band/AS-OF, windows, sessionization, top-k, quantiles, count-distinct,
   HLL sketch, JSON extraction, distributed prefix scan), multimodal
   (real BMP/PNG/WAV/BMPV codecs, image→table structure+markdown+html,
   OCR, FFT audio descriptors).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for the 40 SQL-expressible
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the 47 SQL-expressible
   queries, same column names, over the pre-registered testdata views
   (incl. the full PDF roundtrip and the BPE-regex token counts).
   The rest (extraction, LSH/ANN, sketches, media codecs) are

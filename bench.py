@@ -134,6 +134,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "split_assignments",
         "source_capped_sample",
         "normalized_exact_dedup",
+        "tfidf_top_terms",
+        "doc_tiers",
+        "url_canonical_dedup",
+        "url_domain_stats",
+        "kmeans_clusters",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",
