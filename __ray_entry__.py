@@ -249,7 +249,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- extraction (pages corpus; oracle = pytest identity harness) --
         "extract_docs": _q_extract_docs,
         "extract_nodes": _q_extract_nodes,
-        "extract_semantic": _q_extract_semantic,
         # -- PDF payload path (stdlib codec; SQL-oracle roundtrip) --
         "pdf_extract_text": _q_pdf_extract_text,
         # -- text analysis over documents --
@@ -279,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup family --
         "exact_dedup": dedup.exact_dedup_groups,
         "normalized_exact_dedup": dedup.normalized_exact_dedup,
+        "bloom_dup_groups": dedup.bloom_dup_groups,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "decontamination_flags": dedup.decontamination_flags,
@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         # ---- tail: pytest-pinned elsewhere (property tests / exact
         # roundtrips / unit goldens), safe outside the driver window ----
+        "extract_semantic": _q_extract_semantic,
         "page_metadata": _q_page_metadata,
         "minhash_neardup": dedup.minhash_neardup_pairs,
         "approx_distinct_users": relational.approx_distinct_users,
@@ -766,6 +767,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
                    CAST(min(doc_id) AS BIGINT) AS rep_doc_id
             FROM c GROUP BY canonical_url
+        """,
+        "bloom_dup_groups": """
+            WITH c AS (
+              SELECT doc_id,
+                     'https://' || source || '.org/d/' || CAST(doc_id % 50 AS VARCHAR) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '?page=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+                     AS canonical_url
+              FROM documents
+            )
+            SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
+                   CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+            FROM c GROUP BY canonical_url HAVING count(*) >= 2
         """,
         "url_domain_stats": """
             SELECT source || '.org' AS domain,

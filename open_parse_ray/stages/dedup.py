@@ -1769,3 +1769,123 @@ def normalized_exact_dedup(sf_dir: str):
     return salted_groupby(
         hashed, lambda b: b["fp"].str[:8].apply(int, base=16), groups
     )
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered duplicate-group extraction
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(fps: np.ndarray, m_bits: int) -> np.ndarray:
+    """(n, 2) bit positions per 64-bit fingerprint: two independent
+    multiplicative mixes of the same fp (Kirsch-Mitzenmacher double
+    hashing degenerates for k=2 to two mixes)."""
+    f = fps.astype(np.uint64)
+    h1 = (f * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+    h2 = (f * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(40)
+    return np.stack([h1 % np.uint64(m_bits), h2 % np.uint64(m_bits)], axis=1).astype(
+        np.int64
+    )
+
+
+def bloom_dup_groups(sf_dir: str, m_bits: int = 1 << 20):
+    """Duplicate canonical-URL groups (n_dups ≥ 2) computed with a
+    Bloom-filter PREFILTER so the dedup shuffle ships only candidate
+    rows — the classic way to exact-dedup 10^12 keys when duplicates
+    are a small fraction: the all-to-all shrinks from every row to
+    ~(true dups + false positives).
+
+    Pass 1 (streaming, NO shuffle): each block emits two packed m-bit
+    bitmaps — positions of its distinct key fingerprints, and positions
+    of fps already duplicated WITHIN the block. The driver sums the
+    presence bitmaps saturating at 2; candidate positions are those with
+    presence ≥ 2 blocks OR an intra-block dup. A fp occurring in two
+    places sets its positions in two partials (or the dup bitmap), so
+    NO false negative is possible; unrelated fps sharing both positions
+    only add false positives, which pass 2 discards. At 10^12 keys the
+    driver reduce becomes a tree-reduce over sharded bitmaps (the
+    partial per block stays m/8 bytes regardless of corpus size).
+
+    Pass 2: rows whose both positions are set in the broadcast candidate
+    bitmap flow into the usual salted fp-groupby; groups keep exact
+    counts (a candidate fp admits ALL its occurrences) and only
+    n_dups ≥ 2 groups are emitted. Output matches url_canonical_dedup
+    restricted to duplicate groups: (canonical_url, n_dups, rep_doc_id).
+    """
+    import ray
+
+    from open_parse_ray.stages.analysis import read_documents
+    from open_parse_ray.stages.web import _messy_urls, canonicalize_url
+
+    def to_canon(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "canonical_url": [canonicalize_url(u) for u in _messy_urls(b)],
+                "doc_id": b["doc_id"].astype("int64"),
+            }
+        )
+
+    canon = (
+        read_documents(sf_dir, columns=["doc_id", "source"])
+        .map_batches(to_canon, batch_format="pandas", batch_size=65536)
+        .materialize()
+    )
+
+    def _fps(vals: pd.Series) -> np.ndarray:
+        return np.asarray(
+            [int(hashlib.md5(v.encode()).hexdigest()[:16], 16) for v in vals],
+            dtype=np.uint64,
+        )
+
+    def bitmap_partial(b: pd.DataFrame) -> pd.DataFrame:
+        fps = _fps(b["canonical_url"])
+        uniq, counts = np.unique(fps, return_counts=True)
+        pos_all = _bloom_positions(uniq, m_bits).ravel()
+        present = np.zeros(m_bits, dtype=bool)
+        present[pos_all] = True
+        intra = np.zeros(m_bits, dtype=bool)
+        dup_fp = uniq[counts >= 2]
+        if len(dup_fp):
+            intra[_bloom_positions(dup_fp, m_bits).ravel()] = True
+        return pd.DataFrame(
+            {
+                "present": [np.packbits(present).tobytes()],
+                "intra": [np.packbits(intra).tobytes()],
+            }
+        )
+
+    parts = canon.map_batches(
+        bitmap_partial, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    presence = np.zeros(m_bits, dtype=np.uint8)
+    intra = np.zeros(m_bits, dtype=bool)
+    for praw, iraw in zip(parts["present"], parts["intra"]):
+        presence = np.minimum(
+            presence + np.unpackbits(np.frombuffer(praw, dtype=np.uint8))[:m_bits], 2
+        ).astype(np.uint8)
+        intra |= np.unpackbits(np.frombuffer(iraw, dtype=np.uint8))[:m_bits].astype(bool)
+    candidate = np.packbits((presence >= 2) | intra)
+    cand_ref = ray.put(candidate)
+
+    def keep_candidates(b: pd.DataFrame) -> pd.DataFrame:
+        bits = np.unpackbits(ray.get(cand_ref))[:m_bits].astype(bool)
+        pos = _bloom_positions(_fps(b["canonical_url"]), m_bits)
+        return b[bits[pos].all(axis=1)]
+
+    candidates = canon.map_batches(
+        keep_candidates, batch_format="pandas", batch_size=65536
+    )
+
+    def collapse(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("canonical_url", as_index=False).agg(
+            n_dups=("doc_id", "size"), rep_doc_id=("doc_id", "min")
+        )
+        g = g[g["n_dups"] >= 2]
+        return g.astype({"n_dups": "int64", "rep_doc_id": "int64"})
+
+    return salted_groupby(
+        candidates,
+        lambda b: pd.util.hash_pandas_object(b["canonical_url"], index=False).astype(
+            "int64"
+        ),
+        collapse,
+    )

@@ -203,3 +203,60 @@ def test_tfidf_top_terms_matches_local_reference(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+# ------------------------------------------------- bloom dup prefilter
+
+
+def test_bloom_dup_groups_exact_even_with_tiny_bitmap(ray_session):
+    """With m_bits=4096 almost every position collides (heavy false
+    positives): the output must STILL be exactly the duplicate groups,
+    because pass 2 verifies real keys. Also pins equality with the
+    roomy-bitmap run and a local reference."""
+    import pandas as pd
+
+    from open_parse_ray.stages.dedup import bloom_dup_groups
+    from open_parse_ray.stages.web import canonicalize_url, synth_messy_url
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
+    canon = pd.DataFrame(
+        {
+            "canonical_url": [
+                canonicalize_url(synth_messy_url(int(d), s))
+                for d, s in zip(docs["doc_id"], docs["source"])
+            ],
+            "doc_id": docs["doc_id"].astype("int64"),
+        }
+    )
+    ref = canon.groupby("canonical_url", as_index=False).agg(
+        n_dups=("doc_id", "size"), rep_doc_id=("doc_id", "min")
+    )
+    ref = ref[ref["n_dups"] >= 2].sort_values("canonical_url").reset_index(drop=True)
+
+    tiny = (
+        bloom_dup_groups(SF, m_bits=4096)
+        .to_pandas()
+        .sort_values("canonical_url")
+        .reset_index(drop=True)
+    )
+    roomy = (
+        bloom_dup_groups(SF, m_bits=1 << 20)
+        .to_pandas()
+        .sort_values("canonical_url")
+        .reset_index(drop=True)
+    )
+    cols = ["canonical_url", "n_dups", "rep_doc_id"]
+    pd.testing.assert_frame_equal(tiny[cols], ref[cols].astype({"n_dups": "int64", "rep_doc_id": "int64"}))
+    pd.testing.assert_frame_equal(roomy[cols], tiny[cols])
+
+
+def test_bloom_positions_deterministic_and_in_range():
+    from open_parse_ray.stages.dedup import _bloom_positions
+
+    fps = np.arange(1000, dtype=np.uint64) * np.uint64(2654435761)
+    pos = _bloom_positions(fps, 1 << 20)
+    assert pos.shape == (1000, 2)
+    assert (pos >= 0).all() and (pos < (1 << 20)).all()
+    assert np.array_equal(pos, _bloom_positions(fps, 1 << 20))
