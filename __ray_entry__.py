@@ -37,7 +37,15 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from open_parse_ray.stages import analysis, dedup, ranking, relational, similarity, web
+from open_parse_ray.stages import (
+    analysis,
+    dedup,
+    incremental,
+    ranking,
+    relational,
+    similarity,
+    web,
+)
 from open_parse_ray.stages.similarity import default_query_vectors
 
 
@@ -248,7 +256,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- extraction (pages corpus; oracle = pytest identity harness) --
         "extract_docs": _q_extract_docs,
-        "extract_nodes": _q_extract_nodes,
         # -- PDF payload path (stdlib codec; SQL-oracle roundtrip) --
         "pdf_extract_text": _q_pdf_extract_text,
         # -- text analysis over documents --
@@ -279,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dedup.exact_dedup_groups,
         "normalized_exact_dedup": dedup.normalized_exact_dedup,
         "bloom_dup_groups": dedup.bloom_dup_groups,
+        "snapshot_diff": incremental.snapshot_diff,
         "char_jaccard_pairs": dedup.char_jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "decontamination_flags": dedup.decontamination_flags,
@@ -306,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         # ---- tail: pytest-pinned elsewhere (property tests / exact
         # roundtrips / unit goldens), safe outside the driver window ----
+        "extract_nodes": _q_extract_nodes,
         "extract_semantic": _q_extract_semantic,
         "page_metadata": _q_page_metadata,
         "minhash_neardup": dedup.minhash_neardup_pairs,
@@ -780,6 +789,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
                    CAST(min(doc_id) AS BIGINT) AS rep_doc_id
             FROM c GROUP BY canonical_url HAVING count(*) >= 2
+        """,
+        "snapshot_diff": """
+            WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN md5(text || ' v2')
+                          ELSE md5(text) END AS fp
+              FROM documents WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT doc_id + 10000000, md5(text)
+              FROM documents WHERE doc_id % 17 = 0
+            )
+            SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'deleted'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
         """,
         "url_domain_stats": """
             SELECT source || '.org' AS domain,

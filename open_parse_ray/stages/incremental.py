@@ -1,0 +1,94 @@
+"""Incremental corpus processing: snapshot diffing — the recurring-
+crawl primitive (each month's crawl against the previous one: which
+documents were added, deleted, or changed) that decides how much of a
+100 TB pipeline actually needs to re-run.
+
+Oracle strategy (the synthesize-on-both-sides pattern of stages/web.py):
+the testdata carries one snapshot, so both sides derive the NEW snapshot
+deterministically from `documents` — doc_id % 11 == 0 rows deleted,
+doc_id % 13 == 0 rows changed (text + ' v2'), doc_id % 17 == 0 rows
+re-added under doc_id + 10_000_000 — and diff it against the original.
+The DuckDB oracle is a FULL OUTER JOIN on doc_id comparing md5(text).
+
+Scale shape: the exchange ships only (side, doc_id, 16-byte fp) rows
+salted on hash(doc_id) — both snapshots' rows for one doc_id land in
+the same partition (co-partitioned hash join), where a vectorized merge
+emits added/deleted/changed rows. Text never moves; unchanged docs
+(the overwhelming majority of a recrawl) produce no output row at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+_ADDED_OFFSET = 10_000_000
+
+
+def _fp(texts) -> list:
+    return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+
+
+def snapshot_diff(sf_dir: str):
+    """(doc_id, status) rows for every difference between the original
+    snapshot and the deterministically derived new one; status in
+    {'added', 'deleted', 'changed'}; unchanged docs emit nothing."""
+    from open_parse_ray.stages.analysis import read_documents
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    def tagged_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        old_fp = _fp(b["text"])
+        rows = {"side": [], "doc_id": [], "fp": []}
+        # old snapshot: every row
+        rows["side"].extend([0] * len(ids))
+        rows["doc_id"].extend(ids.tolist())
+        rows["fp"].extend(old_fp)
+        # new snapshot: deletions dropped, changes re-hashed, additions
+        for i, d in enumerate(ids):
+            d = int(d)
+            if d % 11 != 0:
+                rows["side"].append(1)
+                rows["doc_id"].append(d)
+                rows["fp"].append(
+                    hashlib.md5((b["text"].iloc[i] + " v2").encode()).hexdigest()
+                    if d % 13 == 0
+                    else old_fp[i]
+                )
+            if d % 17 == 0:
+                rows["side"].append(1)
+                rows["doc_id"].append(d + _ADDED_OFFSET)
+                rows["fp"].append(old_fp[i])
+        return pd.DataFrame(
+            {
+                "side": np.asarray(rows["side"], dtype=np.int64),
+                "doc_id": np.asarray(rows["doc_id"], dtype=np.int64),
+                "fp": rows["fp"],
+            }
+        )
+
+    tagged = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        tagged_rows, batch_format="pandas", batch_size=8192
+    )
+
+    def diff(part: pd.DataFrame) -> pd.DataFrame:
+        old = part[part["side"] == 0][["doc_id", "fp"]]
+        new = part[part["side"] == 1][["doc_id", "fp"]]
+        m = old.merge(new, on="doc_id", how="outer", suffixes=("_old", "_new"))
+        status = np.where(
+            m["fp_old"].isna(),
+            "added",
+            np.where(m["fp_new"].isna(), "deleted", "changed"),
+        )
+        keep = m["fp_old"].isna() | m["fp_new"].isna() | (m["fp_old"] != m["fp_new"])
+        return pd.DataFrame(
+            {"doc_id": m["doc_id"].astype("int64"), "status": status}
+        )[keep]
+
+    return salted_groupby(
+        tagged,
+        lambda b: pd.util.hash_pandas_object(b["doc_id"], index=False).astype("int64"),
+        diff,
+    )

@@ -260,3 +260,22 @@ def test_bloom_positions_deterministic_and_in_range():
     assert pos.shape == (1000, 2)
     assert (pos >= 0).all() and (pos < (1 << 20)).all()
     assert np.array_equal(pos, _bloom_positions(fps, 1 << 20))
+
+
+# ------------------------------------------------------ snapshot diff
+
+
+def test_snapshot_diff_statuses_and_invariants(ray_session):
+    """Every status present; deleted ids are exactly doc_id%11==0 (minus
+    ones also re-added never happens: added ids live in a disjoint
+    range); changed ids are %13 survivors; block-structure invariant."""
+    from open_parse_ray.stages.incremental import _ADDED_OFFSET, snapshot_diff
+
+    out = snapshot_diff(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    by = {s: set(g["doc_id"]) for s, g in out.groupby("status")}
+    assert set(by) == {"added", "deleted", "changed"}
+    assert all(d >= _ADDED_OFFSET for d in by["added"])
+    assert all(d % 11 == 0 for d in by["deleted"])
+    assert all(d % 13 == 0 and d % 11 != 0 for d in by["changed"])
+    # no doc appears twice
+    assert out["doc_id"].is_unique
