@@ -204,6 +204,21 @@ def _assemble_pdf(page_streams: List[bytes], images: List) -> bytes:
     )
 
 
+class JpegImage:
+    """Marks a raster for DCTDecode (baseline JPEG) embedding in
+    ``_assemble_pdf_pages`` instead of the default FlateDecode."""
+
+    __slots__ = ("raster", "quality")
+
+    def __init__(self, raster, quality: int = 95):
+        self.raster = raster
+        self.quality = quality
+
+    @property
+    def shape(self):
+        return self.raster.shape
+
+
 def _assemble_pdf_pages(pages: List[Tuple[Optional[bytes], object]]) -> bytes:
     """Object graph + xref around an ORDERED list of page payloads
     ``(content_stream | None, raster | None)`` — a raster payload
@@ -228,7 +243,9 @@ def _assemble_pdf_pages(pages: List[Tuple[Optional[bytes], object]]) -> bytes:
         page_num, content_num = 5 + 2 * i, 6 + 2 * i
         xobj = b""
         if img is not None:  # an image page: register its XObject resource
-            h, w = img.shape[:2]
+            as_jpeg = isinstance(img, JpegImage)
+            raster = img.raster if as_jpeg else img
+            h, w = raster.shape[:2]
             x, y = consts.PAGE_MARGIN_X, consts.PAGE_TOP_Y - h
             stream = b"q %s 0 0 %s %s %s cm /Im0 Do Q" % (
                 _num(w),
@@ -237,13 +254,20 @@ def _assemble_pdf_pages(pages: List[Tuple[Optional[bytes], object]]) -> bytes:
                 _num(y),
             )
             xobj = b"/XObject << /Im0 %d 0 R >> " % (img_base + img_idx)
-            raw = zlib.compress(img.astype("uint8").tobytes(), 6)
-            cspace = b"/DeviceGray" if img.ndim == 2 else b"/DeviceRGB"
+            cspace = b"/DeviceGray" if raster.ndim == 2 else b"/DeviceRGB"
+            if as_jpeg:  # DCTDecode payload via the in-repo baseline codec
+                from open_parse_ray.functions.jpeg import encode_jpeg
+
+                raw = encode_jpeg(raster.astype("uint8"), quality=img.quality)
+                filt = b"/DCTDecode"
+            else:
+                raw = zlib.compress(raster.astype("uint8").tobytes(), 6)
+                filt = b"/FlateDecode"
             objs[img_base + img_idx] = (
                 b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
                 b"/ColorSpace %s /BitsPerComponent 8 "
-                b"/Filter /FlateDecode /Length %d >>\nstream\n"
-                % (w, h, cspace, len(raw))
+                b"/Filter %s /Length %d >>\nstream\n"
+                % (w, h, cspace, filt, len(raw))
                 + raw
                 + b"\nendstream"
             )
@@ -921,11 +945,27 @@ def _page_images(objs, page_dict: bytes, content: bytes, page_no: int):
         if not (wm and hm):
             continue
         mode = _CS_MODE.get(cs.group(1) if cs else b"DeviceRGB", "RGB")
-        png = process_raw_image(
-            _get_stream(objs, num), int(wm.group(1)), int(hm.group(1)), mode
-        )
-        if png is None:
-            continue
+        if b"/DCTDecode" in d:
+            # the reference's DCTDecode branch (core.py:83-84): the
+            # stream IS the JPEG payload, mimetype image/jpeg — but
+            # unlike the PIL passthrough, validate it with the real
+            # in-repo baseline decoder (undecodable → skip, the
+            # return-None-on-error contract)
+            from open_parse_ray.functions.jpeg import decode_jpeg
+
+            jpeg_bytes = _get_stream(objs, num)
+            try:
+                decode_jpeg(jpeg_bytes)
+            except Exception:
+                continue
+            payload, mimetype = jpeg_bytes, "image/jpeg"
+        else:
+            payload = process_raw_image(
+                _get_stream(objs, num), int(wm.group(1)), int(hm.group(1)), mode
+            )
+            if payload is None:
+                continue
+            mimetype = "image/png"
         out.append(
             ImageElement(
                 text="",
@@ -938,8 +978,8 @@ def _page_images(objs, page_dict: bytes, content: bytes, page_no: int):
                     x1=x + w_disp,
                     y1=y + h_disp,
                 ),
-                image=png,
-                image_mimetype="image/png",
+                image=payload,
+                image_mimetype=mimetype,
             )
         )
     return out

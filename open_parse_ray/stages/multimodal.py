@@ -355,10 +355,10 @@ def media_table(sf_dir_or_n, kind: str = "image"):
 
 
 class DecodeMedia:
-    """Actor-pool decode stage. BMP and PNG decode are REAL (pure
-    numpy / stdlib zlib); the OPRI/OPRA synthetic formats decode by
-    header parse; JPEG would use PIL when present. The actor signature,
-    per-actor init, and output schema are identical in every case."""
+    """Decode stage. BMP, PNG and baseline JPEG decode are REAL (pure
+    numpy / stdlib zlib / functions/jpeg.py); the OPRI/OPRA synthetic
+    formats decode by header parse. The signature, init, and output
+    schema are identical in every case."""
 
     def __init__(self):
         self.has_pil = _HAS_PIL
@@ -371,6 +371,12 @@ class DecodeMedia:
             return w, h, 1, img.tobytes()
         if payload[:8] == _PNG_SIG:  # real PNG decode, stdlib zlib
             img = decode_png(payload)
+            h, w = img.shape[:2]
+            return w, h, 1, img.tobytes()
+        if payload[:3] == b"\xff\xd8\xff":  # real baseline JPEG decode
+            from open_parse_ray.functions.jpeg import decode_jpeg
+
+            img = decode_jpeg(payload)
             h, w = img.shape[:2]
             return w, h, 1, img.tobytes()
         magic, rest = payload[:4], payload[4:]
