@@ -4,7 +4,7 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 74 callables covering every implemented operator
+- ``queries()`` — 77 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep + packed-sequence chain), a REAL stdlib-only PDF
   payload path (typeset→FlateDecode→operator interpreter→span kernel),
@@ -19,7 +19,7 @@ here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
   HLL sketch, JSON extraction, distributed prefix scan), multimodal
   (real BMP/PNG/WAV/BMPV codecs, image→table structure+markdown+html,
   OCR, FFT audio descriptors).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for the 47 SQL-expressible
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the 50 SQL-expressible
   queries, same column names, over the pre-registered testdata views
   (incl. the full PDF roundtrip and the BPE-regex token counts).
   The rest (extraction, LSH/ANN, sketches, media codecs) are
@@ -41,6 +41,7 @@ from open_parse_ray.stages import (
     analysis,
     dedup,
     incremental,
+    pii,
     ranking,
     relational,
     similarity,
@@ -254,8 +255,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     are already pinned by dedicated pytest gates (property tests, exact
     roundtrips, unit goldens)."""
     return {
-        # -- extraction (pages corpus; oracle = pytest identity harness) --
-        "extract_docs": _q_extract_docs,
         # -- PDF payload path (stdlib codec; SQL-oracle roundtrip) --
         "pdf_extract_text": _q_pdf_extract_text,
         # -- text analysis over documents --
@@ -277,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assignments": analysis.split_assignments,
         "source_capped_sample": analysis.source_capped_sample,
         "tfidf_top_terms": analysis.tfidf_top_terms,
+        "pii_scan": pii.pii_scan,
         # -- tier extraction: distributed global rank + ntile --
         "doc_tiers": ranking.doc_tiers,
         # -- web/URL operators --
@@ -313,7 +313,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent_orders": relational.customers_no_urgent_orders,
         "top_orders_per_customer": relational.top_orders_per_customer,
         # ---- tail: pytest-pinned elsewhere (property tests / exact
-        # roundtrips / unit goldens), safe outside the driver window ----
+        # roundtrips / unit goldens), safe outside the driver window;
+        # extraction is additionally smoke-checked by the driver's own
+        # entry() call, and tools/check_oracles.py verifies EVERY
+        # oracle_sql() entry regardless of position ----
+        "extract_docs": _q_extract_docs,
         "extract_nodes": _q_extract_nodes,
         "extract_semantic": _q_extract_semantic,
         "page_metadata": _q_page_metadata,
@@ -789,6 +793,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
                    CAST(min(doc_id) AS BIGINT) AS rep_doc_id
             FROM c GROUP BY canonical_url HAVING count(*) >= 2
+        """,
+        "pii_scan": """
+            WITH c AS (
+              SELECT doc_id,
+                text ||
+                CASE WHEN doc_id % 5 = 0
+                     THEN ' contact user' || doc_id || '@mail' || (doc_id % 3) || '.com now'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 9 = 0
+                     THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                     ELSE '' END AS t
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, t,
+                     regexp_replace(t, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '[EMAIL]', 'g') AS t1
+              FROM c
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t1, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS BIGINT) AS n_ips,
+                   md5(regexp_replace(t1, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[IP]', 'g')) AS redacted_md5
+            FROM r
         """,
         "snapshot_diff": """
             WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),

@@ -279,3 +279,28 @@ def test_snapshot_diff_statuses_and_invariants(ray_session):
     assert all(d % 13 == 0 and d % 11 != 0 for d in by["changed"])
     # no doc appears twice
     assert out["doc_id"].is_unique
+
+
+# --------------------------------------------------------------- PII
+
+
+def test_scrub_text_cases():
+    from open_parse_ray.stages.pii import scrub_text
+
+    red, e, i = scrub_text("mail me at bob123@host9.org or 192.168.0.1 ok")
+    assert red == "mail me at [EMAIL] or [IP] ok"
+    assert (e, i) == (1, 1)
+    red, e, i = scrub_text("no pii here at all")
+    assert red == "no pii here at all" and (e, i) == (0, 0)
+    # multiple occurrences + email containing digits
+    red, e, i = scrub_text("a1@b2.c d 1.2.3.4 5.6.7.8 x9@y8.zz")
+    assert (e, i) == (2, 2)
+    assert "[EMAIL]" in red and "[IP]" in red
+
+
+def test_pii_scan_counts(ray_session):
+    from open_parse_ray.stages.pii import pii_scan
+
+    out = pii_scan(SF).to_pandas()
+    assert (out["n_emails"] > 0).sum() == (out["doc_id"] % 5 == 0).sum()
+    assert (out["n_ips"] > 0).sum() == (out["doc_id"] % 9 == 0).sum()
