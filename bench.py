@@ -135,6 +135,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "source_capped_sample",
         "normalized_exact_dedup",
         "tfidf_top_terms",
+        "bloom_dup_groups",
+        "snapshot_diff",
+        "pii_scan",
         "doc_tiers",
         "url_canonical_dedup",
         "url_domain_stats",

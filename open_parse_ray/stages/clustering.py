@@ -5,10 +5,12 @@ curriculum buckets, IVF coarse-quantizer training).
 Scale shape (classic Lloyd's as Ray Data passes; nothing ever gathers
 the vectors):
 
-- each iteration is ONE streaming map over the table: an actor pool
-  holds the broadcast centroids (``ray.put`` once per iteration, read
-  in ``__init__``), assigns each batch by cosine and emits ≤k partial
-  rows (cluster, count, quantized sum vector) per batch,
+- each iteration is ONE streaming task-pool map over the table: the
+  centroids are broadcast with ``ray.put`` once per iteration and read
+  zero-copy from plasma inside each task (task pool, not actors — six
+  sequential rounds per fit would pay actor spin-up each round; see
+  SCALE.md §10); each batch assigns by cosine and emits ≤k partial
+  rows (cluster, count, quantized sum vector),
 - the driver reduces batches×k tiny partials and updates centroids;
   empty clusters keep their previous centroid,
 - a final pass emits (vec_id, cluster).
@@ -77,44 +79,42 @@ def _init_centroids(sf_dir: str, k: int, dim: int) -> np.ndarray:
     return _quantize(cents).astype(np.float64) / _SCALE
 
 
-class _PartialSums:
-    """Actor: assigns a batch and emits ≤k (cluster, n, sums-bytes)."""
+def _partial_sums(b: pd.DataFrame, cent_ref) -> pd.DataFrame:
+    """Task-pool stage: assigns a batch and emits ≤k (cluster, n,
+    sums-bytes). Runs as a plain function, not an actor — six
+    sequential rounds per fit would pay actor spin-up each time, while
+    a task reuses warm workers and ``ray.get`` of the broadcast
+    centroids is a zero-copy plasma read after the first fetch on each
+    worker (measured ~5x on the whole fit at bench scale)."""
+    import ray
 
-    def __init__(self, cent_ref):
-        import ray
-
-        self.centroids = ray.get(cent_ref)
-
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        q = _quantize(np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]]))
-        a = _assign(q, self.centroids)
-        rows = []
-        for c in np.unique(a):
-            sel = q[a == c]
-            rows.append(
-                {
-                    "cluster": int(c),
-                    "n": np.int64(sel.shape[0]),
-                    "sums": sel.sum(axis=0, dtype=np.int64).tobytes(),
-                }
-            )
-        return pd.DataFrame(rows)
-
-
-class _FinalAssign:
-    def __init__(self, cent_ref):
-        import ray
-
-        self.centroids = ray.get(cent_ref)
-
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        q = _quantize(np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]]))
-        return pd.DataFrame(
+    centroids = ray.get(cent_ref)
+    q = _quantize(np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]]))
+    a = _assign(q, centroids)
+    rows = []
+    for c in np.unique(a):
+        sel = q[a == c]
+        rows.append(
             {
-                "vec_id": b["vec_id"].astype("int64"),
-                "cluster": _assign(q, self.centroids),
+                "cluster": int(c),
+                "n": np.int64(sel.shape[0]),
+                "sums": sel.sum(axis=0, dtype=np.int64).tobytes(),
             }
         )
+    return pd.DataFrame(rows)
+
+
+def _final_assign(b: pd.DataFrame, cent_ref) -> pd.DataFrame:
+    import ray
+
+    centroids = ray.get(cent_ref)
+    q = _quantize(np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]]))
+    return pd.DataFrame(
+        {
+            "vec_id": b["vec_id"].astype("int64"),
+            "cluster": _assign(q, centroids),
+        }
+    )
 
 
 def kmeans_fit(sf_dir: str, k: int = 8, iters: int = 5, dim: int = 64, batch_size: int = 4096) -> np.ndarray:
@@ -127,11 +127,10 @@ def kmeans_fit(sf_dir: str, k: int = 8, iters: int = 5, dim: int = 64, batch_siz
     for _ in range(iters):
         cent_ref = ray.put(centroids)
         partials = ds.map_batches(
-            _PartialSums,
-            fn_constructor_args=(cent_ref,),
+            _partial_sums,
+            fn_kwargs={"cent_ref": cent_ref},
             batch_format="pandas",
             batch_size=batch_size,
-            concurrency=(1, 8),
         ).to_pandas()
         new = centroids.copy()
         for c, grp in partials.groupby("cluster"):
@@ -153,9 +152,8 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5, dim: int = 64, batc
     centroids = kmeans_fit(sf_dir, k=k, iters=iters, dim=dim, batch_size=batch_size)
     cent_ref = ray.put(centroids)
     return _read_embeddings(sf_dir).map_batches(
-        _FinalAssign,
-        fn_constructor_args=(cent_ref,),
+        _final_assign,
+        fn_kwargs={"cent_ref": cent_ref},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 8),
     )
