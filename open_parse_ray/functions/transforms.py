@@ -20,6 +20,10 @@ import numpy as np
 
 from open_parse_ray.model import Bbox, ImageElement, Node, TextElement
 
+# bounded memo for CombineSlicedImages pixel stitches (pure function of
+# the slice payload tuple; templated corpora repeat figures heavily)
+_STITCH_CACHE: dict = {}
+
 
 class ProcessingStep:
     """User extension surface: subclass and implement ``process``
@@ -108,18 +112,26 @@ class CombineSlicedImages(ProcessingStep):
             raise ValueError("No images to combine.")
         from open_parse_ray.stages.multimodal import encode_png
 
-        imgs = [self._decode_rgb(e.image) for e in image_elements]
-        if any(i is None for i in imgs):
-            stitched = b"".join(e.image for e in image_elements)
-        else:
-            width = max(i.shape[1] for i in imgs)
-            total_height = sum(i.shape[0] for i in imgs)
-            canvas = np.zeros((total_height, width, 3), dtype=np.uint8)
-            y = 0
-            for img in imgs:
-                canvas[y : y + img.shape[0], : img.shape[1]] = img
-                y += img.shape[0]
-            stitched = encode_png(canvas)
+        # stitch is a pure function of the slice payloads; templated
+        # corpora repeat the same figures across pages, so memoize the
+        # decode→paste→encode (bounded module cache, hot-kernel pattern)
+        key = tuple(e.image for e in image_elements)
+        stitched = _STITCH_CACHE.get(key)
+        if stitched is None:
+            imgs = [self._decode_rgb(e.image) for e in image_elements]
+            if any(i is None for i in imgs):
+                stitched = b"".join(e.image for e in image_elements)
+            else:
+                width = max(i.shape[1] for i in imgs)
+                total_height = sum(i.shape[0] for i in imgs)
+                canvas = np.zeros((total_height, width, 3), dtype=np.uint8)
+                y = 0
+                for img in imgs:
+                    canvas[y : y + img.shape[0], : img.shape[1]] = img
+                    y += img.shape[0]
+                stitched = encode_png(canvas)
+            if len(_STITCH_CACHE) < 2048:
+                _STITCH_CACHE[key] = stitched
         return ImageElement(
             bbox=image_elements[0].bbox,
             image=stitched,
