@@ -6,7 +6,7 @@ DCTDecode streams to image/jpeg and hands the bytes to PIL): here the
 bytes are decoded for real — marker parse, Huffman entropy decode,
 dequantize, IDCT, chroma upsample, YCbCr→RGB — and a matching encoder
 produces the test vectors (ITU-T T.81 baseline sequential, Annex K
-tables; 4:4:4 and 4:2:0; restart intervals; 8-bit precision).
+tables; 4:4:4, 4:2:2 and 4:2:0; restart intervals; 8-bit precision).
 
 JPEG is lossy, so the gates are tolerance roundtrips (quality 95 on
 smooth images stays within a few code values), an orthonormality check
@@ -237,7 +237,7 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF bytes for a uint8 (H, W, 3) RGB or (H, W) gray
-    image. ``subsampling``: '444' or '420' (color only);
+    image. ``subsampling``: '444', '422' or '420' (color only);
     ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none)."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
@@ -245,8 +245,8 @@ def encode_jpeg(
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise JpegError("expects (H,W,3) RGB or (H,W) gray")
-    if subsampling not in ("444", "420"):
-        raise JpegError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise JpegError("subsampling must be '444', '422' or '420'")
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise JpegError("empty image")
@@ -264,14 +264,15 @@ def encode_jpeg(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsampling == "420":
-            ph, pw = -h % 2, -w % 2
+        if subsampling in ("420", "422"):
+            fy = 2 if subsampling == "420" else 1  # vertical chroma factor
+            ph, pw = -h % fy, -w % 2
             if ph or pw:
                 cb = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
                 cr = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
-            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
+            cb = cb.reshape(cb.shape[0] // fy, fy, cb.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(cr.shape[0] // fy, fy, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+            samp = [(2, fy), (1, 1), (1, 1)]
         else:
             samp = [(1, 1), (1, 1), (1, 1)]
         planes = [y - 128.0, cb - 128.0, cr - 128.0]

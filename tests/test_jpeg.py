@@ -82,7 +82,7 @@ def test_rejects_bad_inputs():
     with pytest.raises(JpegError):
         encode_jpeg(img.astype(np.float64))  # wrong dtype
     with pytest.raises(JpegError):
-        encode_jpeg(img, subsampling="422")
+        encode_jpeg(img, subsampling="411")
 
 
 def test_corruption_fuzz_never_hangs():
@@ -168,3 +168,19 @@ def test_decode_media_stage_handles_jpeg():
     out = DecodeMedia()(batch).to_pylist()[0]
     assert out["status"] == "ok"
     assert (out["width"], out["height"], out["n_frames"]) == (28, 20, 1)
+
+
+@pytest.mark.parametrize("sub", ["422"])
+def test_422_roundtrip_and_odd_dims(sub):
+    img = _gradient(33, 41)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+    for hw in ((17, 19), (16, 19), (17, 20)):
+        im2 = img[: hw[0], : hw[1]]
+        for s in ("420", "422"):
+            assert decode_jpeg(encode_jpeg(im2, 90, s)).shape == im2.shape
+    base = decode_jpeg(encode_jpeg(img, 90, "422"))
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, 90, "422", restart_interval=2)), base
+    )

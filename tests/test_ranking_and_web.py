@@ -304,3 +304,54 @@ def test_pii_scan_counts(ray_session):
     out = pii_scan(SF).to_pandas()
     assert (out["n_emails"] > 0).sum() == (out["doc_id"] % 5 == 0).sum()
     assert (out["n_ips"] > 0).sum() == (out["doc_id"] % 9 == 0).sum()
+
+
+def test_canonicalize_url_hypothesis_invariants():
+    """Property gate: for randomly assembled URLs, canonicalization is
+    idempotent, never emits fragments/default ports/tracking params,
+    and sorts surviving query keys."""
+    from urllib.parse import parse_qsl, urlsplit
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from open_parse_ray.stages.web import canonicalize_url
+
+    host_label = st.text("abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=6)
+    key = st.text("abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=5)
+    val = st.text("abcdefghijklmnopqrstuvwxyz0123456789", min_size=0, max_size=5)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        scheme=st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+        www=st.booleans(),
+        labels=st.lists(host_label, min_size=1, max_size=3),
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        segs=st.lists(st.text("abcdefghijklmnopqrstuvwxyz0-9", min_size=0, max_size=5), max_size=4),
+        params=st.lists(st.tuples(key, val), max_size=4),
+        tracking=st.booleans(),
+        frag=st.sampled_from(["", "#x", "#sec2"]),
+    )
+    def check(scheme, www, labels, port, segs, params, tracking, frag):
+        host = ("WWW." if www else "") + ".".join(labels)
+        path = "/" + "/".join(segs) if segs else ""
+        q = list(params) + ([("utm_source", "t"), ("fbclid", "z")] if tracking else [])
+        query = "&".join(f"{k}={v}" for k, v in q)
+        url = f"{scheme}://{host}{port}{path}" + (f"?{query}" if query else "") + frag
+        c = canonicalize_url(url)
+        assert canonicalize_url(c) == c  # idempotent
+        parts = urlsplit(c)
+        assert parts.fragment == ""
+        assert parts.scheme in ("http", "https")
+        assert not parts.netloc.startswith("www.")
+        # only the scheme's OWN default port is stripped
+        if parts.scheme == "https":
+            assert not parts.netloc.endswith(":443")
+        else:
+            assert not parts.netloc.endswith(":80")
+        keys = [k for k, _ in parse_qsl(parts.query, keep_blank_values=True)]
+        assert keys == sorted(keys)
+        assert not any(k.startswith("utm_") or k in ("fbclid", "gclid") for k in keys)
+        assert "//" not in c.split("://", 1)[1]
+
+    check()
