@@ -187,3 +187,35 @@ def test_new_queries_block_structure_invariance(ray_session):
             assert norm(fn(sf), k).equals(want), fn.__name__
     finally:
         ctx.target_max_block_size = old
+
+
+def test_round3_queries_block_structure_invariance(ray_session):
+    """Round-3 operators (tier ranking, URL ops, tfidf, bloom dedup,
+    snapshot diff, PII) are identical at any block structure."""
+    import ray.data
+
+    from open_parse_ray.stages import analysis, dedup, incremental, pii, ranking, web
+
+    sf = "/root/testdata/sf0.001"
+    checks = [
+        (ranking.doc_tiers, ["doc_id"]),
+        (web.url_canonical_dedup, ["canonical_url"]),
+        (web.url_domain_stats, ["domain"]),
+        (analysis.tfidf_top_terms, ["doc_id", "rank"]),
+        (dedup.bloom_dup_groups, ["canonical_url"]),
+        (incremental.snapshot_diff, ["doc_id"]),
+        (pii.pii_scan, ["doc_id"]),
+    ]
+
+    def norm(ds, keys):
+        return ds.to_pandas().sort_values(keys).reset_index(drop=True)
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        base = [norm(fn(sf), k) for fn, k in checks]
+        ctx.target_max_block_size = 64 * 1024
+        for (fn, k), want in zip(checks, base):
+            assert norm(fn(sf), k).equals(want), fn.__name__
+    finally:
+        ctx.target_max_block_size = old
