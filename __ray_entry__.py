@@ -238,6 +238,15 @@ def _q_pdf_docs(sf_dir: str):
     return pdf_docs(sf_dir)
 
 
+def _q_prepare_curated(sf_dir: str):
+    """End-to-end curation chain: PII scrub → Gopher gate → URL dedup
+    → tier ranking → split (composition of oracle-checked operators;
+    chain pinned by tests/test_curation.py)."""
+    from open_parse_ray.stages.curation import prepare_curated_corpus
+
+    return prepare_curated_corpus(sf_dir)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means over the embeddings table
     (fixed-point partial sums for bit-reproducibility at any block
@@ -339,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embeddings": analysis.doc_embeddings,
         "neardup_clusters": dedup.neardup_clusters,
         "kmeans_clusters": _q_kmeans_clusters,
+        "prepare_curated_corpus": _q_prepare_curated,
         "prepare_training_sequences": _q_prepare_sequences,
         "pdf_docs": _q_pdf_docs,
         "rolling_fingerprints": analysis.rolling_fingerprints,

@@ -142,6 +142,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "url_canonical_dedup",
         "url_domain_stats",
         "kmeans_clusters",
+        "prepare_curated_corpus",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",
