@@ -206,6 +206,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
         (incremental.snapshot_diff, ["doc_id"]),
         (pii.pii_scan, ["doc_id"]),
     ]
+    from open_parse_ray.stages.curation import prepare_curated_corpus
+
+    checks.append((prepare_curated_corpus, ["doc_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
