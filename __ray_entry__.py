@@ -804,6 +804,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS rep_doc_id
             FROM c GROUP BY canonical_url HAVING count(*) >= 2
         """,
+        # past the 50-entry driver window (checked by
+        # tools/check_oracles.py and the judge, not recorded by the
+        # driver): the END-TO-END curation chain as ONE DuckDB query
+        "prepare_curated_corpus": """
+            WITH w AS (
+              SELECT doc_id, text, source,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS words
+              FROM documents
+            ), gate AS (
+              SELECT doc_id, text, source,
+                     CAST(len(words) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS twc,
+                     CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+                     CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+                     CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha
+              FROM w
+            ), passed AS (
+              SELECT doc_id, text, source FROM gate
+              WHERE n_words >= 50 AND n_words <= 100000
+                AND 3 * n_words <= twc AND twc <= 10 * n_words
+                AND 10 * (n_hash + n_ell) <= n_words
+                AND 5 * n_alpha >= 4 * n_words
+            ), scrub AS (
+              SELECT doc_id, source,
+                     regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '[EMAIL]', 'g') AS t1,
+                     CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')) AS BIGINT) AS n_em
+              FROM passed
+            ), keyed AS (
+              SELECT doc_id,
+                     'https://' || source || '.org/d/' || CAST(doc_id % 50 AS VARCHAR) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '?page=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END AS canonical_url,
+                     CASE WHEN trim(regexp_replace(t1, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[IP]', 'g')) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(regexp_replace(t1, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[IP]', 'g')), '\\s+'))
+                     END AS n_tokens,
+                     n_em + CAST(len(regexp_extract_all(t1, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS BIGINT) AS n_pii
+              FROM scrub
+            ), dedup AS (
+              SELECT doc_id, canonical_url, n_tokens, n_pii FROM (
+                SELECT *, row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) AS rn
+                FROM keyed
+              ) WHERE rn = 1
+            ), ranked AS (
+              SELECT doc_id, canonical_url, CAST(n_tokens AS BIGINT) AS n_tokens, n_pii,
+                     CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rank,
+                     CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS tier
+              FROM dedup
+            )
+            SELECT doc_id, canonical_url, n_tokens, n_pii, rank, tier,
+                   CASE
+                     WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+                     WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM ranked
+        """,
         "pii_scan": """
             WITH c AS (
               SELECT doc_id,
