@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": dedup.neardup_clusters,
         "kmeans_clusters": _q_kmeans_clusters,
         "prepare_curated_corpus": _q_prepare_curated,
+        "events_user_rolling": relational.events_user_rolling,
         "prepare_training_sequences": _q_prepare_sequences,
         "pdf_docs": _q_pdf_docs,
         "rolling_fingerprints": analysis.rolling_fingerprints,
@@ -861,6 +862,13 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'test'
                    END AS split
             FROM ranked
+        """,
+        "events_user_rolling": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+            FROM events
         """,
         "pii_scan": """
             WITH c AS (

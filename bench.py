@@ -143,6 +143,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "url_domain_stats",
         "kmeans_clusters",
         "prepare_curated_corpus",
+        "events_user_rolling",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

@@ -1007,3 +1007,55 @@ def orders_topk_by_value(sf_dir: str, k: int = 20):
 
     # coalesce the k rows into ONE block so the rank is global
     return top.repartition(1).map_batches(add_rank, batch_format="pandas", batch_size=k)
+
+def events_user_rolling(sf_dir: str, frame: int = 3):
+    """Per-user ROWS-frame rolling sum — the ordered window-frame
+    aggregate family member (distinct from the time-bucket sliding
+    window of events_sliding): for each event, the sum of the user's
+    last ``frame`` event values (cents), ordered by (ts, event_id).
+
+    Scale shape: one salted exchange on hash(user_id) co-locates each
+    user's events; inside the partition the frame sum is an
+    integer-exact vectorized cumsum difference (cs - cs.shift(frame)),
+    never a Python loop. Returns (event_id, user_id, roll_cents) —
+    oracle: SUM(...) OVER (PARTITION BY user ORDER BY ts, event_id
+    ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def add_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "ts": b["ts"],
+                "cents": _cents(b["value"]),
+            }
+        )
+
+    keyed = ds.map_batches(add_cents, batch_format="pandas", batch_size=65536)
+
+    def roll(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        cs = part.groupby("user_id")["cents"].cumsum()
+        shifted = (
+            cs.groupby(part["user_id"]).shift(frame).fillna(0).astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "event_id": part["event_id"],
+                "user_id": part["user_id"],
+                "roll_cents": (cs - shifted).astype("int64"),
+            }
+        )
+
+    return salted_groupby(
+        keyed,
+        lambda b: pd.util.hash_pandas_object(b["user_id"], index=False).astype("int64"),
+        roll,
+    )

@@ -339,3 +339,25 @@ def test_stratified_sample_exact_and_balanced(ray_session):
         assert hashes == sorted(hashes)  # md5-ordered selection
     again = _df(stratified_sample(SF, per_group=5))
     pd.testing.assert_frame_equal(_sorted(out), _sorted(again))
+
+
+def test_events_user_rolling_boundaries(ray_session):
+    """First rows of each user sum only the rows that exist (ROWS
+    frame semantics), and a frame larger than a user's history equals
+    the user's running total."""
+    import pandas as pd
+
+    from open_parse_ray.stages.relational import events_user_rolling
+
+    sf = "/root/testdata/sf0.001"
+    out = events_user_rolling(sf, frame=10**6).to_pandas()
+    import duckdb
+
+    exp = duckdb.sql(
+        f"""SELECT event_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS run
+        FROM read_parquet('{sf}/events.parquet')"""
+    ).df()
+    m = out.merge(exp, on="event_id")
+    assert (m["roll_cents"] == m["run"]).all()  # huge frame == running total

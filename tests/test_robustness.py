@@ -207,8 +207,10 @@ def test_round3_queries_block_structure_invariance(ray_session):
         (pii.pii_scan, ["doc_id"]),
     ]
     from open_parse_ray.stages.curation import prepare_curated_corpus
+    from open_parse_ray.stages.relational import events_user_rolling
 
     checks.append((prepare_curated_corpus, ["doc_id"]))
+    checks.append((events_user_rolling, ["event_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
