@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "prepare_curated_corpus": _q_prepare_curated,
         "events_user_rolling": relational.events_user_rolling,
+        "events_type_rank": ranking.grouped_rank_events,
         "prepare_training_sequences": _q_prepare_sequences,
         "pdf_docs": _q_pdf_docs,
         "rolling_fingerprints": analysis.rolling_fingerprints,
@@ -862,6 +863,14 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'test'
                    END AS split
             FROM ranked
+        """,
+        "events_type_rank": """
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS v_cents,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                        ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+                        AS BIGINT) AS rank_in_type
+            FROM events
         """,
         "events_user_rolling": """
             SELECT event_id, user_id,

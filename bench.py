@@ -144,6 +144,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kmeans_clusters",
         "prepare_curated_corpus",
         "events_user_rolling",
+        "events_type_rank",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

@@ -204,3 +204,91 @@ def doc_tiers(sf_dir: str, k: int = 4, num_parts: int = 32):
         token_count_batch, batch_format="pandas", batch_size=8192
     )
     return global_rank(keyed, k=k, num_parts=num_parts)
+
+
+def grouped_rank_events(sf_dir: str):
+    """Per-GROUP ranking at scale: rank of each event's value within its
+    event_type, ordered by (v_cents, event_id) — row_number() OVER
+    (PARTITION BY event_type ORDER BY ...) — WITHOUT a per-group
+    map_groups (event_type has ~5 distinct values: at 10^12 rows each
+    group is a cluster-sized hot key that no single task may hold).
+
+    Trick: pack (gid << 20) | v_cents into the value column and reuse
+    the SAME range-partition + offset-scan machinery as global_rank —
+    the total order (gid, cents, id) is rank-compatible with the
+    per-group order, so rank_in_type = global_rank − group_start[gid],
+    where group starts come free from the bounded (gid, cents)
+    histogram. Hot groups are sub-split across partitions by the id
+    cuts exactly like hot values in doc_tiers.
+
+    Returns (event_id, event_type, v_cents, rank_in_type).
+    """
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.relational import _cents
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    # tiny driver step: stable gid per distinct type (sorted)
+    def type_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].unique()})
+
+    types = sorted(
+        ds.map_batches(type_partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()["event_type"]
+        .unique()
+    )
+    gid_of = {t: i for i, t in enumerate(types)}
+    gid_ref = ray.put(gid_of)
+
+    def pack(b: pd.DataFrame) -> pd.DataFrame:
+        g = ray.get(gid_ref)
+        cents = _cents(b["value"])
+        if cents.size and (cents.min() < 0 or cents.max() >= (1 << 20)):
+            raise ValueError("v_cents outside [0, 2^20) — widen the packing")
+        gids = b["event_type"].map(g).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["event_id"].astype("int64"),
+                "n_tokens": (gids << 20) | cents,
+            }
+        )
+
+    keyed = ds.map_batches(pack, batch_format="pandas", batch_size=65536)
+    ranked = global_rank(keyed, k=1)
+
+    # group starts from per-batch gid counts (≤ |types| rows per batch)
+    def gid_counts(b: pd.DataFrame) -> pd.DataFrame:
+        vc = (b["n_tokens"].to_numpy(dtype=np.int64) >> 20)
+        u, c = np.unique(vc, return_counts=True)
+        return pd.DataFrame({"gid": u, "n": c.astype(np.int64)})
+
+    gc = (
+        keyed.map_batches(gid_counts, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .groupby("gid", as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values("gid")
+    )
+    starts = np.zeros(len(types) + 1, dtype=np.int64)
+    starts[gc["gid"].to_numpy(dtype=np.int64) + 1] = gc["n"].to_numpy(dtype=np.int64)
+    starts = np.cumsum(starts)
+    starts_ref = ray.put((starts, types))
+
+    def unpack(b: pd.DataFrame) -> pd.DataFrame:
+        st, ts = ray.get(starts_ref)
+        packed = b["n_tokens"].to_numpy(dtype=np.int64)
+        gids = packed >> 20
+        return pd.DataFrame(
+            {
+                "event_id": b["doc_id"].astype("int64"),
+                "event_type": [ts[g] for g in gids],
+                "v_cents": packed & ((1 << 20) - 1),
+                "rank_in_type": b["rank"].to_numpy(dtype=np.int64) - st[gids],
+            }
+        )
+
+    return ranked.map_batches(unpack, batch_format="pandas", batch_size=65536)
