@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embeddings": analysis.doc_embeddings,
         "neardup_clusters": dedup.neardup_clusters,
         "kmeans_clusters": _q_kmeans_clusters,
+        "compression_ratios": analysis.compression_ratios,
         "prepare_curated_corpus": _q_prepare_curated,
         "events_user_rolling": relational.events_user_rolling,
         "events_type_rank": ranking.grouped_rank_events,

@@ -752,3 +752,30 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
         lambda b: pd.util.hash_pandas_object(b["doc_id"], index=False).astype("int64"),
         topk_per_doc,
     )
+
+def compression_ratios(sf_dir: str):
+    """Per-document zlib compression ratio — the classic cheap quality
+    signal (highly repetitive / templated text compresses far better
+    than natural prose; used as a filter feature in RefinedWeb-style
+    pipelines). Stateless streaming map; emits integers only
+    (doc_id, n_bytes, n_gz_bytes) so downstream thresholds stay exact.
+    Not SQL-expressible (no zlib in DuckDB) → pytest-gated:
+    determinism, monotonicity on synthetic repetitive vs random text,
+    and ratio sanity bounds."""
+    import zlib
+
+    def ratios(b: pd.DataFrame) -> pd.DataFrame:
+        enc = [t.encode() for t in b["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_bytes": np.asarray([len(e) for e in enc], dtype=np.int64),
+                "n_gz_bytes": np.asarray(
+                    [len(zlib.compress(e, 6)) for e in enc], dtype=np.int64
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        ratios, batch_format="pandas", batch_size=8192
+    )

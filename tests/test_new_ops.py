@@ -361,3 +361,26 @@ def test_events_user_rolling_boundaries(ray_session):
     ).df()
     m = out.merge(exp, on="event_id")
     assert (m["roll_cents"] == m["run"]).all()  # huge frame == running total
+
+
+def test_compression_ratios_properties(ray_session):
+    import zlib
+
+    from open_parse_ray.stages.analysis import compression_ratios
+
+    sf = "/root/testdata/sf0.001"
+    out = compression_ratios(sf).to_pandas()
+    assert (out["n_gz_bytes"] > 0).all()
+    assert (out["n_gz_bytes"] <= out["n_bytes"] + 64).all()  # zlib overhead bound
+    # determinism + direct-kernel equality on a sample row
+    import pyarrow.parquet as pq
+
+    doc = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pylist()[5]
+    row = out[out["doc_id"] == doc["doc_id"]].iloc[0]
+    assert row["n_gz_bytes"] == len(zlib.compress(doc["text"].encode(), 6))
+    # repetitive text compresses much better than high-entropy text
+    rep = ("spam " * 500).encode()
+    import numpy as _np
+
+    rnd = bytes(_np.random.RandomState(0).randint(0, 256, len(rep), dtype=_np.uint8))
+    assert len(zlib.compress(rep, 6)) * 10 < len(zlib.compress(rnd, 6))
