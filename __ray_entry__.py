@@ -4,7 +4,7 @@ The driver calls ``ray.init`` itself before importing this module; nothing
 here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 - ``entry()``   — flagship extraction pipeline on sf0.001 synthetic pages.
-- ``queries()`` — 78 callables covering every implemented operator
+- ``queries()`` — 81 callables covering every implemented operator
   (SURVEY.md §2/§8): extraction (docs/nodes/semantic/linked/SVG overlays/
   training-corpus prep + packed-sequence chain), a REAL stdlib-only PDF
   payload path (typeset→FlateDecode→operator interpreter→span kernel),
@@ -19,7 +19,7 @@ here (or in open_parse_ray) calls ``ray.init`` / ``ray.shutdown``.
   HLL sketch, JSON extraction, distributed prefix scan), multimodal
   (real BMP/PNG/WAV/BMPV codecs, image→table structure+markdown+html,
   OCR, FFT audio descriptors).
-- ``oracle_sql()`` — DuckDB-equivalent SQL for the 51 SQL-expressible
+- ``oracle_sql()`` — DuckDB-equivalent SQL for the 53 SQL-expressible
   queries, same column names, over the pre-registered testdata views
   (incl. the full PDF roundtrip and the BPE-regex token counts).
   The rest (extraction, LSH/ANN, sketches, media codecs) are
