@@ -349,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": dedup.neardup_clusters,
         "kmeans_clusters": _q_kmeans_clusters,
         "compression_ratios": analysis.compression_ratios,
+        "semdedup_pairs": similarity.semdedup_pairs,
+        "semdedup_keep": similarity.semdedup_keep,
         "prepare_curated_corpus": _q_prepare_curated,
         "events_user_rolling": relational.events_user_rolling,
         "events_type_rank": ranking.grouped_rank_events,

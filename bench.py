@@ -145,6 +145,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "prepare_curated_corpus",
         "events_user_rolling",
         "events_type_rank",
+        "semdedup_keep",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

@@ -561,3 +561,91 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3, n_chunks: int =
         ).astype("int64")
 
     return salted_groupby(rep, salt, part_pairs)
+
+
+def semdedup_pairs(
+    sf_dir: str, threshold: float = 0.3, k: int = 8, iters: int = 5, n_chunks: int = 4
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means, then finding
+    near-duplicate pairs ONLY within each cluster — the standard way to
+    make embedding dedup sub-quadratic at corpus scale (pairs across
+    clusters are by construction not near-duplicates for a reasonable
+    k). Composition of two existing primitives:
+
+    - the distributed bit-reproducible k-means (stages/clustering.py)
+      trains centroids; each batch re-derives its cluster labels from
+      the broadcast centroid matrix (an O(k·d) task-local compute — the
+      per-vector assignment table is never materialized or shipped),
+    - the triangle-join chunked blocking of embedding_neardup_pairs
+      bounds any task to 2/n_chunks of a hot cluster.
+
+    Returns (id_a, id_b) int pairs, id_a < id_b. Gated by pytest
+    equality with a local brute-force within-cluster reference.
+    """
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.clustering import _assign, _quantize, kmeans_fit
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    centroids = kmeans_fit(sf_dir, k=k, iters=iters)
+    cent_ref = ray.put(centroids)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def relabel(b: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cent_ref)
+        q = _quantize(np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]]))
+        b = b.copy()
+        b["label"] = _assign(q, cents)
+        return b
+
+    rep = ds.map_batches(relabel, batch_format="pandas", batch_size=4096).map_batches(
+        lambda b: _neardup_replicate(b, n_chunks), batch_format="pandas", batch_size=8192
+    )
+
+    def part_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _neardup_bucket_pairs(g, threshold)
+            for _, g in part.groupby(["label", "ca", "cb"], sort=False)
+        ]
+        if not outs:
+            return _neardup_bucket_pairs(part.iloc[:0], threshold)
+        return pd.concat(outs, ignore_index=True)
+
+    def salt(b: pd.DataFrame) -> pd.Series:
+        return pd.util.hash_pandas_object(b[["label", "ca", "cb"]], index=False).astype(
+            "int64"
+        )
+
+    return salted_groupby(rep, salt, part_pairs)
+
+
+def semdedup_keep(sf_dir: str, threshold: float = 0.3, k: int = 8, iters: int = 5):
+    """SemDeDup keep-list: connected components over the within-cluster
+    near-dup pairs; each component keeps its min vec_id. Returns
+    (vec_id, kept:int64, rep_id) for EVERY vector (kept=1 survivors).
+    The component step reuses dedup.union_find_clusters on the (small)
+    pair stream — at 10^12 scale the documented labelprop fallback
+    applies unchanged."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import union_find_clusters
+
+    pairs = semdedup_pairs(sf_dir, threshold=threshold, k=k, iters=iters).to_pandas()
+    rep_of = union_find_clusters(list(zip(pairs["id_a"], pairs["id_b"])))
+
+    import pyarrow.parquet as pq
+
+    ids = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .to_pandas()["vec_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    rep = np.asarray([rep_of.get(int(v), int(v)) for v in ids], dtype=np.int64)
+    out = pd.DataFrame(
+        {"vec_id": ids, "kept": (rep == ids).astype(np.int64), "rep_id": rep}
+    )
+    return rd.from_pandas(out.sort_values("vec_id").reset_index(drop=True))

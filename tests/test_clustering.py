@@ -67,3 +67,40 @@ def test_kmeans_clusters_nontrivial(ray_session):
     got = kmeans_clusters(SF, k=8, iters=3).to_pandas()
     assert got["cluster"].between(0, 7).all()
     assert got["cluster"].nunique() > 1  # data actually separates
+
+
+def test_semdedup_pairs_match_bruteforce(ray_session):
+    """SemDeDup pairs == local brute-force within-cluster cosine pairs
+    (exact set equality), and the keep-list invariants hold."""
+    from open_parse_ray.stages.clustering import _assign, _quantize, kmeans_fit
+    from open_parse_ray.stages.similarity import semdedup_keep, semdedup_pairs
+
+    got = (
+        semdedup_pairs(SF)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    emb, ids = _load()
+    cents = kmeans_fit(SF, k=8, iters=5)
+    lab = _assign(_quantize(emb), cents)
+    n = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    sims = n @ n.T
+    exp = sorted(
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if lab[i] == lab[j] and sims[i, j] >= 0.3
+    )
+    exp = pd.DataFrame(exp, columns=["id_a", "id_b"]).astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+
+    keep = semdedup_keep(SF).to_pandas()
+    kept = set(keep[keep["kept"] == 1]["vec_id"])
+    drop = keep[keep["kept"] == 0]
+    assert len(keep) == len(ids)
+    assert set(drop["rep_id"]) <= kept
+    assert (drop["rep_id"] < drop["vec_id"]).all()
+    # every kept vector is its own representative
+    assert (keep[keep["kept"] == 1]["rep_id"] == keep[keep["kept"] == 1]["vec_id"]).all()
