@@ -628,24 +628,26 @@ def semdedup_keep(sf_dir: str, threshold: float = 0.3, k: int = 8, iters: int = 
     (vec_id, kept:int64, rep_id) for EVERY vector (kept=1 survivors).
     The component step reuses dedup.union_find_clusters on the (small)
     pair stream — at 10^12 scale the documented labelprop fallback
-    applies unchanged."""
+    applies unchanged. The rep map contains ONLY ids that appear in a
+    pair (the near-dup fraction), so it broadcasts via one ray.put;
+    the flagging pass streams over the table — no driver-side id scan."""
+    import ray
     import ray.data as rd
 
     from open_parse_ray.stages.dedup import union_find_clusters
 
     pairs = semdedup_pairs(sf_dir, threshold=threshold, k=k, iters=iters).to_pandas()
     rep_of = union_find_clusters(list(zip(pairs["id_a"], pairs["id_b"])))
+    rep_ref = ray.put(rep_of)
 
-    import pyarrow.parquet as pq
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        rm = ray.get(rep_ref)
+        ids = b["vec_id"].to_numpy(dtype=np.int64)
+        rep = np.asarray([rm.get(int(v), int(v)) for v in ids], dtype=np.int64)
+        return pd.DataFrame(
+            {"vec_id": ids, "kept": (rep == ids).astype(np.int64), "rep_id": rep}
+        )
 
-    ids = (
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
-        .to_pandas()["vec_id"]
-        .to_numpy()
-        .astype(np.int64)
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).map_batches(
+        flag, batch_format="pandas", batch_size=65536
     )
-    rep = np.asarray([rep_of.get(int(v), int(v)) for v in ids], dtype=np.int64)
-    out = pd.DataFrame(
-        {"vec_id": ids, "kept": (rep == ids).astype(np.int64), "rep_id": rep}
-    )
-    return rd.from_pandas(out.sort_values("vec_id").reset_index(drop=True))
