@@ -124,14 +124,33 @@ def kmeans_fit(sf_dir: str, k: int = 8, iters: int = 5, dim: int = 64, batch_siz
 
     ds = _read_embeddings(sf_dir)
     centroids = _init_centroids(sf_dir, k, dim)
+
+    def combine_level(b: pd.DataFrame) -> pd.DataFrame:
+        # tree-reduce level over partial rows: exact int64 sums are
+        # order-independent, so folding ~512 partials into ≤k keeps the
+        # driver stream bounded at any corpus size (chain for more)
+        rows = []
+        for c, grp in b.groupby("cluster"):
+            s = np.zeros(dim, dtype=np.int64)
+            for raw in grp["sums"]:
+                s += np.frombuffer(raw, dtype=np.int64)
+            rows.append(
+                {"cluster": int(c), "n": np.int64(grp["n"].sum()), "sums": s.tobytes()}
+            )
+        return pd.DataFrame(rows)
+
     for _ in range(iters):
         cent_ref = ray.put(centroids)
-        partials = ds.map_batches(
-            _partial_sums,
-            fn_kwargs={"cent_ref": cent_ref},
-            batch_format="pandas",
-            batch_size=batch_size,
-        ).to_pandas()
+        partials = (
+            ds.map_batches(
+                _partial_sums,
+                fn_kwargs={"cent_ref": cent_ref},
+                batch_format="pandas",
+                batch_size=batch_size,
+            )
+            .map_batches(combine_level, batch_format="pandas", batch_size=512)
+            .to_pandas()
+        )
         new = centroids.copy()
         for c, grp in partials.groupby("cluster"):
             n = int(grp["n"].sum())

@@ -1794,11 +1794,13 @@ def bloom_dup_groups(sf_dir: str, m_bits: int = 1 << 20):
     are a small fraction: the all-to-all shrinks from every row to
     ~(true dups + false positives).
 
-    Pass 1 (streaming, NO shuffle): each block emits two packed m-bit
-    bitmaps — positions of its distinct key fingerprints, and positions
-    of fps already duplicated WITHIN the block. The driver sums the
-    presence bitmaps saturating at 2; candidate positions are those with
-    presence ≥ 2 blocks OR an intra-block dup. A fp occurring in two
+    Pass 1 (streaming, NO shuffle): each block emits packed m-bit
+    bitmaps — positions of its distinct key fingerprints (≥1-block),
+    a ≥2-block accumulator, and positions of fps already duplicated
+    WITHIN the block. Partials fold through an associative tree-reduce
+    level (ge2' = ge2_a | ge2_b | (ge1_a ∧ ge1_b), ~64 rows → 1) so
+    the driver sees a bounded stream at any corpus size; candidate
+    positions are those present in ≥ 2 blocks OR an intra-block dup. A fp occurring in two
     places sets its positions in two partials (or the dup bitmap), so
     NO false negative is possible; unrelated fps sharing both positions
     only add false positives, which pass 2 discards. At 10^12 keys the
@@ -1849,21 +1851,48 @@ def bloom_dup_groups(sf_dir: str, m_bits: int = 1 << 20):
         return pd.DataFrame(
             {
                 "present": [np.packbits(present).tobytes()],
+                "ge2": [np.packbits(np.zeros(m_bits, dtype=bool)).tobytes()],
                 "intra": [np.packbits(intra).tobytes()],
             }
         )
 
-    parts = canon.map_batches(
-        bitmap_partial, batch_format="pandas", batch_size=65536
-    ).to_pandas()
-    presence = np.zeros(m_bits, dtype=np.uint8)
-    intra = np.zeros(m_bits, dtype=bool)
-    for praw, iraw in zip(parts["present"], parts["intra"]):
-        presence = np.minimum(
-            presence + np.unpackbits(np.frombuffer(praw, dtype=np.uint8))[:m_bits], 2
-        ).astype(np.uint8)
-        intra |= np.unpackbits(np.frombuffer(iraw, dtype=np.uint8))[:m_bits].astype(bool)
-    candidate = np.packbits((presence >= 2) | intra)
+    def _unpack(raw: bytes) -> np.ndarray:
+        return np.unpackbits(np.frombuffer(raw, dtype=np.uint8))[:m_bits].astype(bool)
+
+    def _merge_rows(ge1s, ge2s, intras):
+        """Associative merge of (≥1-block, ≥2-block, intra-dup) bitmap
+        triples: ge2' = ge2_a | ge2_b | (ge1_a & ge1_b). Order-independent,
+        so the tree shape never affects the result."""
+        ge1 = np.zeros(m_bits, dtype=bool)
+        ge2 = np.zeros(m_bits, dtype=bool)
+        intra = np.zeros(m_bits, dtype=bool)
+        for g1raw, g2raw, iraw in zip(ge1s, ge2s, intras):
+            g1 = _unpack(g1raw)
+            ge2 |= _unpack(g2raw) | (ge1 & g1)
+            ge1 |= g1
+            intra |= _unpack(iraw)
+        return ge1, ge2, intra
+
+    def combine_level(b: pd.DataFrame) -> pd.DataFrame:
+        # tree-reduce level: fold ~64 partial rows into one, so the
+        # driver sees a bounded stream at any corpus size (add levels
+        # by chaining this stage; one level suffices below ~10^10 rows)
+        ge1, ge2, intra = _merge_rows(b["present"], b["ge2"], b["intra"])
+        return pd.DataFrame(
+            {
+                "present": [np.packbits(ge1).tobytes()],
+                "ge2": [np.packbits(ge2).tobytes()],
+                "intra": [np.packbits(intra).tobytes()],
+            }
+        )
+
+    parts = (
+        canon.map_batches(bitmap_partial, batch_format="pandas", batch_size=65536)
+        .map_batches(combine_level, batch_format="pandas", batch_size=64)
+        .to_pandas()
+    )
+    ge1, ge2, intra = _merge_rows(parts["present"], parts["ge2"], parts["intra"])
+    candidate = np.packbits(ge2 | intra)
     cand_ref = ray.put(candidate)
 
     def keep_candidates(b: pd.DataFrame) -> pd.DataFrame:
