@@ -622,32 +622,99 @@ def semdedup_pairs(
     return salted_groupby(rep, salt, part_pairs)
 
 
-def semdedup_keep(sf_dir: str, threshold: float = 0.3, k: int = 8, iters: int = 5):
+def semdedup_keep(
+    sf_dir: str,
+    threshold: float = 0.3,
+    k: int = 8,
+    iters: int = 5,
+    max_driver_pairs: int = 5_000_000,
+):
     """SemDeDup keep-list: connected components over the within-cluster
     near-dup pairs; each component keeps its min vec_id. Returns
     (vec_id, kept:int64, rep_id) for EVERY vector (kept=1 survivors).
-    The component step reuses dedup.union_find_clusters on the (small)
-    pair stream — at 10^12 scale the documented labelprop fallback
-    applies unchanged. The rep map contains ONLY ids that appear in a
-    pair (the near-dup fraction), so it broadcasts via one ray.put;
-    the flagging pass streams over the table — no driver-side id scan."""
+
+    Scale shape (same threshold switch as dedup.neardup_clusters): the
+    pair stream is normally tiny (only verified near-dups), so up to
+    ``max_driver_pairs`` a driver union-find builds the rep map — which
+    contains ONLY ids appearing in a pair — and broadcasts it with one
+    ray.put; the flagging pass streams over the table. Past the
+    threshold the components come from labelprop_clusters (distributed
+    large-star/small-star) and the rep attaches via a salted
+    co-partitioned join on vec_id instead of a broadcast (gated
+    equivalent to the driver path by the forced-distributed test)."""
     import ray
     import ray.data as rd
 
-    from open_parse_ray.stages.dedup import union_find_clusters
+    from open_parse_ray.stages.dedup import (
+        labelprop_clusters,
+        salted_groupby,
+        union_find_clusters,
+    )
 
-    pairs = semdedup_pairs(sf_dir, threshold=threshold, k=k, iters=iters).to_pandas()
-    rep_of = union_find_clusters(list(zip(pairs["id_a"], pairs["id_b"])))
-    rep_ref = ray.put(rep_of)
+    pairs_ds = (
+        semdedup_pairs(sf_dir, threshold=threshold, k=k, iters=iters)
+        .map_batches(
+            lambda b: b.rename(columns={"id_a": "doc_a", "id_b": "doc_b"}),
+            batch_format="pandas",
+            batch_size=65536,
+        )
+        .materialize()
+    )
+    ids_ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
 
-    def flag(b: pd.DataFrame) -> pd.DataFrame:
-        rm = ray.get(rep_ref)
-        ids = b["vec_id"].to_numpy(dtype=np.int64)
-        rep = np.asarray([rm.get(int(v), int(v)) for v in ids], dtype=np.int64)
+    if pairs_ds.count() <= max_driver_pairs:
+        rows = pairs_ds.take_all()
+        rep_of = union_find_clusters([(int(r["doc_a"]), int(r["doc_b"])) for r in rows])
+        rep_ref = ray.put(rep_of)
+
+        def flag(b: pd.DataFrame) -> pd.DataFrame:
+            rm = ray.get(rep_ref)
+            ids = b["vec_id"].to_numpy(dtype=np.int64)
+            rep = np.asarray([rm.get(int(v), int(v)) for v in ids], dtype=np.int64)
+            return pd.DataFrame(
+                {"vec_id": ids, "kept": (rep == ids).astype(np.int64), "rep_id": rep}
+            )
+
+        return ids_ds.map_batches(flag, batch_format="pandas", batch_size=65536)
+
+    # distributed path: labelprop components + salted join on vec_id
+    clusters = labelprop_clusters(pairs_ds)  # (doc_id, cluster_id, cluster_size)
+
+    def tag_ids(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].astype("int64"),
+                "cluster_id": np.int64(-1),
+                "side": np.int64(0),
+            }
+        )
+
+    def tag_clusters(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": b["doc_id"].astype("int64"),
+                "cluster_id": b["cluster_id"].astype("int64"),
+                "side": np.int64(1),
+            }
+        )
+
+    union = ids_ds.map_batches(tag_ids, batch_format="pandas", batch_size=65536).union(
+        clusters.map_batches(tag_clusters, batch_format="pandas", batch_size=65536)
+    )
+
+    def join(part: pd.DataFrame) -> pd.DataFrame:
+        left = part[part["side"] == 0][["vec_id"]]
+        right = part[part["side"] == 1][["vec_id", "cluster_id"]]
+        m = left.merge(right, on="vec_id", how="left")
+        ids = m["vec_id"].to_numpy(dtype=np.int64)
+        rep = m["cluster_id"].fillna(-1).to_numpy(dtype=np.int64)
+        rep = np.where(rep < 0, ids, rep)
         return pd.DataFrame(
             {"vec_id": ids, "kept": (rep == ids).astype(np.int64), "rep_id": rep}
         )
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).map_batches(
-        flag, batch_format="pandas", batch_size=65536
+    return salted_groupby(
+        union,
+        lambda b: pd.util.hash_pandas_object(b["vec_id"], index=False).astype("int64"),
+        join,
     )

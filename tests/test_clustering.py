@@ -104,3 +104,13 @@ def test_semdedup_pairs_match_bruteforce(ray_session):
     assert (drop["rep_id"] < drop["vec_id"]).all()
     # every kept vector is its own representative
     assert (keep[keep["kept"] == 1]["rep_id"] == keep[keep["kept"] == 1]["vec_id"]).all()
+    # forced distributed path (labelprop + salted join) == driver path
+    dist = (
+        semdedup_keep(SF, max_driver_pairs=0)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        dist, keep.sort_values("vec_id").reset_index(drop=True)
+    )
