@@ -41,6 +41,22 @@ _ID_BITS = 40  # composite key = (value << 40) | id ; requires id < 2^40
 _ID_MASK = (1 << _ID_BITS) - 1
 
 
+
+def _fold(partials, keys, aggs):
+    """Intermediate tree-reduce level before relational._combine_partials:
+    re-groups ~64k partial rows per batch down to ≤|distinct keys|, so
+    the final single-block combine sees a bounded stream at any corpus
+    size (chain for more levels). Exact: integer sums/max are
+    order-independent."""
+
+    def g(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        return b.groupby(keys, as_index=False).agg(**{c: (c, how) for c, how in aggs.items()})
+
+    return partials.map_batches(g, batch_format="pandas", batch_size=65536)
+
+
 def ntile_of_rank(rank: np.ndarray, n_rows: int, k: int) -> np.ndarray:
     """SQL ntile(k) over 1-based ranks: the first n_rows % k tiles get
     floor(n/k)+1 rows, the rest floor(n/k)."""
@@ -121,7 +137,17 @@ def global_rank(keyed, k: int = 4, num_parts: int = 32):
             }
         )
 
-    hp = keyed.map_batches(hist_partial, batch_format="pandas", batch_size=65536).to_pandas()
+    from open_parse_ray.stages.relational import _combine_partials
+
+    hp = _combine_partials(
+        _fold(
+            keyed.map_batches(hist_partial, batch_format="pandas", batch_size=65536),
+            ["v"],
+            {"cnt": "sum", "max_id": "max"},
+        ),
+        ["v"],
+        {"cnt": "sum", "max_id": "max"},
+    ).to_pandas()
     if len(hp) == 0:
         import ray.data as rd
 
@@ -136,7 +162,7 @@ def global_rank(keyed, k: int = 4, num_parts: int = 32):
             )
         )
     max_id = int(hp["max_id"].max())
-    hist = hp.groupby("v", as_index=False).agg(cnt=("cnt", "sum"))
+    hist = hp[["v", "cnt"]]
     n_rows = int(hist["cnt"].sum())
     bounds_ref = ray.put(_boundaries(hist, max_id, num_parts))
 
@@ -171,8 +197,15 @@ def global_rank(keyed, k: int = 4, num_parts: int = 32):
             {"pid": vc.index.to_numpy(dtype=np.int64), "n": vc.to_numpy(dtype=np.int64)}
         )
 
-    cp = ranked.map_batches(count_partial, batch_format="pandas", batch_size=65536).to_pandas()
-    counts = cp.groupby("pid", as_index=False).agg(n=("n", "sum")).sort_values("pid")
+    counts = (
+        _combine_partials(
+            ranked.map_batches(count_partial, batch_format="pandas", batch_size=65536),
+            ["pid"],
+            {"n": "sum"},
+        )
+        .to_pandas()
+        .sort_values("pid")
+    )
     offsets = np.zeros(int(counts["pid"].max()) + 2, dtype=np.int64)
     offsets[counts["pid"].to_numpy(dtype=np.int64) + 1] = counts["n"].to_numpy(dtype=np.int64)
     offsets = np.cumsum(offsets)
@@ -236,8 +269,20 @@ def grouped_rank_events(sf_dir: str):
     def type_partial(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"event_type": b["event_type"].unique()})
 
+    from open_parse_ray.stages.relational import _combine_partials
+
+    def _one(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n"] = np.int64(1)
+        return b
+
     types = sorted(
-        ds.map_batches(type_partial, batch_format="pandas", batch_size=65536)
+        _combine_partials(
+            ds.map_batches(type_partial, batch_format="pandas", batch_size=65536)
+            .map_batches(_one, batch_format="pandas", batch_size=65536),
+            ["event_type"],
+            {"n": "sum"},
+        )
         .to_pandas()["event_type"]
         .unique()
     )
@@ -267,10 +312,16 @@ def grouped_rank_events(sf_dir: str):
         return pd.DataFrame({"gid": u, "n": c.astype(np.int64)})
 
     gc = (
-        keyed.map_batches(gid_counts, batch_format="pandas", batch_size=65536)
+        _combine_partials(
+            _fold(
+                keyed.map_batches(gid_counts, batch_format="pandas", batch_size=65536),
+                ["gid"],
+                {"n": "sum"},
+            ),
+            ["gid"],
+            {"n": "sum"},
+        )
         .to_pandas()
-        .groupby("gid", as_index=False)
-        .agg(n=("n", "sum"))
         .sort_values("gid")
     )
     starts = np.zeros(len(types) + 1, dtype=np.int64)
