@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratios": analysis.compression_ratios,
         "semdedup_pairs": similarity.semdedup_pairs,
         "semdedup_keep": similarity.semdedup_keep,
+        "dsir_weights": analysis.dsir_weights,
         "prepare_curated_corpus": _q_prepare_curated,
         "events_user_rolling": relational.events_user_rolling,
         "events_type_rank": ranking.grouped_rank_events,

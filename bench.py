@@ -146,6 +146,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_user_rolling",
         "events_type_rank",
         "semdedup_keep",
+        "dsir_weights",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

@@ -779,3 +779,115 @@ def compression_ratios(sf_dir: str):
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         ratios, batch_format="pandas", batch_size=8192
     )
+
+_DSIR_BUCKETS = 8192
+
+
+def _dsir_features(text: str) -> np.ndarray:
+    """Hashed word-bigram features (DSIR, Xie et al. 2023,
+    arXiv:2302.03169 §3): each bigram hashes to one of _DSIR_BUCKETS
+    buckets; a doc's feature multiset drives its importance weight."""
+    words = text.split()
+    if len(words) < 2:
+        return np.zeros(0, dtype=np.int64)
+    out = np.empty(len(words) - 1, dtype=np.int64)
+    for i in range(len(words) - 1):
+        out[i] = _md5_64_cached(words[i] + " " + words[i + 1]) % _DSIR_BUCKETS
+    return out
+
+
+_DSIR_HASH_CACHE: dict = {}
+
+
+def _md5_64_cached(s: str) -> int:
+    v = _DSIR_HASH_CACHE.get(s)
+    if v is None:
+        v = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+        if len(_DSIR_HASH_CACHE) < 1_000_000:
+            _DSIR_HASH_CACHE[s] = v
+    return v
+
+
+def dsir_weights(sf_dir: str, target_lang: str = "en"):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    log-likelihood ratio of each document under hashed-bigram unigram
+    bucket models of a TARGET distribution (here: the ``target_lang``
+    slice) vs the RAW corpus — the data-selection scoring step that
+    precedes importance resampling.
+
+    Scale shape: ONE streaming pass emits per-batch (bucket, n_corpus,
+    n_target) count partials (bounded: ≤ _DSIR_BUCKETS rows per batch),
+    folded and combined to the driver's two 8192-long count vectors;
+    the smoothed log-ratio table broadcasts via ray.put; a second
+    streaming pass scores each doc with a fixed-length dot product
+    (bincount(features) · log_ratio — deterministic at any block
+    structure). Returns (doc_id, n_features, dsir_logw:float64).
+    Pytest-gated (local-reference equality + block invariance +
+    target-slice-scores-higher sanity); floats → no SQL oracle."""
+    import ray
+
+    from open_parse_ray.stages.relational import _combine_partials
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        corpus = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+        target = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+        for t, lang in zip(b["text"], b["lang"]):
+            f = _dsir_features(t)
+            if len(f) == 0:
+                continue
+            c = np.bincount(f, minlength=_DSIR_BUCKETS)
+            corpus += c
+            if lang == target_lang:
+                target += c
+        nz = np.nonzero(corpus)[0]
+        return pd.DataFrame(
+            {
+                "bucket": nz.astype(np.int64),
+                "n_corpus": corpus[nz],
+                "n_target": target[nz],
+            }
+        )
+
+    counts = (
+        _combine_partials(
+            ds.map_batches(count_partial, batch_format="pandas", batch_size=8192),
+            ["bucket"],
+            {"n_corpus": "sum", "n_target": "sum"},
+        )
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    corpus = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    target = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    corpus[counts["bucket"].to_numpy(dtype=np.int64)] = counts["n_corpus"].to_numpy(
+        dtype=np.int64
+    )
+    target[counts["bucket"].to_numpy(dtype=np.int64)] = counts["n_target"].to_numpy(
+        dtype=np.int64
+    )
+    # add-one smoothing on both models
+    log_ratio = np.log(
+        (target + 1.0) / (target.sum() + _DSIR_BUCKETS)
+    ) - np.log((corpus + 1.0) / (corpus.sum() + _DSIR_BUCKETS))
+    lr_ref = ray.put(log_ratio)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        lr = ray.get(lr_ref)
+        n_feat, logw = [], []
+        for t in b["text"]:
+            f = _dsir_features(t)
+            n_feat.append(len(f))
+            logw.append(
+                float(np.bincount(f, minlength=_DSIR_BUCKETS) @ lr) if len(f) else 0.0
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_features": np.asarray(n_feat, dtype=np.int64),
+                "dsir_logw": np.asarray(logw, dtype=np.float64),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=8192)

@@ -384,3 +384,60 @@ def test_compression_ratios_properties(ray_session):
 
     rnd = bytes(_np.random.RandomState(0).randint(0, 256, len(rep), dtype=_np.uint8))
     assert len(zlib.compress(rep, 6)) * 10 < len(zlib.compress(rnd, 6))
+
+
+def test_dsir_weights_reference_and_sanity(ray_session):
+    """DSIR log-weights equal a local numpy reference bitwise, and the
+    target slice (en) scores strictly higher on average than the rest."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.analysis import _DSIR_BUCKETS, dsir_weights
+
+    sf = "/root/testdata/sf0.001"
+    got = dsir_weights(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pandas()
+
+    def feats(t):
+        w = t.split()
+        return np.asarray(
+            [
+                int(hashlib.md5((w[i] + " " + w[i + 1]).encode()).hexdigest()[:16], 16)
+                % _DSIR_BUCKETS
+                for i in range(len(w) - 1)
+            ],
+            dtype=np.int64,
+        )
+
+    corpus = np.zeros(_DSIR_BUCKETS, np.int64)
+    target = np.zeros(_DSIR_BUCKETS, np.int64)
+    for t, l in zip(docs["text"], docs["lang"]):
+        f = feats(t)
+        if len(f) == 0:
+            continue
+        c = np.bincount(f, minlength=_DSIR_BUCKETS)
+        corpus += c
+        if l == "en":
+            target += c
+    lr = np.log((target + 1.0) / (target.sum() + _DSIR_BUCKETS)) - np.log(
+        (corpus + 1.0) / (corpus.sum() + _DSIR_BUCKETS)
+    )
+    exp = np.asarray(
+        [
+            float(np.bincount(feats(t), minlength=_DSIR_BUCKETS) @ lr)
+            if len(feats(t))
+            else 0.0
+            for t in docs["text"]
+        ]
+    )
+    order = np.argsort(docs["doc_id"].to_numpy())
+    assert np.array_equal(got["dsir_logw"].to_numpy(), exp[order])
+    m = got.merge(docs[["doc_id", "lang"]], on="doc_id")
+    assert (
+        m[m["lang"] == "en"]["dsir_logw"].mean()
+        > m[m["lang"] != "en"]["dsir_logw"].mean()
+    )
