@@ -360,6 +360,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprints": analysis.rolling_fingerprints,
         "multimodal_meta": _q_multimodal,
         "page_bbox_svgs": _q_page_bbox_svgs,
+        # round-3 late additions: oracle-backed, tail position (the
+        # 50-entry driver window is full; check_oracles verifies these)
+        "heavy_hitter_terms": analysis.heavy_hitter_terms,
+        "lang_mix_rebalance": analysis.lang_mix_rebalance,
     }
 
 
@@ -1060,6 +1064,32 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts <= a.ts + INTERVAL 30 MINUTE
             WHERE a.event_type = 'view'
             GROUP BY a.event_id
+        """,
+        "heavy_hitter_terms": """
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ), tot AS (SELECT count(*) AS n FROM w),
+            c AS (SELECT term, count(*) AS n FROM w GROUP BY term)
+            SELECT CAST(row_number() OVER (ORDER BY c.n DESC, c.term) AS BIGINT)
+                       AS rank,
+                   c.term AS term, c.n AS n
+            FROM c, tot WHERE c.n > tot.n // 30
+        """,
+        "lang_mix_rebalance": """
+            WITH counts AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS s FROM counts),
+            ranked AS (
+              SELECT lang, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS BIGINT) AS rank
+              FROM documents
+            )
+            SELECT r.lang, r.rank, r.doc_id
+            FROM ranked r JOIN counts USING (lang) CROSS JOIN tot
+            WHERE r.rank <= least(counts.c, tot.t // tot.s)
         """,
         "orders_topk": """
             SELECT CAST(row_number() OVER (

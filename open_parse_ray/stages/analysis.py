@@ -891,3 +891,220 @@ def dsir_weights(sf_dir: str, target_lang: str = "en"):
         )
 
     return ds.map_batches(score, batch_format="pandas", batch_size=8192)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: mergeable Misra-Gries sketch + exact verification pass
+# ---------------------------------------------------------------------------
+
+_MG_SKETCH_K = 120  # sketch capacity; guarantee holds for any term with
+#                     true count > N/(_MG_SKETCH_K+1)
+
+
+def mg_compress(counts: Dict[str, int], k: int) -> Dict[str, int]:
+    """Misra-Gries compression: if more than ``k`` counters survive,
+    subtract the (k+1)-th largest weight from every counter and drop the
+    non-positive ones. Each compression under-counts any single term by
+    at most the subtracted amount; across an arbitrary merge tree the
+    total under-count is < N/(k+1) (Agarwal et al., PODS'12 mergeable
+    summaries), so every term with true frequency > N/(k+1) survives to
+    the final summary. Deterministic: ties need no breaking because we
+    subtract a value, never select among equals."""
+    if len(counts) <= k:
+        return counts
+    cut = sorted(counts.values(), reverse=True)[k]
+    return {t: c - cut for t, c in counts.items() if c > cut}
+
+
+def heavy_hitter_terms(sf_dir: str, k: int = 30):
+    """EXACT corpus heavy hitters — every term whose total count exceeds
+    floor(total_words / k) — computed without ever shuffling the term
+    table, via the classic sketch-then-verify plan:
+
+    1. one streaming pass builds per-batch Misra-Gries summaries
+       (≤ _MG_SKETCH_K counter rows per block, merged through a fold
+       level and one single-block combine, compressing after each merge
+       — MG summaries are mergeable, so the tree shape is free);
+       any term with count > N/(_MG_SKETCH_K+1) is guaranteed present,
+       and N/(_MG_SKETCH_K+1) < N/k because _MG_SKETCH_K >= k, so the
+       candidate set is a SUPERSET of the answer;
+    2. the ≤ _MG_SKETCH_K candidate terms broadcast via ray.put; a
+       second streaming pass counts ONLY candidates exactly (plus the
+       batch's total word count under the '' sentinel — '' can never be
+       a term because texts are stripped before the whitespace split),
+       folded the same way;
+    3. a final single-block map filters candidates to exact
+       count > N // k and ranks them.
+
+    The full term table never moves: pass 1 ships ≤ sketch_k rows per
+    block, pass 2 ships ≤ |candidates|+1 rows per block. Compare
+    top_terms (exact top-k via a salted term shuffle): MG trades the
+    shuffle for a threshold guarantee — the right shape when the vocab
+    is huge and only >N/k outliers matter. Returns (rank, term, n),
+    SQL-oracle-checked exactly (sketch error is eliminated by the
+    verify pass)."""
+    import ray
+
+    from open_parse_ray.stages.ranking import _fold
+    from open_parse_ray.stages.relational import _combine_partials
+
+    ds = read_documents(sf_dir, columns=["text"])
+
+    def mg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in b["text"]:
+            t = t.strip()
+            if t:
+                c.update(_WS_SPLIT.split(t))
+        c = mg_compress(dict(c), _MG_SKETCH_K)
+        return pd.DataFrame(
+            {"term": list(c.keys()), "w": np.asarray(list(c.values()), dtype=np.int64)}
+        )
+
+    def mg_merge_level(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        g = b.groupby("term", as_index=False).agg(w=("w", "sum"))
+        c = mg_compress(dict(zip(g["term"], g["w"])), _MG_SKETCH_K)
+        return pd.DataFrame(
+            {"term": list(c.keys()), "w": np.asarray(list(c.values()), dtype=np.int64)}
+        )
+
+    sketch = (
+        ds.map_batches(mg_partial, batch_format="pandas", batch_size=8192)
+        .map_batches(mg_merge_level, batch_format="pandas", batch_size=65536)
+        .repartition(1)
+        .map_batches(mg_merge_level, batch_format="pandas", batch_size=None)
+    )
+    # bounded driver read: the final MG summary is <= _MG_SKETCH_K rows
+    candidates = frozenset(r["term"] for r in sketch.take_all())
+    cand_ref = ray.put(candidates)
+
+    def verify_partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        cand = ray.get(cand_ref)
+        c: Counter = Counter()
+        total = 0
+        for t in b["text"]:
+            t = t.strip()
+            if t:
+                words = _WS_SPLIT.split(t)
+                total += len(words)
+                c.update(w for w in words if w in cand)
+        rows = list(c.items()) + [("", total)]
+        return pd.DataFrame(
+            {
+                "term": [r[0] for r in rows],
+                "n": np.asarray([r[1] for r in rows], dtype=np.int64),
+            }
+        )
+
+    exact = _combine_partials(
+        _fold(
+            ds.map_batches(verify_partial, batch_format="pandas", batch_size=8192),
+            ["term"],
+            {"n": "sum"},
+        ),
+        ["term"],
+        {"n": "sum"},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"rank": [], "term": [], "n": []}).astype(
+                {"rank": "int64", "term": "object", "n": "int64"}
+            )
+        total = int(b.loc[b["term"] == "", "n"].sum())
+        g = b[(b["term"] != "") & (b["n"] > total // k)]
+        g = g.sort_values(["n", "term"], ascending=[False, True]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "term": g["term"],
+                "n": g["n"].astype("int64"),
+            }
+        )
+
+    return exact.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def lang_mix_rebalance(sf_dir: str):
+    """Rebalance the corpus to a UNIFORM language mix (the multilingual
+    training-mix step: downsample over-represented languages to the
+    per-language quota instead of letting one language dominate).
+    quota = min(c_lang, total // n_langs), with the kept docs chosen by
+    md5(doc_id) order — content-addressed, so the kept set is stable
+    across runs, cluster sizes and input partitionings, and unbiased
+    w.r.t. doc_id order.
+
+    Two-phase shape: (1) per-batch language counts (bounded cardinality:
+    |langs|) fold to the driver, which broadcasts the tiny quota table;
+    (2) (doc_id, lang, md5) rows — never text — move through ONE salted
+    exchange on the language key where each partition ranks and cuts at
+    its quota. Integer-exact, hence SQL-oracle-checked. Temperature-
+    scaled variants (quota ∝ c^alpha) drop in by changing one line of
+    the driver-side quota computation. Returns (lang, rank, doc_id)."""
+    import ray
+
+    from open_parse_ray.stages.dedup import salted_groupby
+    from open_parse_ray.stages.ranking import _fold
+    from open_parse_ray.stages.relational import _combine_partials
+
+    ds = read_documents(sf_dir, columns=["doc_id", "lang"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("lang", as_index=False).agg(c=("doc_id", "size"))
+        return g.astype({"c": "int64"})
+
+    counts = (
+        _combine_partials(
+            _fold(
+                ds.map_batches(count_partial, batch_format="pandas", batch_size=65536),
+                ["lang"],
+                {"c": "sum"},
+            ),
+            ["lang"],
+            {"c": "sum"},
+        )
+        .to_pandas()
+    )
+    total = int(counts["c"].sum())
+    per_lang = total // len(counts)
+    quota = {l: min(int(c), per_lang) for l, c in zip(counts["lang"], counts["c"])}
+    quota_ref = ray.put(quota)
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "lang": b["lang"],
+                "h": [
+                    hashlib.md5(str(int(d)).encode("ascii")).hexdigest()
+                    for d in b["doc_id"]
+                ],
+            }
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pandas", batch_size=65536)
+
+    def cap_per_lang(part: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(quota_ref)
+        g = part.sort_values(["lang", "h", "doc_id"])
+        g = g.assign(rank=g.groupby("lang").cumcount() + 1)
+        g = g[g["rank"] <= g["lang"].map(q).astype("int64")]
+        return pd.DataFrame(
+            {
+                "lang": g["lang"],
+                "rank": g["rank"].astype("int64"),
+                "doc_id": g["doc_id"].astype("int64"),
+            }
+        )
+
+    return salted_groupby(
+        keyed,
+        lambda b: pd.util.hash_pandas_object(b["lang"], index=False).astype("int64"),
+        cap_per_lang,
+    )

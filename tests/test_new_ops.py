@@ -441,3 +441,101 @@ def test_dsir_weights_reference_and_sanity(ray_session):
         m[m["lang"] == "en"]["dsir_logw"].mean()
         > m[m["lang"] != "en"]["dsir_logw"].mean()
     )
+
+
+def test_mg_compress_guarantee_and_exact_heavy_hitters(ray_session, tmp_path):
+    """Misra-Gries machinery: (a) compression preserves the >N/(k+1)
+    survival guarantee under an arbitrary merge tree on a synthetic
+    skewed stream with vocab >> sketch size; (b) the full sketch+verify
+    operator returns EXACTLY the terms with count > N // k, matching a
+    local exact count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.analysis import heavy_hitter_terms, mg_compress
+
+    # (a) pure-function guarantee: 3 heavy terms in a sea of 2000 rares
+    rng = np.random.default_rng(7)
+    stream = (
+        ["alpha"] * 500 + ["beta"] * 300 + ["gamma"] * 200
+        + [f"rare{i}" for i in rng.integers(0, 2000, size=1000)]
+    )
+    rng.shuffle(stream)
+    k = 8
+    # merge in chunks through MG compression (binary-ish tree)
+    from collections import Counter
+
+    summaries = []
+    for i in range(0, len(stream), 100):
+        summaries.append(mg_compress(dict(Counter(stream[i : i + 100])), k))
+    while len(summaries) > 1:
+        merged = Counter(summaries[0])
+        merged.update(summaries[1])
+        summaries = [mg_compress(dict(merged), k)] + summaries[2:]
+    final = summaries[0]
+    assert len(final) <= k
+    n = len(stream)
+    exact = Counter(stream)
+    for term, c in exact.items():
+        if c > n // (k + 1):
+            assert term in final, term
+        # MG never over-counts
+        if term in final:
+            assert final[term] <= c
+
+    # (b) end-to-end operator on a synthetic skewed corpus
+    docs = []
+    for d in range(60):
+        words = ["hot"] * 10 + [f"w{d}_{j}" for j in range(20)]
+        docs.append((d, " ".join(words)))
+    p = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": [t for _, t in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["s"] * len(docs),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        p,
+    )
+    out = heavy_hitter_terms(str(tmp_path), k=30).to_pandas()
+    total = sum(len(t.split()) for _, t in docs)
+    cnt = Counter()
+    for _, t in docs:
+        cnt.update(t.split())
+    want = sorted(
+        [(t, c) for t, c in cnt.items() if c > total // 30],
+        key=lambda x: (-x[1], x[0]),
+    )
+    got = list(zip(out["term"], out["n"]))
+    assert got == want
+    assert list(out["rank"]) == list(range(1, len(want) + 1))
+    # 'hot' (600 occurrences of 1800) is the only term above total//30=60
+    assert want == [("hot", 600)]
+
+
+def test_lang_mix_rebalance_quota_semantics(ray_session):
+    """Uniform-language rebalance on sf0.001: every language capped at
+    total // n_langs; under-represented languages keep everything; the
+    kept set is exactly the md5-first quota docs per language."""
+    from open_parse_ray.stages.analysis import lang_mix_rebalance
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    total, n_langs = len(docs), docs["lang"].nunique()
+    quota = total // n_langs
+    out = lang_mix_rebalance(SF).to_pandas()
+    sizes = out.groupby("lang")["doc_id"].size()
+    for lang, c in docs.groupby("lang")["doc_id"].size().items():
+        assert sizes.get(lang, 0) == min(int(c), quota)
+    # content-addressed choice: md5-ascending prefix per language
+    docs = docs.assign(
+        h=[hashlib.md5(str(int(d)).encode()).hexdigest() for d in docs["doc_id"]]
+    )
+    for lang, grp in docs.groupby("lang"):
+        want = set(
+            grp.sort_values(["h", "doc_id"]).head(min(len(grp), quota))["doc_id"]
+        )
+        assert set(out[out["lang"] == lang]["doc_id"]) == want

@@ -212,6 +212,8 @@ def test_round3_queries_block_structure_invariance(ray_session):
     checks.append((prepare_curated_corpus, ["doc_id"]))
     checks.append((events_user_rolling, ["event_id"]))
     checks.append((ranking.grouped_rank_events, ["event_id"]))
+    checks.append((analysis.heavy_hitter_terms, ["rank"]))
+    checks.append((analysis.lang_mix_rebalance, ["lang", "rank"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
