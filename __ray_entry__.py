@@ -41,6 +41,7 @@ from open_parse_ray.stages import (
     analysis,
     dedup,
     incremental,
+    lines,
     pii,
     ranking,
     relational,
@@ -364,6 +365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 50-entry driver window is full; check_oracles verifies these)
         "heavy_hitter_terms": analysis.heavy_hitter_terms,
         "lang_mix_rebalance": analysis.lang_mix_rebalance,
+        "c4_line_filter": lines.c4_line_filter,
+        "paragraph_dedup": lines.paragraph_dedup,
     }
 
 
@@ -383,6 +386,52 @@ def _knn_oracle(k: int = 10) -> str:
     ORDER BY sim DESC, vec_id
     LIMIT {k}
     """
+
+
+# Closed-form SQL mirror of stages/lines.py synth_page_lines: CHUNK=8
+# word lines with deterministic '.' punctuation, boilerplate insertions
+# on (doc_id+i)%6, lorem/curly trailers on doc_id residues.
+_LINES_CTE = """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE text <> ''
+            ),
+            chunk AS (
+              SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+                     array_to_string(
+                       list_slice(ws, CAST(t.i*8+1 AS BIGINT),
+                                      CAST(t.i*8+8 AS BIGINT)), ' ')
+                       || CASE WHEN (doc_id + t.i) % 4 < 3
+                               THEN '.' ELSE '' END AS line,
+                     0 AS sub
+              FROM base, unnest(range((len(ws)+7)//8)) AS t(i)
+            ),
+            bp AS (
+              SELECT doc_id, i,
+                     CASE ((doc_id + i) // 6) % 3
+                       WHEN 0 THEN 'please enable javascript to continue reading this page.'
+                       WHEN 1 THEN 'subscribe to our newsletter for weekly updates and exclusive offers.'
+                       ELSE 'all rights reserved, terms of service and privacy policy apply.'
+                     END AS line,
+                     1 AS sub
+              FROM chunk WHERE (doc_id + i) % 6 = 0
+            ),
+            trailer AS (
+              SELECT doc_id, CAST(1000000 AS BIGINT) AS i,
+                     'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+                         AS line,
+                     0 AS sub
+              FROM base WHERE doc_id % 31 = 0
+              UNION ALL
+              SELECT doc_id, CAST(1000001 AS BIGINT),
+                     'function() { return 0; }', 0
+              FROM base WHERE doc_id % 37 = 0
+            ),
+            lines AS (
+              SELECT * FROM chunk
+              UNION ALL SELECT * FROM bp
+              UNION ALL SELECT * FROM trailer
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1090,6 +1139,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.lang, r.rank, r.doc_id
             FROM ranked r JOIN counts USING (lang) CROSS JOIN tot
             WHERE r.rank <= least(counts.c, tot.t // tot.s)
+        """,
+        # both line-level oracles re-synthesize the deterministic page
+        # lines in closed form (see stages/lines.py synth_page_lines)
+        "c4_line_filter": _LINES_CTE + """,
+            scored AS (
+              SELECT doc_id, i, sub, line,
+                     (length(line) > 0
+                      AND substr(line, length(line), 1) IN ('.', '!', '?', '"')
+                      AND len(list_filter(string_split(line, ' '),
+                                          x -> x <> '')) >= 5
+                      AND NOT contains(lower(line), 'javascript')) AS keep,
+                     (contains(line, '{')
+                      OR contains(lower(line), 'lorem ipsum')) AS bad
+              FROM lines
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+                     string_agg(CASE WHEN keep THEN line END,
+                                chr(10) ORDER BY i, sub) AS text,
+                     bool_or(bad) AS bad
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, n_lines, n_kept, text
+            FROM agg WHERE NOT bad AND n_kept >= 3
+        """,
+        "paragraph_dedup": _LINES_CTE + """,
+            dups AS (
+              SELECT line FROM lines
+              GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+            ),
+            flagged AS (
+              SELECT doc_id, i, sub, line,
+                     line IN (SELECT line FROM dups) AS dup
+              FROM lines
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_removed,
+                   coalesce(string_agg(CASE WHEN NOT dup THEN line END,
+                                       chr(10) ORDER BY i, sub), '') AS text
+            FROM flagged GROUP BY doc_id
         """,
         "orders_topk": """
             SELECT CAST(row_number() OVER (

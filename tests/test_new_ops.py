@@ -539,3 +539,68 @@ def test_lang_mix_rebalance_quota_semantics(ray_session):
             grp.sort_values(["h", "doc_id"]).head(min(len(grp), quota))["doc_id"]
         )
         assert set(out[out["lang"] == lang]["doc_id"]) == want
+
+
+def test_c4_line_filter_semantics(ray_session):
+    """C4 badlines rules on the synthesized page lines: javascript
+    boilerplate never survives, every kept line ends in terminal
+    punctuation with >= 5 words, lorem/curly docs are dropped whole,
+    and counts are consistent."""
+    from open_parse_ray.stages.lines import (
+        c4_keep_line,
+        c4_line_filter,
+        synth_page_lines,
+    )
+
+    out = c4_line_filter(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    by_id = dict(zip(docs["doc_id"], docs["text"]))
+    # page-level drops happened (residue classes are populated)
+    dropped = set(by_id) - set(out["doc_id"])
+    assert any(d % 31 == 0 or d % 37 == 0 for d in dropped)
+    for d in by_id:
+        if d % 31 == 0 or d % 37 == 0:
+            assert d not in set(out["doc_id"]), d
+    for _, row in out.iterrows():
+        kept = row["text"].split("\n")
+        assert row["n_kept"] == len(kept)
+        assert row["n_lines"] >= row["n_kept"] >= 3
+        for ln in kept:
+            assert ln[-1] in '.!?"'
+            assert sum(1 for w in ln.split(" ") if w) >= 5
+            assert "javascript" not in ln.lower()
+        # kept set == local recompute
+        want = [
+            ln for ln in synth_page_lines(int(row["doc_id"]), by_id[row["doc_id"]])
+            if c4_keep_line(ln)
+        ]
+        assert kept == want
+
+
+def test_paragraph_dedup_removes_cross_doc_boilerplate(ray_session):
+    """Corpus-level paragraph dedup: every injected boilerplate line
+    (present in many docs) is removed from every doc; doc-unique chunk
+    lines survive; counts are consistent with a local recompute."""
+    from collections import Counter
+
+    from open_parse_ray.stages.lines import BOILERPLATE, paragraph_dedup, synth_page_lines
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pages = {int(d): synth_page_lines(int(d), t) for d, t in zip(docs["doc_id"], docs["text"])}
+    nd: Counter = Counter()
+    for lns in pages.values():
+        nd.update(set(lns))
+    dups = {ln for ln, c in nd.items() if c >= 2}
+    assert set(BOILERPLATE) <= dups  # the injected signal is present
+
+    out = paragraph_dedup(SF).to_pandas()
+    assert set(out["doc_id"]) == set(pages)
+    for _, row in out.iterrows():
+        lns = pages[int(row["doc_id"])]
+        want = [ln for ln in lns if ln not in dups]
+        got = row["text"].split("\n") if row["text"] else []
+        assert got == want
+        assert row["n_paras"] == len(lns)
+        assert row["n_removed"] == len(lns) - len(want)
+        for b in BOILERPLATE:
+            assert b not in got

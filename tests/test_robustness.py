@@ -214,6 +214,10 @@ def test_round3_queries_block_structure_invariance(ray_session):
     checks.append((ranking.grouped_rank_events, ["event_id"]))
     checks.append((analysis.heavy_hitter_terms, ["rank"]))
     checks.append((analysis.lang_mix_rebalance, ["lang", "rank"]))
+    from open_parse_ray.stages.lines import c4_line_filter, paragraph_dedup
+
+    checks.append((c4_line_filter, ["doc_id"]))
+    checks.append((paragraph_dedup, ["doc_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
