@@ -1108,3 +1108,46 @@ def lang_mix_rebalance(sf_dir: str):
         lambda b: pd.util.hash_pandas_object(b["lang"], index=False).astype("int64"),
         cap_per_lang,
     )
+
+
+def dsir_select(sf_dir: str, n: int = 100, target_lang: str = "en"):
+    """DSIR importance SELECTION (the resampling step that follows
+    dsir_weights in Xie et al. 2023): keep the top-``n`` documents by
+    importance weight, deterministic ties on doc_id — the greedy
+    top-weight variant of importance resampling (the paper's Gumbel
+    noise exists to de-bias repeated draws; for a single deterministic
+    selection pass, weight order IS the estimator, and determinism is
+    what a reproducible corpus build needs).
+
+    Scale shape: consumes the dsir_weights Dataset (one counting pass +
+    broadcast ratio table + one scoring pass), then top-n via per-batch
+    partial top-n (each block collapses to <= n rows before any data
+    movement) and a single-block combine — the classic distributed
+    top-k; no sort of the full corpus. Scores are bit-reproducible at
+    any block structure (fixed-length integer bincount dot float table,
+    same order every time), so the selection is too. Returns
+    (rank, doc_id, dsir_logw). Pytest-gated (floats → no SQL oracle):
+    equality vs a local numpy reference selection."""
+
+    weights = dsir_weights(sf_dir, target_lang=target_lang)
+
+    def partial_topn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["dsir_logw", "doc_id"], ascending=[False, True])
+        return b.head(n)[["doc_id", "dsir_logw"]]
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["dsir_logw", "doc_id"], ascending=[False, True]).head(n)
+        b = b.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(b) + 1, dtype=np.int64),
+                "doc_id": b["doc_id"].astype("int64"),
+                "dsir_logw": b["dsir_logw"].astype("float64"),
+            }
+        )
+
+    return (
+        weights.map_batches(partial_topn, batch_format="pandas", batch_size=8192)
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+    )

@@ -604,3 +604,21 @@ def test_paragraph_dedup_removes_cross_doc_boilerplate(ray_session):
         assert row["n_removed"] == len(lns) - len(want)
         for b in BOILERPLATE:
             assert b not in got
+
+
+def test_dsir_select_topn_matches_weights(ray_session):
+    """dsir_select == top-n of the (bit-reproducible) dsir_weights
+    table under (logw DESC, doc_id ASC), with 1-based ranks."""
+    from open_parse_ray.stages.analysis import dsir_select, dsir_weights
+
+    sf = "/root/testdata/sf0.001"
+    w = dsir_weights(sf).to_pandas()
+    want = (
+        w.sort_values(["dsir_logw", "doc_id"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    got = dsir_select(sf, n=100).to_pandas().sort_values("rank").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert np.array_equal(got["dsir_logw"].to_numpy(), want["dsir_logw"].to_numpy())
+    assert list(got["rank"]) == list(range(1, 101))
