@@ -1,0 +1,152 @@
+"""WARC/WET container source + sink: framing, date roundtrip, byte
+determinism, format-invariant extraction, and corruption fuzz (every
+binary parser in this repo carries a strict-advance fuzz gate)."""
+
+import random
+import zlib
+
+import pandas as pd
+import pytest
+
+from open_parse_ray.sources.warc import (
+    _parse_warc_date,
+    _warc_date,
+    conversion_record,
+    gunzip_members,
+    iter_warc_records,
+    pages_from_warc_bytes,
+    parse_http_response,
+    response_record,
+    warcinfo_record,
+)
+
+
+def test_content_length_framing_survives_bait_bytes():
+    """A payload containing WARC header/terminator byte sequences must
+    not derail the record scan — framing is Content-Length, not
+    separator search."""
+    bait = b"WARC/1.0\r\n\r\nContent-Length: 0\r\n\r\n" + b"\r\n\r\n" * 3
+    rec1 = response_record("https://a.test/1", 1_000_001, bait, "en")
+    rec2 = response_record("https://a.test/2", 2_000_002, b"<p>ok</p>", "de")
+    rows = pages_from_warc_bytes(rec1 + rec2)
+    assert [r["url"] for r in rows] == ["https://a.test/1", "https://a.test/2"]
+    assert rows[0]["html"] == bait
+    assert rows[1]["html"] == b"<p>ok</p>"
+    assert rows[0]["lang"] == "en" and rows[1]["lang"] == "de"
+
+
+def test_warc_date_roundtrip_and_cc_bare_seconds():
+    for us in (0, 1, 999_999, 1734652800_000_000 + 123_456):
+        assert _parse_warc_date(_warc_date(us).decode()) == us
+    # Common Crawl writes bare seconds — must parse too
+    assert _parse_warc_date("2024-12-20T00:00:05Z") == 1734652805_000_000
+    with pytest.raises(ValueError):
+        _parse_warc_date("2024-12-20T00:00:05+01:00")
+
+
+def test_http_response_content_length_truncates_trailing_junk():
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Length: 4\r\n\r\nabcdJUNKJUNK"
+    )
+    assert parse_http_response(body) == b"abcd"
+    with pytest.raises(ValueError):
+        parse_http_response(b"not http at all")
+    with pytest.raises(ValueError):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort")
+
+
+def test_gunzip_members_multi_member_and_plain():
+    a = zlib.compressobj(6, zlib.DEFLATED, 31)
+    b = zlib.compressobj(6, zlib.DEFLATED, 31)
+    blob = a.compress(b"one") + a.flush() + b.compress(b"two") + b.flush()
+    assert list(gunzip_members(blob)) == [b"one", b"two"]
+    assert list(gunzip_members(b"plain bytes")) == [b"plain bytes"]
+    with pytest.raises(ValueError):
+        list(gunzip_members(blob[: len(blob) - 3]))  # cut mid-member
+
+
+def test_wet_conversion_and_warcinfo_skip():
+    recs = (
+        warcinfo_record("x.warc.gz")
+        + conversion_record("https://a.test/1", 5, "hello text", "fr")
+    )
+    rows = pages_from_warc_bytes(recs)
+    assert len(rows) == 1
+    assert rows[0]["text"] == "hello text" and rows[0]["lang"] == "fr"
+    assert "html" not in rows[0]
+
+
+def test_export_is_byte_deterministic(ray_session, tmp_path):
+    import hashlib
+    import os
+
+    from open_parse_ray.sources.warc import export_pages_warc
+
+    digests = []
+    for run in ("a", "b"):
+        out = str(tmp_path / run)
+        export_pages_warc(0.001, out)
+        h = hashlib.md5()
+        for f in sorted(os.listdir(out)):
+            h.update(f.encode())
+            h.update(open(os.path.join(out, f), "rb").read())
+        digests.append(h.hexdigest())
+    assert digests[0] == digests[1]
+
+
+@pytest.mark.parametrize("wet", [False, True])
+def test_warc_source_pages_identical_to_parquet(ray_session, tmp_path, wet):
+    from open_parse_ray.sources.pages import read_pages
+    from open_parse_ray.sources.warc import export_pages_warc, read_pages_warc
+
+    out = str(tmp_path / ("wet" if wet else "warc"))
+    export_pages_warc(0.001, out, wet=wet)
+    got = read_pages_warc(out).to_pandas().sort_values("url").reset_index(drop=True)
+    want = read_pages(0.001).to_pandas().sort_values("url").reset_index(drop=True)
+    for col in ("url", "warc_ts", "text", "lang"):
+        pd.testing.assert_series_equal(got[col], want[col])
+    if wet:
+        assert got["html"].isna().all()
+    else:
+        assert list(got["html"]) == list(want["html"])
+
+
+def test_warc_source_extraction_invariance(ray_session, tmp_path):
+    """Extraction over the WARC source is byte-identical to the Parquet
+    path — the container is transparent to the whole engine."""
+    from open_parse_ray.pipelines.extraction import extract
+    from open_parse_ray.sources.pages import read_pages
+    from open_parse_ray.sources.warc import export_pages_warc, read_pages_warc
+
+    out = str(tmp_path / "warc")
+    export_pages_warc(0.001, out)
+
+    def texts(ds):
+        df = extract(ds, pipeline="basic", output="docs").to_pandas()
+        return df.sort_values("url")[["url", "extracted_text"]].reset_index(drop=True)
+
+    got = texts(read_pages_warc(out, columns=["url", "html"]))
+    want = texts(read_pages(0.001, columns=["url", "html"]))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_warc_corruption_fuzz_never_hangs():
+    """Random byte flips / truncations of a valid shard must either
+    parse or raise — never loop or rewind (strict-advance contract)."""
+    base = b"".join(
+        response_record(f"https://a.test/{i}", i * 7 + 1, b"<p>%d</p>" % i, "en")
+        for i in range(8)
+    )
+    rng = random.Random(1234)
+    for trial in range(200):
+        data = bytearray(base)
+        if trial % 3 == 0:
+            data = data[: rng.randrange(1, len(data))]
+        else:
+            for _ in range(rng.randrange(1, 6)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+        try:
+            rows = pages_from_warc_bytes(bytes(data))
+            assert isinstance(rows, list)
+        except (ValueError, UnicodeDecodeError, KeyError, OverflowError):
+            pass
