@@ -43,6 +43,7 @@ from open_parse_ray.stages import (
     incremental,
     lines,
     pii,
+    quantiles,
     ranking,
     relational,
     similarity,
@@ -367,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mix_rebalance": analysis.lang_mix_rebalance,
         "c4_line_filter": lines.c4_line_filter,
         "paragraph_dedup": lines.paragraph_dedup,
+        "ratio_quantiles_by_lang": quantiles.ratio_quantiles_by_lang,
     }
 
 
@@ -1193,5 +1195,28 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY price_cents DESC, o_orderkey
             LIMIT 20
+        """,
+        # exact per-lang percentiles of a FLOAT score (unbounded value
+        # cardinality): nearest-rank semantics 1 + (p*(n-1))//100, pure
+        # integer arithmetic on both sides; ratio is one IEEE double
+        # division of the same two integers on both sides → bit-equal
+        "ratio_quantiles_by_lang": """
+            WITH toks AS (
+              SELECT lang,
+                     CAST(n_chars AS DOUBLE)
+                       / len(regexp_split_to_array(trim(text), '\\s+')) AS ratio
+              FROM documents
+              WHERE trim(text) <> ''
+            ),
+            ranked AS (
+              SELECT lang, ratio,
+                     row_number() OVER (PARTITION BY lang ORDER BY ratio) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM toks
+            )
+            SELECT lang, CAST(q.p AS BIGINT) AS p, ratio AS value
+            FROM ranked JOIN (VALUES (25), (50), (75), (95)) AS q(p)
+              ON rn = 1 + (q.p * (n - 1)) // 100
+            ORDER BY lang, p
         """,
     }

@@ -147,6 +147,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_type_rank",
         "semdedup_keep",
         "dsir_weights",
+        "ratio_quantiles_by_lang",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",
