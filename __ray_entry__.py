@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_filter": lines.c4_line_filter,
         "paragraph_dedup": lines.paragraph_dedup,
         "ratio_quantiles_by_lang": quantiles.ratio_quantiles_by_lang,
+        "ccnet_buckets": analysis.ccnet_perplexity_buckets,
     }
 
 

@@ -148,6 +148,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "semdedup_keep",
         "dsir_weights",
         "ratio_quantiles_by_lang",
+        "ccnet_buckets",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

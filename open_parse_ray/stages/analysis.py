@@ -1151,3 +1151,150 @@ def dsir_select(sf_dir: str, n: int = 100, target_lang: str = "en"):
         .repartition(1)
         .map_batches(finish, batch_format="pandas", batch_size=None)
     )
+
+
+def ccnet_perplexity_buckets(sf_dir: str, ref_mod: int = 7):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, arXiv:1911.00359 §4.3): score every document under a language
+    model trained on a curated same-language reference slice, then
+    split each language into head/middle/tail by the perplexity
+    terciles — the quality tiering CCNet applies to Common Crawl before
+    training-data selection.
+
+    Hermetic analogs of the paper's components: the reference corpus is
+    the deterministic ``doc_id % ref_mod == 0`` slice of each language
+    (stand-in for Wikipedia); the LM is the hashed-bigram add-one
+    bucket model shared with dsir_weights (stand-in for KenLM 5-gram);
+    the score is mean negative log-likelihood per bigram — monotone in
+    perplexity (= exp(nll)), so tercile membership is identical.
+
+    Scale shape: pass 1 — bounded (lang, bucket) count partials
+    (≤ #langs × 8192 rows per batch, folded); pass 2 — broadcast
+    per-lang log-prob matrix, fixed-length bincount·row scoring
+    (bit-reproducible at any block structure), materialized once as the
+    compact (doc_id, gid, nll, key) projection; then the exact per-lang
+    tercile KEYS come from stages/quantiles' MSD-radix selection (only
+    counts ever reach the driver); the final streaming map compares
+    keys against the two broadcast cutoffs. Featureless docs score +inf
+    → tail. Buckets are value-thresholded (ties share a bucket), so
+    counts are equal thirds up to ties. Returns
+    (doc_id, lang, nll:float64, bucket:str). Pytest-gated (floats → no
+    SQL oracle): local numpy reference equality + block invariance."""
+    import ray
+
+    from open_parse_ray.stages.quantiles import ordered_u64, quantile_values
+    from open_parse_ray.stages.relational import _combine_partials
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+
+    # deterministic gid per lang over the WHOLE corpus (a lang can lack
+    # reference docs; it still needs a (uniform, add-one) model row)
+    def lang_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": b["lang"].unique(), "one": np.int64(1)})
+
+    langs = sorted(
+        _combine_partials(
+            ds.map_batches(lang_partial, batch_format="pandas", batch_size=65536),
+            ["lang"],
+            {"one": "sum"},
+        )
+        .to_pandas()["lang"]
+        .tolist()
+    )
+    gid_of = {l: i for i, l in enumerate(langs)}
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        acc: dict = {}
+        for did, t, lang in zip(b["doc_id"], b["text"], b["lang"]):
+            if int(did) % ref_mod != 0:
+                continue
+            f = _dsir_features(t)
+            if len(f) == 0:
+                continue
+            c = acc.get(lang)
+            if c is None:
+                c = acc[lang] = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+            c += np.bincount(f, minlength=_DSIR_BUCKETS)
+        frames = []
+        for lang, c in acc.items():
+            nz = np.nonzero(c)[0]
+            frames.append(
+                pd.DataFrame(
+                    {"lang": lang, "bucket": nz.astype(np.int64), "n": c[nz]}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="object"),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    counts = _combine_partials(
+        ds.map_batches(count_partial, batch_format="pandas", batch_size=8192),
+        ["lang", "bucket"],
+        {"n": "sum"},
+    ).to_pandas()
+
+    logp = np.zeros((len(langs), _DSIR_BUCKETS), dtype=np.float64)
+    for gid, lang in enumerate(langs):
+        c = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+        sub = counts[counts["lang"] == lang]
+        c[sub["bucket"].to_numpy(dtype=np.int64)] = sub["n"].to_numpy(dtype=np.int64)
+        logp[gid] = np.log((c + 1.0) / (c.sum() + _DSIR_BUCKETS))
+    model_ref = ray.put((gid_of, logp))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        g_of, lp = ray.get(model_ref)
+        gids, nlls = [], []
+        for t, lang in zip(b["text"], b["lang"]):
+            g = g_of[lang]
+            f = _dsir_features(t)
+            nll = (
+                float(-(np.bincount(f, minlength=_DSIR_BUCKETS) @ lp[g]) / len(f))
+                if len(f)
+                else np.inf
+            )
+            gids.append(g)
+            nlls.append(nll)
+        nll_arr = np.asarray(nlls, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "gid": np.asarray(gids, dtype=np.int64),
+                "nll": nll_arr,
+                "key": ordered_u64(nll_arr),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pandas", batch_size=8192).materialize()
+
+    qv = quantile_values(scored, [33, 66])
+    cut33 = np.full(len(langs), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    cut66 = cut33.copy()
+    for _, r in qv.iterrows():
+        k = ordered_u64(np.array([r["value"]]))[0]
+        if int(r["p"]) == 33:
+            cut33[int(r["gid"])] = k
+        else:
+            cut66[int(r["gid"])] = k
+    cuts_ref = ray.put((langs, cut33, cut66))
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        ls, c33, c66 = ray.get(cuts_ref)
+        g = b["gid"].to_numpy(dtype=np.int64)
+        k = b["key"].to_numpy(dtype=np.uint64)
+        bucket = np.where(k <= c33[g], "head", np.where(k <= c66[g], "middle", "tail"))
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "lang": [ls[x] for x in g],
+                "nll": b["nll"].astype("float64"),
+                "bucket": bucket,
+            }
+        )
+
+    return scored.map_batches(assign, batch_format="pandas", batch_size=65536)

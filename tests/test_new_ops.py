@@ -622,3 +622,72 @@ def test_dsir_select_topn_matches_weights(ray_session):
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert np.array_equal(got["dsir_logw"].to_numpy(), want["dsir_logw"].to_numpy())
     assert list(got["rank"]) == list(range(1, 101))
+
+
+def test_ccnet_perplexity_buckets_match_local_reference(ray_session):
+    """ccnet_perplexity_buckets == a single-process numpy reference
+    (same hashed-bigram add-one LM per lang trained on the doc_id%7==0
+    slice, same nearest-rank tercile cutoffs, same value-threshold
+    assignment), and is invariant to block structure."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.analysis import (
+        _DSIR_BUCKETS,
+        _dsir_features,
+        ccnet_perplexity_buckets,
+    )
+    from open_parse_ray.stages.quantiles import rank_of_percent
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        ccnet_perplexity_buckets(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    df = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]).to_pandas()
+    langs = sorted(df["lang"].unique())
+    logp = {}
+    for lang in langs:
+        c = np.zeros(_DSIR_BUCKETS, np.int64)
+        for _, r in df[(df.lang == lang) & (df.doc_id % 7 == 0)].iterrows():
+            f = _dsir_features(r["text"])
+            if len(f):
+                c += np.bincount(f, minlength=_DSIR_BUCKETS)
+        logp[lang] = np.log((c + 1.0) / (c.sum() + _DSIR_BUCKETS))
+    nll = []
+    for _, r in df.iterrows():
+        f = _dsir_features(r["text"])
+        nll.append(
+            float(-(np.bincount(f, minlength=_DSIR_BUCKETS) @ logp[r["lang"]]) / len(f))
+            if len(f)
+            else np.inf
+        )
+    df["nll"] = nll
+    frames = []
+    for lang in langs:
+        sub = df[df.lang == lang]
+        s = np.sort(sub["nll"].to_numpy())
+        c33, c66 = s[rank_of_percent(33, len(s)) - 1], s[rank_of_percent(66, len(s)) - 1]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "doc_id": sub["doc_id"],
+                    "bucket_want": np.where(
+                        sub["nll"] <= c33, "head",
+                        np.where(sub["nll"] <= c66, "middle", "tail"),
+                    ),
+                    "nll_want": sub["nll"],
+                }
+            )
+        )
+    want = pd.concat(frames).sort_values("doc_id").reset_index(drop=True)
+    m = got.merge(want, on="doc_id")
+    assert (m["nll"] == m["nll_want"]).all()
+    assert (m["bucket"] == m["bucket_want"]).all()
+    # tercile balance up to ties
+    sizes = got.groupby(["lang", "bucket"]).size()
+    for lang in langs:
+        n = int((got["lang"] == lang).sum())
+        for b in ("head", "middle", "tail"):
+            assert abs(int(sizes[(lang, b)]) - n / 3) <= 2

@@ -218,6 +218,10 @@ def test_round3_queries_block_structure_invariance(ray_session):
 
     checks.append((c4_line_filter, ["doc_id"]))
     checks.append((paragraph_dedup, ["doc_id"]))
+    from open_parse_ray.stages.quantiles import ratio_quantiles_by_lang
+
+    checks.append((ratio_quantiles_by_lang, ["lang", "p"]))
+    checks.append((analysis.ccnet_perplexity_buckets, ["doc_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
