@@ -40,6 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from open_parse_ray.stages import (
     analysis,
     dedup,
+    graph,
     incremental,
     lines,
     pii,
@@ -370,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": lines.paragraph_dedup,
         "ratio_quantiles_by_lang": quantiles.ratio_quantiles_by_lang,
         "ccnet_buckets": analysis.ccnet_perplexity_buckets,
+        "events_type_pagerank": graph.events_type_pagerank,
     }
 
 
@@ -1220,4 +1222,8 @@ def oracle_sql() -> dict[str, str]:
               ON rn = 1 + (q.p * (n - 1)) // 100
             ORDER BY lang, p
         """,
+        # iterative graph algorithm with a FULL SQL oracle: the 20
+        # PageRank iterations unroll into materialized CTE pairs over
+        # the same pure-integer fixed-point spec as the Ray operator
+        "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
     }

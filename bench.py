@@ -149,6 +149,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "dsir_weights",
         "ratio_quantiles_by_lang",
         "ccnet_buckets",
+        "events_type_pagerank",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

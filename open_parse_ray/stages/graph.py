@@ -1,0 +1,297 @@
+"""Link-graph analysis: integer-exact distributed PageRank.
+
+Web-corpus curation ranks hosts/domains by centrality of the link graph
+(Common Crawl publishes exactly this as its host-level ranking) and
+feeds the score into crawl frontier and quality decisions. No reference
+counterpart (the reference is single-document); this is a scale-layer
+operator in the labelprop_clusters tradition.
+
+Determinism: the iteration is specified in PURE INTEGER arithmetic
+(fixed-point ranks scaled by ``one``), so every path — driver numpy,
+distributed edge-scan, and the unrolled-CTE DuckDB oracle — produces
+bit-identical int64 ranks:
+
+    n  = number of nodes (ids 0..n-1)
+    r0[v]   = one // n
+    tp      = (15 * (one // n)) // 100                  # teleport, d=0.85
+    contrib(u→v, w) = (85 * ((r[u] // wout[u]) * w)) // 100
+    dang    = (85 * (sum(r[u] : wout[u]=0) // n)) // 100
+    r'[v]   = tp + dang + Σ contrib into v
+
+(The per-unit share ``r[u] // wout[u]`` floors BEFORE multiplying by the
+edge weight, which keeps every intermediate ≤ 85·one — no int64
+overflow for any weight distribution.) Integer sums are
+order-independent → bit-reproducible at any block structure.
+
+Scale shape: the PARTITIONING ASSUMPTION is the host-graph one — the
+node-id space fits a worker's memory (10^8 hosts × 8 B = 0.8 GB rank
+vector) while the EDGE set is unbounded and only ever streamed:
+per iteration, ranks broadcast once via ray.put and each edge block
+emits a bounded nonzero-bincount partial (folded tree-style); the
+driver touches arrays of size n, never edges. Small edge sets take a
+driver fast path (same integers; equality pytest-gated), mirroring
+neardup_clusters' threshold switch. A 10^12-node graph would need the
+rank table itself partitioned (per-iteration co-partitioned join of
+edges with ranks on src — the labelprop exchange shape); not
+implemented, documented here as the scale-out path.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pandas as pd
+
+ONE = 10**12
+
+
+def _pagerank_local(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    n_nodes: int,
+    n_iter: int,
+    one: int,
+) -> np.ndarray:
+    wout = np.zeros(n_nodes, dtype=np.int64)
+    np.add.at(wout, src, w.astype(np.int64))
+    rank = np.full(n_nodes, one // n_nodes, dtype=np.int64)
+    tp = (15 * (one // n_nodes)) // 100
+    dangling = wout == 0
+    for _ in range(n_iter):
+        share = np.zeros(n_nodes, dtype=np.int64)
+        nz = wout > 0
+        share[nz] = rank[nz] // wout[nz]
+        contrib = (85 * (share[src] * w)) // 100
+        acc = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(acc, dst, contrib)
+        dang = (85 * (int(rank[dangling].sum()) // n_nodes)) // 100
+        rank = tp + dang + acc
+    return rank
+
+
+def pagerank(
+    edges,
+    n_nodes: int,
+    n_iter: int = 20,
+    one: int = ONE,
+    max_driver_edges: int = 1_000_000,
+    force_distributed: bool = False,
+):
+    """Fixed-point PageRank over an edge Dataset (src:int64, dst:int64,
+    w:int64), node ids dense in [0, n_nodes). Returns a Dataset
+    (node:int64, rank_fp:int64). ≤ ``max_driver_edges`` edges run on
+    the driver; larger graphs stream edge blocks per iteration with the
+    rank vector broadcast (see module docstring for the exact shared
+    integer spec and the partitioning assumption)."""
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.ranking import _fold
+    from open_parse_ray.stages.relational import _combine_partials
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= max_driver_edges and not force_distributed:
+        df = edges.to_pandas()
+        rank = _pagerank_local(
+            df["src"].to_numpy(dtype=np.int64),
+            df["dst"].to_numpy(dtype=np.int64),
+            df["w"].to_numpy(dtype=np.int64),
+            n_nodes,
+            n_iter,
+            one,
+        )
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"node": np.arange(n_nodes, dtype=np.int64), "rank_fp": rank}
+            )
+        )
+
+    # distributed path: out-weight vector once, then n_iter edge scans
+    def wout_partial(b: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(acc, b["src"].to_numpy(dtype=np.int64), b["w"].to_numpy(dtype=np.int64))
+        nz = np.nonzero(acc)[0]
+        return pd.DataFrame({"node": nz.astype(np.int64), "s": acc[nz]})
+
+    def _collect_vec(partials) -> np.ndarray:
+        got = _combine_partials(
+            _fold(partials, ["node"], {"s": "sum"}), ["node"], {"s": "sum"}
+        ).to_pandas()
+        vec = np.zeros(n_nodes, dtype=np.int64)
+        vec[got["node"].to_numpy(dtype=np.int64)] = got["s"].to_numpy(dtype=np.int64)
+        return vec
+
+    wout = _collect_vec(
+        edges.map_batches(wout_partial, batch_format="pandas", batch_size=65536)
+    )
+    dangling = wout == 0
+    rank = np.full(n_nodes, one // n_nodes, dtype=np.int64)
+    tp = (15 * (one // n_nodes)) // 100
+    wout_ref = ray.put(wout)
+
+    for _ in range(n_iter):
+        rank_ref = ray.put(rank)
+
+        def contrib_partial(b: pd.DataFrame) -> pd.DataFrame:
+            r = ray.get(rank_ref)
+            wo = ray.get(wout_ref)
+            s = b["src"].to_numpy(dtype=np.int64)
+            d = b["dst"].to_numpy(dtype=np.int64)
+            ww = b["w"].to_numpy(dtype=np.int64)
+            contrib = (85 * ((r[s] // wo[s]) * ww)) // 100
+            acc = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(acc, d, contrib)
+            nz = np.nonzero(acc)[0]
+            return pd.DataFrame({"node": nz.astype(np.int64), "s": acc[nz]})
+
+        acc = _collect_vec(
+            edges.map_batches(contrib_partial, batch_format="pandas", batch_size=65536)
+        )
+        dang = (85 * (int(rank[dangling].sum()) // n_nodes)) // 100
+        rank = tp + dang + acc
+
+    return rd.from_pandas(
+        pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64), "rank_fp": rank})
+    )
+
+
+def transition_edges(sf_dir: str):
+    """Event-type transition multigraph: per user, consecutive events
+    (ordered by ts, event_id) contribute one (src_t → dst_t) edge;
+    weights are transition counts. One salted user exchange; pair
+    extraction and counting are vectorized per partition; per-partition
+    partial counts (bounded: |types|² rows) fold to the final edge
+    table. Returns (src_t, dst_t, w)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+    from open_parse_ray.stages.relational import _combine_partials
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts", "event_id"])
+        same = g["user_id"].eq(g["user_id"].shift(-1))
+        d = pd.DataFrame(
+            {"src_t": g["event_type"][same], "dst_t": g["event_type"].shift(-1)[same]}
+        )
+        out = d.groupby(["src_t", "dst_t"], as_index=False).size()
+        return out.rename(columns={"size": "w"}).astype({"w": "int64"})
+
+    partials = salted_groupby(ds, lambda b: b["user_id"], pairs)
+    return _combine_partials(partials, ["src_t", "dst_t"], {"w": "sum"})
+
+
+def events_type_pagerank(sf_dir: str, n_iter: int = 20, **kw):
+    """Corpus query: PageRank of event types over the per-user
+    transition graph — Markov-chain centrality of the event vocabulary
+    (the host-graph ranking pattern exercised end-to-end: distributed
+    transition counting → integer-exact PageRank). Node set = ALL
+    distinct event types (a type with no transitions is a dangling
+    node). Returns (event_type, rank_fp) — bit-equal to the unrolled
+    20-iteration DuckDB oracle."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.relational import _combine_partials
+
+    edges_t = transition_edges(sf_dir).materialize()
+
+    # node vocabulary from the events table (not just the edge list)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+
+    def type_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].unique(), "one": np.int64(1)})
+
+    types = sorted(
+        _combine_partials(
+            ds.map_batches(type_partial, batch_format="pandas", batch_size=65536),
+            ["event_type"],
+            {"one": "sum"},
+        )
+        .to_pandas()["event_type"]
+        .tolist()
+    )
+    tid = {t: i for i, t in enumerate(types)}
+
+    def to_ids(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": b["src_t"].map(tid).to_numpy(dtype=np.int64),
+                "dst": b["dst_t"].map(tid).to_numpy(dtype=np.int64),
+                "w": b["w"].astype("int64"),
+            }
+        )
+
+    ranks = pagerank(
+        edges_t.map_batches(to_ids, batch_format="pandas", batch_size=65536),
+        n_nodes=len(types),
+        n_iter=n_iter,
+        **kw,
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "event_type": [types[i] for i in ranks["node"]],
+            "rank_fp": ranks["rank_fp"].astype("int64"),
+        }
+    ).sort_values("event_type").reset_index(drop=True)
+    return rd.from_pandas(out)
+
+
+def events_type_pagerank_oracle_sql(n_iter: int = 20, one: int = ONE) -> str:
+    """The unrolled-CTE DuckDB mirror of events_type_pagerank: one CTE
+    pair (contributions, dangling mass) per iteration, same integer
+    spec — an iterative graph algorithm pinned by a FULL SQL oracle."""
+    parts = [
+        f"""
+        WITH seq AS (
+          SELECT user_id, event_type AS src_t,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS dst_t
+          FROM events
+        ),
+        e AS MATERIALIZED (
+          SELECT src_t, dst_t, CAST(count(*) AS BIGINT) AS w
+          FROM seq WHERE dst_t IS NOT NULL GROUP BY src_t, dst_t
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+        outw AS MATERIALIZED (SELECT src_t AS node, sum(w) AS wout FROM e GROUP BY src_t),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        r0 AS MATERIALIZED (SELECT node, {one} // (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+        c{k} AS MATERIALIZED (
+          SELECT ed.dst_t AS node,
+                 sum((85 * ((r.rank // o.wout) * ed.w)) // 100) AS s
+          FROM e ed
+          JOIN r{k - 1} r ON r.node = ed.src_t
+          JOIN outw o ON o.node = ed.src_t
+          GROUP BY ed.dst_t
+        ),
+        d{k} AS MATERIALIZED (
+          SELECT (85 * (coalesce(sum(r.rank), 0) // (SELECT n FROM nn))) // 100 AS t
+          FROM r{k - 1} r LEFT JOIN outw o ON o.node = r.node
+          WHERE o.node IS NULL
+        ),
+        r{k} AS MATERIALIZED (
+          SELECT n.node,
+                 (15 * ({one} // (SELECT n FROM nn))) // 100
+                   + (SELECT t FROM d{k})
+                   + coalesce(c.s, 0) AS rank
+          FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node AS event_type, CAST(rank AS BIGINT) AS rank_fp
+        FROM r{n_iter} ORDER BY event_type"""
+    )
+    return "".join(parts)

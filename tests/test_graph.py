@@ -1,0 +1,112 @@
+"""Integer-exact PageRank: driver path == forced-distributed path,
+structural sanity on known graphs, float-PageRank agreement, and the
+unrolled-CTE DuckDB oracle for the events transition query."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _rand_edges(rng, n_nodes, n_edges, with_dangling=True):
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    if with_dangling:
+        # reserve the top ids as pure sinks (never sources)
+        sinks = n_nodes // 10 + 1
+        src = src % (n_nodes - sinks)
+    w = rng.integers(1, 50, n_edges)
+    df = pd.DataFrame({"src": src, "dst": dst, "w": w}).astype("int64")
+    return df.groupby(["src", "dst"], as_index=False).agg(w=("w", "sum"))
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_pagerank_driver_equals_distributed(ray_session, seed):
+    import ray.data as rd
+
+    from open_parse_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(seed)
+    n = 200
+    edges = _rand_edges(rng, n, 2000)
+    ds = rd.from_pandas(edges).repartition(7)
+    a = pagerank(ds, n_nodes=n).to_pandas().sort_values("node").reset_index(drop=True)
+    b = (
+        pagerank(rd.from_pandas(edges).repartition(3), n_nodes=n, force_distributed=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # mass sanity: floor losses only ever shrink total mass, teleport
+    # restores ~one — total stays within a few n of one
+    one = 10**12
+    assert 0.9 * one < a["rank_fp"].sum() <= one + n
+
+
+def test_pagerank_star_and_chain_structure(ray_session):
+    import ray.data as rd
+
+    from open_parse_ray.stages.graph import pagerank
+
+    # star: everyone links to node 0 → node 0 dominates
+    n = 50
+    star = pd.DataFrame(
+        {"src": np.arange(1, n), "dst": 0, "w": 1}
+    ).astype("int64")
+    r = pagerank(rd.from_pandas(star), n_nodes=n).to_pandas()
+    r0 = int(r[r.node == 0]["rank_fp"].iloc[0])
+    others = r[r.node != 0]["rank_fp"]
+    assert r0 > 10 * others.max()
+    assert others.nunique() == 1  # symmetric spokes tie exactly
+
+
+def test_pagerank_matches_float_reference(ray_session):
+    """The fixed-point ranks agree with a float power iteration to
+    ~1e-9 relative (floor loss per iteration is bounded by 1/one)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    n = 80
+    edges = _rand_edges(rng, n, 600)
+    got = pagerank(rd.from_pandas(edges), n_nodes=n).to_pandas()
+
+    wout = np.zeros(n)
+    np.add.at(wout, edges["src"], edges["w"].astype(float))
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        share = np.divide(r, wout, out=np.zeros(n), where=wout > 0)
+        acc = np.zeros(n)
+        np.add.at(acc, edges["dst"], 0.85 * share[edges["src"]] * edges["w"].to_numpy())
+        dang = 0.85 * r[wout == 0].sum() / n
+        r = 0.15 / n + dang + acc
+    diff = np.abs(got.sort_values("node")["rank_fp"].to_numpy() / 1e12 - r)
+    assert diff.max() < 1e-6
+
+
+def test_events_type_pagerank_matches_duckdb_oracle(ray_session):
+    import duckdb
+
+    from open_parse_ray.stages.graph import (
+        events_type_pagerank,
+        events_type_pagerank_oracle_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = events_type_pagerank(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(events_type_pagerank_oracle_sql()).df().astype({"rank_fp": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_events_type_pagerank_distributed_path_identical(ray_session):
+    from open_parse_ray.stages.graph import events_type_pagerank
+
+    sf = "/root/testdata/sf0.001"
+    a = events_type_pagerank(sf).to_pandas()
+    b = events_type_pagerank(sf, max_driver_edges=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)

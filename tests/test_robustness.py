@@ -222,6 +222,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
 
     checks.append((ratio_quantiles_by_lang, ["lang", "p"]))
     checks.append((analysis.ccnet_perplexity_buckets, ["doc_id"]))
+    from open_parse_ray.stages.graph import events_type_pagerank
+
+    checks.append((events_type_pagerank, ["event_type"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
