@@ -250,6 +250,15 @@ def _q_prepare_curated(sf_dir: str):
     return prepare_curated_corpus(sf_dir)
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (16 merge rules learned from
+    the corpus word-frequency table; pytest-gated against a
+    single-process reference trainer)."""
+    from open_parse_ray.stages.bpe import learned_bpe_merges
+
+    return learned_bpe_merges(sf_dir, n_merges=16)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means over the embeddings table
     (fixed-point partial sums for bit-reproducibility at any block
@@ -372,6 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ratio_quantiles_by_lang": quantiles.ratio_quantiles_by_lang,
         "ccnet_buckets": analysis.ccnet_perplexity_buckets,
         "events_type_pagerank": graph.events_type_pagerank,
+        "epoch_shuffle": ranking.epoch_shuffle,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -1226,4 +1237,13 @@ def oracle_sql() -> dict[str, str]:
         # PageRank iterations unroll into materialized CTE pairs over
         # the same pure-integer fixed-point spec as the Ray operator
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
+        # deterministic training-epoch shuffle: exact global positions
+        # under the md5 permutation (same string key on both sides)
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1'), doc_id
+                   ) AS BIGINT) AS pos
+            FROM documents
+        """,
     }

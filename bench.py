@@ -150,6 +150,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "ratio_quantiles_by_lang",
         "ccnet_buckets",
         "events_type_pagerank",
+        "epoch_shuffle",
+        "bpe_merges",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

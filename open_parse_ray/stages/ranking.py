@@ -343,3 +343,93 @@ def grouped_rank_events(sf_dir: str):
         )
 
     return ranked.map_batches(unpack, batch_format="pandas", batch_size=65536)
+
+
+def epoch_shuffle(sf_dir: str, epoch: int = 1, num_parts: int = 64):
+    """Deterministic training-epoch shuffle with EXACT global
+    positions: every document gets position = its rank under
+    ORDER BY (md5(doc_id || ':' || epoch), doc_id). Epochs permute
+    independently (the key depends on the epoch), reruns are
+    byte-identical (repo determinism invariant), and a resumable
+    training job can recompute any shard's positions without a seed
+    file — none of which ds.random_shuffle gives.
+
+    Scale shape: md5 keys are uniform, so range partitioning needs NO
+    histogram — pid = (first 16 key bits × num_parts) >> 16 is
+    order-aligned with the key and balanced by construction. One keyed
+    exchange, local sort per partition, measured-count offset scan
+    (the global_rank pattern with trivial boundaries). Exchanged rows
+    are (doc_id, 32-byte key). Returns (doc_id, pos), pos 1-based.
+    Full SQL oracle: DuckDB row_number() over the same md5 string."""
+    import hashlib
+
+    import ray
+
+    from open_parse_ray.stages.analysis import read_documents
+    from open_parse_ray.stages.relational import _combine_partials
+
+    ds = read_documents(sf_dir, columns=["doc_id"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        keys = [
+            hashlib.md5(f"{int(d)}:{epoch}".encode("ascii")).hexdigest()
+            for d in b["doc_id"]
+        ]
+        pid = np.array(
+            [(int(k[:4], 16) * num_parts) >> 16 for k in keys], dtype=np.int64
+        )
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "key": keys, "pid": pid}
+        )
+
+    def local_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "doc_id"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "pid": g["pid"].astype("int64"),
+                "lrank": np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    ranked = (
+        ds.map_batches(keyed, batch_format="pandas", batch_size=65536)
+        .groupby("pid")
+        .map_groups(local_rank, batch_format="pandas")
+        .materialize()
+    )
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["pid"].value_counts()
+        return pd.DataFrame(
+            {"pid": vc.index.to_numpy(dtype=np.int64), "n": vc.to_numpy(dtype=np.int64)}
+        )
+
+    counts = (
+        _combine_partials(
+            _fold(
+                ranked.map_batches(count_partial, batch_format="pandas", batch_size=65536),
+                ["pid"],
+                {"n": "sum"},
+            ),
+            ["pid"],
+            {"n": "sum"},
+        )
+        .to_pandas()
+        .sort_values("pid")
+    )
+    offsets = np.zeros(num_parts + 1, dtype=np.int64)
+    offsets[counts["pid"].to_numpy(dtype=np.int64) + 1] = counts["n"].to_numpy(
+        dtype=np.int64
+    )
+    offsets = np.cumsum(offsets)
+    offsets_ref = ray.put(offsets)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)
+        pos = off[b["pid"].to_numpy(dtype=np.int64)] + b["lrank"].to_numpy(
+            dtype=np.int64
+        ) + 1
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"), "pos": pos})
+
+    return ranked.map_batches(finalize, batch_format="pandas", batch_size=65536)

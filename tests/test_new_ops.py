@@ -691,3 +691,46 @@ def test_ccnet_perplexity_buckets_match_local_reference(ray_session):
         n = int((got["lang"] == lang).sum())
         for b in ("head", "middle", "tail"):
             assert abs(int(sizes[(lang, b)]) - n / 3) <= 2
+
+
+def test_learned_bpe_merges_match_local_trainer(ray_session):
+    """Distributed BPE merge learning == the single-process reference
+    trainer over the same word counts (same (count DESC, pair ASC)
+    tie-break), and is invariant to vocab block structure."""
+    import pandas as pd
+
+    from open_parse_ray.stages.bpe import (
+        learned_bpe_merges,
+        train_bpe_local,
+        word_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = learned_bpe_merges(sf, n_merges=12).to_pandas()
+    wc = word_counts(sf).to_pandas()
+    ref = train_bpe_local(dict(zip(wc["word"], wc["n"])), 12)
+    want = pd.DataFrame(
+        {
+            "rank": range(1, len(ref) + 1),
+            "left": [m[0] for m in ref],
+            "right": [m[1] for m in ref],
+            "n": [m[2] for m in ref],
+        }
+    ).astype({"rank": "int64", "n": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+    # merged tokens grow: later merges may reference earlier outputs
+    toks = set()
+    for _, r in got.iterrows():
+        toks.add(r["left"] + r["right"])
+    assert any(len(t) > 2 for t in toks)
+
+
+def test_bpe_apply_merges_segments_deterministically():
+    from open_parse_ray.stages.bpe import apply_merges
+
+    ranks = {("l", "o"): 0, ("lo", "w"): 1, ("e", "r"): 2}
+    assert apply_merges(tuple("lower"), ranks) == ("low", "er")
+    assert apply_merges(tuple("low"), ranks) == ("low",)
+    assert apply_merges(tuple("xyz"), ranks) == ("x", "y", "z")
+    # lowest-rank-first, all occurrences in one pass
+    assert apply_merges(tuple("lolo"), {("l", "o"): 0}) == ("lo", "lo")

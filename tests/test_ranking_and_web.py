@@ -355,3 +355,45 @@ def test_canonicalize_url_hypothesis_invariants():
         assert "//" not in c.split("://", 1)[1]
 
     check()
+
+
+def test_epoch_shuffle_oracle_permutation_and_partition_invariance(ray_session):
+    """epoch_shuffle == DuckDB row_number over the md5 key; positions
+    form a permutation; num_parts does not change the result; different
+    epochs yield different permutations."""
+    import duckdb
+    import pandas as pd
+
+    from open_parse_ray.stages.ranking import epoch_shuffle
+
+    sf = "/root/testdata/sf0.001"
+    got = epoch_shuffle(sf, epoch=1).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(
+            """
+        SELECT doc_id, CAST(row_number() OVER (
+          ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1'), doc_id) AS BIGINT) AS pos
+        FROM documents ORDER BY doc_id
+        """
+        )
+        .df()
+        .astype({"doc_id": "int64", "pos": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert sorted(got["pos"]) == list(range(1, len(got) + 1))
+
+    alt = (
+        epoch_shuffle(sf, epoch=1, num_parts=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(alt, got)
+
+    e2 = epoch_shuffle(sf, epoch=2).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert not e2["pos"].equals(got["pos"])
+    assert sorted(e2["pos"]) == list(range(1, len(e2) + 1))

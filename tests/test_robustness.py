@@ -225,6 +225,7 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.graph import events_type_pagerank
 
     checks.append((events_type_pagerank, ["event_type"]))
+    checks.append((ranking.epoch_shuffle, ["doc_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
