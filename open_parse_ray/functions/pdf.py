@@ -461,6 +461,225 @@ def _get_stream(objs, num: int) -> bytes:
     return s
 
 
+# ---------------------------------------------------------------------------
+# Standard security handler (RC4, /V 1-2 /R 2-3) — ISO 32000-1 §7.6.
+#
+# Real-world PDFs are very often encrypted with an EMPTY user password
+# (owner-restricted printing etc.); a reader that cannot key that case
+# silently extracts nothing. Scope: stream payloads (contents, ObjStm,
+# images, ToUnicode) — the only strings this reader consumes live inside
+# content streams, which are themselves encrypted as streams. XRef
+# streams are never encrypted (spec) and are parsed from the raw bytes,
+# so the PDF 1.5 path composes. A wrong password raises ValueError →
+# the pdf_text stage's poison isolation turns it into a counted error
+# row. Reference seam: pdf.py:89-106 (password/ocr args of Pdf).
+# ---------------------------------------------------------------------------
+
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_pw(pw: bytes) -> bytes:
+    return (pw + _PDF_PAD)[:32]
+
+
+def _std_owner_value(owner_pw: bytes, user_pw: bytes, r: int, klen: int) -> bytes:
+    import hashlib
+
+    h = hashlib.md5(_pad_pw(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:klen]
+    o = _rc4(key, _pad_pw(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _std_file_key(
+    user_pw: bytes, o_value: bytes, p: int, id0: bytes, r: int, klen: int
+) -> bytes:
+    import hashlib
+    import struct as _st
+
+    h = hashlib.md5(
+        _pad_pw(user_pw) + o_value[:32] + _st.pack("<i", p) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:klen]).digest()
+    return h[:klen]
+
+
+def _std_user_value(key: bytes, id0: bytes, r: int) -> bytes:
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PDF_PAD)
+    u = _rc4(key, hashlib.md5(_PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return (u + b"\x00" * 16)[:32]
+
+
+def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
+    import hashlib
+    import struct as _st
+
+    ext = _st.pack("<I", num)[:3] + _st.pack("<H", gen)
+    return hashlib.md5(file_key + ext).digest()[: min(len(file_key) + 5, 16)]
+
+
+def _parse_pdf_string(d: bytes, key: bytes) -> Optional[bytes]:
+    """Value of /KEY in dict bytes as raw string bytes: literal (...)
+    with escapes resolved or hex <...>."""
+    m = re.search(re.escape(key) + rb"\s*\(", d)
+    if m:
+        s, _ = _read_literal_string(d, m.end() - 1)
+        return s
+    m = re.search(re.escape(key) + rb"\s*<([0-9A-Fa-f\s]*)>", d)
+    if m:
+        hx = re.sub(rb"\s", b"", m.group(1))
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    return None
+
+
+def _maybe_decrypt(pdf: bytes, objs, password: bytes = b""):
+    """Detect /Encrypt in the trailer and RC4-decrypt every stream in
+    place. No-op for unencrypted files; raises ValueError for an
+    unsupported filter/V or a wrong password (U mismatch)."""
+    em = None
+    for em in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", pdf):
+        pass  # last match wins (incremental updates append trailers)
+    if em is None:
+        return objs
+    enc_num = int(em.group(1))
+    if enc_num not in objs:
+        raise ValueError("encrypted PDF: /Encrypt object missing")
+    ed, _ = objs[enc_num]
+    if not re.search(rb"/Filter\s*/Standard", ed):
+        raise ValueError("encrypted PDF: unsupported security handler")
+    vm = re.search(rb"/V\s+(\d+)", ed)
+    v = int(vm.group(1)) if vm else 0
+    if v not in (1, 2):
+        raise ValueError(f"encrypted PDF: unsupported /V {v}")
+    rm = re.search(rb"/R\s+(\d+)", ed)
+    r = int(rm.group(1)) if rm else 2
+    pm = re.search(rb"/P\s+(-?\d+)", ed)
+    p = int(pm.group(1)) if pm else -1
+    lm = re.search(rb"/Length\s+(\d+)", ed)
+    klen = (int(lm.group(1)) // 8) if lm else 5
+    o_value = _parse_pdf_string(ed, b"/O")
+    u_value = _parse_pdf_string(ed, b"/U")
+    if o_value is None or u_value is None:
+        raise ValueError("encrypted PDF: missing /O or /U")
+    idm = None
+    for idm in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", pdf):
+        pass
+    id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+    key = _std_file_key(password, o_value, p, id0, r, klen)
+    want_u = _std_user_value(key, id0, r)
+    got_u = (u_value + b"\x00" * 32)[:32]
+    ok = want_u[:32] == got_u if r == 2 else want_u[:16] == got_u[:16]
+    if not ok:
+        raise ValueError("encrypted PDF: password required")
+    for num, (d, s) in objs.items():
+        if s is None or num == enc_num:
+            continue
+        if re.search(rb"/Type\s*/XRef", d):
+            continue  # xref streams are never encrypted
+        objs[num] = (d, _rc4(_obj_key(key, num, 0), s))
+    return objs
+
+
+def encrypt_pdf_rc4(
+    pdf: bytes,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
+    r: int = 2,
+    key_bits: int = 40,
+    p: int = -44,
+) -> bytes:
+    """Produce an encrypted variant of a (classic-xref) PDF: RC4 every
+    stream (length-preserving → /Length dicts stay valid), append the
+    /Encrypt dictionary, rebuild xref + trailer with /Encrypt and a
+    deterministic /ID (md5 of the input — repo determinism invariant).
+    Fixture writer for the reader above; scope mirrors it (streams)."""
+    import hashlib
+
+    klen = key_bits // 8
+    id0 = hashlib.md5(pdf).digest()
+    o_value = _std_owner_value(owner_pw, user_pw, r, klen)
+    key = _std_file_key(user_pw, o_value, p, id0, r, klen)
+    u_value = _std_user_value(key, id0, r)
+
+    objs = _parse_objects(pdf)
+    enc_num = max(objs) + 1
+    root = re.search(rb"/Root\s+(\d+)\s+(\d+)\s+R", pdf)
+    if not root:
+        raise ValueError("no /Root")
+
+    def _hex(b: bytes) -> bytes:
+        return b"<" + b.hex().encode("ascii") + b">"
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        d, s = objs[num]
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num
+        out += d
+        if s is not None:
+            body = _rc4(_obj_key(key, num, 0), s)
+            out += b"\nstream\n" + body + b"\nendstream"
+        out += b"\nendobj\n"
+    offsets[enc_num] = len(out)
+    v = 1 if key_bits == 40 else 2
+    out += b"%d 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d /P %d /O %s /U %s >>\nendobj\n" % (
+        enc_num, v, r, key_bits, p, _hex(o_value), _hex(u_value)
+    )
+    xref_off = len(out)
+    n_slots = enc_num + 1
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % n_slots
+    for i in range(1, n_slots):
+        if i in offsets:
+            out += b"%010d 00000 n \n" % offsets[i]
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (
+        b"trailer\n<< /Size %d /Root %s 0 R /Encrypt %d 0 R /ID [ %s %s ] >>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+        % (n_slots, root.group(1), enc_num, _hex(id0), _hex(id0), xref_off)
+    )
+    return bytes(out)
+
+
 def _expand_object_streams(objs) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
     """PDF 1.5 object streams (/Type /ObjStm): compressed containers
     holding many small non-stream objects (catalog, pages, fonts...).
@@ -992,7 +1211,7 @@ def parse_pdf(pdf_bytes: bytes) -> List[TextElement]:
     exceeds 1.6 × the previous line's leading or the dominant font size
     changes — reproducing pdfminer's paragraph grouping for flowed
     layouts (reference: core.py:209-243)."""
-    objs = _expand_object_streams(_parse_objects(pdf_bytes))
+    objs = _expand_object_streams(_maybe_decrypt(pdf_bytes, _parse_objects(pdf_bytes)))
     elements: List[TextElement] = []
     for page_no, pnum in enumerate(_page_objects(objs)):
         pd, _ = objs[pnum]
@@ -1058,13 +1277,13 @@ def pdf_extracted_text(pdf_bytes: bytes) -> str:
 
 
 def pdf_num_pages(pdf_bytes: bytes) -> int:
-    return len(_page_objects(_expand_object_streams(_parse_objects(pdf_bytes))))
+    return len(_page_objects(_expand_object_streams(_maybe_decrypt(pdf_bytes, _parse_objects(pdf_bytes)))))
 
 
 def _page_payloads(pdf_bytes: bytes):
     """Per page: (decompressed content stream, raster or None) — the
     building blocks `extract_pages` reassembles with `_assemble_pdf`."""
-    objs = _expand_object_streams(_parse_objects(pdf_bytes))
+    objs = _expand_object_streams(_maybe_decrypt(pdf_bytes, _parse_objects(pdf_bytes)))
     out = []
     for pnum in _page_objects(objs):
         pd_, _ = objs[pnum]

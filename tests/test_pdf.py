@@ -605,3 +605,87 @@ def test_pdf15_fixture_corruption_fuzz_no_hang():
                 fn(bytes(b))
             except Exception:
                 pass
+
+
+def test_encrypted_pdf_rc4_roundtrips_exactly():
+    """RC4 standard-security-handler PDFs (empty user password — the
+    ubiquitous owner-restricted case) extract byte-identically to their
+    unencrypted source, for both R2/40-bit and R3/128-bit."""
+    from open_parse_ray.functions.pdf import (
+        encrypt_pdf_rc4,
+        pdf_extracted_text,
+        typeset_pdf,
+    )
+
+    text = (
+        "Alpha beta gamma delta epsilon zeta.\n\n"
+        "Second paragraph with more words here to wrap lines nicely. " * 4
+    )
+    plain = typeset_pdf(text, title="Encrypted Test")
+    want = pdf_extracted_text(plain)
+    assert want
+    for r, bits in ((2, 40), (3, 128)):
+        enc = encrypt_pdf_rc4(plain, r=r, key_bits=bits)
+        assert enc != plain and b"/Encrypt" in enc
+        assert pdf_extracted_text(enc) == want
+    # byte-deterministic fixture writer (repo invariant: no randomness)
+    assert encrypt_pdf_rc4(plain) == encrypt_pdf_rc4(plain)
+
+
+def test_encrypted_pdf_with_images_roundtrips():
+    import numpy as np
+
+    from open_parse_ray.functions.pdf import (
+        encrypt_pdf_rc4,
+        parse_pdf,
+        pdf_extracted_text,
+        typeset_pdf,
+    )
+
+    img = (np.arange(40 * 30 * 3, dtype=np.uint8).reshape(40, 30, 3) * 3) % 251
+    plain = typeset_pdf("Image page follows here.", images=[img])
+    enc = encrypt_pdf_rc4(plain, r=3, key_bits=128)
+    assert pdf_extracted_text(enc) == pdf_extracted_text(plain)
+    imgs_plain = [e for e in parse_pdf(plain) if not hasattr(e, "lines") or e.__class__.__name__ == "ImageElement"]
+    imgs_enc = [e for e in parse_pdf(enc) if not hasattr(e, "lines") or e.__class__.__name__ == "ImageElement"]
+    assert len(imgs_enc) == len(imgs_plain)
+
+
+def test_encrypted_pdf_wrong_password_is_counted_error_not_crash():
+    import pandas as pd
+
+    from open_parse_ray.functions.pdf import encrypt_pdf_rc4, typeset_pdf
+    from open_parse_ray.stages.pdf_text import ParsePdfBytes
+
+    plain = typeset_pdf("Secret words inside this document.")
+    enc = encrypt_pdf_rc4(plain, user_pw=b"secret")
+    with pytest.raises(ValueError):
+        from open_parse_ray.functions.pdf import pdf_extracted_text
+
+        pdf_extracted_text(enc)
+    out = ParsePdfBytes()(pd.DataFrame({"doc_id": [1], "pdf_bytes": [enc]}))
+    assert out["status"].iloc[0].startswith("error:ValueError")
+
+
+def test_encrypted_pdf_corruption_fuzz_never_hangs():
+    import random
+
+    from open_parse_ray.functions.pdf import (
+        encrypt_pdf_rc4,
+        pdf_extracted_text,
+        typeset_pdf,
+    )
+
+    enc = encrypt_pdf_rc4(typeset_pdf("Fuzz target text body. " * 20))
+    rng = random.Random(99)
+    for trial in range(150):
+        data = bytearray(enc)
+        if trial % 3 == 0:
+            data = data[: rng.randrange(1, len(data))]
+        else:
+            for _ in range(rng.randrange(1, 8)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+        try:
+            pdf_extracted_text(bytes(data))
+        except Exception:
+            pass  # raising is fine; hanging/looping is not
