@@ -383,6 +383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pagerank": graph.events_type_pagerank,
         "epoch_shuffle": ranking.epoch_shuffle,
         "bpe_merges": _q_bpe_merges,
+        "domain_quality_filter": web.domain_quality_filter,
+        "unicode_normalize": analysis.unicode_normalize_docs,
     }
 
 
@@ -1237,6 +1239,26 @@ def oracle_sql() -> dict[str, str]:
         # PageRank iterations unroll into materialized CTE pairs over
         # the same pure-integer fixed-point spec as the Ray operator
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
+        # roundtrip oracle (the pdf_extract_text shape): the op must
+        # INVERT the deterministic NFD/CRLF/zero-width perturbation —
+        # md5+length of its output equal the clean column for every doc
+        "unicode_normalize": """
+            SELECT doc_id,
+                   md5(text) AS norm_md5,
+                   CAST(length(text) AS BIGINT) AS n_chars_norm
+            FROM documents
+        """,
+        # domain-level quality gate: integer cross-multiplied mean
+        # threshold (total_chars < 300 * n_docs) — no float division
+        "domain_quality_filter": """
+            WITH stats AS (
+              SELECT source, sum(n_chars) AS t, count(*) AS n
+              FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source || '.org' AS domain
+            FROM documents d JOIN stats s ON s.source = d.source
+            WHERE s.t >= 300 * s.n
+        """,
         # deterministic training-epoch shuffle: exact global positions
         # under the md5 permutation (same string key on both sides)
         "epoch_shuffle": """

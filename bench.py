@@ -152,6 +152,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_type_pagerank",
         "epoch_shuffle",
         "bpe_merges",
+        "domain_quality_filter",
+        "unicode_normalize",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

@@ -1298,3 +1298,70 @@ def ccnet_perplexity_buckets(sf_dir: str, ref_mod: int = 7):
         )
 
     return scored.map_batches(assign, batch_format="pandas", batch_size=65536)
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (crawl-text cleanup)
+# ---------------------------------------------------------------------------
+
+_CTRL_RE = re.compile("[\\x00-\\x08\\x0b-\\x1f\\x7f\\u200b\\ufeff]")
+
+
+def synth_denormalized(text: str, doc_id: int) -> str:
+    """Deterministic 'dirty crawl text' perturbation of a clean (NFC)
+    document: NFD-decompose, CRLF-ize newlines on odd ids, inject
+    zero-width spaces / BEL controls on a per-id stride — the closed
+    form the normalize op must invert (the synth_messy_url pattern)."""
+    import unicodedata
+
+    t = unicodedata.normalize("NFD", text)
+    if doc_id % 2:
+        t = t.replace("\n", "\r\n")
+    step = 23 + (doc_id % 7)
+    out = []
+    for i, ch in enumerate(t):
+        out.append(ch)
+        if i % step == step - 1:
+            out.append("\u200b" if (doc_id + i) % 3 else "\x07")
+    return "".join(out)
+
+
+def normalize_unicode_text(t: str) -> str:
+    """CRLF→LF, strip C0 controls (keeping \\n and \\t) + DEL +
+    zero-width space/BOM, NFC-normalize — the standard crawl-text
+    cleanup pass (ftfy-lite; mojibake repair would layer on top)."""
+    import unicodedata
+
+    t = t.replace("\r\n", "\n")
+    t = _CTRL_RE.sub("", t)
+    return unicodedata.normalize("NFC", t)
+
+
+def unicode_normalize_docs(sf_dir: str):
+    """Corpus query with a ROUNDTRIP oracle (the pdf_extract_text
+    shape): each document is deterministically dirtied
+    (synth_denormalized) and then normalized; the oracle asserts
+    normalize(perturb(text)) == text for EVERY doc by comparing md5 and
+    code-point length of the result against the clean column — so the
+    op is verified to truly invert NFD expansion, CRLF, and injected
+    zero-width/control noise, not just to run. Stateless single-pass
+    map; returns (doc_id, norm_md5, n_chars_norm)."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def run(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        norm = [
+            normalize_unicode_text(synth_denormalized(t, int(d)))
+            for t, d in zip(b["text"], ids)
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "norm_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm
+                ],
+                "n_chars_norm": np.array([len(t) for t in norm], dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pandas", batch_size=8192)

@@ -172,3 +172,48 @@ def url_domain_stats(sf_dir: str):
         partial, batch_format="pandas", batch_size=65536
     )
     return _combine_partials(partials, ["domain"], {"n_docs": "sum", "total_chars": "sum"})
+
+
+def domain_quality_filter(sf_dir: str, min_mean_chars: int = 300):
+    """Domain-LEVEL quality gating (the RefinedWeb/UT1-blocklist
+    pattern): aggregate quality per registered domain once, broadcast
+    the failing-domain set, filter the corpus in a second streaming
+    pass — per-document filters miss low-quality farms whose individual
+    pages look plausible; domain aggregates catch them.
+
+    A domain fails when its mean chars/doc is below ``min_mean_chars``,
+    compared by INTEGER cross-multiplication
+    (total_chars < min_mean_chars × n_docs) so the Python and SQL sides
+    cannot disagree by a float ulp. Returns surviving (doc_id, domain).
+
+    Scale shape: pass 1 is the bounded-cardinality two-phase domain
+    aggregate (url_domain_stats); the bad set broadcasts via one
+    ray.put (registered domains ≈ 10^8 at web scale — a string set fits
+    a worker; a 10^12-key variant would Bloom-prefilter it, the
+    stages/dedup.bloom_dup_groups pattern); pass 2 never exchanges."""
+    import ray
+
+    from open_parse_ray.stages.analysis import read_documents
+
+    stats = url_domain_stats(sf_dir).to_pandas()
+    bad = frozenset(
+        stats.loc[
+            stats["total_chars"] < min_mean_chars * stats["n_docs"], "domain"
+        ]
+    )
+    bad_ref = ray.put(bad)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        bd = ray.get(bad_ref)
+        dom = np.array([registered_domain(u) for u in _messy_urls(b)], dtype=object)
+        m = ~np.isin(dom, list(bd)) if bd else np.ones(len(dom), dtype=bool)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(dtype=np.int64)[m],
+                "domain": dom[m],
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "source"]).map_batches(
+        keep, batch_format="pandas", batch_size=65536
+    )

@@ -734,3 +734,34 @@ def test_bpe_apply_merges_segments_deterministically():
     assert apply_merges(tuple("xyz"), ranks) == ("x", "y", "z")
     # lowest-rank-first, all occurrences in one pass
     assert apply_merges(tuple("lolo"), {("l", "o"): 0}) == ("lo", "lo")
+
+
+def test_unicode_normalize_inverts_perturbations():
+    """normalize ∘ synth_denormalized == identity on NFC-clean text:
+    NFD expansion recomposed, CRLF folded, zero-width/control noise
+    stripped; genuinely dirty inputs are repaired, clean ones are
+    untouched."""
+    import unicodedata
+
+    from open_parse_ray.stages.analysis import (
+        normalize_unicode_text,
+        synth_denormalized,
+    )
+
+    texts = [
+        "Héllo wörld\nsecond line with café and naïve ümlauts",
+        "plain ascii only\nwith two lines",
+        "",
+        "tab\tand newline\nsurvive; ünïcödé stays",
+    ]
+    for t in texts:
+        assert unicodedata.is_normalized("NFC", t)
+        for d in range(14):
+            dirty = synth_denormalized(t, d)
+            assert normalize_unicode_text(dirty) == t
+            if t:
+                assert dirty != t  # the perturbation is real
+    # normalization is idempotent and actually strips noise
+    noisy = "a​b﻿c\x07d\r\ne"
+    assert normalize_unicode_text(noisy) == "abcd\ne"
+    assert normalize_unicode_text(normalize_unicode_text(noisy)) == "abcd\ne"

@@ -397,3 +397,22 @@ def test_epoch_shuffle_oracle_permutation_and_partition_invariance(ray_session):
     e2 = epoch_shuffle(sf, epoch=2).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert not e2["pos"].equals(got["pos"])
     assert sorted(e2["pos"]) == list(range(1, len(e2) + 1))
+
+
+def test_domain_quality_filter_thresholds_and_survivors(ray_session):
+    """Failing domains (mean chars < threshold by integer
+    cross-multiplication) are removed entirely; surviving docs keep
+    their domain; both pass and fail sets are non-empty at sf0.001."""
+    from open_parse_ray.stages.web import domain_quality_filter, url_domain_stats
+
+    sf = "/root/testdata/sf0.001"
+    stats = url_domain_stats(sf).to_pandas()
+    bad = set(stats[stats["total_chars"] < 300 * stats["n_docs"]]["domain"])
+    good = set(stats["domain"]) - bad
+    assert bad and good  # the threshold genuinely splits this corpus
+
+    out = domain_quality_filter(sf).to_pandas()
+    assert set(out["domain"]) == good
+    n_good_docs = int(stats[stats["domain"].isin(good)]["n_docs"].sum())
+    assert len(out) == n_good_docs
+    assert out["doc_id"].is_unique
