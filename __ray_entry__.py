@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "domain_quality_filter": web.domain_quality_filter,
         "unicode_normalize": analysis.unicode_normalize_docs,
+        "doc_rollup_stats": analysis.doc_rollup_stats,
     }
 
 
@@ -1239,6 +1240,16 @@ def oracle_sql() -> dict[str, str]:
         # PageRank iterations unroll into materialized CTE pairs over
         # the same pure-integer fixed-point spec as the Ray operator
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
+        # GROUPING SETS rollup: every level re-summed from the finest
+        # distributed aggregate, 'ALL' as the rollup sentinel
+        "doc_rollup_stats": """
+            SELECT coalesce(source, 'ALL') AS source,
+                   coalesce(lang, 'ALL') AS lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        """,
         # roundtrip oracle (the pdf_extract_text shape): the op must
         # INVERT the deterministic NFD/CRLF/zero-width perturbation —
         # md5+length of its output equal the clean column for every doc

@@ -154,6 +154,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "bpe_merges",
         "domain_quality_filter",
         "unicode_normalize",
+        "doc_rollup_stats",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

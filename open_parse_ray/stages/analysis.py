@@ -1365,3 +1365,61 @@ def unicode_normalize_docs(sf_dir: str):
         )
 
     return ds.map_batches(run, batch_format="pandas", batch_size=8192)
+
+
+def doc_rollup_stats(sf_dir: str):
+    """Multi-level rollup (SQL GROUPING SETS) in ONE corpus pass:
+    (source × lang), (source), (lang) and grand-total doc counts +
+    char sums. Only the FINEST level is aggregated distributedly
+    (bounded cardinality: sources × langs); every coarser level is
+    derived from that combined table in a final single-block map —
+    integer re-sums, so all levels are exactly consistent with each
+    other and the corpus is never re-scanned per level. 'ALL' is the
+    rollup sentinel. Returns (source, lang, n_docs, total_chars)."""
+    from open_parse_ray.stages.relational import _combine_partials
+
+    ds = read_documents(sf_dir, columns=["source", "lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "source": b["source"],
+                    "lang": b["lang"],
+                    "n_docs": np.int64(1),
+                    "total_chars": b["n_chars"].to_numpy(dtype=np.int64),
+                }
+            )
+            .groupby(["source", "lang"], as_index=False)
+            .agg(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum"))
+        )
+        return g.astype({"n_docs": "int64", "total_chars": "int64"})
+
+    fine = _combine_partials(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["source", "lang"],
+        {"n_docs": "sum", "total_chars": "sum"},
+    )
+
+    def rollup(f: pd.DataFrame) -> pd.DataFrame:
+        aggs = {"n_docs": ("n_docs", "sum"), "total_chars": ("total_chars", "sum")}
+        by_src = f.groupby("source", as_index=False).agg(**aggs)
+        by_src["lang"] = "ALL"
+        by_lang = f.groupby("lang", as_index=False).agg(**aggs)
+        by_lang["source"] = "ALL"
+        total = pd.DataFrame(
+            {
+                "source": ["ALL"],
+                "lang": ["ALL"],
+                "n_docs": [f["n_docs"].sum()],
+                "total_chars": [f["total_chars"].sum()],
+            }
+        )
+        out = pd.concat([f, by_src, by_lang, total], ignore_index=True)
+        return out[["source", "lang", "n_docs", "total_chars"]].astype(
+            {"n_docs": "int64", "total_chars": "int64"}
+        )
+
+    return fine.repartition(1).map_batches(
+        rollup, batch_format="pandas", batch_size=None
+    )

@@ -765,3 +765,34 @@ def test_unicode_normalize_inverts_perturbations():
     noisy = "a​b﻿c\x07d\r\ne"
     assert normalize_unicode_text(noisy) == "abcd\ne"
     assert normalize_unicode_text(normalize_unicode_text(noisy)) == "abcd\ne"
+
+
+def test_doc_rollup_stats_levels_are_mutually_consistent(ray_session):
+    """Every rollup level re-sums exactly to the grand total, and the
+    fine level matches a direct pandas crosstab."""
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.analysis import doc_rollup_stats
+
+    sf = "/root/testdata/sf0.001"
+    out = doc_rollup_stats(sf).to_pandas()
+    fine = out[(out.source != "ALL") & (out.lang != "ALL")]
+    by_src = out[(out.source != "ALL") & (out.lang == "ALL")]
+    by_lang = out[(out.source == "ALL") & (out.lang != "ALL")]
+    total = out[(out.source == "ALL") & (out.lang == "ALL")]
+    assert len(total) == 1
+    for part in (fine, by_src, by_lang):
+        assert part["n_docs"].sum() == total["n_docs"].iloc[0]
+        assert part["total_chars"].sum() == total["total_chars"].iloc[0]
+
+    df = pq.read_table(f"{sf}/documents.parquet", columns=["source", "lang", "n_chars"]).to_pandas()
+    want = df.groupby(["source", "lang"], as_index=False).agg(
+        n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+    )
+    got = fine.sort_values(["source", "lang"]).reset_index(drop=True)
+    want = want.sort_values(["source", "lang"]).reset_index(drop=True).astype(
+        {"n_docs": "int64", "total_chars": "int64"}
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[["source", "lang", "n_docs", "total_chars"]], want)
