@@ -69,10 +69,28 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def _shard_inputs(input_dir: str, shard_size: int = 1) -> List[List[str]]:
-    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+def _detect_input_format(input_dir: str) -> str:
+    if glob.glob(os.path.join(input_dir, "*.parquet")):
+        return "parquet"
+    if glob.glob(os.path.join(input_dir, "*.warc")) or glob.glob(
+        os.path.join(input_dir, "*.warc.gz")
+    ):
+        return "warc"
+    raise FileNotFoundError(f"no parquet or warc files under {input_dir}")
+
+
+def _shard_inputs(
+    input_dir: str, shard_size: int = 1, input_format: str = "parquet"
+) -> List[List[str]]:
+    if input_format == "warc":
+        files = sorted(
+            glob.glob(os.path.join(input_dir, "*.warc"))
+            + glob.glob(os.path.join(input_dir, "*.warc.gz"))
+        )
+    else:
+        files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
     if not files:
-        raise FileNotFoundError(f"no parquet files under {input_dir}")
+        raise FileNotFoundError(f"no {input_format} files under {input_dir}")
     return [files[i : i + shard_size] for i in range(0, len(files), shard_size)]
 
 
@@ -106,6 +124,7 @@ def _run_shard(
     pipeline: str,
     batch_size: int,
     format: str = "parquet",
+    input_format: str = "parquet",
 ) -> Dict:
     """Extract one input shard → committed partition dir + lineage record."""
     import ray.data as rd
@@ -125,7 +144,12 @@ def _run_shard(
     # Construction is cheap metadata work; *execution* (write_parquet)
     # stays fully concurrent across shards.
     with _CONSTRUCT_LOCK:
-        ds = rd.read_parquet(files)
+        if input_format == "warc":
+            from open_parse_ray.sources.warc import read_pages_warc
+
+            ds = read_pages_warc(files, columns=["url", "html"])
+        else:
+            ds = rd.read_parquet(files)
         out = extract(ds, pipeline=pipeline, output="docs", batch_size=batch_size)
     if format == "json":
         # the reference's parsed.json() serialization analog
@@ -200,8 +224,11 @@ def run_job(
     fail_after_parts: Optional[int] = None,
     shard_concurrency: int = 4,
     format: str = "parquet",
+    input_format: str = "auto",
 ) -> Dict:
     """Run (or resume) the extraction job over all input shards.
+    ``input_format`` 'auto' detects parquet vs WARC shards from the
+    input directory; both flow through the identical extraction plan.
 
     ``shard_concurrency`` shard pipelines are in flight at once (driver
     threads; Ray interleaves their tasks), so small shards — the unit of
@@ -212,7 +239,9 @@ def run_job(
     prefix is deterministic.
     """
     os.makedirs(out_dir, exist_ok=True)
-    shards = _shard_inputs(input_dir, shard_size)
+    if input_format == "auto":
+        input_format = _detect_input_format(input_dir)
+    shards = _shard_inputs(input_dir, shard_size, input_format)
     # a job directory is single-format: resuming with a different --format
     # would mix parquet and json partitions and read_result would fail or
     # silently drift dtypes — refuse up front
@@ -228,6 +257,7 @@ def run_job(
     manifest = {
         "input_dir": input_dir,
         "format": format,
+        "input_format": input_format,
         "n_parts": len(shards),
         "shards": {str(i): fs for i, fs in enumerate(shards)},
     }
@@ -240,7 +270,9 @@ def run_job(
     if fail_after_parts is not None:
         for i in pending:
             completed.append(
-                _run_shard(i, shards[i], out_dir, pipeline, batch_size, format)
+                _run_shard(
+                    i, shards[i], out_dir, pipeline, batch_size, format, input_format
+                )
             )
             if len(completed) >= fail_after_parts:
                 raise RuntimeError(f"injected failure after {len(completed)} parts")
@@ -251,7 +283,8 @@ def run_job(
         with ThreadPoolExecutor(max_workers=max(1, shard_concurrency)) as pool:
             futs = {
                 pool.submit(
-                    _run_shard, i, shards[i], out_dir, pipeline, batch_size, format
+                    _run_shard, i, shards[i], out_dir, pipeline, batch_size,
+                    format, input_format,
                 ): i
                 for i in pending
             }

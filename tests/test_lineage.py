@@ -93,3 +93,37 @@ def test_job_json_sink(ray_session, tmp_path):
     # resume: nothing re-runs
     res2 = lineage.run_job(src, out, shard_size=4, format="json")
     assert not res2["ran"] and len(res2["skipped"]) == res["n_parts"]
+
+
+def test_run_job_warc_input_byte_identical_to_parquet(ray_session, tmp_path):
+    """The resumable job over WARC shards commits partitions whose
+    merged content equals the parquet-input job's — the container is
+    invisible to lineage, metrics, and the extraction kernel. Resume
+    (kill after 1 part → rerun) also works over WARC input."""
+    import pytest
+
+    from open_parse_ray.sources.pages import ensure_pages_parquet
+    from open_parse_ray.sources.warc import export_pages_warc
+    from open_parse_ray.state import lineage
+
+    pq_dir = ensure_pages_parquet(0.001)
+    warc_dir = str(tmp_path / "warc_in")
+    export_pages_warc(0.001, warc_dir)
+
+    out_pq = str(tmp_path / "out_pq")
+    out_warc = str(tmp_path / "out_warc")
+    lineage.run_job(pq_dir, out_pq, shard_size=4)
+    with pytest.raises(RuntimeError):
+        lineage.run_job(warc_dir, out_warc, shard_size=4, fail_after_parts=1)
+    res = lineage.run_job(warc_dir, out_warc, shard_size=4)
+    assert res["skipped"]  # the committed part survived the crash
+
+    def merged(out):
+        t = lineage.read_result(out).to_pandas()
+        return (
+            t.sort_values("url")[["url", "extracted_text"]].reset_index(drop=True)
+        )
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(merged(out_warc), merged(out_pq))

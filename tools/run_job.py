@@ -43,6 +43,11 @@ def main() -> None:
         "--format", default="parquet", choices=["parquet", "json"],
         help="partition file format (json = the reference's parsed.json() analog)",
     )
+    ap.add_argument(
+        "--input-format", default="auto", choices=["auto", "parquet", "warc"],
+        help="input shard container (auto-detected from the input dir; "
+        "warc reads Common-Crawl-style .warc/.warc.gz shards)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -66,6 +71,7 @@ def main() -> None:
         batch_size=args.batch_size,
         shard_concurrency=args.shard_concurrency,
         format=args.format,
+        input_format=args.input_format,
     )
     metrics = lineage.job_metrics(args.out)
     metrics["job_wall_s"] = round(time.perf_counter() - t0, 3)
