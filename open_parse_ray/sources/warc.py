@@ -78,6 +78,16 @@ def _parse_warc_date(s: str) -> int:
     return int((dt - _dt.datetime(1970, 1, 1)).total_seconds()) * 1_000_000 + frac_us
 
 
+def _check_uri(url: str) -> str:
+    """WARC-Target-URI is a URI: whitespace or control characters in a
+    header VALUE would corrupt record framing (header injection), so
+    the writer rejects them outright — a crawl URL containing a literal
+    space is already invalid and must be percent-encoded upstream."""
+    if any(ord(c) <= 0x20 or ord(c) == 0x7F for c in url):
+        raise ValueError(f"URI contains whitespace/control bytes: {url!r}")
+    return url
+
+
 def _record_id(url: str, ts_us: int) -> bytes:
     h = hashlib.md5(f"{url}\x00{ts_us}".encode("utf-8")).hexdigest()
     return (
@@ -111,6 +121,7 @@ def warcinfo_record(filename: str) -> bytes:
 
 
 def response_record(url: str, ts_us: int, html: bytes, lang: Optional[str]) -> bytes:
+    _check_uri(url)
     http = (
         b"HTTP/1.1 200 OK" + _CRLF
         + b"Content-Type: text/html; charset=UTF-8" + _CRLF
@@ -132,6 +143,7 @@ def response_record(url: str, ts_us: int, html: bytes, lang: Optional[str]) -> b
 
 
 def conversion_record(url: str, ts_us: int, text: str, lang: Optional[str]) -> bytes:
+    _check_uri(url)
     headers = [
         (b"WARC-Record-ID", _record_id("conversion:" + url, ts_us)),
         (b"WARC-Date", _warc_date(ts_us)),

@@ -306,3 +306,85 @@ def test_shingle_hash_set_jaccard_matches_strings(a, b):
     inter = len(np.intersect1d(ha, hb))
     union = len(np.union1d(ha, hb))
     assert inter == len(sa & sb) and union == len(sa | sb)
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, width=64),
+        min_size=2,
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ordered_u64_total_order_matches_float_order(xs):
+    """For ANY two non-NaN floats, key order == float order (with the
+    -0.0 < +0.0 refinement of the IEEE tie) — the invariant the whole
+    MSD-radix quantile selector rests on."""
+    import numpy as np
+
+    from open_parse_ray.stages.quantiles import ordered_u64, u64_to_float
+
+    arr = np.array(xs, dtype=np.float64)
+    keys = ordered_u64(arr)
+    for i in range(len(xs) - 1):
+        a, b = arr[i], arr[i + 1]
+        ka, kb = int(keys[i]), int(keys[i + 1])
+        if a < b:
+            assert ka < kb
+        elif a > b:
+            assert ka > kb
+        else:  # equal floats: keys equal unless the ±0.0 tie
+            if np.signbit(a) == np.signbit(b):
+                assert ka == kb
+    for v, k in zip(arr, keys):
+        back = u64_to_float(int(k))
+        assert back == v and np.signbit(back) == np.signbit(v)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                # valid URI characters only: the writer REJECTS
+                # whitespace/control bytes (header-injection guard,
+                # found by this very test before the guard existed)
+                alphabet=st.characters(
+                    blacklist_categories=("Cs", "Zs", "Cc"), min_codepoint=0x21
+                ),
+                min_size=1,
+                max_size=50,
+            ),
+            st.binary(min_size=0, max_size=400),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_warc_record_framing_roundtrips_any_payload(records, gz):
+    """WARC response records round-trip ARBITRARY binary payloads and
+    unicode URLs, gzipped or plain — Content-Length framing cannot be
+    confused by payload bytes (including CRLF runs and fake headers)."""
+    import zlib
+
+    from open_parse_ray.sources.warc import (
+        gunzip_members,
+        iter_warc_records,
+        pages_from_warc_bytes,
+        response_record,
+    )
+
+    blob = b""
+    for i, (url, payload) in enumerate(records):
+        rec = response_record(url, i * 7 + 1, payload, "en")
+        if gz:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            rec = co.compress(rec) + co.flush()
+        blob += rec
+    rows = pages_from_warc_bytes(blob)
+    assert len(rows) == len(records)
+    for (url, payload), row in zip(records, rows):
+        assert row["html"] == payload
+        assert row["url"] == url
+        assert row["lang"] == "en"

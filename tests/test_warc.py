@@ -150,3 +150,15 @@ def test_warc_corruption_fuzz_never_hangs():
             assert isinstance(rows, list)
         except (ValueError, UnicodeDecodeError, KeyError, OverflowError):
             pass
+
+
+def test_writer_rejects_header_injection_urls():
+    """Whitespace/control characters in a URL would corrupt record
+    framing (header injection) — the writer must refuse them."""
+    from open_parse_ray.sources.warc import conversion_record, response_record
+
+    for bad in ("http://a b", "http://a\r\nWARC-Type: x", "http://a\t", "\x00"):
+        with pytest.raises(ValueError):
+            response_record(bad, 1, b"x", "en")
+        with pytest.raises(ValueError):
+            conversion_record(bad, 1, "x", "en")
