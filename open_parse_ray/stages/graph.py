@@ -30,10 +30,11 @@ per iteration, ranks broadcast once via ray.put and each edge block
 emits a bounded nonzero-bincount partial (folded tree-style); the
 driver touches arrays of size n, never edges. Small edge sets take a
 driver fast path (same integers; equality pytest-gated), mirroring
-neardup_clusters' threshold switch. A 10^12-node graph would need the
-rank table itself partitioned (per-iteration co-partitioned join of
-edges with ranks on src — the labelprop exchange shape); not
-implemented, documented here as the scale-out path.
+neardup_clusters' threshold switch. For graphs whose NODE table
+exceeds worker memory, :func:`pagerank_partitioned` keeps the rank
+table itself a Dataset (per-iteration co-partitioned joins — the
+labelprop exchange shape) and is equality-gated bit-for-bit against
+the other two paths.
 """
 
 from __future__ import annotations
@@ -295,3 +296,216 @@ def events_type_pagerank_oracle_sql(n_iter: int = 20, one: int = ONE) -> str:
         FROM r{n_iter} ORDER BY event_type"""
     )
     return "".join(parts)
+
+
+def pagerank_partitioned(
+    edges, n_nodes: int, n_iter: int = 20, one: int = ONE, num_parts: int = 32
+):
+    """The 10^12-NODE PageRank shape: the rank table itself stays a
+    Dataset — the driver never holds a rank vector, only two scalars
+    per iteration (teleport base + dangling mass). Same pure-integer
+    spec as :func:`pagerank`, so outputs are bit-identical
+    (equality-gated).
+
+    Per iteration, two salted co-partitioned exchanges (the Pregel
+    shape, as in dedup.labelprop_clusters):
+
+    1. contributions — tagged union of rank rows and edge rows salted
+       on src; inside each partition the rank maps onto its edges
+       vectorized → (dst, contrib) rows;
+    2. re-rank — tagged union of the node table and contributions
+       salted on node; per-node integer sum + broadcast (tp + dang).
+
+    Node metadata (out-weight) is attached to the node table ONCE at
+    start; dangling mass is a per-batch partial sum (bounded) each
+    iteration. Every exchanged row is ≤ 32 B. Cost: 2 exchanges of
+    edge-sized data × n_iter — the unavoidable Pregel price when the
+    node table exceeds worker memory; prefer :func:`pagerank`'s
+    broadcast path whenever it fits (10^8-host graphs)."""
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+    from open_parse_ray.stages.ranking import _fold
+    from open_parse_ray.stages.relational import _combine_partials
+
+    edges = edges.materialize()
+
+    # node table with out-weight, built once (one salted exchange over
+    # edges + a union with the full id range so isolated nodes exist)
+    def wout_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("src", as_index=False).agg(wout=("w", "sum"))
+        return pd.DataFrame(
+            {"node": g["src"].astype("int64"), "wout": g["wout"].astype("int64")}
+        )
+
+    wout_tbl = _combine_partials(
+        edges.map_batches(wout_partial, batch_format="pandas", batch_size=65536),
+        ["node"],
+        {"wout": "sum"},
+    )
+    all_nodes = rd.range(n_nodes).map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["id"].astype("int64"), "wout": np.int64(0)}
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def merge_nodes(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("node", as_index=False).agg(wout=("wout", "max"))
+        return g.astype({"node": "int64", "wout": "int64"})
+
+    nodes = salted_groupby(
+        wout_tbl.union(all_nodes),
+        lambda b: b["node"],
+        merge_nodes,
+        num_parts=num_parts,
+    ).materialize()
+
+    tp = (15 * (one // n_nodes)) // 100
+    init = one // n_nodes
+    ranks = nodes.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["node"].astype("int64"),
+                "rank": np.full(len(b), init, dtype=np.int64),
+                "wout": b["wout"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    ).materialize()
+
+    def dangling_sum(r) -> int:
+        def part(b: pd.DataFrame) -> pd.DataFrame:
+            m = b["wout"].to_numpy(dtype=np.int64) == 0
+            return pd.DataFrame(
+                {"k": np.zeros(1, dtype=np.int64),
+                 "s": np.array([b["rank"].to_numpy(dtype=np.int64)[m].sum()],
+                               dtype=np.int64)}
+            )
+
+        got = _combine_partials(
+            _fold(r.map_batches(part, batch_format="pandas", batch_size=65536),
+                  ["k"], {"s": "sum"}),
+            ["k"],
+            {"s": "sum"},
+        ).to_pandas()
+        return int(got["s"].sum())
+
+    for _ in range(n_iter):
+        dang = (85 * (dangling_sum(ranks) // n_nodes)) // 100
+
+        # exchange 1: ranks ⋈ edges on src → contributions
+        rank_side = ranks.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "key": b["node"].astype("int64"),
+                    "dst": np.int64(-1),
+                    "w": b["rank"].astype("int64"),   # rank rides in w
+                    "wout": b["wout"].astype("int64"),
+                    "tag": np.int64(0),
+                }
+            ),
+            batch_format="pandas",
+            batch_size=65536,
+        )
+        edge_side = edges.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "key": b["src"].astype("int64"),
+                    "dst": b["dst"].astype("int64"),
+                    "w": b["w"].astype("int64"),
+                    "wout": np.int64(0),
+                    "tag": np.int64(1),
+                }
+            ),
+            batch_format="pandas",
+            batch_size=65536,
+        )
+
+        def contribs(part: pd.DataFrame) -> pd.DataFrame:
+            r = part[part["tag"] == 0]
+            e = part[part["tag"] == 1]
+            if len(e) == 0 or len(r) == 0:
+                return pd.DataFrame(
+                    {"node": pd.Series([], dtype="int64"),
+                     "contrib": pd.Series([], dtype="int64")}
+                )
+            share = pd.Series(
+                np.where(
+                    r["wout"].to_numpy(dtype=np.int64) > 0,
+                    r["w"].to_numpy(dtype=np.int64)
+                    // np.maximum(r["wout"].to_numpy(dtype=np.int64), 1),
+                    0,
+                ),
+                index=r["key"].to_numpy(dtype=np.int64),
+            )
+            sh = e["key"].map(share).to_numpy(dtype=np.int64)
+            c = (85 * (sh * e["w"].to_numpy(dtype=np.int64))) // 100
+            out = pd.DataFrame({"node": e["dst"].astype("int64"), "contrib": c})
+            return out.groupby("node", as_index=False).agg(contrib=("contrib", "sum"))
+
+        contrib_rows = salted_groupby(
+            rank_side.union(edge_side),
+            lambda b: b["key"],
+            contribs,
+            num_parts=num_parts,
+        )
+
+        # exchange 2: node table ⋈ contributions on node → new ranks
+        node_side = ranks.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"].astype("int64"),
+                    "contrib": np.int64(0),
+                    "wout": b["wout"].astype("int64"),
+                    "tag": np.int64(0),
+                }
+            ),
+            batch_format="pandas",
+            batch_size=65536,
+        )
+        c_side = contrib_rows.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": b["node"].astype("int64"),
+                    "contrib": b["contrib"].astype("int64"),
+                    "wout": np.int64(0),
+                    "tag": np.int64(1),
+                }
+            ),
+            batch_format="pandas",
+            batch_size=65536,
+        )
+        base = tp + dang
+
+        def rerank(part: pd.DataFrame) -> pd.DataFrame:
+            g = part.groupby("node", as_index=False).agg(
+                contrib=("contrib", "sum"), wout=("wout", "max"),
+                n_node_rows=("tag", lambda t: int((t == 0).sum())),
+            )
+            g = g[g["n_node_rows"] > 0]  # contributions to unknown ids drop
+            return pd.DataFrame(
+                {
+                    "node": g["node"].astype("int64"),
+                    "rank": (base + g["contrib"]).astype("int64"),
+                    "wout": g["wout"].astype("int64"),
+                }
+            )
+
+        ranks = salted_groupby(
+            node_side.union(c_side),
+            lambda b: b["node"],
+            rerank,
+            num_parts=num_parts,
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["node"].astype("int64"), "rank_fp": b["rank"].astype("int64")}
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )

@@ -110,3 +110,38 @@ def test_events_type_pagerank_distributed_path_identical(ray_session):
     a = events_type_pagerank(sf).to_pandas()
     b = events_type_pagerank(sf, max_driver_edges=0).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pagerank_partitioned_bitwise_equals_driver(ray_session):
+    """The fully-partitioned (rank-table-as-Dataset) path produces
+    bit-identical ranks to the driver path — dangling sinks, weighted
+    multi-edges, isolated nodes included."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.graph import pagerank, pagerank_partitioned
+
+    rng = np.random.default_rng(41)
+    n = 90
+    src = rng.integers(0, n - 11, 600)  # top 11 ids never sources
+    dst = rng.integers(0, n, 600)
+    w = rng.integers(1, 40, 600)
+    edges = (
+        pd.DataFrame({"src": src, "dst": dst, "w": w})
+        .astype("int64")
+        .groupby(["src", "dst"], as_index=False)
+        .agg(w=("w", "sum"))
+    )
+    # node n-1 may be isolated (neither src nor dst) — that's the point
+    a = (
+        pagerank(rd.from_pandas(edges), n_nodes=n, n_iter=6)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    b = (
+        pagerank_partitioned(rd.from_pandas(edges).repartition(5), n_nodes=n, n_iter=6)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
