@@ -250,6 +250,14 @@ def _q_prepare_curated(sf_dir: str):
     return prepare_curated_corpus(sf_dir)
 
 
+def _q_bpe_apply(sf_dir: str):
+    """Tokenizer train→apply loop: per-doc token counts under the
+    16-merge learned BPE (pytest-gated vs a local apply)."""
+    from open_parse_ray.stages.bpe import bpe_tokenize_counts
+
+    return bpe_tokenize_counts(sf_dir, n_merges=16)
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (16 merge rules learned from
     the corpus word-frequency table; pytest-gated against a
@@ -386,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_quality_filter": web.domain_quality_filter,
         "unicode_normalize": analysis.unicode_normalize_docs,
         "doc_rollup_stats": analysis.doc_rollup_stats,
+        "bpe_token_counts_learned": _q_bpe_apply,
     }
 
 

@@ -155,6 +155,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "domain_quality_filter",
         "unicode_normalize",
         "doc_rollup_stats",
+        "bpe_token_counts_learned",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

@@ -179,3 +179,49 @@ def learned_bpe_merges(sf_dir: str, n_merges: int = 24):
             }
         )
     )
+
+
+def bpe_tokenize_counts(sf_dir: str, n_merges: int = 16):
+    """Close the tokenizer loop: learn the merges (one vocab job),
+    broadcast the rank table, re-tokenize the corpus and count tokens
+    per document — i.e. the length statistics a packing/curriculum
+    stage would consume from the LEARNED tokenizer rather than the
+    fixed BPE-regex analog in tokens.py. Per-doc segmentation memoizes
+    per distinct word inside the batch (Zipf makes that ~free).
+    Returns (doc_id, n_tokens_bpe, n_words). Pytest-gated: equality vs
+    a single-process apply over the same merges."""
+    import ray
+
+    from open_parse_ray.stages.analysis import read_documents
+
+    merges = learned_bpe_merges(sf_dir, n_merges=n_merges).to_pandas()
+    rank_of = {
+        (l, r): i for i, (l, r) in enumerate(zip(merges["left"], merges["right"]))
+    }
+    ranks_ref = ray.put(rank_of)
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        ro = ray.get(ranks_ref)
+        memo: Dict[str, int] = {}
+        n_tok, n_words = [], []
+        for t in b["text"]:
+            words = t.split()
+            total = 0
+            for w in words:
+                c = memo.get(w)
+                if c is None:
+                    c = memo[w] = len(apply_merges(tuple(w), ro))
+                total += c
+            n_tok.append(total)
+            n_words.append(len(words))
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tokens_bpe": np.asarray(n_tok, dtype=np.int64),
+                "n_words": np.asarray(n_words, dtype=np.int64),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        count, batch_format="pandas", batch_size=8192
+    )

@@ -796,3 +796,29 @@ def test_doc_rollup_stats_levels_are_mutually_consistent(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got[["source", "lang", "n_docs", "total_chars"]], want)
+
+
+def test_bpe_tokenize_counts_match_local_apply(ray_session):
+    """Corpus re-tokenization with the learned merges == a local apply
+    over the same merge table; merged tokens strictly shorten docs."""
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.bpe import (
+        apply_merges,
+        bpe_tokenize_counts,
+        learned_bpe_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_tokenize_counts(sf, n_merges=12).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    merges = learned_bpe_merges(sf, n_merges=12).to_pandas()
+    ro = {(l, r): i for i, (l, r) in enumerate(zip(merges["left"], merges["right"]))}
+    df = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    for _, r in df.sample(40, random_state=7).iterrows():
+        words = r["text"].split()
+        want = sum(len(apply_merges(tuple(w), ro)) for w in words)
+        row = got[got.doc_id == r["doc_id"]].iloc[0]
+        assert row["n_tokens_bpe"] == want
+        assert row["n_words"] == len(words)
+        if words:
+            assert row["n_tokens_bpe"] <= sum(len(w) for w in words)
