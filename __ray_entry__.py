@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unicode_normalize": analysis.unicode_normalize_docs,
         "doc_rollup_stats": analysis.doc_rollup_stats,
         "bpe_token_counts_learned": _q_bpe_apply,
+        "mixture_manifest": analysis.mixture_manifest,
     }
 
 
@@ -1249,6 +1250,27 @@ def oracle_sql() -> dict[str, str]:
         # PageRank iterations unroll into materialized CTE pairs over
         # the same pure-integer fixed-point spec as the Ray operator
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
+        # mixture assembly: per-source md5-ordered token-budget fill;
+        # boundary doc kept (running total BEFORE the doc under budget)
+        "mixture_manifest": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+            ),
+            cum AS (
+              SELECT source, doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                     ) AS BIGINT) AS cum_tokens
+              FROM toks
+            )
+            SELECT source, doc_id, cum_tokens
+            FROM cum WHERE cum_tokens - n_tokens < 600
+        """,
         # GROUPING SETS rollup: every level re-summed from the finest
         # distributed aggregate, 'ALL' as the rollup sentinel
         "doc_rollup_stats": """

@@ -156,6 +156,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "unicode_normalize",
         "doc_rollup_stats",
         "bpe_token_counts_learned",
+        "mixture_manifest",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

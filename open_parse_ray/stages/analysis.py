@@ -1423,3 +1423,58 @@ def doc_rollup_stats(sf_dir: str):
     return fine.repartition(1).map_batches(
         rollup, batch_format="pandas", batch_size=None
     )
+
+
+def mixture_manifest(sf_dir: str, budget_tokens: int = 600):
+    """Final corpus-ASSEMBLY step: given a per-source token budget,
+    emit the deterministic keep list — docs admitted in md5(doc_id)
+    order (content-addressed, cluster-size independent) until the
+    source's RUNNING token total first reaches the budget. The doc that
+    crosses the boundary is kept (budgets are soft caps, matching how
+    mixture builders fill quotas), everything after it is dropped.
+
+    Scale shape: only (doc_id, source, n_tokens, md5) rows move, salted
+    on the source key; per-partition vectorized cumsum; text never
+    ships. Full SQL oracle: the same window cumsum
+    (SUM OVER PARTITION BY source ORDER BY md5, doc_id) — integer
+    arithmetic on both sides. Returns
+    (source, doc_id, cum_tokens) for kept docs."""
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "source": b["source"],
+                "n_tokens": np.array(
+                    [n_tokens_sql_semantics(t) for t in b["text"]], dtype=np.int64
+                ),
+                "h": [
+                    hashlib.md5(str(int(d)).encode("ascii")).hexdigest()
+                    for d in b["doc_id"]
+                ],
+            }
+        )
+
+    def fill(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["source", "h", "doc_id"])
+        cum = g.groupby("source")["n_tokens"].cumsum().to_numpy(dtype=np.int64)
+        # keep while the total BEFORE this doc is under budget
+        # (equivalently: cum - n_tokens < budget) → boundary doc kept
+        keep = (cum - g["n_tokens"].to_numpy(dtype=np.int64)) < budget_tokens
+        out = pd.DataFrame(
+            {
+                "source": g["source"].to_numpy()[keep],
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64)[keep],
+                "cum_tokens": cum[keep],
+            }
+        )
+        return out.astype({"doc_id": "int64", "cum_tokens": "int64"})
+
+    return salted_groupby(
+        ds.map_batches(keyed, batch_format="pandas", batch_size=8192),
+        lambda b: pd.util.hash_pandas_object(b["source"], index=False).astype("int64"),
+        fill,
+    )

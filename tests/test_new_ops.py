@@ -822,3 +822,35 @@ def test_bpe_tokenize_counts_match_local_apply(ray_session):
         assert row["n_words"] == len(words)
         if words:
             assert row["n_tokens_bpe"] <= sum(len(w) for w in words)
+
+
+def test_mixture_manifest_budget_fill_semantics(ray_session):
+    """Per source: kept docs are a prefix of the md5 order; the running
+    total before each kept doc is under budget; the first dropped doc
+    (if any) would have started at or past the budget."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.analysis import (
+        mixture_manifest,
+        n_tokens_sql_semantics,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    budget = 600
+    got = mixture_manifest(sf, budget_tokens=budget).to_pandas()
+    df = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "source", "text"]).to_pandas()
+    df["n_tokens"] = [n_tokens_sql_semantics(t) for t in df["text"]]
+    df["h"] = [hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]]
+    for src, sub in df.groupby("source"):
+        sub = sub.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        cum = sub["n_tokens"].cumsum()
+        want_keep = (cum - sub["n_tokens"]) < budget
+        want_ids = list(sub["doc_id"][want_keep])
+        got_ids = list(
+            got[got.source == src].sort_values("cum_tokens")["doc_id"]
+        )
+        assert got_ids == want_ids, src
+        # budget actually binds somewhere (the corpus exceeds it)
+        assert (~want_keep).any()
