@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rollup_stats": analysis.doc_rollup_stats,
         "bpe_token_counts_learned": _q_bpe_apply,
         "mixture_manifest": analysis.mixture_manifest,
+        "token_weighted_ratio_quantiles": quantiles.token_weighted_ratio_quantiles,
     }
 
 
@@ -1250,6 +1251,31 @@ def oracle_sql() -> dict[str, str]:
         # PageRank iterations unroll into materialized CTE pairs over
         # the same pure-integer fixed-point spec as the Ray operator
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
+        # WEIGHTED exact percentiles: value where cumulative TOKEN mass
+        # (not doc count) first reaches 1+(p*(W-1))//100 — CCNet's
+        # actual bucketing semantics; window cumsum on the oracle side
+        "token_weighted_ratio_quantiles": """
+            WITH toks AS (
+              SELECT lang,
+                     CAST(n_chars AS DOUBLE)
+                       / len(regexp_split_to_array(trim(text), '\\s+')) AS ratio,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                     doc_id
+              FROM documents WHERE trim(text) <> ''
+            ),
+            ranked AS (
+              SELECT lang, ratio,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY ratio, doc_id) AS cum,
+                     SUM(n_tokens) OVER (PARTITION BY lang) AS W
+              FROM toks
+            )
+            SELECT lang, CAST(q.p AS BIGINT) AS p, min(ratio) AS value
+            FROM ranked JOIN (VALUES (25), (50), (75), (95)) q(p)
+              ON cum >= 1 + (q.p * (W - 1)) // 100
+            GROUP BY lang, q.p
+            ORDER BY lang, p
+        """,
         # mixture assembly: per-source md5-ordered token-budget fill;
         # boundary doc kept (running total BEFORE the doc under budget)
         "mixture_manifest": """

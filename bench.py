@@ -157,6 +157,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_rollup_stats",
         "bpe_token_counts_learned",
         "mixture_manifest",
+        "token_weighted_ratio_quantiles",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

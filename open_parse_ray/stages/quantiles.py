@@ -88,6 +88,11 @@ def _hist_pass(keyed, states: List[Tuple[int, int, int, int]], shift: int) -> pd
         sts = ray.get(states_ref)
         key = b["key"].to_numpy(dtype=np.uint64)
         gid = b["gid"].to_numpy(dtype=np.int64)
+        wt = (
+            b["wt"].to_numpy(dtype=np.int64)
+            if "wt" in b.columns
+            else np.ones(len(b), dtype=np.int64)
+        )
         sids, buckets, cnts = [], [], []
         for sid, g, prefix, mask in sts:
             m = gid == g
@@ -96,10 +101,13 @@ def _hist_pass(keyed, states: List[Tuple[int, int, int, int]], shift: int) -> pd
             if not m.any():
                 continue
             bk = ((key[m] >> np.uint64(shift)) & _MASK16).astype(np.int64)
-            u, c = np.unique(bk, return_counts=True)
+            u = np.unique(bk)
+            acc = np.zeros(65536, dtype=np.int64)
+            np.add.at(acc, bk, wt[m])
+            c = acc[u]
             sids.append(np.full(len(u), sid, dtype=np.int64))
             buckets.append(u)
-            cnts.append(c.astype(np.int64))
+            cnts.append(c)
         if not sids:
             return pd.DataFrame(
                 {
@@ -137,9 +145,14 @@ def _walk(hist: pd.DataFrame, residual: int) -> Tuple[int, int]:
 
 def quantile_values(keyed, percents: Sequence[int]) -> pd.DataFrame:
     """Exact per-group percentile VALUES over a Dataset of
-    (gid:int64, key:uint64 — ordered_u64 of the score). Returns a
-    pandas frame (gid, p, n, rank, value) — ≤ #gids × #percents rows.
-    Rank semantics: 1 + (p*(n-1))//100 (nearest-rank, integer-exact)."""
+    (gid:int64, key:uint64 — ordered_u64 of the score). An optional
+    ``wt`` int64 column makes every percentile WEIGHTED (e.g. token
+    mass instead of doc count — CCNet's actual bucketing); n/rank then
+    mean total weight and weight-rank. Returns a pandas frame
+    (gid, p, n, rank, value) — ≤ #gids × #percents rows.
+    Rank semantics: 1 + (p*(n-1))//100 (nearest-rank, integer-exact):
+    the value at which cumulative count/weight in value order first
+    reaches the rank."""
     keyed = keyed.materialize()
 
     # pass 0: per-gid top-16-bit histograms (one state per gid, sid=gid;
@@ -147,8 +160,13 @@ def quantile_values(keyed, percents: Sequence[int]) -> pd.DataFrame:
     def seed_partial(b: pd.DataFrame) -> pd.DataFrame:
         key = b["key"].to_numpy(dtype=np.uint64)
         gid = b["gid"].to_numpy(dtype=np.int64)
+        wt = (
+            b["wt"].to_numpy(dtype=np.int64)
+            if "wt" in b.columns
+            else np.ones(len(b), dtype=np.int64)
+        )
         bk = ((key >> np.uint64(48)) & _MASK16).astype(np.int64)
-        df = pd.DataFrame({"sid": gid, "bucket": bk, "cnt": np.int64(1)})
+        df = pd.DataFrame({"sid": gid, "bucket": bk, "cnt": wt})
         return df.groupby(["sid", "bucket"], as_index=False).agg(cnt=("cnt", "sum"))
 
     from open_parse_ray.stages.ranking import _fold
@@ -257,6 +275,65 @@ def ratio_quantiles_by_lang(sf_dir: str, percents: Sequence[int] = (25, 50, 75, 
             {
                 "gid": b["lang"][keep].map(gid_of).to_numpy(dtype=np.int64),
                 "key": ordered_u64(ratio),
+            }
+        )
+
+    keyed = ds.map_batches(project, batch_format="pandas", batch_size=8192)
+    qv = quantile_values(keyed, percents)
+    out = pd.DataFrame(
+        {
+            "lang": [langs[g] for g in qv["gid"]],
+            "p": qv["p"].astype("int64"),
+            "value": qv["value"].astype("float64"),
+        }
+    ).sort_values(["lang", "p"]).reset_index(drop=True)
+    return rd.from_pandas(out)
+
+
+def token_weighted_ratio_quantiles(sf_dir: str, percents: Sequence[int] = (25, 50, 75, 95)):
+    """TOKEN-WEIGHTED percentiles of the chars-per-token ratio per
+    language: the value below which p% of the corpus's TOKEN MASS lies
+    (CCNet buckets by token mass, not document count — a few huge docs
+    shift these cutoffs where doc-count percentiles barely move).
+    Same 4-pass MSD-radix machinery with integer token weights in the
+    histograms. Oracle: DuckDB window cumsum of n_tokens in value
+    order — the boundary value where the running mass first reaches
+    1 + (p*(W-1))//100. Returns (lang, p, value)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.analysis import (
+        n_tokens_sql_semantics,
+        read_documents,
+    )
+    from open_parse_ray.stages.relational import _combine_partials
+
+    ds = read_documents(sf_dir, columns=["lang", "text", "n_chars"])
+
+    def lang_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": b["lang"].unique(), "one": np.int64(1)})
+
+    langs = sorted(
+        _combine_partials(
+            ds.map_batches(lang_partial, batch_format="pandas", batch_size=65536),
+            ["lang"],
+            {"one": "sum"},
+        )
+        .to_pandas()["lang"]
+        .tolist()
+    )
+    gid_of = {l: i for i, l in enumerate(langs)}
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        n_tok = np.array(
+            [n_tokens_sql_semantics(t) for t in b["text"]], dtype=np.int64
+        )
+        keep = n_tok > 0
+        ratio = b["n_chars"].to_numpy(dtype=np.float64)[keep] / n_tok[keep]
+        return pd.DataFrame(
+            {
+                "gid": b["lang"][keep].map(gid_of).to_numpy(dtype=np.int64),
+                "key": ordered_u64(ratio),
+                "wt": n_tok[keep],
             }
         )
 

@@ -117,3 +117,72 @@ def test_ratio_quantiles_query_matches_duckdb(ray_session):
         """
     ).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_weighted_quantiles_match_numpy_and_oracle(ray_session):
+    """With a wt column, quantile_values returns the value where the
+    cumulative WEIGHT in value order first reaches 1+(p*(W-1))//100 —
+    checked against a numpy weighted reference; the corpus query
+    matches DuckDB's window cumsum and differs from the unweighted
+    percentiles (the weights genuinely bind)."""
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    vals = rng.normal(0, 100, 4000)
+    wts = rng.integers(1, 50, 4000).astype(np.int64)
+    gids = rng.integers(0, 3, 4000).astype(np.int64)
+    ds = rd.from_pandas(
+        pd.DataFrame({"gid": gids, "key": ordered_u64(vals), "wt": wts})
+    ).repartition(9)
+    got = quantile_values(ds, [25, 50, 75])
+    for g in range(3):
+        order = np.argsort(vals[gids == g], kind="stable")
+        v = vals[gids == g][order]
+        w = wts[gids == g][order]
+        cum = np.cumsum(w)
+        W = int(cum[-1])
+        for p in (25, 50, 75):
+            target = rank_of_percent(p, W)
+            want = v[np.searchsorted(cum, target)]
+            have = float(got[(got.gid == g) & (got.p == p)]["value"].iloc[0])
+            assert have == want, (g, p, want, have)
+
+    from open_parse_ray.stages.quantiles import (
+        ratio_quantiles_by_lang,
+        token_weighted_ratio_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    gotq = token_weighted_ratio_quantiles(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        """
+        WITH toks AS (
+          SELECT lang,
+                 CAST(n_chars AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')) AS ratio,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                 doc_id
+          FROM documents WHERE trim(text) <> ''
+        ),
+        ranked AS (
+          SELECT lang, ratio,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY ratio, doc_id) AS cum,
+                 SUM(n_tokens) OVER (PARTITION BY lang) AS W
+          FROM toks
+        )
+        SELECT lang, CAST(q.p AS BIGINT) AS p, min(ratio) AS value
+        FROM ranked JOIN (VALUES (25), (50), (75), (95)) q(p)
+          ON cum >= 1 + (q.p * (W - 1)) // 100
+        GROUP BY lang, q.p
+        ORDER BY lang, p
+        """
+    ).df()
+    pd.testing.assert_frame_equal(gotq, want)
+    unweighted = ratio_quantiles_by_lang(sf).to_pandas()
+    assert not gotq["value"].equals(unweighted["value"])
