@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts_learned": _q_bpe_apply,
         "mixture_manifest": analysis.mixture_manifest,
         "token_weighted_ratio_quantiles": quantiles.token_weighted_ratio_quantiles,
+        "dup_span_excise": dedup.dup_span_excise,
     }
 
 

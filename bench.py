@@ -158,6 +158,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "bpe_token_counts_learned",
         "mixture_manifest",
         "token_weighted_ratio_quantiles",
+        "dup_span_excise",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

@@ -1918,3 +1918,118 @@ def bloom_dup_groups(sf_dir: str, m_bits: int = 1 << 20):
         ),
         collapse,
     )
+
+
+def dup_span_excise(sf_dir: str, window: int = 16, stride: int = 8):
+    """Exact-substring dedup with REMOVAL (Lee et al. 2022's headline
+    semantics, word-granular): every word position covered by a
+    duplicated window (same ``window``-word gram in ≥ 2 distinct docs,
+    windows at ``stride`` spacing — identical hashing to
+    dup_span_flags) is cut; the document is rebuilt from the surviving
+    words (single-space joined — this is a word-level operator, so
+    intra-doc whitespace normalizes; docs shorter than ``window`` pass
+    through as their word join). Returns
+    (doc_id, n_words, n_removed_words, text_md5).
+
+    Scale shape: exchange 1 ships (hash, doc_id, pos) window rows
+    (~n/stride per doc) salted on the hash and returns ONLY duplicated
+    positions; exchange 2 is a tagged-union salted doc_id join of those
+    tiny position rows with the doc text — text ships exactly once (the
+    inherent cost: excision rewrites text). Pytest-gated vs a local
+    single-process reference (no SQL oracle: windowed rewriting)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def window_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out_h, out_d, out_p = [], [], []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            words = t.split()
+            n = len(words)
+            if n < window:
+                continue
+            wh = _hash_words(words)
+            count = 1 + (n - window) // stride
+            acc = np.zeros(count, dtype=np.uint64)
+            starts = np.arange(count) * stride
+            for j in range(window):
+                acc = acc * _SHINGLE_MIX + wh[starts + j]
+            out_h.extend(acc.view(np.int64).tolist())
+            out_d.extend([int(doc_id)] * count)
+            out_p.extend(starts.tolist())
+        return pd.DataFrame(
+            {
+                "h": pd.Series(out_h, dtype="int64"),
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "pos": pd.Series(out_p, dtype="int64"),
+            }
+        )
+
+    def dup_positions(part: pd.DataFrame) -> pd.DataFrame:
+        nd = part.groupby("h")["doc_id"].transform("nunique")
+        dup = part[nd >= 2]
+        return pd.DataFrame(
+            {
+                "doc_id": dup["doc_id"].astype("int64"),
+                "pos": dup["pos"].astype("int64"),
+            }
+        )
+
+    dup_pos = salted_groupby(
+        docs.map_batches(window_rows, batch_format="pandas", batch_size=4096),
+        lambda b: b["h"],
+        dup_positions,
+    )
+
+    def tag_doc(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "pos": np.int64(-1),
+                "text": b["text"],
+            }
+        )
+
+    def tag_pos(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "pos": b["pos"].astype("int64"),
+                "text": "",
+            }
+        )
+
+    union = docs.map_batches(tag_doc, batch_format="pandas", batch_size=4096).union(
+        dup_pos.map_batches(tag_pos, batch_format="pandas", batch_size=65536)
+    )
+
+    def excise(part: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hl
+
+        texts = part[part["pos"] < 0]
+        poss = part[part["pos"] >= 0]
+        pos_of = {
+            d: g["pos"].to_numpy(dtype=np.int64)
+            for d, g in poss.groupby("doc_id")
+        }
+        ids, n_words, n_removed, md5s = [], [], [], []
+        for doc_id, t in zip(texts["doc_id"], texts["text"]):
+            words = t.split()
+            keep = np.ones(len(words), dtype=bool)
+            for p in pos_of.get(int(doc_id), ()):
+                keep[p : p + window] = False
+            kept = [w for w, k in zip(words, keep) if k]
+            ids.append(int(doc_id))
+            n_words.append(len(words))
+            n_removed.append(int((~keep).sum()))
+            md5s.append(_hl.md5(" ".join(kept).encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_words": pd.Series(n_words, dtype="int64"),
+                "n_removed_words": pd.Series(n_removed, dtype="int64"),
+                "text_md5": pd.Series(md5s, dtype="object"),
+            }
+        )
+
+    return salted_groupby(union, lambda b: b["doc_id"], excise)

@@ -854,3 +854,49 @@ def test_mixture_manifest_budget_fill_semantics(ray_session):
         assert got_ids == want_ids, src
         # budget actually binds somewhere (the corpus exceeds it)
         assert (~want_keep).any()
+
+
+def test_dup_span_excise_matches_local_reference(ray_session):
+    """Excision == a single-process reference with identical window
+    hashing: duplicated word positions cut, survivors rebuilt; docs
+    without cross-doc grams pass through as their word join."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.dedup import _SHINGLE_MIX, _hash_words, dup_span_excise
+
+    sf = "/root/testdata/sf0.001"
+    window, stride = 16, 8
+    got = dup_span_excise(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (got["n_removed_words"] > 0).any()  # the signal is real
+
+    df = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    gram_docs, grams_of = {}, {}
+    for _, r in df.iterrows():
+        words = r["text"].split()
+        n = len(words)
+        if n < window:
+            grams_of[r["doc_id"]] = []
+            continue
+        wh = _hash_words(words)
+        count = 1 + (n - window) // stride
+        acc = np.zeros(count, dtype=np.uint64)
+        starts = np.arange(count) * stride
+        for j in range(window):
+            acc = acc * _SHINGLE_MIX + wh[starts + j]
+        hs = acc.view(np.int64)
+        grams_of[r["doc_id"]] = list(zip(hs.tolist(), starts.tolist()))
+        for h in set(hs.tolist()):
+            gram_docs.setdefault(h, set()).add(r["doc_id"])
+    for _, r in df.iterrows():
+        words = r["text"].split()
+        keep = np.ones(len(words), dtype=bool)
+        for h, p in grams_of[r["doc_id"]]:
+            if len(gram_docs.get(h, ())) >= 2:
+                keep[p : p + window] = False
+        kept = [w for w, k in zip(words, keep) if k]
+        row = got[got.doc_id == r["doc_id"]].iloc[0]
+        assert row["text_md5"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert row["n_removed_words"] == int((~keep).sum())
+        assert row["n_words"] == len(words)
