@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_manifest": analysis.mixture_manifest,
         "token_weighted_ratio_quantiles": quantiles.token_weighted_ratio_quantiles,
         "dup_span_excise": dedup.dup_span_excise,
+        "corpus_report": analysis.corpus_report,
     }
 
 
@@ -1252,6 +1253,22 @@ def oracle_sql() -> dict[str, str]:
         # PageRank iterations unroll into materialized CTE pairs over
         # the same pure-integer fixed-point spec as the Ray operator
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
+        # one-row data card: every statistic from ONE fused pass
+        "corpus_report": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END) AS BIGINT) AS total_tokens,
+                   CAST(count(*) FILTER (WHERE trim(text) = '') AS BIGINT)
+                     AS n_blank,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   (SELECT string_agg(lang, ',' ORDER BY lang)
+                    FROM (SELECT DISTINCT lang FROM documents)) AS langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents
+        """,
         # WEIGHTED exact percentiles: value where cumulative TOKEN mass
         # (not doc count) first reaches 1+(p*(W-1))//100 — CCNet's
         # actual bucketing semantics; window cumsum on the oracle side

@@ -159,6 +159,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "mixture_manifest",
         "token_weighted_ratio_quantiles",
         "dup_span_excise",
+        "corpus_report",
         "multimodal_meta",
         "bmp_thumbnails",
         "wav_features",

@@ -1478,3 +1478,54 @@ def mixture_manifest(sf_dir: str, budget_tokens: int = 600):
         lambda b: pd.util.hash_pandas_object(b["source"], index=False).astype("int64"),
         fill,
     )
+
+
+def corpus_report(sf_dir: str):
+    """Corpus DATA CARD in ONE streaming pass: doc/char/token totals,
+    blank count, char extremes, the sorted language vocabulary and the
+    distinct-source count — every statistic fused into a single
+    per-batch partial row (no second scan per metric, the multi-
+    aggregate fusion a 100-TB report job needs), combined on one final
+    block. Distinct sets ride the partials as sorted comma-joined
+    strings (bounded vocabularies: langs, sources). Returns one row
+    (n_docs, total_chars, total_tokens, n_blank, max_chars, min_chars,
+    langs, n_sources) — full one-row SQL oracle."""
+    ds = read_documents(sf_dir, columns=["text", "lang", "source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = np.array([n_tokens_sql_semantics(t) for t in b["text"]], dtype=np.int64)
+        chars = b["n_chars"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "n_docs": [np.int64(len(b))],
+                "total_chars": [chars.sum()],
+                "total_tokens": [toks.sum()],
+                "n_blank": [np.int64((toks == 0).sum())],
+                "max_chars": [chars.max()],
+                "min_chars": [chars.min()],
+                "langs": [",".join(sorted(set(b["lang"])))],
+                "sources": [",".join(sorted(set(b["source"])))],
+            }
+        )
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        langs = sorted(set(",".join(b["langs"]).split(",")))
+        sources = set(",".join(b["sources"]).split(","))
+        return pd.DataFrame(
+            {
+                "n_docs": [np.int64(b["n_docs"].sum())],
+                "total_chars": [np.int64(b["total_chars"].sum())],
+                "total_tokens": [np.int64(b["total_tokens"].sum())],
+                "n_blank": [np.int64(b["n_blank"].sum())],
+                "max_chars": [np.int64(b["max_chars"].max())],
+                "min_chars": [np.int64(b["min_chars"].min())],
+                "langs": [",".join(langs)],
+                "n_sources": [np.int64(len(sources))],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+    )

@@ -900,3 +900,35 @@ def test_dup_span_excise_matches_local_reference(ray_session):
         assert row["text_md5"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
         assert row["n_removed_words"] == int((~keep).sum())
         assert row["n_words"] == len(words)
+
+
+def test_corpus_report_single_fused_pass_consistency(ray_session):
+    """The one-row data card agrees with independently-computed stats
+    and is invariant to block structure."""
+    import ray.data
+
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.analysis import corpus_report, n_tokens_sql_semantics
+
+    sf = "/root/testdata/sf0.001"
+    got = corpus_report(sf).to_pandas().iloc[0]
+    df = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    toks = [n_tokens_sql_semantics(t) for t in df["text"]]
+    assert got["n_docs"] == len(df)
+    assert got["total_chars"] == df["n_chars"].sum()
+    assert got["total_tokens"] == sum(toks)
+    assert got["n_blank"] == sum(1 for t in toks if t == 0)
+    assert got["max_chars"] == df["n_chars"].max()
+    assert got["min_chars"] == df["n_chars"].min()
+    assert got["langs"] == ",".join(sorted(df["lang"].unique()))
+    assert got["n_sources"] == df["source"].nunique()
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 64 * 1024
+        again = corpus_report(sf).to_pandas().iloc[0]
+        assert (again == got).all()
+    finally:
+        ctx.target_max_block_size = old
