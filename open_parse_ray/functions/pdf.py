@@ -573,7 +573,14 @@ def _parse_pdf_string(d: bytes, key: bytes) -> Optional[bytes]:
 def _maybe_decrypt(pdf: bytes, objs, password: bytes = b""):
     """Detect /Encrypt in the trailer and RC4-decrypt every stream in
     place. No-op for unencrypted files; raises ValueError for an
-    unsupported filter/V or a wrong password (U mismatch)."""
+    unsupported filter/V or a wrong password (U mismatch).
+
+    Object keys are derived with generation 0 (_obj_key(key, num, 0)):
+    _parse_objects keys by object number only, and this repo's writer
+    emits generation 0 exclusively. A third-party encrypted PDF with a
+    nonzero-generation object would silently decrypt to garbage under
+    that assumption, so nonzero generations RAISE instead (becomes a
+    counted error row upstream, per the poison-doc contract)."""
     em = None
     for em in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", pdf):
         pass  # last match wins (incremental updates append trailers)
@@ -609,6 +616,11 @@ def _maybe_decrypt(pdf: bytes, objs, password: bytes = b""):
     ok = want_u[:32] == got_u if r == 2 else want_u[:16] == got_u[:16]
     if not ok:
         raise ValueError("encrypted PDF: password required")
+    for gm in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", pdf):
+        if int(gm.group(2)) != 0:
+            raise ValueError(
+                "encrypted PDF: nonzero object generation unsupported"
+            )
     for num, (d, s) in objs.items():
         if s is None or num == enc_num:
             continue

@@ -1493,6 +1493,18 @@ def corpus_report(sf_dir: str):
     ds = read_documents(sf_dir, columns=["text", "lang", "source", "n_chars"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype="int64")
+                    for c in (
+                        "n_docs", "total_chars", "total_tokens",
+                        "n_blank", "max_chars", "min_chars",
+                    )
+                }
+                | {"langs": pd.Series([], dtype=object),
+                   "sources": pd.Series([], dtype=object)}
+            )
         toks = np.array([n_tokens_sql_semantics(t) for t in b["text"]], dtype=np.int64)
         chars = b["n_chars"].to_numpy(dtype=np.int64)
         return pd.DataFrame(

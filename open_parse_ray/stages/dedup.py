@@ -588,12 +588,16 @@ def _expand_rep_pairs(rep_pairs, reps_ds, chunk_size: int):
         return _exp_table([])
     involved = {int(p["rep_a"]) for p in rep_pairs}
     involved |= {int(p["rep_b"]) for p in rep_pairs}
-    ref = ray.put(involved)
+    # Sorted int64 array broadcast: np.isin(..., assume_unique) is a
+    # vectorized merge per batch, not a per-row Python membership loop
+    # (the reps table is a few % of corpus rows — at 10^12 docs a Python
+    # loop here is billions of iterations).
+    ref = ray.put(np.fromiter(sorted(involved), dtype=np.int64, count=len(involved)))
 
     def keep_involved(t: pa.Table) -> pa.Table:
         want = ray.get(ref)
-        ids = t.column("rep_id").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array([int(i) in want for i in ids]))
+        ids = t.column("rep_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(ids, want, assume_unique=False)))
 
     rows = (
         reps_ds.select_columns(["rep_id", "copies"])

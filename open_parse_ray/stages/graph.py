@@ -142,7 +142,8 @@ def pagerank(
             s = b["src"].to_numpy(dtype=np.int64)
             d = b["dst"].to_numpy(dtype=np.int64)
             ww = b["w"].to_numpy(dtype=np.int64)
-            contrib = (85 * ((r[s] // wo[s]) * ww)) // 100
+            share = np.where(wo[s] > 0, r[s] // np.maximum(wo[s], 1), 0)
+            contrib = (85 * (share * ww)) // 100
             acc = np.zeros(n_nodes, dtype=np.int64)
             np.add.at(acc, d, contrib)
             nz = np.nonzero(acc)[0]

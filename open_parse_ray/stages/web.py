@@ -206,7 +206,10 @@ def domain_quality_filter(sf_dir: str, min_mean_chars: int = 300):
     def keep(b: pd.DataFrame) -> pd.DataFrame:
         bd = ray.get(bad_ref)
         dom = np.array([registered_domain(u) for u in _messy_urls(b)], dtype=object)
-        m = ~np.isin(dom, list(bd)) if bd else np.ones(len(dom), dtype=bool)
+        if bd:
+            m = np.fromiter((d not in bd for d in dom), dtype=bool, count=len(dom))
+        else:
+            m = np.ones(len(dom), dtype=bool)
         return pd.DataFrame(
             {
                 "doc_id": b["doc_id"].to_numpy(dtype=np.int64)[m],
