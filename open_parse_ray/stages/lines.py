@@ -123,7 +123,33 @@ def c4_line_filter(sf_dir: str):
     )
 
 
-def paragraph_dedup(sf_dir: str):
+def _rebuild_frame(doc_ids, texts, dropped_of) -> pd.DataFrame:
+    """Shared pass-2 kernel: re-synthesize each doc's lines and drop
+    those in ``dropped_of(doc_id, line) -> bool``. One code path for
+    both the broadcast and distributed variants keeps them equal by
+    construction on the per-doc semantics."""
+    ids, n_paras, n_removed, out_texts = [], [], [], []
+    for d, t in zip(doc_ids, texts):
+        d = int(d)
+        lines = synth_page_lines(d, t)
+        if not lines:  # empty-text docs: no synthesized page
+            continue
+        kept = [ln for ln in lines if not dropped_of(d, ln)]
+        ids.append(d)
+        n_paras.append(len(lines))
+        n_removed.append(len(lines) - len(kept))
+        out_texts.append("\n".join(kept))
+    return pd.DataFrame(
+        {
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "n_paras": np.asarray(n_paras, dtype=np.int64),
+            "n_removed": np.asarray(n_removed, dtype=np.int64),
+            "text": out_texts,
+        }
+    )
+
+
+def paragraph_dedup(sf_dir: str, max_driver_lines: int = 5_000_000):
     """Corpus-level duplicated-paragraph removal (MassiveText-style):
     any line appearing in >= 2 DISTINCT documents (exact string match)
     is removed from every document. Emits (doc_id, n_paras, n_removed,
@@ -132,14 +158,17 @@ def paragraph_dedup(sf_dir: str):
     Scale shape: pass 1 ships (line, nd) partials — per-batch each
     document contributes each of its DISTINCT lines once, so nd is
     additive across batches — through a salted groupby on the line
-    hash; only lines with nd >= 2 survive. That duplicated-line table
-    is read to the driver and broadcast via ray.put (BOUND: at web
-    scale duplicated boilerplate is the head of the paragraph
-    distribution — e.g. a few 10^6 strings; past that, swap the
-    broadcast for the decontamination-style sorted-hash probe or a
-    salted (line_hash -> doc) flag join — the counting pass is
-    unchanged). Pass 2 re-synthesizes each doc's lines and drops
-    members of the set. SQL-oracle hash-verified."""
+    hash; only lines with nd >= 2 survive. Pass 2 switches on the size
+    of that duplicated-line table (the ``semdedup_keep`` pattern,
+    similarity.py): at or under ``max_driver_lines`` (web boilerplate
+    heads are typically a few 10^6 strings) the table is read to the
+    driver once and broadcast via ray.put; past the threshold it stays
+    distributed — a salted (line -> doc_id) flag join marks each doc's
+    duplicated lines, then a second salted exchange on doc_id carries
+    (text ∪ flags) to the rebuild, so no driver materialization at any
+    dup cardinality. Both paths share the per-doc rebuild kernel and a
+    forced-distributed == driver equality gate (tests/test_stages.py).
+    SQL-oracle hash-verified."""
     import ray
 
     from open_parse_ray.stages.analysis import read_documents
@@ -166,35 +195,114 @@ def paragraph_dedup(sf_dir: str):
         g = part.groupby("line", as_index=False).agg(nd=("nd", "sum"))
         return g[g["nd"] >= 2][["line"]]
 
-    dup_lines = salted_groupby(
-        partials,
-        lambda b: pd.util.hash_pandas_object(b["line"], index=False).astype("int64"),
-        dup_only,
-    )
-    # bounded driver read: duplicated boilerplate strings only (see
-    # docstring for the >10^6-dup scale path)
-    dup_set = frozenset(r["line"] for r in dup_lines.take_all())
-    dup_ref = ray.put(dup_set)
+    def line_salt(b: pd.DataFrame) -> pd.Series:
+        return pd.util.hash_pandas_object(b["line"], index=False).astype("int64")
 
-    def rebuild(b: pd.DataFrame) -> pd.DataFrame:
-        dups = ray.get(dup_ref)
-        ids, n_paras, n_removed, texts = [], [], [], []
+    dup_lines = salted_groupby(partials, line_salt, dup_only)
+
+    if dup_lines.count() <= max_driver_lines:
+        # bounded driver read: duplicated boilerplate strings only
+        dup_set = frozenset(r["line"] for r in dup_lines.take_all())
+        dup_ref = ray.put(dup_set)
+
+        def rebuild(b: pd.DataFrame) -> pd.DataFrame:
+            dups = ray.get(dup_ref)
+            return _rebuild_frame(
+                b["doc_id"], b["text"], lambda _d, ln: ln in dups
+            )
+
+        return ds.map_batches(rebuild, batch_format="pandas", batch_size=8192)
+
+    return _paragraph_dedup_distributed(ds, dup_lines, salted_groupby, line_salt)
+
+
+def _paragraph_dedup_distributed(ds, dup_lines, salted_groupby, line_salt):
+    """Fully-distributed pass 2: never materializes the duplicated-line
+    table anywhere.
+
+    Exchange 1 (salt = line hash): per-doc DISTINCT line rows (side 1)
+    union the dup-line rows (side 0); co-location by line means a
+    partition-local membership test yields exactly the (doc_id, line)
+    pairs to drop — flag volume is bounded by the docs' duplicated-line
+    occurrences, not the corpus. Exchange 2 (salt = doc_id): doc text
+    rows union their flag rows; the rebuild sees each doc's text once
+    next to its own flag set. Text bytes cross one exchange; lines
+    cross only as flags."""
+
+    def doc_line_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids: List[int] = []
+        lines: List[str] = []
         for d, t in zip(b["doc_id"], b["text"]):
-            lines = synth_page_lines(int(d), t)
-            if not lines:  # empty-text docs: no synthesized page
-                continue
-            kept = [ln for ln in lines if ln not in dups]
-            ids.append(int(d))
-            n_paras.append(len(lines))
-            n_removed.append(len(lines) - len(kept))
-            texts.append("\n".join(kept))
+            for ln in set(synth_page_lines(int(d), t)):
+                ids.append(int(d))
+                lines.append(ln)
         return pd.DataFrame(
             {
                 "doc_id": np.asarray(ids, dtype=np.int64),
-                "n_paras": np.asarray(n_paras, dtype=np.int64),
-                "n_removed": np.asarray(n_removed, dtype=np.int64),
-                "text": texts,
+                "line": pd.Series(lines, dtype=object),
+                "side": np.ones(len(ids), dtype=np.int64),
             }
         )
 
-    return ds.map_batches(rebuild, batch_format="pandas", batch_size=8192)
+    def dup_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": np.full(len(b), -1, dtype=np.int64),
+                "line": b["line"].astype(object),
+                "side": np.zeros(len(b), dtype=np.int64),
+            }
+        )
+
+    mixed = ds.map_batches(
+        doc_line_rows, batch_format="pandas", batch_size=8192
+    ).union(dup_lines.map_batches(dup_rows, batch_format="pandas"))
+
+    def flag_fn(part: pd.DataFrame) -> pd.DataFrame:
+        dset = set(part.loc[part["side"] == 0, "line"])
+        m = (part["side"] == 1) & part["line"].isin(dset)
+        sel = part.loc[m, ["doc_id", "line"]]
+        return pd.DataFrame(
+            {
+                "doc_id": sel["doc_id"].to_numpy(dtype=np.int64),
+                "line": sel["line"].astype(object),
+            }
+        )
+
+    flags = salted_groupby(mixed, line_salt, flag_fn)
+
+    def doc_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+                "payload": b["text"].astype(object),
+                "side": np.zeros(len(b), dtype=np.int64),
+            }
+        )
+
+    def flag_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+                "payload": b["line"].astype(object),
+                "side": np.ones(len(b), dtype=np.int64),
+            }
+        )
+
+    joined = ds.map_batches(doc_side, batch_format="pandas", batch_size=8192).union(
+        flags.map_batches(flag_side, batch_format="pandas", batch_size=8192)
+    )
+
+    def rebuild_fn(part: pd.DataFrame) -> pd.DataFrame:
+        fl = part[part["side"] == 1]
+        doc_flags: dict = {}
+        for d, ln in zip(fl["doc_id"], fl["payload"]):
+            doc_flags.setdefault(int(d), set()).add(ln)
+        docs = part[part["side"] == 0]
+        empty: frozenset = frozenset()
+        return _rebuild_frame(
+            docs["doc_id"],
+            docs["payload"],
+            lambda d, ln: ln in doc_flags.get(d, empty),
+        )
+
+    return salted_groupby(joined, lambda b: b["doc_id"], rebuild_fn)

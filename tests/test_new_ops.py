@@ -606,6 +606,28 @@ def test_paragraph_dedup_removes_cross_doc_boilerplate(ray_session):
             assert b not in got
 
 
+def test_paragraph_dedup_distributed_equals_driver_path(ray_session):
+    """Scale-safe switch gate (the semdedup_keep pattern): forcing the
+    fully-distributed flag-join pass 2 (max_driver_lines=-1) yields a
+    table identical to the default driver-broadcast path — same docs,
+    same counts, same rebuilt text, byte for byte."""
+    from open_parse_ray.stages.lines import paragraph_dedup
+
+    drv = (
+        paragraph_dedup(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    dist = (
+        paragraph_dedup(SF, max_driver_lines=-1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(drv, dist[drv.columns])
+
+
 def test_dsir_select_topn_matches_weights(ray_session):
     """dsir_select == top-n of the (bit-reproducible) dsir_weights
     table under (logw DESC, doc_id ASC), with 1-based ranks."""
