@@ -277,12 +277,16 @@ def _q_kmeans_clusters(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """Ordered so every oracle-backed query and every query without an
-    equivalent pytest rows-gate sits in the FIRST 50 entries: the
-    driver's round-1 correctness file recorded exactly the first 50 of
-    52, so the tail positions are reserved for queries whose semantics
-    are already pinned by dedicated pytest gates (property tests, exact
-    roundtrips, unit goldens)."""
+    """Ordered so the FIRST 50 entries (the driver's recording window)
+    are all oracle-backed, and ROTATED each round so every oracle-backed
+    query gets driver-recorded in some round: round 4 promotes the 16
+    oracle-backed queries that had never been driver-recorded
+    (r3-verdict worklist #2), displacing 16 queries with three
+    consecutive rounds of green driver records (r1+r2+r3) into the
+    tail. Tail positions hold queries pinned by dedicated pytest gates
+    (property tests, exact roundtrips, unit goldens) and/or prior-round
+    driver records; tools/check_oracles.py verifies every oracle_sql()
+    entry regardless of position."""
     return {
         # -- PDF payload path (stdlib codec; SQL-oracle roundtrip) --
         "pdf_extract_text": _q_pdf_extract_text,
@@ -295,22 +299,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": analysis.quality_scores,
         "top_terms": analysis.top_terms,
         "term_doc_freq": analysis.term_doc_freq,
-        "sample_documents": analysis.sample_documents,
-        "stratified_sample": analysis.stratified_sample,
         "gopher_quality_flags": analysis.gopher_quality_flags,
         "repetition_stats": analysis.repetition_stats,
-        "chunk_spans": analysis.chunk_spans,
         "langid_preds": analysis.langid_preds,
         "pack_offsets": _q_pack_offsets,
         "split_assignments": analysis.split_assignments,
         "source_capped_sample": analysis.source_capped_sample,
         "tfidf_top_terms": analysis.tfidf_top_terms,
         "pii_scan": pii.pii_scan,
+        "heavy_hitter_terms": analysis.heavy_hitter_terms,
+        "lang_mix_rebalance": analysis.lang_mix_rebalance,
+        "unicode_normalize": analysis.unicode_normalize_docs,
+        "doc_rollup_stats": analysis.doc_rollup_stats,
+        "mixture_manifest": analysis.mixture_manifest,
+        "corpus_report": analysis.corpus_report,
+        # -- C4/MassiveText line curation --
+        "c4_line_filter": lines.c4_line_filter,
+        "paragraph_dedup": lines.paragraph_dedup,
+        # -- distributed quantiles --
+        "ratio_quantiles_by_lang": quantiles.ratio_quantiles_by_lang,
+        "token_weighted_ratio_quantiles": quantiles.token_weighted_ratio_quantiles,
         # -- tier extraction: distributed global rank + ntile --
         "doc_tiers": ranking.doc_tiers,
+        "events_type_rank": ranking.grouped_rank_events,
+        "epoch_shuffle": ranking.epoch_shuffle,
+        "events_type_pagerank": graph.events_type_pagerank,
         # -- web/URL operators --
         "url_canonical_dedup": web.url_canonical_dedup,
         "url_domain_stats": web.url_domain_stats,
+        "domain_quality_filter": web.domain_quality_filter,
         # -- dedup family --
         "exact_dedup": dedup.exact_dedup_groups,
         "normalized_exact_dedup": dedup.normalized_exact_dedup,
@@ -326,13 +343,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- relational / windowed --
         "revenue_by_returnflag": relational.revenue_by_returnflag,
         "customers_by_region": relational.customers_by_region,
+        "orders_customer_join": relational.orders_customer_join,
+        "local_supplier_revenue": relational.local_supplier_revenue,
+        "events_user_rolling": relational.events_user_rolling,
+        # -- chains --
+        "prepare_curated_corpus": _q_prepare_curated,
+        # ---- tail: r1+r2+r3 triple-green driver records, rotated out
+        # in round 4 to make window room for the never-recorded 16
+        # (check_oracles still verifies each every run) ----
+        "sample_documents": analysis.sample_documents,
+        "stratified_sample": analysis.stratified_sample,
+        "chunk_spans": analysis.chunk_spans,
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
         "events_with_prev": relational.events_with_prev,
         "sessions_per_user": relational.sessions_per_user,
         "orders_topk": relational.orders_topk_by_value,
-        "orders_customer_join": relational.orders_customer_join,
-        "local_supplier_revenue": relational.local_supplier_revenue,
         "distinct_users_by_type": relational.distinct_users_by_type,
         "events_quantiles": relational.events_quantiles,
         "events_followup": relational.events_followup,
@@ -372,33 +398,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_pairs": similarity.semdedup_pairs,
         "semdedup_keep": similarity.semdedup_keep,
         "dsir_weights": analysis.dsir_weights,
-        "prepare_curated_corpus": _q_prepare_curated,
-        "events_user_rolling": relational.events_user_rolling,
-        "events_type_rank": ranking.grouped_rank_events,
         "prepare_training_sequences": _q_prepare_sequences,
         "pdf_docs": _q_pdf_docs,
         "rolling_fingerprints": analysis.rolling_fingerprints,
         "multimodal_meta": _q_multimodal,
         "page_bbox_svgs": _q_page_bbox_svgs,
-        # round-3 late additions: oracle-backed, tail position (the
-        # 50-entry driver window is full; check_oracles verifies these)
-        "heavy_hitter_terms": analysis.heavy_hitter_terms,
-        "lang_mix_rebalance": analysis.lang_mix_rebalance,
-        "c4_line_filter": lines.c4_line_filter,
-        "paragraph_dedup": lines.paragraph_dedup,
-        "ratio_quantiles_by_lang": quantiles.ratio_quantiles_by_lang,
         "ccnet_buckets": analysis.ccnet_perplexity_buckets,
-        "events_type_pagerank": graph.events_type_pagerank,
-        "epoch_shuffle": ranking.epoch_shuffle,
         "bpe_merges": _q_bpe_merges,
-        "domain_quality_filter": web.domain_quality_filter,
-        "unicode_normalize": analysis.unicode_normalize_docs,
-        "doc_rollup_stats": analysis.doc_rollup_stats,
         "bpe_token_counts_learned": _q_bpe_apply,
-        "mixture_manifest": analysis.mixture_manifest,
-        "token_weighted_ratio_quantiles": quantiles.token_weighted_ratio_quantiles,
         "dup_span_excise": dedup.dup_span_excise,
-        "corpus_report": analysis.corpus_report,
     }
 
 
