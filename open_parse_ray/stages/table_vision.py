@@ -112,15 +112,199 @@ def grid_from_projections(
     return collapse(row_lines), collapse(col_lines)
 
 
-def analyze_table_image(payload: bytes) -> Dict:
+# ---------------------------------------------------------------------------
+# Gated torch/table-transformers branch (reference ml.py:39-66, 97-200).
+#
+# torch + transformers are absent from this container, so _probe returns
+# None and every stage falls back to the CV analog above. The branch is
+# NOT dead code: tests/test_model_seams.py injects fake torch/transformers
+# modules into sys.modules and drives this exact class — from_pretrained
+# per-actor load, per-image forward, numpy post-processing, crop/pad
+# back-transform — through the same TableStructure plumbing.
+# ---------------------------------------------------------------------------
+
+DETECTION_MODEL_ID = "microsoft/table-transformer-detection"
+STRUCTURE_MODEL_ID = "microsoft/table-transformer-structure-recognition"
+# ImageNet normalization, reference detection_transform (ml.py:68-82)
+_DETR_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float64)
+_DETR_STD = np.array([0.229, 0.224, 0.225], dtype=np.float64)
+
+
+def _probe_table_transformers():
+    """(torch, AutoModelForObjectDetection, TableTransformerForObjectDetection)
+    or None — one import attempt, mirroring config._probe_torch."""
+    try:  # pragma: no cover - absent in this container (fake-injected in tests)
+        import torch
+        from transformers import (
+            AutoModelForObjectDetection,
+            TableTransformerForObjectDetection,
+        )
+    except ImportError:
+        return None
+    return torch, AutoModelForObjectDetection, TableTransformerForObjectDetection
+
+
+def detr_outputs_to_objects(logits, pred_boxes, img_size, id2label) -> List[Dict]:
+    """Numpy re-expression of the reference's `_outputs_to_objects`
+    (ml.py:130-150): per-query softmax over class logits, argmax
+    label + score, drop 'no object', normalized cxcywh → xyxy pixels.
+    Pure numpy so the conversion is testable without torch present."""
+    lg = np.asarray(logits, dtype=np.float64)
+    bb = np.asarray(pred_boxes, dtype=np.float64)
+    if lg.ndim == 3:
+        lg = lg[0]
+    if bb.ndim == 3:
+        bb = bb[0]
+    ex = np.exp(lg - lg.max(axis=-1, keepdims=True))
+    probs = ex / ex.sum(axis=-1, keepdims=True)
+    labels = probs.argmax(axis=-1)
+    scores = probs.max(axis=-1)
+    w, h = img_size
+    x0 = (bb[:, 0] - bb[:, 2] / 2) * w
+    y0 = (bb[:, 1] - bb[:, 3] / 2) * h
+    x1 = (bb[:, 0] + bb[:, 2] / 2) * w
+    y1 = (bb[:, 1] + bb[:, 3] / 2) * h
+    out: List[Dict] = []
+    for i in range(len(labels)):
+        cl = id2label.get(int(labels[i]), "no object")
+        if cl == "no object":
+            continue
+        out.append(
+            {
+                "label": cl,
+                "score": float(scores[i]),
+                "bbox": [float(x0[i]), float(y0[i]), float(x1[i]), float(y1[i])],
+            }
+        )
+    return out
+
+
+class DetrTableEngine:
+    """Table-transformers detection + structure models behind the same
+    stage seam as the CV analog (reference ml.py:39-66 model load,
+    :184-200 find_table_bboxes, :208-318 structure objects).
+
+    Loaded ONCE per actor in ``TableStructure.__init__`` when
+    torch/transformers import; ``detect``/``structure`` return exactly
+    the shapes the analog kernels return so ``analyze_table_image``
+    swaps engines without touching the crop/pad/back-transform code.
+    The resize is nearest-neighbor (in-repo) rather than PIL bilinear —
+    a documented fidelity deviation that only affects model inputs."""
+
+    def __init__(
+        self,
+        min_table_confidence: float = 0.75,
+        min_cell_confidence: float = 0.95,
+    ):
+        probe = _probe_table_transformers()
+        if probe is None:
+            raise RuntimeError(
+                "torch/transformers not importable — use the CV analog kernels"
+            )
+        torch, auto_det, ttfod = probe
+        self._torch = torch
+        self.detection_model = auto_det.from_pretrained(
+            DETECTION_MODEL_ID, revision="no_timm"
+        )
+        self.structure_model = ttfod.from_pretrained(
+            STRUCTURE_MODEL_ID, revision="no_timm"
+        )
+        self.min_table_confidence = min_table_confidence
+        self.min_cell_confidence = min_cell_confidence
+
+    def _run(self, model, img: np.ndarray, max_size: int) -> List[Dict]:
+        """MaxResize(max_size) → normalize → NCHW forward → objects in
+        ORIGINAL image pixel coordinates (reference detection_transform +
+        _outputs_to_objects composition)."""
+        from open_parse_ray.stages.multimodal import resize_nearest
+
+        h, w = img.shape[:2]
+        scale = max_size / max(w, h)
+        nw, nh = int(round(scale * w)), int(round(scale * h))
+        resized = resize_nearest(img, nw, nh).astype(np.float64) / 255.0
+        x = (resized - _DETR_MEAN) / _DETR_STD
+        t = self._torch.tensor(
+            np.ascontiguousarray(x.transpose(2, 0, 1)[None]),
+            dtype=self._torch.float32,
+        )
+        with self._torch.no_grad():
+            outputs = model(t)
+        id2label = {
+            **{int(k): v for k, v in model.config.id2label.items()},
+            len(model.config.id2label): "no object",
+        }
+        return detr_outputs_to_objects(
+            outputs.logits, outputs["pred_boxes"], (w, h), id2label
+        )
+
+    def detect(self, img: np.ndarray) -> Tuple[int, int, int, int]:
+        """Best 'table' box above min_table_confidence → inclusive int
+        pixel bbox, clamped to the page (find_table_bboxes contract)."""
+        h, w = img.shape[:2]
+        tables = [
+            o
+            for o in self._run(self.detection_model, img, 800)
+            if o["label"] == "table" and o["score"] > self.min_table_confidence
+        ]
+        if not tables:
+            raise ValueError("no table detected")
+        best = max(tables, key=lambda o: o["score"])
+        x0, y0, x1, y1 = best["bbox"]
+        return (
+            max(0, int(round(x0))),
+            max(0, int(round(y0))),
+            min(w - 1, int(round(x1)) - 1),
+            min(h - 1, int(round(y1)) - 1),
+        )
+
+    def structure(
+        self, crop: np.ndarray, table_h: int, table_w: int
+    ) -> Tuple[List[int], List[int]]:
+        """'table row'/'table column' objects → sorted boundary-line
+        positions in CROP coordinates — the exact return shape of
+        grid_from_projections, so the back-transform is shared."""
+        objs = [
+            o
+            for o in self._run(self.structure_model, crop, 1000)
+            if o["score"] > self.min_cell_confidence
+        ]
+        row_edges = set()
+        for o in objs:
+            if o["label"] == "table row":
+                row_edges.add(int(round(o["bbox"][1])))
+                row_edges.add(int(round(o["bbox"][3])))
+        col_edges = set()
+        for o in objs:
+            if o["label"] == "table column":
+                col_edges.add(int(round(o["bbox"][0])))
+                col_edges.add(int(round(o["bbox"][2])))
+        return sorted(row_edges), sorted(col_edges)
+
+
+def maybe_detr_engine():
+    """A DetrTableEngine when torch/transformers import, else None —
+    the per-actor probe TableStructure uses."""
+    if _probe_table_transformers() is None:
+        return None
+    return DetrTableEngine()
+
+
+def analyze_table_image(payload: bytes, engine=None) -> Dict:
     """Full per-page kernel: decode → detect → crop+pad → structure →
-    back-transform to page coordinates (the get_table_content analog)."""
+    back-transform to page coordinates (the get_table_content analog).
+    ``engine`` (a DetrTableEngine) swaps the detect/structure kernels;
+    the decode, crop/pad and coordinate back-transform are shared."""
     img = decode_bmp(payload)
-    x0, y0, x1, y1 = detect_table_bbox(img)
+    x0, y0, x1, y1 = (
+        engine.detect(img) if engine is not None else detect_table_bbox(img)
+    )
     # crop with padding, clamped to the page (utils.py crop_img_with_padding)
     cx0, cy0 = max(0, x0 - PAD), max(0, y0 - PAD)
     crop = img[cy0 : min(img.shape[0], y1 + 1 + PAD), cx0 : min(img.shape[1], x1 + 1 + PAD)]
-    row_lines, col_lines = grid_from_projections(crop, y1 - y0 + 1, x1 - x0 + 1)
+    if engine is not None:
+        row_lines, col_lines = engine.structure(crop, y1 - y0 + 1, x1 - x0 + 1)
+    else:
+        row_lines, col_lines = grid_from_projections(crop, y1 - y0 + 1, x1 - x0 + 1)
     # back-transform crop coords → page coords (convert_cropped_cords analog)
     page_row_ys = [cy0 + r for r in row_lines]
     page_col_xs = [cx0 + c for c in col_lines]
@@ -140,8 +324,20 @@ def analyze_table_image(payload: bytes) -> Dict:
 
 
 class TableStructure:
-    """Batch kernel (task pool): rasterized pages in, recovered table
-    structure out. Per-row errors isolate into the status column."""
+    """Batch kernel: rasterized pages in, recovered table structure out.
+    Per-row errors isolate into the status column.
+
+    With torch/transformers absent (this container) the probe yields no
+    engine and the CV analog runs — a stateless TASK-pool kernel (no
+    per-actor state, see the round-2 perf note). When the DETR stack IS
+    importable the per-actor ``__init__`` loads both models once
+    (reference ml.py:58-66) — pass ``concurrency=N`` so map_batches
+    builds an actor pool and the load amortizes across batches."""
+
+    def __init__(self, engine=None, auto_probe: bool = True):
+        if engine is None and auto_probe:
+            engine = maybe_detr_engine()
+        self.engine = engine
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -149,7 +345,7 @@ class TableStructure:
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
             try:
-                r = analyze_table_image(payload)
+                r = analyze_table_image(payload, engine=self.engine)
                 rows.append(
                     {
                         "media_id": media_id,
