@@ -379,15 +379,26 @@ def exact_dedup_groups(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def add_fp(t: pa.Table) -> pa.Table:
+        # Arrow-native: doc_id rides zero-copy; the salt (first 4 digest
+        # bytes, == int(fp[:8], 16)) is computed from the raw digests in
+        # one vectorized frombuffer instead of a per-row string parse.
+        digests = [hashlib.md5(s.encode()).digest() for s in t.column("text").to_pylist()]
+        if digests:
+            salt = np.frombuffer(
+                b"".join(d[:4] for d in digests), dtype=">u4"
+            ).astype(np.int64)
+        else:
+            salt = np.array([], dtype=np.int64)
+        return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "fp": [hashlib.md5(t.encode()).hexdigest() for t in batch["text"]],
+                "doc_id": t.column("doc_id"),
+                "fp": pa.array([d.hex() for d in digests], pa.string()),
+                "fp_salt": pa.array(salt, pa.int64()),
             }
         )
 
-    hashed = ds.map_batches(add_fp, batch_format="pandas", batch_size=8192)
+    hashed = ds.map_batches(add_fp, batch_format="pyarrow", batch_size=8192)
 
     def groups(part: pd.DataFrame) -> pd.DataFrame:
         out = part.groupby("fp", as_index=False).agg(
@@ -397,8 +408,8 @@ def exact_dedup_groups(sf_dir: str):
             {"doc_id": "int64", "n_copies": "int64"}
         )
 
-    return salted_groupby(
-        hashed, lambda b: b["fp"].str[:8].apply(int, base=16), groups
+    return salted_groupby_arrow(
+        hashed, lambda t: t.column("fp_salt").to_numpy(), groups
     )
 
 

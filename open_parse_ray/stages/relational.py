@@ -21,6 +21,106 @@ def _cents(x: pd.Series) -> pd.Series:
     return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
 
 
+def _dict_codes(arr):
+    """Any key array → (int64 codes, dictionary values). DictionaryArray
+    passes through; everything else is dictionary-encoded by Arrow's C
+    kernel (no pandas factorize, no Python loop)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, np.ndarray):
+        arr = pa.array(arr)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_dictionary(arr.type):
+        arr = pc.dictionary_encode(arr)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+    return (
+        arr.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+        arr.dictionary,
+    )
+
+
+def _arrow_group_aggs(keys, vals, n: int):
+    """Per-block partial aggregation, pure pyarrow + numpy — the
+    Arrow-native replacement for the ``assign → pandas groupby`` partial
+    kernels (avoids the Arrow→pandas→Arrow round-trip on every block of
+    the hottest two-phase pipelines; the exchanges were already Arrow).
+
+    ``keys``: name → key array (pa.Array / ChunkedArray / DictionaryArray
+    / np.ndarray). ``vals``: name → ("count", None) or
+    ("sum" | "min" | "max", numpy array). Grouping is a composite-code
+    np.unique (codes come from Arrow dictionary encoding, so composite
+    values stay < n_rows² — no overflow at any block size); sums are
+    int64 np.add.at (integer partials stay exact, per the repo's
+    no-float-partials invariant); min/max preserve the input dtype.
+    Returns one pa.Table row per distinct key combination in this block.
+    """
+    import pyarrow as pa
+
+    names = list(keys)
+    if n == 0:
+        cols = {}
+        for kn in names:
+            arr = keys[kn]
+            if isinstance(arr, np.ndarray):
+                arr = pa.array(arr)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_dictionary(arr.type):
+                arr = arr.dictionary_decode()
+            cols[kn] = arr.slice(0, 0)
+        for vn, (kind, arr) in vals.items():
+            dt = pa.int64() if arr is None else pa.from_numpy_dtype(arr.dtype)
+            cols[vn] = pa.array([], dt)
+        return pa.table(cols)
+
+    codes, dicts = [], []
+    for kn in names:
+        c, d = _dict_codes(keys[kn])
+        codes.append(c)
+        dicts.append(d)
+    comp = codes[0].copy()
+    for i in range(1, len(codes)):
+        comp = comp * len(dicts[i]) + codes[i]
+    uq, inv = np.unique(comp, return_inverse=True)
+    g = len(uq)
+
+    out_cols = {}
+    rem = uq.copy()
+    rev = []
+    for i in range(len(codes) - 1, 0, -1):
+        card = len(dicts[i])
+        rev.append(rem % card)
+        rem = rem // card
+    rev.append(rem)
+    for kn, d, kc in zip(names, dicts, rev[::-1]):
+        out_cols[kn] = d.take(pa.array(kc, pa.int64()))
+
+    counts = None
+    for vn, (kind, arr) in vals.items():
+        if kind == "count":
+            if counts is None:
+                counts = np.bincount(inv, minlength=g).astype(np.int64)
+            out_cols[vn] = pa.array(counts, pa.int64())
+        elif kind == "sum":
+            acc = np.zeros(g, dtype=np.int64)
+            np.add.at(acc, inv, arr.astype(np.int64))
+            out_cols[vn] = pa.array(acc, pa.int64())
+        elif kind == "min":
+            acc = np.full(g, np.iinfo(arr.dtype).max, dtype=arr.dtype)
+            np.minimum.at(acc, inv, arr)
+            out_cols[vn] = pa.array(acc, pa.from_numpy_dtype(arr.dtype))
+        elif kind == "max":
+            acc = np.full(g, np.iinfo(arr.dtype).min, dtype=arr.dtype)
+            np.maximum.at(acc, inv, arr)
+            out_cols[vn] = pa.array(acc, pa.from_numpy_dtype(arr.dtype))
+        else:  # pragma: no cover - defensive
+            raise ValueError(f"unknown agg kind {kind!r}")
+    return pa.table(out_cols)
+
+
 def _combine_partials(partials, keys, aggs):
     """Final combine for two-phase aggregation with BOUNDED group
     cardinality: per-batch partials have already collapsed each block to
@@ -53,17 +153,24 @@ def revenue_by_returnflag(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(
-            rev_cents=_cents(b["l_extendedprice"] * (1 - b["l_discount"])),
-            qty=b["l_quantity"].astype(np.int64),
-            n=np.int64(1),
-        )
-        return b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            n_items=("n", "sum"), sum_qty=("qty", "sum"), revenue_cents=("rev_cents", "sum")
+    def partial(t: "pa.Table") -> "pa.Table":
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        return _arrow_group_aggs(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+            },
+            {
+                "n_items": ("count", None),
+                "sum_qty": ("sum", qty),
+                "revenue_cents": ("sum", _cents(price * (1 - disc))),
+            },
+            t.num_rows,
         )
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return _combine_partials(
         partials,
         ["l_returnflag", "l_linestatus"],
@@ -98,20 +205,32 @@ def customers_by_region(sf_dir: str):
         def __init__(self, ref):
             self.lookup = ray.get(ref)
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b = b.assign(
-                r_name=b["c_nationkey"].map(self.lookup),
-                bal_cents=_cents(b["c_acctbal"]),
-                n=np.int64(1),
-            )
-            return b.groupby("r_name", as_index=False).agg(
-                n_customers=("n", "sum"), total_acctbal_cents=("bal_cents", "sum")
+        def __call__(self, t: "pa.Table") -> "pa.Table":
+            import pyarrow as pa
+
+            nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+            # dict lookup only over the block's DISTINCT nation keys; the
+            # per-row key stays a dictionary array (codes), so the partial
+            # group-by never materializes per-row strings
+            uq, inv = np.unique(nk, return_inverse=True)
+            r_names = pa.array([self.lookup[int(k)] for k in uq], pa.string())
+            key = pa.DictionaryArray.from_arrays(pa.array(inv, pa.int32()), r_names)
+            return _arrow_group_aggs(
+                {"r_name": key},
+                {
+                    "n_customers": ("count", None),
+                    "total_acctbal_cents": (
+                        "sum",
+                        _cents(t.column("c_acctbal").to_numpy(zero_copy_only=False)),
+                    ),
+                },
+                t.num_rows,
             )
 
     partials = ds.map_batches(
         JoinAndPartial,
         fn_constructor_args=(ref,),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=65536,
         concurrency=(1, 4),
     )
@@ -131,18 +250,29 @@ def events_hourly(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(
-            hour_epoch=(b["ts"].values.astype("datetime64[s]").astype(np.int64) // 3600)
-            * 3600,
-            v_cents=_cents(b["value"]),
-            n=np.int64(1),
+    def partial(t: "pa.Table") -> "pa.Table":
+        e = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[s]")
+            .astype(np.int64)
         )
-        return b.groupby(["event_type", "hour_epoch"], as_index=False).agg(
-            n_events=("n", "sum"), total_value_cents=("v_cents", "sum")
+        return _arrow_group_aggs(
+            {
+                "event_type": t.column("event_type"),
+                "hour_epoch": (e // 3600) * 3600,
+            },
+            {
+                "n_events": ("count", None),
+                "total_value_cents": (
+                    "sum",
+                    _cents(t.column("value").to_numpy(zero_copy_only=False)),
+                ),
+            },
+            t.num_rows,
         )
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return _combine_partials(
         partials,
         ["event_type", "hour_epoch"],
@@ -231,27 +361,36 @@ def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
     )
     k = window_s // slide_s
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        e = b["ts"].values.astype("datetime64[s]").astype(np.int64)
+    def partial(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        e = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[s]")
+            .astype(np.int64)
+        )
         first_ws = ((e - window_s) // slide_s + 1) * slide_s  # smallest ws > e-window
         offs = (np.arange(k) * slide_s)[None, :]
         ws = (first_ws[:, None] + offs).reshape(-1)  # (N*k,)
         mask = ws <= np.repeat(e, k)  # window must have started
-        rep_type = b["event_type"].values.repeat(k)
-        rep_cents = _cents(b["value"]).repeat(k)
-        df = pd.DataFrame(
+        src = np.nonzero(mask)[0] // k  # original row of each surviving pair
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        # the key rides as a dictionary take — codes, not repeated strings
+        etype = t.column("event_type").combine_chunks().dictionary_encode()
+        return _arrow_group_aggs(
             {
-                "event_type": rep_type[mask],
+                "event_type": etype.take(pa.array(src, pa.int64())),
                 "window_start": ws[mask],
-                "v_cents": rep_cents[mask],
-                "n": np.int64(1),
-            }
-        )
-        return df.groupby(["event_type", "window_start"], as_index=False).agg(
-            n_events=("n", "sum"), total_value_cents=("v_cents", "sum")
+            },
+            {
+                "n_events": ("count", None),
+                "total_value_cents": ("sum", cents[src]),
+            },
+            int(mask.sum()),
         )
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return _combine_partials(
         partials,
         ["event_type", "window_start"],
@@ -533,11 +672,17 @@ def events_quantiles(sf_dir: str, ps=(25, 50, 75, 90, 99)):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(v_cents=_cents(b["value"]), n=np.int64(1))
-        return b.groupby(["event_type", "v_cents"], as_index=False).agg(n=("n", "sum"))
+    def partial(t: "pa.Table") -> "pa.Table":
+        return _arrow_group_aggs(
+            {
+                "event_type": t.column("event_type"),
+                "v_cents": _cents(t.column("value").to_numpy(zero_copy_only=False)),
+            },
+            {"n": ("count", None)},
+            t.num_rows,
+        )
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     hist = _combine_partials(partials, ["event_type", "v_cents"], {"n": "sum"})
 
     def quantiles(h: pd.DataFrame) -> pd.DataFrame:
@@ -866,16 +1011,23 @@ def parts_by_brand(sf_dir: str):
         f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice", "p_size"]
     )
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(retail_cents=_cents(b["p_retailprice"]), n=np.int64(1))
-        return b.groupby("p_brand", as_index=False).agg(
-            n_parts=("n", "sum"),
-            total_retail_cents=("retail_cents", "sum"),
-            min_size=("p_size", "min"),
-            max_size=("p_size", "max"),
+    def partial(t: "pa.Table") -> "pa.Table":
+        size = t.column("p_size").to_numpy(zero_copy_only=False)
+        return _arrow_group_aggs(
+            {"p_brand": t.column("p_brand")},
+            {
+                "n_parts": ("count", None),
+                "total_retail_cents": (
+                    "sum",
+                    _cents(t.column("p_retailprice").to_numpy(zero_copy_only=False)),
+                ),
+                "min_size": ("min", size),
+                "max_size": ("max", size),
+            },
+            t.num_rows,
         )
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     out = _combine_partials(
         partials,
         ["p_brand"],
