@@ -142,6 +142,43 @@ def response_record(url: str, ts_us: int, html: bytes, lang: Optional[str]) -> b
     return _record(b"response", headers, http)
 
 
+def _url_host_path(url: str) -> Tuple[str, str]:
+    """(host, absolute path) for the HTTP request line/Host header."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
+    return parts.netloc, path
+
+
+def request_record(url: str, ts_us: int) -> bytes:
+    """``WARC-Type: request`` twin of :func:`response_record` — the
+    record type real Common Crawl WARCs interleave with responses. The
+    body is an HTTP/1.1 request block (request line + Host), framed by
+    the record Content-Length exactly like the response; the
+    WARC-Concurrent-To header carries the paired response's record id
+    (CC convention for request/response linkage)."""
+    _check_uri(url)
+    host, path = _url_host_path(url)
+    http = (
+        b"GET " + path.encode("utf-8") + b" HTTP/1.1" + _CRLF
+        + b"Host: " + host.encode("utf-8") + _CRLF
+        + b"User-Agent: " + _SOFTWARE + _CRLF
+        + b"Accept: text/html" + _CRLF
+        + _CRLF
+    )
+    headers = [
+        (b"WARC-Record-ID", _record_id("request:" + url, ts_us)),
+        (b"WARC-Date", _warc_date(ts_us)),
+        (b"WARC-Target-URI", url.encode("utf-8")),
+        (b"WARC-Concurrent-To", _record_id(url, ts_us)),
+        (b"Content-Type", b"application/http; msgtype=request"),
+    ]
+    return _record(b"request", headers, http)
+
+
 def conversion_record(url: str, ts_us: int, text: str, lang: Optional[str]) -> bytes:
     _check_uri(url)
     headers = [
@@ -230,21 +267,62 @@ def iter_warc_records(buf: bytes) -> Iterator[Tuple[Dict[str, str], bytes]]:
         yield headers, body
 
 
+def dechunk_http(payload: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer coding (hex size line, chunk,
+    CRLF, ... zero-size terminator; chunk extensions after ';' and any
+    trailer headers are ignored). Third-party crawl WARCs store the raw
+    wire bytes, chunked framing included. Strictly advances or raises
+    (fuzz-gated like every binary parser in this repo)."""
+    out: List[bytes] = []
+    pos = 0
+    while True:
+        eol = payload.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked: missing size line")
+        tok = payload[pos:eol].split(b";", 1)[0].strip()
+        if not tok or any(c not in b"0123456789abcdefABCDEF" for c in tok):
+            raise ValueError(f"chunked: bad size token {tok!r}")
+        size = int(tok, 16)
+        pos = eol + 2
+        if size == 0:
+            return b"".join(out)  # trailers (if any) are ignored
+        chunk = payload[pos : pos + size]
+        if len(chunk) != size:
+            raise ValueError("chunked: truncated chunk")
+        out.append(chunk)
+        pos += size
+        if payload[pos : pos + 2] != _CRLF:
+            raise ValueError("chunked: missing chunk terminator")
+        pos += 2
+
+
 def parse_http_response(body: bytes) -> bytes:
-    """Payload bytes of an HTTP response block (Content-Length framed
-    when present; otherwise everything past the header block)."""
+    """Payload bytes of an HTTP response block. Framing precedence per
+    RFC 7230 §3.3.3 (what real Common Crawl responses need): chunked
+    Transfer-Encoding is decoded first; else Content-Length slices; else
+    everything past the header block. Header names match
+    case-insensitively; the status code is not interpreted (a 404 body
+    is still the payload — callers filter)."""
     sep = body.find(_CRLF + _CRLF)
     if sep < 0 or not body.startswith(b"HTTP/"):
         raise ValueError("malformed HTTP response block")
     head = body[:sep].decode("latin-1")
     payload = body[sep + 4 :]
+    clen: Optional[int] = None
+    chunked = False
     for line in head.split("\r\n")[1:]:
         k, _, v = line.partition(":")
-        if k.strip().lower() == "content-length" and v.strip().isdigit():
-            want = int(v.strip())
-            if want > len(payload):
-                raise ValueError("truncated HTTP payload")
-            return payload[:want]
+        key = k.strip().lower()
+        if key == "transfer-encoding" and "chunked" in v.strip().lower():
+            chunked = True
+        elif key == "content-length" and v.strip().isdigit():
+            clen = int(v.strip())
+    if chunked:
+        return dechunk_http(payload)
+    if clen is not None:
+        if clen > len(payload):
+            raise ValueError("truncated HTTP payload")
+        return payload[:clen]
     return payload
 
 
@@ -280,12 +358,16 @@ def pages_from_warc_bytes(data: bytes) -> List[dict]:
 
 
 def export_pages_warc(
-    sf_or_dir, out_dir: str, wet: bool = False, gz: bool = True
+    sf_or_dir, out_dir: str, wet: bool = False, gz: bool = True,
+    requests: bool = False,
 ) -> str:
     """Write the pages corpus as WARC (or WET) shards, one shard per
     input block, written BY THE TASK that holds the block (no driver
     funnel). Shard names are content-addressed (md5 of the first url +
-    row count) → deterministic, rerun-idempotent. Returns out_dir."""
+    row count) → deterministic, rerun-idempotent. ``requests=True``
+    interleaves a ``request`` record before each response (the full
+    Common Crawl WARC shape; readers skip them, so extracted pages are
+    byte-identical either way). Returns out_dir."""
     from open_parse_ray.sources.pages import read_pages
 
     os.makedirs(out_dir, exist_ok=True)
@@ -310,6 +392,8 @@ def export_pages_warc(
         else:
             htmls = t["html"].to_pylist()
             for u, ts, h, lg in zip(urls, tss, htmls, langs):
+                if requests:
+                    records.append(request_record(u, ts))
                 records.append(response_record(u, ts, h, lg))
         blob = (
             b"".join(_gzip_member(r) for r in records)

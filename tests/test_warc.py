@@ -152,6 +152,105 @@ def test_warc_corruption_fuzz_never_hangs():
             pass
 
 
+def test_request_records_are_linked_and_skipped():
+    """CC-style request/response pairs: the request record frames a real
+    HTTP request block, WARC-Concurrent-To carries the response's id,
+    and page extraction skips requests — byte-identical pages."""
+    from open_parse_ray.sources.warc import request_record
+
+    url = "https://a.test/path/page?x=1"
+    req = request_record(url, 42)
+    resp = response_record(url, 42, b"<p>hi</p>", "en")
+    (rh, rbody), (sh, _sbody) = list(iter_warc_records(req + resp))
+    assert rh["warc-type"] == "request"
+    assert rh["warc-concurrent-to"] == sh["warc-record-id"]
+    assert rbody.startswith(b"GET /path/page?x=1 HTTP/1.1\r\nHost: a.test\r\n")
+    rows = pages_from_warc_bytes(req + resp)
+    assert len(rows) == 1 and rows[0]["html"] == b"<p>hi</p>"
+
+
+def test_third_party_response_shapes_parse():
+    """Hand-built third-party records: mixed-case HTTP headers, chunked
+    transfer coding with extensions and trailers, non-200 status, and a
+    bare-seconds WARC-Date — the Common Crawl shapes this repo's own
+    writer never emits."""
+    payload = b"<html><body>chunked page</body></html>"
+    chunked = (
+        b"7;ext=1\r\n" + payload[:7] + b"\r\n"
+        + hex(len(payload) - 7)[2:].encode() + b"\r\n" + payload[7:] + b"\r\n"
+        + b"0\r\nX-Trailer: t\r\n\r\n"
+    )
+    http = (
+        b"HTTP/1.1 301 Moved Permanently\r\n"
+        b"content-TYPE: text/html\r\n"
+        b"TRANSFER-ENCODING: Chunked\r\n"
+        b"\r\n" + chunked
+    )
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000001>\r\n"
+        b"WARC-Date: 2024-12-20T00:00:05Z\r\n"
+        b"WARC-Target-URI: https://thirdparty.example/x\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+        b"\r\n" + http + b"\r\n\r\n"
+    )
+    rows = pages_from_warc_bytes(rec)
+    assert len(rows) == 1
+    assert rows[0]["html"] == payload
+    assert rows[0]["url"] == "https://thirdparty.example/x"
+    assert rows[0]["warc_ts_us"] == 1734652805_000_000
+
+
+def test_dechunk_roundtrip_and_fuzz():
+    """Chunk-encode random payloads at random chunk sizes → decode is
+    exact; corrupted chunked streams raise, never hang (strict-advance
+    contract shared by every parser loop in the repo)."""
+    from open_parse_ray.sources.warc import dechunk_http
+
+    rng = random.Random(99)
+    for _ in range(50):
+        payload = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300)))
+        pos, parts = 0, []
+        while pos < len(payload):
+            n = rng.randrange(1, 40)
+            parts.append(
+                hex(len(payload[pos : pos + n]))[2:].encode()
+                + b"\r\n" + payload[pos : pos + n] + b"\r\n"
+            )
+            pos += n
+        enc = b"".join(parts) + b"0\r\n\r\n"
+        assert dechunk_http(enc) == payload
+    for _ in range(200):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 120)))
+        try:
+            dechunk_http(data)
+        except ValueError:
+            pass
+
+
+def test_export_with_requests_reads_identically(ray_session, tmp_path):
+    """requests=True (full CC WARC shape) changes the container, not the
+    extracted pages: read_pages_warc output is byte-identical."""
+    from open_parse_ray.sources.warc import export_pages_warc, read_pages_warc
+
+    plain = str(tmp_path / "plain")
+    paired = str(tmp_path / "paired")
+    export_pages_warc(0.001, plain)
+    export_pages_warc(0.001, paired, requests=True)
+    got = read_pages_warc(paired).to_pandas().sort_values("url").reset_index(drop=True)
+    want = read_pages_warc(plain).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # and the paired shards really contain request records
+    import os
+
+    f = sorted(os.listdir(paired))[0]
+    blob = b"".join(gunzip_members(open(os.path.join(paired, f), "rb").read()))
+    types = [h["warc-type"] for h, _ in iter_warc_records(blob)]
+    assert "request" in types and "response" in types
+
+
 def test_writer_rejects_header_injection_urls():
     """Whitespace/control characters in a URL would corrupt record
     framing (header injection) — the writer must refuse them."""
