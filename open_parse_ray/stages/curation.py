@@ -26,45 +26,61 @@ import numpy as np
 import pandas as pd
 
 
+def curation_keyed_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Phase-1 kernel (shard-local, per-batch): Gopher gate → PII scrub →
+    token count → canonical URL key. Emits the COMPACT keyed projection
+    (doc_id, canonical_url, n_tokens, n_pii) — ~50 B/row, no text — the
+    checkpointable intermediate of SCALE.md §14. Shared verbatim by the
+    one-shot query and the resumable job (state/curation_job.py), so the
+    composition gate pins both."""
+    from open_parse_ray.stages.analysis import (
+        gopher_quality_batch,
+        n_tokens_sql_semantics,
+    )
+    from open_parse_ray.stages.pii import scrub_text
+    from open_parse_ray.stages.web import canonicalize_url, synth_messy_url
+
+    gate = gopher_quality_batch(b)
+    keep = gate["passes_gopher"].to_numpy(dtype=bool)
+    ids = b["doc_id"].to_numpy(dtype=np.int64)[keep]
+    texts = [t for t, k in zip(b["text"], keep) if k]
+    sources = [s for s, k in zip(b["source"], keep) if k]
+    n_tokens, n_pii, canon = [], [], []
+    for d, t, s in zip(ids, texts, sources):
+        red, n_em, n_ip = scrub_text(t)
+        n_tokens.append(n_tokens_sql_semantics(red))
+        n_pii.append(n_em + n_ip)
+        canon.append(canonicalize_url(synth_messy_url(int(d), s)))
+    return pd.DataFrame(
+        {
+            "doc_id": ids,
+            "canonical_url": canon,
+            "n_tokens": np.asarray(n_tokens, dtype=np.int64),
+            "n_pii": np.asarray(n_pii, dtype=np.int64),
+        }
+    )
+
+
 def prepare_curated_corpus(sf_dir: str, k_tiers: int = 4, train_pct: int = 80, val_pct: int = 10):
     """(doc_id, canonical_url, n_tokens, n_pii, rank, tier, split) for
     every surviving document: Gopher-passing, PII-scrubbed, URL-deduped
     (min doc_id per canonical URL), ranked into ``k_tiers`` length
     tiers, split train/val/test."""
-    from open_parse_ray.stages.analysis import (
-        gopher_quality_batch,
-        n_tokens_sql_semantics,
-        read_documents,
-    )
-    from open_parse_ray.stages.dedup import salted_groupby
-    from open_parse_ray.stages.pii import scrub_text
-    from open_parse_ray.stages.ranking import global_rank
-    from open_parse_ray.stages.web import canonicalize_url, synth_messy_url
+    from open_parse_ray.stages.analysis import read_documents
 
     ds = read_documents(sf_dir, columns=["doc_id", "text", "source"])
+    keyed = ds.map_batches(curation_keyed_batch, batch_format="pandas", batch_size=8192)
+    return curate_from_keyed(keyed, k_tiers=k_tiers, train_pct=train_pct, val_pct=val_pct)
 
-    def scrub_gate_key(b: pd.DataFrame) -> pd.DataFrame:
-        gate = gopher_quality_batch(b)
-        keep = gate["passes_gopher"].to_numpy(dtype=bool)
-        ids = b["doc_id"].to_numpy(dtype=np.int64)[keep]
-        texts = [t for t, k in zip(b["text"], keep) if k]
-        sources = [s for s, k in zip(b["source"], keep) if k]
-        n_tokens, n_pii, canon = [], [], []
-        for d, t, s in zip(ids, texts, sources):
-            red, n_em, n_ip = scrub_text(t)
-            n_tokens.append(n_tokens_sql_semantics(red))
-            n_pii.append(n_em + n_ip)
-            canon.append(canonicalize_url(synth_messy_url(int(d), s)))
-        return pd.DataFrame(
-            {
-                "doc_id": ids,
-                "canonical_url": canon,
-                "n_tokens": np.asarray(n_tokens, dtype=np.int64),
-                "n_pii": np.asarray(n_pii, dtype=np.int64),
-            }
-        )
 
-    keyed = ds.map_batches(scrub_gate_key, batch_format="pandas", batch_size=8192)
+def curate_from_keyed(keyed, k_tiers: int = 4, train_pct: int = 80, val_pct: int = 10):
+    """Phase 2 (global): canonical-URL dedup exchange → exact global rank
+    + ntile tiers → deterministic hash split, over the keyed projection
+    Dataset. 3-4 orders of magnitude smaller input than phase 1 — cheap
+    enough to rerun whole from the phase-1 checkpoint on failure
+    (SCALE.md §14)."""
+    from open_parse_ray.stages.dedup import salted_groupby
+    from open_parse_ray.stages.ranking import global_rank
 
     def keep_rep(part: pd.DataFrame) -> pd.DataFrame:
         return (

@@ -26,6 +26,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="directory of pages parquet")
     ap.add_argument("--out", required=True, help="output dir (partitioned)")
+    ap.add_argument(
+        "--job", default="extract", choices=["extract", "curation"],
+        help="extract = the pages→nodes extraction job; curation = the "
+        "two-phase curated-corpus job over a documents-table directory "
+        "(phase 1 shard-resumable, phase 2 rerun-from-checkpoint)",
+    )
     ap.add_argument("--pipeline", default="basic", choices=["basic", "semantic", "noop"])
     ap.add_argument(
         "--shard-size",
@@ -59,6 +65,31 @@ def main() -> None:
             include_dashboard=False,
             logging_level="ERROR",
         )
+
+    if args.job == "curation":
+        from open_parse_ray.state import curation_job
+
+        t0 = time.perf_counter()
+        res = curation_job.run_curation_job(
+            args.input,
+            args.out,
+            shard_size=args.shard_size,
+            shard_concurrency=args.shard_concurrency,
+        )
+        print(
+            json.dumps(
+                {
+                    "job": "curation",
+                    "n_parts": res["n_parts"],
+                    "resumed_parts_skipped": len(res["skipped"]),
+                    "n_docs_keyed": sum(r["n_docs"] for r in res["lineage"]),
+                    "final": res["final"],
+                    "job_wall_s": round(time.perf_counter() - t0, 3),
+                }
+            )
+        )
+        ray.shutdown()
+        return
 
     from open_parse_ray.state import lineage
 
