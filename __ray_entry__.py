@@ -390,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": dedup.simhash_neardup_pairs,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_copart": similarity.ann_lsh_topk_copart,
+        "ann_ivf_copart": similarity.ann_ivf_topk_copart,
         "ann_pq_topk": similarity.ann_pq_topk,
         "doc_embeddings": analysis.doc_embeddings,
         "neardup_clusters": dedup.neardup_clusters,

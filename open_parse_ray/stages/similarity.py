@@ -310,6 +310,287 @@ def ann_ivf_topk(
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# Co-partitioned query-side ANN (the scale path for query SETS too large
+# to broadcast — r3-verdict worklist #7). The broadcast variants above
+# ship the whole query matrix to every task via ray.put, which is right
+# for O(10^3) queries; past that the query set becomes a Dataset and
+# both sides are EXCHANGED on the bucket/cell id instead: vectors ship
+# to exactly one bucket, queries explode to their probe buckets, each
+# partition runs the bucket-local matmul, and a second (tiny, k rows per
+# query per bucket) exchange on query_id produces global ranks.
+#
+# Partitioning assumption: one bucket's vectors fit a partition.
+# Hyperplane-LSH buckets are balanced in expectation (|corpus| / 2^n_bits
+# per bucket — tune n_bits with corpus size); IVF cells follow the
+# k-means cell-size distribution, so a production deployment would split
+# oversized cells (same salting trick as salted_groupby). Output is
+# IDENTICAL to the broadcast twin — equality-gated in tests, so the
+# broadcast paths' recall gates transfer.
+# ---------------------------------------------------------------------------
+
+
+def _default_queries_ds(n: int = 1):
+    import ray.data as rd
+
+    q = default_query_vectors(n)
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "query_id": np.arange(len(q), dtype=np.int64),
+                "embedding": list(q),
+            }
+        )
+    )
+
+
+def _vec_bytes(emb_rows) -> list:
+    return [np.ascontiguousarray(e, dtype=np.float64).tobytes() for e in emb_rows]
+
+
+def _bucket_topk_partials(part: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Partition kernel shared by both co-partitioned variants: for each
+    bucket present, normalized candidate × normalized query matmul →
+    per-(query, bucket) top-k rows. Normalization expressions mirror the
+    broadcast twins exactly (zero-norm → 1), so sims are bit-equal."""
+    out_q, out_v, out_s = [], [], []
+    for _, g in part.groupby("bucket", sort=False):
+        qs = g[g["side"] == 0]
+        vs = g[g["side"] == 1]
+        if not len(qs) or not len(vs):
+            continue
+        qm = np.frombuffer(b"".join(qs["vec"]), dtype=np.float64).reshape(len(qs), -1)
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        vm = np.frombuffer(b"".join(vs["vec"]), dtype=np.float64).reshape(len(vs), -1)
+        norms = np.linalg.norm(vm, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (vm / norms[:, None]) @ qn.T  # (V, Q)
+        vec_ids = vs["id"].to_numpy(dtype=np.int64)
+        qids = qs["id"].to_numpy(dtype=np.int64)
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argsort(-col, kind="stable")[:k]
+            out_q.extend([int(qids[qi])] * len(top))
+            out_v.extend(vec_ids[top].tolist())
+            out_s.extend(col[top].tolist())
+    return pd.DataFrame(
+        {
+            "query_id": np.asarray(out_q, dtype=np.int64),
+            "vec_id": np.asarray(out_v, dtype=np.int64),
+            "sim": np.asarray(out_s, dtype=np.float64),
+        }
+    )
+
+
+def _copart_rank(partials, k: int):
+    """Second (tiny) exchange: global per-query top-k → (query_id, rank,
+    vec_id), same sort/tie-break as the broadcast twins."""
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    def final_topk(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for qid, g in part.groupby("query_id", sort=False):
+            g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(g), qid, dtype=np.int64),
+                        "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                        "vec_id": g["vec_id"].to_numpy(dtype=np.int64),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return salted_groupby(partials, lambda b: b["query_id"], final_topk)
+
+
+def ann_lsh_topk_copart(
+    sf_dir: str,
+    queries_ds=None,
+    k: int = 10,
+    n_bits: int = 8,
+):
+    """LSH ANN with a co-partitioned (Dataset) query side — no query
+    broadcast anywhere. Queries explode to their multi-probe buckets
+    (own bucket + hamming-1, same probe set as ann_lsh_topk); vectors
+    ship once to their own bucket; one salted exchange co-locates them.
+    Equality-gated against ann_lsh_topk in tests."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    if queries_ds is None:
+        queries_ds = _default_queries_ds(1)
+
+    def q_rows(b: pd.DataFrame) -> pd.DataFrame:
+        emb = np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
+        if not len(emb):
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "id": pd.Series([], dtype="int64"),
+                    "vec": pd.Series([], dtype=object),
+                    "side": pd.Series([], dtype="int64"),
+                }
+            )
+        lsh = HyperplaneLSH(dim=emb.shape[1], n_bits=n_bits)
+        own = lsh.bucket(emb)
+        qids = b["query_id"].to_numpy(dtype=np.int64)
+        vecs = _vec_bytes(b["embedding"])
+        buckets, ids, bs = [], [], []
+        for i, qb in enumerate(own):
+            probes = {int(qb)} | {int(qb) ^ (1 << bit) for bit in range(n_bits)}
+            for p in sorted(probes):
+                buckets.append(p)
+                ids.append(int(qids[i]))
+                bs.append(vecs[i])
+        return pd.DataFrame(
+            {
+                "bucket": np.asarray(buckets, dtype=np.int64),
+                "id": np.asarray(ids, dtype=np.int64),
+                "vec": pd.Series(bs, dtype=object),
+                "side": np.zeros(len(ids), dtype=np.int64),
+            }
+        )
+
+    def v_rows(b: pd.DataFrame) -> pd.DataFrame:
+        emb = np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
+        if not len(emb):
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "id": pd.Series([], dtype="int64"),
+                    "vec": pd.Series([], dtype=object),
+                    "side": pd.Series([], dtype="int64"),
+                }
+            )
+        lsh = HyperplaneLSH(dim=emb.shape[1], n_bits=n_bits)
+        return pd.DataFrame(
+            {
+                "bucket": lsh.bucket(emb).astype(np.int64),
+                "id": b["vec_id"].to_numpy(dtype=np.int64),
+                "vec": pd.Series(_vec_bytes(b["embedding"]), dtype=object),
+                "side": np.ones(len(emb), dtype=np.int64),
+            }
+        )
+
+    base = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(v_rows, batch_format="pandas", batch_size=8192)
+    qside = queries_ds.map_batches(q_rows, batch_format="pandas", batch_size=8192)
+
+    partials = salted_groupby(
+        base.union(qside),
+        lambda b: b["bucket"],
+        lambda part: _bucket_topk_partials(part, k),
+    )
+    return _copart_rank(partials, k)
+
+
+def ann_ivf_topk_copart(
+    sf_dir: str,
+    queries_ds=None,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+):
+    """IVF ANN with a co-partitioned query side: the coarse quantizer
+    (tiny: n_centroids × dim) is still broadcast — it is a model, not
+    the query set — but queries flow as a Dataset, exploding to their
+    nprobe nearest cells; vectors ship once to their own cell. Same
+    two-exchange shape as the LSH variant; equality-gated against
+    ann_ivf_topk."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    if queries_ds is None:
+        queries_ds = _default_queries_ds(1)
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    sample_tbl = pf.read_row_group(0, columns=["embedding"])
+    sample = np.array(
+        [np.asarray(e, dtype=np.float64) for e in sample_tbl["embedding"].to_pylist()]
+    )
+    cents = build_ivf_centroids(sample, n_centroids=n_centroids)
+    cref = ray.put(np.ascontiguousarray(cents))
+
+    def q_rows(b: pd.DataFrame) -> pd.DataFrame:
+        cents_ = ray.get(cref)
+        emb = np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
+        if not len(emb):
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "id": pd.Series([], dtype="int64"),
+                    "vec": pd.Series([], dtype=object),
+                    "side": pd.Series([], dtype="int64"),
+                }
+            )
+        qn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        probe_cells = np.argsort(-(qn @ cents_.T), axis=1)[:, :nprobe]
+        qids = b["query_id"].to_numpy(dtype=np.int64)
+        vecs = _vec_bytes(b["embedding"])
+        return pd.DataFrame(
+            {
+                "bucket": probe_cells.reshape(-1).astype(np.int64),
+                "id": np.repeat(qids, nprobe),
+                "vec": pd.Series(
+                    [vecs[i] for i in np.repeat(np.arange(len(emb)), nprobe)],
+                    dtype=object,
+                ),
+                "side": np.zeros(len(emb) * nprobe, dtype=np.int64),
+            }
+        )
+
+    def v_rows(b: pd.DataFrame) -> pd.DataFrame:
+        cents_ = ray.get(cref)
+        emb = np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
+        if not len(emb):
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "id": pd.Series([], dtype="int64"),
+                    "vec": pd.Series([], dtype=object),
+                    "side": pd.Series([], dtype="int64"),
+                }
+            )
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        cells = np.argmax((emb / norms[:, None]) @ cents_.T, axis=1)
+        return pd.DataFrame(
+            {
+                "bucket": cells.astype(np.int64),
+                "id": b["vec_id"].to_numpy(dtype=np.int64),
+                "vec": pd.Series(_vec_bytes(b["embedding"]), dtype=object),
+                "side": np.ones(len(emb), dtype=np.int64),
+            }
+        )
+
+    base = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(v_rows, batch_format="pandas", batch_size=8192)
+    qside = queries_ds.map_batches(q_rows, batch_format="pandas", batch_size=8192)
+
+    partials = salted_groupby(
+        base.union(qside),
+        lambda b: b["bucket"],
+        lambda part: _bucket_topk_partials(part, k),
+    )
+    return _copart_rank(partials, k)
+
+
 _TRI_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 

@@ -206,6 +206,47 @@ def test_ann_ivf_recall_vs_brute_force(ray_session):
     assert list(approx.columns) == ["query_id", "rank", "vec_id"]
 
 
+def test_ann_copart_equals_broadcast(ray_session):
+    """Co-partitioned query-side ANN (query set as a Dataset, no
+    broadcast): identical (query_id, rank, vec_id) to the broadcast
+    twins for a multi-query set, for BOTH the LSH and IVF variants —
+    so the broadcast paths' recall gates transfer."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_copart,
+        ann_lsh_topk,
+        ann_lsh_topk_copart,
+        default_query_vectors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    q = default_query_vectors(6)
+    qds = rd.from_pandas(
+        pd.DataFrame(
+            {"query_id": np.arange(len(q), dtype=np.int64), "embedding": list(q)}
+        )
+    )
+
+    def norm(df):
+        return (
+            df.sort_values(["query_id", "rank"]).reset_index(drop=True)[
+                ["query_id", "rank", "vec_id"]
+            ]
+        )
+
+    lsh_b = norm(ann_lsh_topk(sf, queries=q, k=10, n_bits=8).to_pandas())
+    lsh_c = norm(ann_lsh_topk_copart(sf, queries_ds=qds, k=10, n_bits=8).to_pandas())
+    pd.testing.assert_frame_equal(lsh_c, lsh_b)
+
+    ivf_b = norm(ann_ivf_topk(sf, queries=q, k=10, n_centroids=8, nprobe=4).to_pandas())
+    ivf_c = norm(
+        ann_ivf_topk_copart(sf, queries_ds=qds, k=10, n_centroids=8, nprobe=4).to_pandas()
+    )
+    pd.testing.assert_frame_equal(ivf_c, ivf_b)
+
+
 def test_bmp_roundtrip_exact():
     """encode_bmp → decode_bmp is lossless for arbitrary RGB arrays,
     including widths that need row padding."""
