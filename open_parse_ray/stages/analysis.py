@@ -17,6 +17,8 @@ from typing import Dict
 import numpy as np
 import pandas as pd
 
+from open_parse_ray.sources.tables import table_path
+
 _WS_SPLIT = re.compile(r"\s+")
 _ALPHA = re.compile(r"[a-zA-Z]")
 _DIGIT = re.compile(r"[0-9]")
@@ -269,7 +271,7 @@ class LangId:
 def read_documents(sf_dir: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return rd.read_parquet(table_path(sf_dir, "documents"), columns=columns)
 
 
 def doc_stats_by_lang(sf_dir: str):

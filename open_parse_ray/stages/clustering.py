@@ -36,6 +36,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from open_parse_ray.sources.tables import table_path
+
 _SCALE = 1 << 20
 
 
@@ -58,7 +60,7 @@ def _assign(q_emb: np.ndarray, centroids: np.ndarray) -> np.ndarray:
 def _read_embeddings(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
 
 def _init_centroids(sf_dir: str, k: int, dim: int) -> np.ndarray:
@@ -68,7 +70,7 @@ def _init_centroids(sf_dir: str, k: int, dim: int) -> np.ndarray:
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
+        table_path(sf_dir, "embeddings"),
         columns=["vec_id", "embedding"],
         filters=pads.field("vec_id") < k,
     )

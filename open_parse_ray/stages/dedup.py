@@ -29,6 +29,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from open_parse_ray.sources.tables import table_path
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -47,7 +49,7 @@ def _read_sample_docs(sf_dir: str, sample_mod: int) -> pd.DataFrame:
 
     kept = (
         rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+            table_path(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
         )
         .map_batches(keep_sample, batch_format="pyarrow", batch_size=8192)
         .take_all()
@@ -377,7 +379,7 @@ def exact_dedup_groups(sf_dir: str):
     fp (never the text), salted to 32 partitions (see salted_groupby)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def add_fp(t: pa.Table) -> pa.Table:
         # Arrow-native: doc_id rides zero-copy; the salt (first 4 digest
@@ -674,7 +676,7 @@ def minhash_neardup_pairs(
     import ray.data as rd
 
     hasher = FastMinHasher(num_perm)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
         out = minhash_signatures(batch, hasher, shingle_k)
@@ -1150,7 +1152,7 @@ def neardup_clusters(
 def simhash_table(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(simhash_batch, batch_format="pandas", batch_size=4096)
 
 
@@ -1372,7 +1374,7 @@ def ngram_jaccard_pairs(
     import ray.data as rd
 
     docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        table_path(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
     )
     sample_tbl = _read_sample_docs(sf_dir, sample_mod)
     samp = [
@@ -1491,7 +1493,7 @@ def dup_span_flags(sf_dir: str, window: int = 16, stride: int = 8):
     import ray.data as rd
 
     docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
     )
 
     def window_rows(b: pd.DataFrame) -> pd.DataFrame:
@@ -1619,7 +1621,7 @@ def decontamination_flags(sf_dir: str, bench_mod: int = 97, k: int = 5):
         return pa.table({"h": pa.array(h, pa.uint64())})
 
     parts = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
         .map_batches(bench_hashes, batch_format="pyarrow", batch_size=8192)
         .take_all()
     )
@@ -1631,7 +1633,7 @@ def decontamination_flags(sf_dir: str, bench_mod: int = 97, k: int = 5):
     bref = ray.put(bench_union)
 
     docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
     )
 
     class Flag:
@@ -1684,7 +1686,7 @@ def char_jaccard_pairs(sf_dir: str, sample_mod: int = 50, threshold: float = 0.5
     import ray.data as rd
 
     docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        table_path(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
     )
     sample_tbl = _read_sample_docs(sf_dir, sample_mod)
     # alphabet = distinct chars of the SAMPLE only: batch chars outside it
@@ -1756,7 +1758,7 @@ def normalized_exact_dedup(sf_dir: str):
     (doc_id = min id per normalized-distinct text, n_copies)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1954,7 +1956,7 @@ def dup_span_excise(sf_dir: str, window: int = 16, stride: int = 8):
     single-process reference (no SQL oracle: windowed rewriting)."""
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def window_rows(b: pd.DataFrame) -> pd.DataFrame:
         out_h, out_d, out_p = [], [], []

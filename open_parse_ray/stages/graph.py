@@ -44,6 +44,8 @@ from typing import Tuple
 import numpy as np
 import pandas as pd
 
+from open_parse_ray.sources.tables import table_path
+
 ONE = 10**12
 
 
@@ -173,7 +175,7 @@ def transition_edges(sf_dir: str):
     from open_parse_ray.stages.relational import _combine_partials
 
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
+        table_path(sf_dir, "events"),
         columns=["user_id", "ts", "event_id", "event_type"],
     )
 
@@ -205,7 +207,7 @@ def events_type_pagerank(sf_dir: str, n_iter: int = 20, **kw):
     edges_t = transition_edges(sf_dir).materialize()
 
     # node vocabulary from the events table (not just the edge list)
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type"])
 
     def type_partial(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"event_type": b["event_type"].unique(), "one": np.int64(1)})

@@ -33,6 +33,8 @@ import pyarrow as pa
 
 from open_parse_ray.stages.multimodal import decode_bmp, encode_bmp
 
+from open_parse_ray.sources.tables import table_path
+
 GLYPH_W, GLYPH_H = 5, 7
 ADVANCE = GLYPH_W + 1  # 1 blank column of letter spacing
 LINE_SPACING = 3  # blank rows between line bands
@@ -222,7 +224,7 @@ def ocr_pipeline(sf_dir: str):
     text exactly for every document."""
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def typeset(b: pd.DataFrame) -> pa.Table:
         ids, payloads = [], []

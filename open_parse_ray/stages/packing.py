@@ -25,6 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from open_parse_ray.sources.tables import table_path
+
 
 def scan_pack(tok, seq_len: int, bucket_size: int, order_cols=("key",)):
     """Generic distributed prefix scan over a Dataset with columns
@@ -102,7 +104,7 @@ def pack_offsets(sf_dir: str, seq_len: int = 512, bucket_size: int = 4096):
 
     from open_parse_ray.stages.analysis import n_tokens_sql_semantics
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def tokens(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["doc_id"].to_numpy(dtype=np.int64)

@@ -27,6 +27,8 @@ from open_parse_ray.functions.pdf import (
 )
 from open_parse_ray.model import Node
 
+from open_parse_ray.sources.tables import table_path
+
 
 def parse_pdf_page(
     pdf_bytes: bytes, pipeline=None
@@ -131,7 +133,7 @@ def pdf_extract_text(sf_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
     ).map_batches(
         TypesetExtract(),  # stateless → task pool (no per-query actor spin-up)
         batch_format="pandas",
@@ -180,7 +182,7 @@ def pdf_docs(sf_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
     ).map_batches(
         TypesetExtractNodes(),  # cheap-init kernel → task pool
         batch_format="pandas",

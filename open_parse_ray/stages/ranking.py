@@ -37,6 +37,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from open_parse_ray.sources.tables import table_path
+
 _ID_BITS = 40  # composite key = (value << 40) | id ; requires id < 2^40
 _ID_MASK = (1 << _ID_BITS) - 1
 
@@ -262,7 +264,7 @@ def grouped_rank_events(sf_dir: str):
     from open_parse_ray.stages.relational import _cents
 
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+        table_path(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     )
 
     # tiny driver step: stable gid per distinct type (sorted)

@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from open_parse_ray.sources.tables import table_path
+
 
 def _cents(x: pd.Series) -> pd.Series:
     # round-half-AWAY-from-zero to match SQL round() (numpy rounds half to
@@ -149,7 +151,7 @@ def revenue_by_returnflag(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+        table_path(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
@@ -185,8 +187,8 @@ def customers_by_region(sf_dir: str):
     import ray
     import ray.data as rd
 
-    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
-    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    nation = pd.read_parquet(table_path(sf_dir, "nation"))
+    region = pd.read_parquet(table_path(sf_dir, "region"))
     nk_to_region = dict(
         zip(
             nation["n_nationkey"],
@@ -198,7 +200,7 @@ def customers_by_region(sf_dir: str):
     ref = ray.put(nk_to_region)
 
     ds = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+        table_path(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"]
     )
 
     class JoinAndPartial:
@@ -247,7 +249,7 @@ def events_hourly(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        table_path(sf_dir, "events"), columns=["ts", "event_type", "value"]
     )
 
     def partial(t: "pa.Table") -> "pa.Table":
@@ -321,11 +323,11 @@ def orders_customer_join(sf_dir: str):
         )
 
     orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
+        table_path(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
     cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     ).map_batches(proj_cust, batch_format="pyarrow", batch_size=65536)
 
     def join(part: pd.DataFrame) -> pd.DataFrame:
@@ -357,7 +359,7 @@ def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
     import ray.data as rd
 
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        table_path(sf_dir, "events"), columns=["ts", "event_type", "value"]
     )
     k = window_s // slide_s
 
@@ -410,7 +412,7 @@ def events_with_prev(sf_dir: str):
     from open_parse_ray.stages.dedup import salted_groupby
 
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
     )
 
     def lag(part: pd.DataFrame) -> pd.DataFrame:
@@ -438,7 +440,7 @@ def sessions_per_user(sf_dir: str, gap_minutes: int = 30):
     import ray.data as rd
 
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        table_path(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
     )
 
     from open_parse_ray.stages.dedup import salted_groupby
@@ -485,12 +487,17 @@ def local_supplier_revenue(sf_dir: str):
     from open_parse_ray.stages.dedup import salted_groupby_arrow
 
     sup = pd.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
     )
-    nat = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    sup_ref = ray.put(
-        dict(zip(sup["s_suppkey"].astype("int64"), sup["s_nationkey"].astype("int64")))
+    nat = pd.read_parquet(table_path(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    # dense suppkey→nationkey array (suppkeys are small dense ints): the
+    # per-batch lookup is one numpy fancy-index instead of a Python-dict
+    # Series.map over every lineitem row
+    sup_arr = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+    sup_arr[sup["s_suppkey"].to_numpy(dtype=np.int64)] = sup["s_nationkey"].to_numpy(
+        dtype=np.int64
     )
+    sup_ref = ray.put(sup_arr)
     name_map = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
 
     # --- shuffle 1: orders ⋈ customer on custkey → (o_orderkey, c_nationkey)
@@ -518,10 +525,10 @@ def local_supplier_revenue(sf_dir: str):
         )
 
     orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
     ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
     cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
     ).map_batches(proj_cust, batch_format="pyarrow", batch_size=65536)
 
     def join_orders_cust(part: pd.DataFrame) -> pd.DataFrame:
@@ -546,37 +553,47 @@ def local_supplier_revenue(sf_dir: str):
         def __init__(self, ref):
             self.s_nation = ray.get(ref)
 
-        def __call__(self, b: pd.DataFrame) -> "pa.Table":
+        def __call__(self, t: pa.Table) -> pa.Table:
             # pre-aggregate by (orderkey, supplier-nation) BEFORE the
             # shuffle: ~4 lineitems/order collapse to ≤|nations| rows per
             # order, so join #2 moves a fraction of the lineitem rows.
-            # Emitted as Arrow so the union with proj_o_c is single-format
-            # (mixed pandas/arrow blocks break Ray's batch builder).
-            df = pd.DataFrame(
+            # Fully Arrow/numpy: dense-array nation lookup + the shared
+            # composite-code partial helper (no pandas block, no dict map).
+            snat = self.s_nation[
+                t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ]
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            g = _arrow_group_aggs(
                 {
-                    "key": b["l_orderkey"].astype("int64"),
-                    "s_nationkey": b["l_suppkey"]
-                    .astype("int64")
-                    .map(self.s_nation)
-                    .astype("int64"),
-                    "rev_cents": _cents(b["l_extendedprice"] * (1 - b["l_discount"])),
-                    "n": np.int64(1),
+                    "key": t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    "s_nationkey": snat,
+                },
+                {
+                    "rev_cents": ("sum", _cents(price * (1 - disc))),
+                    "n": ("count", None),
+                },
+                t.num_rows,
+            )
+            n = g.num_rows
+            return pa.table(
+                {
+                    "key": g["key"],
+                    "side": pa.array(np.zeros(n, dtype=np.int64)),
+                    "s_nationkey": g["s_nationkey"],
+                    "rev_cents": g["rev_cents"],
+                    "n": g["n"],
+                    "c_nationkey": pa.array(np.full(n, -1, dtype=np.int64)),
                 }
             )
-            g = df.groupby(["key", "s_nationkey"], as_index=False).agg(
-                rev_cents=("rev_cents", "sum"), n=("n", "sum")
-            )
-            g.insert(1, "side", np.int64(0))
-            g["c_nationkey"] = np.int64(-1)
-            return pa.Table.from_pandas(g, preserve_index=False)
 
     li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+        table_path(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(
         TagLineitem,
         fn_constructor_args=(sup_ref,),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=65536,
         concurrency=(1, 8),
     )
@@ -634,7 +651,7 @@ def distinct_users_by_type(sf_dir: str):
 
     from open_parse_ray.stages.dedup import salted_groupby
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type", "user_id"])
 
     pairs = ds.map_batches(
         lambda b: b.drop_duplicates(["event_type", "user_id"]),
@@ -670,7 +687,7 @@ def events_quantiles(sf_dir: str, ps=(25, 50, 75, 90, 99)):
     Returns (event_type, p_pct, v_cents)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type", "value"])
 
     def partial(t: "pa.Table") -> "pa.Table":
         return _arrow_group_aggs(
@@ -739,7 +756,7 @@ def events_followup(sf_dir: str, window_s: int = 1800):
     from open_parse_ray.stages.dedup import salted_groupby
 
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
     ).map_batches(
         lambda b: b[b["event_type"].isin(["view", "click"])],
         batch_format="pandas",
@@ -802,7 +819,7 @@ def events_asof_prev_click(sf_dir: str):
     from open_parse_ray.stages.dedup import salted_groupby
 
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
     ).map_batches(
         lambda b: b[b["event_type"].isin(["error", "click"])],
         batch_format="pandas",
@@ -888,10 +905,10 @@ def customers_no_urgent_orders(sf_dir: str):
         )
 
     cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"]
     ).map_batches(proj_cust, batch_format="pyarrow", batch_size=65536)
     orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
+        table_path(sf_dir, "orders"),
         columns=["o_custkey"],
         filter=pads.field("o_orderpriority") == "1-URGENT",
     ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
@@ -924,7 +941,7 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
     from open_parse_ray.stages.dedup import salted_groupby
 
     ds = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
     ).map_batches(
         lambda b: pd.DataFrame(
             {
@@ -963,7 +980,7 @@ def events_props_stats(sf_dir: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type", "props"])
     flat_k = _re.compile(r'^\{"k":\s*(-?\d+)\}$')
 
     def extract_k(s: str):
@@ -1008,7 +1025,7 @@ def parts_by_brand(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice", "p_size"]
+        table_path(sf_dir, "part"), columns=["p_brand", "p_retailprice", "p_size"]
     )
 
     def partial(t: "pa.Table") -> "pa.Table":
@@ -1089,7 +1106,7 @@ def approx_distinct_users(sf_dir: str):
     rows-only driver check. Returns (event_type, approx_users)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type", "user_id"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -1141,7 +1158,7 @@ def orders_topk_by_value(sf_dir: str, k: int = 20):
     import ray.data as rd
 
     ds = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -1177,7 +1194,7 @@ def events_user_rolling(sf_dir: str, frame: int = 3):
     from open_parse_ray.stages.dedup import salted_groupby
 
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
     )
 
     def add_cents(b: pd.DataFrame) -> pd.DataFrame:

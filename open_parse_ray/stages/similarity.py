@@ -17,6 +17,8 @@ from typing import List, Optional
 import numpy as np
 import pandas as pd
 
+from open_parse_ray.sources.tables import table_path
+
 
 def default_query_vectors(n: int = 1, dim: int = 64) -> np.ndarray:
     """Deterministic query vectors: sin-wave family, unit-normalized.
@@ -45,7 +47,7 @@ def knn_brute_force(
     qref = ray.put(np.ascontiguousarray(queries, dtype=np.float64))
 
     ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
 
     class PartialTopK:
@@ -135,7 +137,7 @@ def ann_lsh_topk(
     qref = ray.put((np.ascontiguousarray(queries, dtype=np.float64), probe_sets))
 
     ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
 
     class ProbeBuckets:
@@ -239,7 +241,7 @@ def ann_ivf_topk(
         queries = default_query_vectors(1)
 
     # bounded sample read for the coarse quantizer (first row group)
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    pf = pq.ParquetFile(table_path(sf_dir, "embeddings"))
     sample_tbl = pf.read_row_group(0, columns=["embedding"])
     sample = np.array(
         [np.asarray(e, dtype=np.float64) for e in sample_tbl["embedding"].to_pylist()]
@@ -253,7 +255,7 @@ def ann_ivf_topk(
     qref = ray.put((qn, cents, probe_cells))
 
     ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
 
     class ProbeCells:
@@ -484,7 +486,7 @@ def ann_lsh_topk_copart(
         )
 
     base = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     ).map_batches(v_rows, batch_format="pandas", batch_size=8192)
     qside = queries_ds.map_batches(q_rows, batch_format="pandas", batch_size=8192)
 
@@ -518,7 +520,7 @@ def ann_ivf_topk_copart(
     if queries_ds is None:
         queries_ds = _default_queries_ds(1)
 
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    pf = pq.ParquetFile(table_path(sf_dir, "embeddings"))
     sample_tbl = pf.read_row_group(0, columns=["embedding"])
     sample = np.array(
         [np.asarray(e, dtype=np.float64) for e in sample_tbl["embedding"].to_pylist()]
@@ -579,7 +581,7 @@ def ann_ivf_topk_copart(
         )
 
     base = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     ).map_batches(v_rows, batch_format="pandas", batch_size=8192)
     qside = queries_ds.map_batches(q_rows, batch_format="pandas", batch_size=8192)
 
@@ -734,7 +736,7 @@ def ann_pq_topk(
 
     if queries is None:
         queries = default_query_vectors(1)
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    pf = pq.ParquetFile(table_path(sf_dir, "embeddings"))
     sample_tbl = pf.read_row_group(0, columns=["embedding"])
     sample = np.array(
         [np.asarray(e, dtype=np.float64) for e in sample_tbl["embedding"].to_pylist()]
@@ -751,7 +753,7 @@ def ann_pq_topk(
     ref = ray.put((qn, books, luts))
 
     ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
     )
 
     class PQScan:
@@ -819,7 +821,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3, n_chunks: int =
     from open_parse_ray.stages.dedup import salted_groupby
 
     ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
     )
     rep = ds.map_batches(
         lambda b: _neardup_replicate(b, n_chunks),
@@ -873,7 +875,7 @@ def semdedup_pairs(
     centroids = kmeans_fit(sf_dir, k=k, iters=iters)
     cent_ref = ray.put(centroids)
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     def relabel(b: pd.DataFrame) -> pd.DataFrame:
         cents = ray.get(cent_ref)
@@ -941,7 +943,7 @@ def semdedup_keep(
         )
         .materialize()
     )
-    ids_ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    ids_ds = rd.read_parquet(table_path(sf_dir, "embeddings"), columns=["vec_id"])
 
     if pairs_ds.count() <= max_driver_pairs:
         rows = pairs_ds.take_all()
