@@ -409,6 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts_learned": _q_bpe_apply,
         "dup_span_excise": dedup.dup_span_excise,
+        # round-4 additions: oracle-backed, tail position
+        "bm25_topk": analysis.bm25_lite_topk,
     }
 
 
@@ -865,6 +867,26 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS rank
                   FROM tf JOIN df USING (term))
             SELECT doc_id, rank, term, tf, df FROM j WHERE rank <= 3
+        """,
+        "bm25_topk": """
+            WITH q(term) AS (VALUES ('window'), ('join'), ('scan')),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ),
+            tf AS (SELECT doc_id, w.term, CAST(count(*) AS BIGINT) AS tf
+                   FROM w JOIN q ON w.term = q.term GROUP BY doc_id, w.term),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            s AS (SELECT tf.doc_id,
+                         CAST(sum(tf.tf * ((n.n * 1000) // df.df)) AS BIGINT) AS score
+                  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+                  GROUP BY tf.doc_id)
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                       AS rank,
+                   doc_id, score
+            FROM s ORDER BY score DESC, doc_id LIMIT 20
         """,
         "doc_tiers": """
             WITH t AS (

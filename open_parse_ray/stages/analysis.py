@@ -755,6 +755,109 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
         topk_per_doc,
     )
 
+DEFAULT_BM25_QUERY = ("window", "join", "scan")
+
+
+def bm25_lite_topk(sf_dir: str, query_terms=DEFAULT_BM25_QUERY, k: int = 20):
+    """Corpus retrieval scoring — rank documents against a term query by
+    integer-exact idf-weighted term frequency:
+
+        score(d) = Σ_t tf(d,t) · ((N·1000) // df(t))
+
+    (a BM25-family score with the saturation/length terms dropped so
+    every intermediate is an int64 — the repo's integer-oracle
+    discipline; N = |documents|, fixed-point idf with 3 digits). Ties
+    break on doc_id ascending. Returns (rank, doc_id, score).
+
+    Scale shape: the query term set broadcasts (tiny); one pass emits
+    (doc_id, term, tf) rows ONLY for query terms (≤|query| rows per
+    doc); df comes from a bounded combine of per-term row counts
+    (≤|query| values, driver-held and re-broadcast); scores fold through
+    a salted doc_id exchange with per-partition top-k before one final
+    k-row sort — the corpus text crosses no exchange and no global sort
+    runs. Exact SQL oracle (same integer arithmetic in DuckDB)."""
+    from collections import Counter
+
+    import ray
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    qset = frozenset(query_terms)
+    qref = ray.put(qset)
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    n_docs = read_documents(sf_dir, columns=["doc_id"]).count()
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        doc_ids, terms, tfs = [], [], []
+        for d, t in zip(b["doc_id"].to_numpy(), b["text"]):
+            t = t.strip()
+            if not t:
+                continue
+            c = Counter(w for w in _WS_SPLIT.split(t) if w in q)
+            doc_ids.extend([int(d)] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                "term": terms,
+                "tf": np.asarray(tfs, dtype=np.int64),
+            }
+        )
+
+    tf = ds.map_batches(tf_rows, batch_format="pandas", batch_size=8192).materialize()
+
+    # df per query term: one row per (doc, term) → df is the row count.
+    # Bounded by |query| → safe driver combine + re-broadcast.
+    from open_parse_ray.stages.relational import _combine_partials
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("term", as_index=False).size()
+        return g.rename(columns={"size": "df"}).astype({"df": "int64"})
+
+    df_tbl = _combine_partials(
+        tf.map_batches(df_partial, batch_format="pandas", batch_size=65536),
+        ["term"],
+        {"df": "sum"},
+    ).to_pandas()
+    idf = {
+        t: (n_docs * 1000) // int(d) for t, d in zip(df_tbl["term"], df_tbl["df"])
+    }
+    idf_ref = ray.put(idf)
+
+    def score_partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(idf_ref)
+        s = b["tf"].to_numpy(dtype=np.int64) * np.fromiter(
+            (w[t] for t in b["term"]), dtype=np.int64, count=len(b)
+        )
+        g = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(dtype=np.int64), "s": s})
+        return g.groupby("doc_id", as_index=False).agg(score=("s", "sum"))
+
+    scores = tf.map_batches(score_partial, batch_format="pandas", batch_size=65536)
+
+    def sum_and_topk(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("doc_id", as_index=False).agg(score=("score", "sum"))
+        return g.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+
+    per_part = salted_groupby(scores, lambda b: b["doc_id"], sum_and_topk)
+
+    def add_rank(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        b = b.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(b) + 1, dtype=np.int64),
+                "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+                "score": b["score"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return per_part.repartition(1).map_batches(
+        add_rank, batch_format="pandas", batch_size=None
+    )
+
+
 def compression_ratios(sf_dir: str):
     """Per-document zlib compression ratio — the classic cheap quality
     signal (highly repetitive / templated text compresses far better

@@ -9,6 +9,16 @@ long alphanumeric runs charged one extra token per 8 characters (mirroring
 BPE's splitting of long words). The count is a pure function of the string,
 identical across processes and parallelism levels, which is what the node
 thresholds (stub < 50, small < 256, large > 1024) require.
+
+Round-4 re-probe (r3-verdict worklist #5): the environment still has no
+tiktoken package, no tokenizers/transformers, no cached cl100k_base vocab
+file anywhere on disk, and no network — both the vendor path and the
+quantified-delta gate (which needs a tiktoken-computed sample to diff
+against) remain blocked. The analog stays self-consistency-gated
+(bpe_token_counts oracle) and the swap is one function: replace
+``num_tokens`` with ``tiktoken.get_encoding("cl100k_base")`` behind the
+same per-worker cache when a vocab can be staged (state/weights.py is
+the staging seam).
 """
 
 from __future__ import annotations
