@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_excise": dedup.dup_span_excise,
         # round-4 additions: oracle-backed, tail position
         "bm25_topk": analysis.bm25_lite_topk,
+        "events_funnel": relational.events_funnel,
     }
 
 
@@ -867,6 +868,30 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS rank
                   FROM tf JOIN df USING (term))
             SELECT doc_id, rank, term, tf, df FROM j WHERE rank <= 3
+        """,
+        "events_funnel": """
+            WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                       FROM events WHERE event_type = 'view'),
+            c AS (SELECT user_id, epoch_us(ts) AS t
+                  FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, epoch_us(ts) AS t
+                  FROM events WHERE event_type = 'purchase'),
+            s2 AS (
+              SELECT v.event_id, v.user_id, min(c.t) AS t2
+              FROM v JOIN c ON c.user_id = v.user_id
+                   AND c.t > v.t AND c.t <= v.t + 3600000000
+              GROUP BY v.event_id, v.user_id
+            ),
+            s3 AS (
+              SELECT DISTINCT s2.event_id
+              FROM s2 JOIN p ON p.user_id = s2.user_id
+                   AND p.t > s2.t2 AND p.t <= s2.t2 + 3600000000
+            )
+            SELECT v.user_id,
+                   CAST(count(*) AS BIGINT) AS n_step1,
+                   CAST(count(s3.event_id) AS BIGINT) AS n_completed
+            FROM v LEFT JOIN s3 ON s3.event_id = v.event_id
+            GROUP BY v.user_id
         """,
         "bm25_topk": """
             WITH q(term) AS (VALUES ('window'), ('join'), ('scan')),

@@ -865,6 +865,95 @@ def _asof_probe(part: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"event_id": eid, "prev_click_ts_us": out})
 
 
+def events_funnel(
+    sf_dir: str,
+    steps=("view", "click", "purchase"),
+    window_s: int = 3600,
+):
+    """Three-step funnel with chained FIRST-match semantics: a step-1
+    event completes the funnel iff the user's first step-2 event in
+    (t1, t1+W] exists AND a step-3 event exists in (t2, t2+W] of that
+    first match. Per user: (user_id, n_step1, n_completed). "First" is
+    min-ts (timestamp ties share the same t2, so the chain is
+    tie-deterministic without an id tiebreak — the SQL oracle uses the
+    same min(ts)).
+
+    Plan: ONE salted user exchange (only rows of the three step types
+    ship), then a fully-vectorized per-partition probe: each side is
+    sorted by (user, ts) with the per-user segment-offset trick of
+    events_followup, so every step-1 event's first-match and every
+    chained exists-check is one np.searchsorted — no per-row or
+    per-user Python loop. Same partitioning assumption as
+    events_followup (one user per partition segment, < 2^46 µs span)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda b: b[b["event_type"].isin(list(steps))],
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    window_us = window_s * 1_000_000
+
+    def probe(part: pd.DataFrame) -> pd.DataFrame:
+        return _funnel_probe(part, steps, window_us)
+
+    return salted_groupby(ds, lambda b: b["user_id"], probe)
+
+
+def _funnel_probe(part: pd.DataFrame, steps, window_us: int) -> pd.DataFrame:
+    """Vectorized per-partition funnel probe (see events_funnel);
+    module-level so property tests can drive it against brute force."""
+    ts_us = part["ts"].values.astype("datetime64[us]").astype(np.int64)
+    base_ts = ts_us.min() if len(ts_us) else np.int64(0)
+    ts_us = ts_us - base_ts
+    users = part["user_id"].values.astype(np.int64)
+    etype = part["event_type"].values
+    uniq_users = np.unique(users)
+    nu = len(uniq_users)
+
+    def side(step):
+        m = etype == step
+        u, t = users[m], ts_us[m]
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        seg = np.searchsorted(uniq_users, u)
+        return u, t, seg, seg.astype(np.int64) * _FOLLOWUP_SEG + t
+
+    u1, t1, seg1, _ = side(steps[0])
+    _u2, t2s, seg2s, adj2 = side(steps[1])
+    _u3, _t3s, _seg3s, adj3 = side(steps[2])
+
+    n1 = np.bincount(np.searchsorted(uniq_users, u1), minlength=nu).astype(np.int64)
+    completed = np.zeros(nu, dtype=np.int64)
+    if len(u1) and len(adj2):
+        base1 = seg1.astype(np.int64) * _FOLLOWUP_SEG + t1
+        lo = np.searchsorted(adj2, base1, side="right")  # first step-2 after t1
+        safe = np.minimum(lo, len(adj2) - 1)
+        has2 = (
+            (lo < len(adj2))
+            & (seg2s[safe] == seg1)
+            & (t2s[safe] - t1 <= window_us)
+        )
+        if has2.any() and len(adj3):
+            t2 = t2s[safe]
+            base2 = seg1.astype(np.int64) * _FOLLOWUP_SEG + t2
+            lo3 = np.searchsorted(adj3, base2, side="right")
+            hi3 = np.searchsorted(adj3, base2 + window_us, side="right")
+            done = has2 & (hi3 > lo3)
+            np.add.at(completed, seg1[done], 1)
+    return pd.DataFrame(
+        {
+            "user_id": uniq_users[n1 > 0],
+            "n_step1": n1[n1 > 0],
+            "n_completed": completed[n1 > 0],
+        }
+    ).astype({"user_id": "int64", "n_step1": "int64", "n_completed": "int64"})
+
+
 def customers_no_urgent_orders(sf_dir: str):
     """Distributed ANTI-join: customers with no '1-URGENT' order. Same
     co-partitioned tagged-union shuffle as the hash join, but each

@@ -388,3 +388,67 @@ def test_warc_record_framing_roundtrips_any_payload(records, gz):
         assert row["html"] == payload
         assert row["url"] == url
         assert row["lang"] == "en"
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_funnel_probe_matches_brute_force(data):
+    """The chained first-match funnel probe equals the O(n²) definition:
+    a view completes iff its FIRST same-user click in (t1, t1+W] is
+    followed by any same-user purchase in (t2, t2+W]."""
+    import pandas as pd
+
+    from open_parse_ray.stages.relational import _funnel_probe
+
+    n = data.draw(st.integers(0, 40))
+    window_us = data.draw(st.sampled_from([1, 1000, 60_000_000]))
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": data.draw(st.integers(0, 4)),
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.Timedelta(microseconds=data.draw(st.integers(0, 200))),
+                "event_type": data.draw(
+                    st.sampled_from(["view", "click", "purchase"])
+                ),
+            }
+        )
+    part = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    if len(part) == 0:
+        part = part.astype(
+            {"event_id": "int64", "user_id": "int64",
+             "ts": "datetime64[us]", "event_type": "object"}
+        )
+    got = _funnel_probe(part, ("view", "click", "purchase"), window_us)
+    got = got.set_index("user_id")
+
+    views = part[part["event_type"] == "view"]
+    clicks = part[part["event_type"] == "click"]
+    purch = part[part["event_type"] == "purchase"]
+    w = pd.Timedelta(microseconds=window_us)
+    want_n1, want_done = {}, {}
+    for _, v in views.iterrows():
+        u = v["user_id"]
+        want_n1[u] = want_n1.get(u, 0) + 1
+        c = clicks[
+            (clicks["user_id"] == u)
+            & (clicks["ts"] > v["ts"])
+            & (clicks["ts"] <= v["ts"] + w)
+        ]
+        done = False
+        if len(c):
+            t2 = c["ts"].min()
+            done = bool(
+                (
+                    (purch["user_id"] == u)
+                    & (purch["ts"] > t2)
+                    & (purch["ts"] <= t2 + w)
+                ).any()
+            )
+        want_done[u] = want_done.get(u, 0) + int(done)
+    assert set(got.index) == set(want_n1)
+    for u in want_n1:
+        assert got.loc[u, "n_step1"] == want_n1[u], u
+        assert got.loc[u, "n_completed"] == want_done[u], u
