@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions: oracle-backed, tail position
         "bm25_topk": analysis.bm25_lite_topk,
         "events_funnel": relational.events_funnel,
+        "events_sliding_distinct": relational.events_sliding_distinct,
     }
 
 
@@ -868,6 +869,25 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS rank
                   FROM tf JOIN df USING (term))
             SELECT doc_id, rank, term, tf, df FROM j WHERE rank <= 3
+        """,
+        "events_sliding_distinct": """
+            WITH exploded AS (
+              SELECT e.event_type,
+                     CAST(ws.ws AS BIGINT) AS window_start,
+                     e.user_id
+              FROM events e
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(
+                  ((CAST(floor(epoch(e.ts)) AS BIGINT) - 3600) // 900 + 1) * 900,
+                  CAST(floor(epoch(e.ts)) AS BIGINT) + 1,
+                  900
+                )) AS ws
+              ) ws
+              WHERE ws.ws <= CAST(floor(epoch(e.ts)) AS BIGINT)
+            )
+            SELECT event_type, window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM exploded GROUP BY event_type, window_start
         """,
         "events_funnel": """
             WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS t

@@ -865,6 +865,63 @@ def _asof_probe(part: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"event_id": eid, "prev_click_ts_us": out})
 
 
+def events_sliding_distinct(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
+    """Sliding-window COUNT(DISTINCT user) per event_type — the
+    streaming-audience metric that composes the window explode of
+    events_sliding with the pair-dedup of distinct_users_by_type.
+    Distinctness spans windows, so per-batch partials alone can't
+    finish the job: the plan explodes each event into its (type,
+    window, user) triples, DEDUPES the triples per batch (bounded by
+    distinct triples, not rows), then one salted exchange on
+    hash(type, window, user) co-locates every copy of a triple for an
+    exact per-partition dedup + per-(type, window) partial count, and a
+    tiny combine sums. Full rows never shuffle — only deduped triples.
+    Returns (event_type, window_start, n_users)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["ts", "event_type", "user_id"]
+    )
+    k = window_s // slide_s
+
+    def triples(b: pd.DataFrame) -> pd.DataFrame:
+        e = b["ts"].values.astype("datetime64[s]").astype(np.int64)
+        first_ws = ((e - window_s) // slide_s + 1) * slide_s
+        offs = (np.arange(k) * slide_s)[None, :]
+        ws = (first_ws[:, None] + offs).reshape(-1)
+        mask = ws <= np.repeat(e, k)
+        src = np.nonzero(mask)[0] // k
+        out = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy()[src],
+                "window_start": ws[mask],
+                "user_id": b["user_id"].to_numpy(dtype=np.int64)[src],
+            }
+        )
+        return out.drop_duplicates(ignore_index=True)
+
+    trip = ds.map_batches(triples, batch_format="pandas", batch_size=65536)
+
+    def dedup_count(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.drop_duplicates(["event_type", "window_start", "user_id"])
+        g = d.groupby(["event_type", "window_start"], as_index=False).size()
+        return g.rename(columns={"size": "n_users"}).astype(
+            {"window_start": "int64", "n_users": "int64"}
+        )
+
+    def salt(b: pd.DataFrame) -> pd.Series:
+        return pd.util.hash_pandas_object(
+            b[["event_type", "window_start", "user_id"]], index=False
+        ).astype("int64")
+
+    partials = salted_groupby(trip, salt, dedup_count)
+    return _combine_partials(
+        partials, ["event_type", "window_start"], {"n_users": "sum"}
+    )
+
+
 def events_funnel(
     sf_dir: str,
     steps=("view", "click", "purchase"),
