@@ -167,6 +167,16 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "table_structure_from_images",
         "table_markdown_from_images",
         "ocr_text_from_images",
+        # round-4 operators
+        "bm25_topk",
+        "events_funnel",
+        "events_sliding_distinct",
+        "ann_lsh_copart",
+        "ann_ivf_copart",
+        "c4_line_filter",
+        "paragraph_dedup",
+        "heavy_hitter_terms",
+        "lang_mix_rebalance",
     ]
 
     timings: dict[str, float] = {}
