@@ -141,7 +141,9 @@ class TesseractShim:
                 width, height = x1, y1
             if int(row["level"]) != 5 or not row["text"].strip():
                 continue
-            key = (row["block_num"], row["par_num"], row["line_num"])
+            # numeric key: string TSV fields sort '10' before '2' and
+            # would scramble reading order on any 10+-line block
+            key = (int(row["block_num"]), int(row["par_num"]), int(row["line_num"]))
             ln = lines.setdefault(
                 key, {"bbox": [x0, y0, x1, y1], "spans": []}
             )

@@ -27,23 +27,32 @@ from typing import Dict, Optional
 
 ROW_GROUP_SIZE = 32768
 _CACHE_ROOT = "/tmp/opr_cache/rg_v1"
-_memo: Dict[str, str] = {}
+_memo: Dict[tuple, str] = {}
 _lock = threading.Lock()
 
 
 def table_path(sf_dir: str, name: str) -> str:
     """Path to scan for ``{sf_dir}/{name}.parquet`` — the original file,
-    or a one-time splittable (multi-row-group) copy of it."""
+    or a one-time splittable (multi-row-group) copy of it. The memo key
+    includes the source's (size, mtime) so regenerating the file during
+    this process's lifetime re-resolves instead of serving a stale
+    relayout (one os.stat per call — the metadata read is what the memo
+    actually amortizes)."""
     src = os.path.join(sf_dir, f"{name}.parquet")
-    hit = _memo.get(src)
+    try:
+        st = os.stat(src)
+        key = (src, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return src  # caller surfaces the read error
+    hit = _memo.get(key)
     if hit is not None:
         return hit
     with _lock:
-        hit = _memo.get(src)
+        hit = _memo.get(key)
         if hit is not None:
             return hit
         out = _resolve(src)
-        _memo[src] = out
+        _memo[key] = out
         return out
 
 

@@ -38,6 +38,11 @@ def _dict_codes(arr):
         arr = pc.dictionary_encode(arr)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+    if arr.null_count:
+        # a null index would round-trip through float NaN → garbage
+        # int64 code and silently land in an arbitrary group (pandas
+        # groupby DROPPED null keys); refuse loudly instead
+        raise ValueError("_arrow_group_aggs: null key values are unsupported")
     return (
         arr.indices.to_numpy(zero_copy_only=False).astype(np.int64),
         arr.dictionary,
@@ -559,9 +564,13 @@ def local_supplier_revenue(sf_dir: str):
             # order, so join #2 moves a fraction of the lineitem rows.
             # Fully Arrow/numpy: dense-array nation lookup + the shared
             # composite-code partial helper (no pandas block, no dict map).
-            snat = self.s_nation[
-                t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ]
+            sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(sk) and (sk.max() >= len(self.s_nation) or sk.min() < 0):
+                raise ValueError("lineitem l_suppkey outside supplier key range")
+            snat = self.s_nation[sk]
+            if (snat < 0).any():  # dense-array gap = FK violation; the old
+                # dict .map raised here too — never drop revenue silently
+                raise ValueError("lineitem l_suppkey missing from supplier")
             price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
             disc = t["l_discount"].to_numpy(zero_copy_only=False)
             g = _arrow_group_aggs(

@@ -65,7 +65,10 @@ def knn_brute_force(
             out_q, out_v, out_s = [], [], []
             for qi in range(sims.shape[1]):
                 col = sims[:, qi]
-                top = np.argsort(-col, kind="stable")[: self.k]
+                # tie-break by vec_id at the truncation boundary so the
+                # surviving candidate set is partition/batch-order
+                # independent (exact-duplicate embeddings tie exactly)
+                top = np.lexsort((vec_ids, -col))[: self.k]
                 out_q.extend([qi] * len(top))
                 out_v.extend(vec_ids[top].tolist())
                 out_s.extend(col[top].tolist())
@@ -166,7 +169,7 @@ def ann_lsh_topk(
                     continue
                 col = sims[sel, qi]
                 ids = vec_ids[sel]
-                top = np.argsort(-col, kind="stable")[: self.k]
+                top = np.lexsort((ids, -col))[: self.k]  # vec_id tie-break
                 out_q.extend([qi] * len(top))
                 out_v.extend(ids[top].tolist())
                 out_s.extend(col[top].tolist())
@@ -285,7 +288,7 @@ def ann_ivf_topk(
                     continue
                 col = sims[sel, qi]
                 ids = vec_ids[sel]
-                top = np.argsort(-col, kind="stable")[: self.k]
+                top = np.lexsort((ids, -col))[: self.k]  # vec_id tie-break
                 out_q.extend([qi] * len(top))
                 out_v.extend(ids[top].tolist())
                 out_s.extend(col[top].tolist())
@@ -371,7 +374,7 @@ def _bucket_topk_partials(part: pd.DataFrame, k: int) -> pd.DataFrame:
         qids = qs["id"].to_numpy(dtype=np.int64)
         for qi in range(sims.shape[1]):
             col = sims[:, qi]
-            top = np.argsort(-col, kind="stable")[:k]
+            top = np.lexsort((vec_ids, -col))[:k]  # vec_id tie-break
             out_q.extend([int(qids[qi])] * len(top))
             out_v.extend(vec_ids[top].tolist())
             out_s.extend(col[top].tolist())

@@ -69,8 +69,11 @@ def _run_keyed_shard(part: int, files: List[str], keyed_dir: str) -> Dict:
 
     t0 = time.perf_counter()
     pdir = _part_dir(keyed_dir, part)
+    # clear stale tmp dirs from ANY previous pid — a kill -9 mid-write
+    # leaves part=N.tmp.<oldpid> behind, and phase 2 must never see it
+    for stale in glob.glob(pdir + ".tmp.*"):
+        shutil.rmtree(stale, ignore_errors=True)
     tmp = pdir + f".tmp.{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
 
     # Dataset construction serialized for the same fsspec lazy-import
@@ -176,7 +179,15 @@ def run_curation_job(
 
     from open_parse_ray.stages.curation import curate_from_keyed
 
-    part_files = sorted(glob.glob(os.path.join(keyed_dir, "part=*", "*.parquet")))
+    # ONLY _SUCCESS-committed partitions feed phase 2: a bare
+    # "part=*/*.parquet" glob would also match stale "part=N.tmp.<pid>"
+    # dirs left by a killed writer and silently merge partial/duplicate
+    # rows (the done_parts discipline of state/lineage.py)
+    part_files = sorted(
+        f
+        for p in _done_parts(keyed_dir)
+        for f in glob.glob(os.path.join(_part_dir(keyed_dir, p), "*.parquet"))
+    )
     keyed = rd.read_parquet(part_files)
     out = curate_from_keyed(
         keyed, k_tiers=k_tiers, train_pct=train_pct, val_pct=val_pct
@@ -190,11 +201,18 @@ def run_curation_job(
     with open(os.path.join(final_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
 
+    # resume-accurate totals: sum over EVERY committed part's lineage,
+    # not just the parts that ran in this invocation
+    n_docs_keyed = 0
+    for p in _done_parts(keyed_dir):
+        with open(os.path.join(_part_dir(keyed_dir, p), "lineage.json")) as f:
+            n_docs_keyed += json.load(f)["n_docs"]
     return {
         "n_parts": len(shards),
         "skipped": sorted(done),
         "ran": [c["part"] for c in completed],
         "lineage": completed,
+        "n_docs_keyed": n_docs_keyed,
         "final": final_dir,
     }
 

@@ -350,6 +350,8 @@ def test_tesseract_shim_tsv_parse(monkeypatch):
 
     from open_parse_ray.functions.ocr import TesseractShim
 
+    # line_num 10 present: keys must sort NUMERICALLY (string keys
+    # would order '10' before '2' and scramble reading order)
     tsv = (
         "level\tpage_num\tblock_num\tpar_num\tline_num\tword_num\t"
         "left\ttop\twidth\theight\tconf\ttext\n"
@@ -357,6 +359,7 @@ def test_tesseract_shim_tsv_parse(monkeypatch):
         "5\t1\t1\t1\t1\t1\t10\t20\t30\t10\t96\tHello\n"
         "5\t1\t1\t1\t1\t2\t45\t20\t40\t10\t95\tworld\n"
         "5\t1\t1\t1\t2\t1\t10\t40\t50\t10\t91\tsecond\n"
+        "5\t1\t1\t1\t10\t1\t10\t90\t20\t10\t90\tlast\n"
     )
 
     def fake_run(cmd, capture_output=True, check=True):
@@ -373,5 +376,7 @@ def test_tesseract_shim_tsv_parse(monkeypatch):
     assert [ln["bbox"] for ln in block["lines"]] == [
         (10.0, 20.0, 85.0, 30.0),
         (10.0, 40.0, 60.0, 50.0),
+        (10.0, 90.0, 30.0, 100.0),
     ]
     assert [s["text"] for s in block["lines"][0]["spans"]] == ["Hello", "world"]
+    assert block["lines"][2]["spans"][0]["text"] == "last"

@@ -82,7 +82,7 @@ def main() -> None:
                     "job": "curation",
                     "n_parts": res["n_parts"],
                     "resumed_parts_skipped": len(res["skipped"]),
-                    "n_docs_keyed": sum(r["n_docs"] for r in res["lineage"]),
+                    "n_docs_keyed": res["n_docs_keyed"],
                     "final": res["final"],
                     "job_wall_s": round(time.perf_counter() - t0, 3),
                 }
