@@ -413,6 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": analysis.bm25_lite_topk,
         "events_funnel": relational.events_funnel,
         "events_sliding_distinct": relational.events_sliding_distinct,
+        "keep_best_dedup": dedup.keep_best_dedup,
+        "leakage_safe_splits": web.leakage_safe_splits,
     }
 
 
@@ -869,6 +871,49 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS rank
                   FROM tf JOIN df USING (term))
             SELECT doc_id, rank, term, tf, df FROM j WHERE rank <= 3
+        """,
+        "keep_best_dedup": """
+            WITH g AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY
+                         lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))
+                       ORDER BY n_chars DESC, doc_id
+                     ) AS rn,
+                     count(*) OVER (
+                       PARTITION BY
+                         lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))
+                     ) AS n_copies
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM g WHERE rn = 1
+        """,
+        "leakage_safe_splits": """
+            WITH c AS (
+              SELECT doc_id,
+                     'https://' || source || '.org/d/' || CAST(doc_id % 50 AS VARCHAR) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '?page=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+                     AS canonical_url
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY canonical_url) AS rep_doc_id
+              FROM c
+            )
+            SELECT doc_id, rep_doc_id,
+                   ((rep_doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+                   CASE
+                     WHEN ((rep_doc_id * 2654435761) % 4294967296) % 100 < 80
+                       THEN 'train'
+                     WHEN ((rep_doc_id * 2654435761) % 4294967296) % 100 < 90
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM r
         """,
         "events_sliding_distinct": """
             WITH exploded AS (

@@ -1747,6 +1747,58 @@ def char_jaccard_pairs(sf_dir: str, sample_mod: int = 50, threshold: float = 0.5
 _WS_RE = re.compile(r"[ \t\n\r]+")
 
 
+def keep_best_dedup(sf_dir: str):
+    """Normalized exact dedup keeping the BEST member, not the first:
+    per normalized-distinct text, survive the copy with the most raw
+    characters (formatting/casing preserved), ties broken by min
+    doc_id — the "keep the richest duplicate" policy real curation
+    pipelines use instead of min-id. Returns (doc_id, n_copies,
+    n_chars) for each surviving doc.
+
+    Same scale shape as normalized_exact_dedup: the exchange carries a
+    16-byte normalized fp + two ints per row, never text; the argmax
+    runs vectorized per partition. Full SQL oracle (row_number over the
+    same normalization expression)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"]
+    )
+
+    def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_chars": batch["n_chars"].astype("int64"),
+                "fp": [
+                    hashlib.md5(
+                        _WS_RE.sub(" ", t).strip().lower().encode()
+                    ).hexdigest()
+                    for t in batch["text"]
+                ],
+            }
+        )
+
+    hashed = ds.map_batches(add_fp, batch_format="pandas", batch_size=8192)
+
+    def best(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["fp", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        g = part.groupby("fp", as_index=False).agg(
+            doc_id=("doc_id", "first"),
+            n_chars=("n_chars", "first"),
+            n_copies=("doc_id", "size"),
+        )
+        return g[["doc_id", "n_copies", "n_chars"]].astype(
+            {"doc_id": "int64", "n_copies": "int64", "n_chars": "int64"}
+        )
+
+    return salted_groupby(
+        hashed, lambda b: b["fp"].str[:8].apply(int, base=16), best
+    )
+
+
 def normalized_exact_dedup(sf_dir: str):
     """Exact dedup AFTER text normalization (lowercase + collapse ASCII
     whitespace runs + strip) — the CCNet-style "near-exact" first pass

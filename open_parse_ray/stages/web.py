@@ -150,6 +150,65 @@ def url_canonical_dedup(sf_dir: str):
     )
 
 
+def leakage_safe_splits(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
+    """Train/val/test split with DUPLICATE-GROUP cohesion: every member
+    of one canonical-URL duplicate group lands in the SAME split,
+    because the Knuth bucket hashes the group REPRESENTATIVE (min
+    doc_id), not each member. A per-doc split (split_assignments) leaks
+    near-identical pages across train/test; this closes that leak for
+    the URL-dup relation (the same rep-keyed trick composes with any
+    dedup rep map). Returns (doc_id, rep_doc_id, bucket, split).
+
+    Scale shape: the canonical key is a closed-form per-batch map (no
+    text); ONE salted exchange on the canonical string computes each
+    group's min and re-emits the members with their rep — identical
+    arithmetic to split_assignments applied to rep_doc_id, hence a full
+    SQL oracle."""
+    from open_parse_ray.stages.analysis import read_documents
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    def to_canon(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "canonical_url": [canonicalize_url(u) for u in _messy_urls(b)],
+                "doc_id": b["doc_id"].astype("int64"),
+            }
+        )
+
+    canon = read_documents(sf_dir, columns=["doc_id", "source"]).map_batches(
+        to_canon, batch_format="pandas", batch_size=65536
+    )
+
+    def assign(part: pd.DataFrame) -> pd.DataFrame:
+        rep = (
+            part.groupby("canonical_url")["doc_id"].transform("min").to_numpy(np.int64)
+        )
+        bucket = (
+            (rep.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        ) % np.uint64(100)
+        bucket = bucket.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": part["doc_id"].to_numpy(dtype=np.int64),
+                "rep_doc_id": rep,
+                "bucket": bucket,
+                "split": np.where(
+                    bucket < train_pct,
+                    "train",
+                    np.where(bucket < train_pct + val_pct, "val", "test"),
+                ),
+            }
+        )
+
+    return salted_groupby(
+        canon,
+        lambda b: pd.util.hash_pandas_object(b["canonical_url"], index=False).astype(
+            "int64"
+        ),
+        assign,
+    )
+
+
 def url_domain_stats(sf_dir: str):
     """Per-registered-domain corpus composition: document count and
     total characters — the over-representation report used to cap hot

@@ -416,3 +416,31 @@ def test_domain_quality_filter_thresholds_and_survivors(ray_session):
     n_good_docs = int(stats[stats["domain"].isin(good)]["n_docs"].sum())
     assert len(out) == n_good_docs
     assert out["doc_id"].is_unique
+
+
+def test_leakage_safe_splits_group_cohesion(ray_session):
+    """Every canonical-URL duplicate group lands in ONE split, and the
+    operator is not vacuous: at least one group's members would straddle
+    splits under the per-doc assignment."""
+    import numpy as np
+    import pandas as pd
+
+    from open_parse_ray.stages.web import leakage_safe_splits
+
+    sf = "/root/testdata/sf0.001"
+    out = leakage_safe_splits(sf).to_pandas()
+    g = out.groupby("rep_doc_id")["split"].nunique()
+    assert (g == 1).all()  # cohesion
+    # non-vacuous: per-doc buckets differ within some multi-member group
+    ids = out["doc_id"].to_numpy().astype(np.uint64)
+    per_doc = ((ids * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(100)
+    out = out.assign(per_doc_bucket=per_doc.astype(np.int64))
+    sizes = out.groupby("rep_doc_id")["doc_id"].transform("size")
+    multi = out[sizes > 1]
+    assert multi.groupby("rep_doc_id")["per_doc_bucket"].nunique().gt(1).any()
+    # rep is a member of its own group and carries its own bucket
+    reps = out[out["doc_id"] == out["rep_doc_id"]]
+    assert (reps["bucket"].to_numpy() == (
+        (reps["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
+        % np.uint64(2**32) % np.uint64(100)
+    ).astype(np.int64)).all()
