@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_distinct": relational.events_sliding_distinct,
         "keep_best_dedup": dedup.keep_best_dedup,
         "leakage_safe_splits": web.leakage_safe_splits,
+        "source_ngram_overlap": analysis.source_ngram_overlap,
     }
 
 
@@ -871,6 +872,32 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS rank
                   FROM tf JOIN df USING (term))
             SELECT doc_id, rank, term, tf, df FROM j WHERE rank <= 3
+        """,
+        "source_ngram_overlap": """
+            WITH w AS (
+              SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents WHERE trim(text) <> ''
+            ),
+            g AS (
+              SELECT DISTINCT w.source,
+                     ws[i.i + 1] || ' ' || ws[i.i + 2] || ' ' || ws[i.i + 3] AS ng
+              FROM w
+              CROSS JOIN LATERAL (SELECT unnest(range(len(ws) - 2)) AS i) i
+              WHERE len(ws) >= 3
+            ),
+            pairs AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM g a JOIN g b ON a.ng = b.ng AND a.source < b.source
+              GROUP BY a.source, b.source
+            ),
+            tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ngrams
+                    FROM g GROUP BY source)
+            SELECT p.source_a, p.source_b, p.n_common,
+                   ta.n_ngrams AS n_a, tb.n_ngrams AS n_b
+            FROM pairs p
+            JOIN tot ta ON ta.source = p.source_a
+            JOIN tot tb ON tb.source = p.source_b
         """,
         "keep_best_dedup": """
             WITH g AS (

@@ -177,6 +177,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "paragraph_dedup",
         "heavy_hitter_terms",
         "lang_mix_rebalance",
+        "keep_best_dedup",
+        "leakage_safe_splits",
+        "source_ngram_overlap",
     ]
 
     timings: dict[str, float] = {}

@@ -755,6 +755,101 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
         topk_per_doc,
     )
 
+def source_ngram_overlap(sf_dir: str, n: int = 3):
+    """Cross-source corpus similarity: for every source pair, the exact
+    count of shared DISTINCT word n-grams plus each side's distinct
+    total — the numerator/denominators of pairwise Jaccard as exact
+    integers (the cross-corpus contamination report run before mixing
+    data sources). Returns (source_a, source_b, n_common, n_a, n_b) for
+    pairs with n_common >= 1, source_a < source_b.
+
+    Scale shape: per-batch DISTINCT (source, ngram) rows (each block
+    collapses before the exchange), ONE salted exchange on the ngram
+    string co-locating every copy of an ngram; the per-partition kernel
+    dedupes, emits per-pair intersection partials (an ngram shared by k
+    sources contributes to C(k,2) pairs — k is bounded by |sources|)
+    and per-source distinct totals; a bounded combine (≤|sources|² rows)
+    assembles the matrix. Full SQL oracle (self-join on the same
+    n-gram derivation)."""
+    from itertools import combinations
+
+    from open_parse_ray.stages.dedup import salted_groupby
+    from open_parse_ray.stages.relational import _combine_partials
+
+    ds = read_documents(sf_dir, columns=["source", "text"])
+
+    def ng_rows(b: pd.DataFrame) -> pd.DataFrame:
+        seen = set()
+        for src, t in zip(b["source"], b["text"]):
+            t = t.strip()
+            if not t:
+                continue
+            ws = _WS_SPLIT.split(t)
+            for i in range(len(ws) - n + 1):
+                seen.add((src, " ".join(ws[i : i + n])))
+        if not seen:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "ng": pd.Series([], dtype=object)})
+        srcs, ngs = zip(*seen)
+        return pd.DataFrame({"source": list(srcs), "ng": list(ngs)})
+
+    rows = ds.map_batches(ng_rows, batch_format="pandas", batch_size=8192)
+
+    def pair_partials(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.drop_duplicates(["source", "ng"])
+        a_out, b_out, n_out = [], [], []
+        # per-source distinct totals ride as (source, "") rows — the
+        # partition holds EVERY copy of its ngrams, so per-partition
+        # distinct counts are additive to the global distinct count
+        tot = d.groupby("source").size()
+        for src, cnt in tot.items():
+            a_out.append(src)
+            b_out.append("")
+            n_out.append(int(cnt))
+        for _, g in d.groupby("ng", sort=False):
+            srcs = sorted(g["source"])
+            if len(srcs) < 2:
+                continue
+            for sa, sb in combinations(srcs, 2):
+                a_out.append(sa)
+                b_out.append(sb)
+                n_out.append(1)
+        out = pd.DataFrame(
+            {"source_a": a_out, "source_b": b_out,
+             "n": np.asarray(n_out, dtype=np.int64)}
+        )
+        return out.groupby(["source_a", "source_b"], as_index=False).agg(
+            n=("n", "sum")
+        )
+
+    partials = salted_groupby(
+        rows,
+        lambda b: pd.util.hash_pandas_object(b["ng"], index=False).astype("int64"),
+        pair_partials,
+    )
+    combined = _combine_partials(partials, ["source_a", "source_b"], {"n": "sum"})
+
+    def assemble(b: pd.DataFrame) -> pd.DataFrame:
+        totals = dict(
+            zip(b.loc[b["source_b"] == "", "source_a"],
+                b.loc[b["source_b"] == "", "n"])
+        )
+        p = b[b["source_b"] != ""].sort_values(["source_a", "source_b"])
+        return pd.DataFrame(
+            {
+                "source_a": p["source_a"],
+                "source_b": p["source_b"],
+                "n_common": p["n"].astype("int64"),
+                "n_a": p["source_a"].map(totals).astype("int64"),
+                "n_b": p["source_b"].map(totals).astype("int64"),
+            }
+        )
+
+    return combined.repartition(1).map_batches(
+        assemble, batch_format="pandas", batch_size=None
+    )
+
+
 DEFAULT_BM25_QUERY = ("window", "join", "scan")
 
 
