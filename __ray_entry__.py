@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_best_dedup": dedup.keep_best_dedup,
         "leakage_safe_splits": web.leakage_safe_splits,
         "source_ngram_overlap": analysis.source_ngram_overlap,
+        "events_winsorized_stats": relational.events_winsorized_stats,
     }
 
 
@@ -872,6 +873,36 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS rank
                   FROM tf JOIN df USING (term))
             SELECT doc_id, rank, term, tf, df FROM j WHERE rank <= 3
+        """,
+        "events_winsorized_stats": """
+            WITH c AS (
+              SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            h AS (SELECT event_type, v, count(*) AS n FROM c GROUP BY event_type, v),
+            t AS (
+              SELECT event_type, v,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+                     sum(n) OVER (PARTITION BY event_type) AS tot
+              FROM h
+            ),
+            lo AS (SELECT event_type, min(v) AS lo FROM t
+                   WHERE cum >= (tot * 1 + 99) // 100 GROUP BY event_type),
+            hi AS (SELECT event_type, min(v) AS hi FROM t
+                   WHERE cum >= (tot * 99 + 99) // 100 GROUP BY event_type),
+            x AS (
+              SELECT c.event_type, c.v, lo.lo, hi.hi
+              FROM c JOIN lo USING (event_type) JOIN hi USING (event_type)
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(least(greatest(v, lo), hi)) AS BIGINT)
+                       AS winsorized_sum_cents,
+                   CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_clipped_low,
+                   CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_clipped_high
+            FROM x GROUP BY event_type
         """,
         "source_ngram_overlap": """
             WITH w AS (

@@ -874,6 +874,87 @@ def _asof_probe(part: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"event_id": eid, "prev_click_ts_us": out})
 
 
+def events_winsorized_stats(sf_dir: str, p_lo: int = 1, p_hi: int = 99):
+    """Winsorized per-type aggregates: values clipped to the exact
+    [p_lo, p_hi] percentile cents per event_type, then counted/summed —
+    the outlier-robust feature-engineering pass (clip, don't drop).
+    Returns (event_type, n_events, winsorized_sum_cents,
+    n_clipped_low, n_clipped_high).
+
+    Plan: the same bounded value-histogram as events_quantiles yields
+    EXACT per-type cutoffs (smallest v with cum >= ceil(total*p/100),
+    pure integers); the ≤|types|×2 cutoff table broadcasts; a second
+    streaming pass clips + partial-aggregates per batch (Arrow helper)
+    with a tiny combine. Two passes, zero full-table shuffles, exact
+    SQL oracle with the same discrete rank rule."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type", "value"])
+
+    def hist_partial(t: "pa.Table") -> "pa.Table":
+        return _arrow_group_aggs(
+            {
+                "event_type": t.column("event_type"),
+                "v_cents": _cents(t.column("value").to_numpy(zero_copy_only=False)),
+            },
+            {"n": ("count", None)},
+            t.num_rows,
+        )
+
+    hist = _combine_partials(
+        ds.map_batches(hist_partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "v_cents"],
+        {"n": "sum"},
+    ).to_pandas()
+    cuts = _quantiles_from_hist(hist, (p_lo, p_hi))
+    lo = dict(
+        zip(cuts.loc[cuts["p_pct"] == p_lo, "event_type"],
+            cuts.loc[cuts["p_pct"] == p_lo, "v_cents"])
+    )
+    hi = dict(
+        zip(cuts.loc[cuts["p_pct"] == p_hi, "event_type"],
+            cuts.loc[cuts["p_pct"] == p_hi, "v_cents"])
+    )
+    cuts_ref = ray.put((lo, hi))
+
+    def clip_partial(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        lo_, hi_ = ray.get(cuts_ref)
+        et = t.column("event_type").combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = enc.dictionary.to_pylist()
+        lo_arr = np.fromiter((lo_[s] for s in labels), dtype=np.int64, count=len(labels))
+        hi_arr = np.fromiter((hi_[s] for s in labels), dtype=np.int64, count=len(labels))
+        c = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        lo_row, hi_row = lo_arr[codes], hi_arr[codes]
+        clipped = np.minimum(np.maximum(c, lo_row), hi_row)
+        return _arrow_group_aggs(
+            {"event_type": et},
+            {
+                "n_events": ("count", None),
+                "winsorized_sum_cents": ("sum", clipped),
+                "n_clipped_low": ("sum", (c < lo_row).astype(np.int64)),
+                "n_clipped_high": ("sum", (c > hi_row).astype(np.int64)),
+            },
+            t.num_rows,
+        )
+
+    partials = ds.map_batches(clip_partial, batch_format="pyarrow", batch_size=65536)
+    return _combine_partials(
+        partials,
+        ["event_type"],
+        {
+            "n_events": "sum",
+            "winsorized_sum_cents": "sum",
+            "n_clipped_low": "sum",
+            "n_clipped_high": "sum",
+        },
+    )
+
+
 def events_sliding_distinct(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
     """Sliding-window COUNT(DISTINCT user) per event_type — the
     streaming-audience metric that composes the window explode of
