@@ -121,10 +121,19 @@ def _final_assign(b: pd.DataFrame, cent_ref) -> pd.DataFrame:
 
 def kmeans_fit(sf_dir: str, k: int = 8, iters: int = 5, dim: int = 64, batch_size: int = 4096) -> np.ndarray:
     """Run ``iters`` Lloyd iterations; returns the (k, dim) float64
-    centroid matrix (a pure function of the quantized inputs)."""
+    centroid matrix (a pure function of the quantized inputs).
+
+    The input is materialized ONCE so the ``iters`` passes re-scan
+    cached object-store blocks instead of re-executing the parquet read
+    per iteration (recompute-vs-cache: embedding tables are the small
+    derived table of the corpus — 10^12 docs × 256 B ≈ 0.25 PB worst
+    case, at which point Ray spills blocks to disk and this is still
+    cheaper than ``iters`` storage re-reads; centroids stay
+    bit-identical either way because the int64 partial sums are
+    order-independent)."""
     import ray
 
-    ds = _read_embeddings(sf_dir)
+    ds = _read_embeddings(sf_dir).materialize()
     centroids = _init_centroids(sf_dir, k, dim)
 
     def combine_level(b: pd.DataFrame) -> pd.DataFrame:
