@@ -180,6 +180,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "keep_best_dedup",
         "leakage_safe_splits",
         "source_ngram_overlap",
+        "events_winsorized_stats",
     ]
 
     timings: dict[str, float] = {}

@@ -226,6 +226,19 @@ def test_round3_queries_block_structure_invariance(ray_session):
 
     checks.append((events_type_pagerank, ["event_type"]))
     checks.append((ranking.epoch_shuffle, ["doc_id"]))
+    from open_parse_ray.stages.relational import (
+        events_funnel,
+        events_sliding_distinct,
+        events_winsorized_stats,
+    )
+
+    checks.append((analysis.bm25_lite_topk, ["rank"]))
+    checks.append((analysis.source_ngram_overlap, ["source_a", "source_b"]))
+    checks.append((events_funnel, ["user_id"]))
+    checks.append((events_sliding_distinct, ["event_type", "window_start"]))
+    checks.append((events_winsorized_stats, ["event_type"]))
+    checks.append((dedup.keep_best_dedup, ["doc_id"]))
+    checks.append((web.leakage_safe_splits, ["doc_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
