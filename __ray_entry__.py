@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_splits": web.leakage_safe_splits,
         "source_ngram_overlap": analysis.source_ngram_overlap,
         "events_winsorized_stats": relational.events_winsorized_stats,
+        "user_retention_cohorts": relational.user_retention_cohorts,
     }
 
 
@@ -873,6 +874,21 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS rank
                   FROM tf JOIN df USING (term))
             SELECT doc_id, rank, term, tf, df FROM j WHERE rank <= 3
+        """,
+        "user_retention_cohorts": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+              FROM events
+            ),
+            f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+            a AS (
+              SELECT DISTINCT e.user_id, f.cohort, e.wk - f.cohort AS woff
+              FROM e JOIN f USING (user_id)
+            )
+            SELECT cohort AS cohort_week, woff AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a GROUP BY cohort, woff
         """,
         "events_winsorized_stats": """
             WITH c AS (

@@ -181,6 +181,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "leakage_safe_splits",
         "source_ngram_overlap",
         "events_winsorized_stats",
+        "user_retention_cohorts",
     ]
 
     timings: dict[str, float] = {}

@@ -874,6 +874,50 @@ def _asof_probe(part: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"event_id": eid, "prev_click_ts_us": out})
 
 
+def user_retention_cohorts(sf_dir: str, week_s: int = 604800):
+    """Cohort retention matrix: users grouped by the epoch-week of their
+    FIRST event; for each (cohort_week, week_offset) the count of
+    distinct users active that week — the standard product-analytics
+    retention triangle, here as a corpus-scale exact aggregate.
+    Returns (cohort_week, week_offset, n_users).
+
+    Plan: ONE salted exchange on user_id (a user's whole history
+    co-locates, so the first-week derivation and per-user distinct
+    weeks are partition-local and globally exact); per-partition
+    vectorized dedup + groupby emits bounded (cohort, offset) partials
+    that are additive across partitions because no user spans two; a
+    tiny combine sums. Integer week arithmetic on both sides → exact
+    SQL oracle."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def cohorts(part: pd.DataFrame) -> pd.DataFrame:
+        wk = part["ts"].values.astype("datetime64[s]").astype(np.int64) // week_s
+        d = pd.DataFrame(
+            {"u": part["user_id"].to_numpy(dtype=np.int64), "wk": wk}
+        ).drop_duplicates()
+        first = d.groupby("u")["wk"].transform("min")
+        g = (
+            pd.DataFrame(
+                {"cohort_week": first, "week_offset": d["wk"] - first}
+            )
+            .groupby(["cohort_week", "week_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        return g.astype(
+            {"cohort_week": "int64", "week_offset": "int64", "n_users": "int64"}
+        )
+
+    partials = salted_groupby(ds, lambda b: b["user_id"], cohorts)
+    return _combine_partials(
+        partials, ["cohort_week", "week_offset"], {"n_users": "sum"}
+    )
+
+
 def events_winsorized_stats(sf_dir: str, p_lo: int = 1, p_hi: int = 99):
     """Winsorized per-type aggregates: values clipped to the exact
     [p_lo, p_hi] percentile cents per event_type, then counted/summed —
