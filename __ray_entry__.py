@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ngram_overlap": analysis.source_ngram_overlap,
         "events_winsorized_stats": relational.events_winsorized_stats,
         "user_retention_cohorts": relational.user_retention_cohorts,
+        "events_outlier_flags": relational.events_outlier_flags,
     }
 
 
@@ -874,6 +875,25 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS rank
                   FROM tf JOIN df USING (term))
             SELECT doc_id, rank, term, tf, df FROM j WHERE rank <= 3
+        """,
+        "events_outlier_flags": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            m AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(v) AS BIGINT) AS s,
+                     CAST(sum(v * v) AS BIGINT) AS q
+              FROM c GROUP BY event_type
+            )
+            SELECT c.event_id, c.event_type, c.v AS v_cents,
+                   CAST(CASE WHEN (m.n * c.v - m.s) * (m.n * c.v - m.s)
+                                  > 9 * (m.n * m.q - m.s * m.s)
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+            FROM c JOIN m USING (event_type)
         """,
         "user_retention_cohorts": """
             WITH e AS (

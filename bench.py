@@ -182,6 +182,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "source_ngram_overlap",
         "events_winsorized_stats",
         "user_retention_cohorts",
+        "events_outlier_flags",
     ]
 
     timings: dict[str, float] = {}

@@ -874,6 +874,82 @@ def _asof_probe(part: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"event_id": eid, "prev_click_ts_us": out})
 
 
+def events_outlier_flags(sf_dir: str):
+    """Per-type 3σ outlier flags with EXACT integer arithmetic — the
+    streaming anomaly-detection pass, oracle-checkable because the
+    float z-score rule is cross-multiplied into integers:
+
+        |v − μ| > 3σ   ⟺   (n·v − S)² > 9·(n·Q − S²)
+
+    with per-type n = count, S = Σ cents, Q = Σ cents² (population
+    variance). Returns (event_id, event_type, v_cents, is_outlier).
+
+    Scale shape: pass 1 folds bounded per-type (n, S, Q) int64 partials;
+    the ≤|types| moment table broadcasts; pass 2 flags each row with two
+    multiplies. Overflow bounds are asserted on the ACTUAL quantities
+    (driver-side with Python ints for the per-type RHS, per-batch for
+    |n·v − S| < 2^31) — past them, promote the comparison to
+    Python/HUGEINT at the same plan shape."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def moment_partial(t: "pa.Table") -> "pa.Table":
+        c = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        return _arrow_group_aggs(
+            {"event_type": t.column("event_type")},
+            {
+                "n": ("count", None),
+                "s": ("sum", c),
+                "q": ("sum", c * c),
+            },
+            t.num_rows,
+        )
+
+    m = _combine_partials(
+        ds.map_batches(moment_partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type"],
+        {"n": "sum", "s": "sum", "q": "sum"},
+    ).to_pandas()
+    moments = {
+        et: (int(n), int(s), int(q))
+        for et, n, s, q in zip(m["event_type"], m["n"], m["s"], m["q"])
+    }
+    for et, (n, s, q) in moments.items():  # exact Python-int overflow guard
+        assert n * q < 2**63 and s * s < 2**63 and 9 * (n * q - s * s) < 2**63, et
+    mref = ray.put(moments)
+
+    def flag(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        mm = ray.get(mref)
+        et = t.column("event_type").combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = enc.dictionary.to_pylist()
+        n_arr = np.fromiter((mm[s][0] for s in labels), np.int64, count=len(labels))
+        s_arr = np.fromiter((mm[s][1] for s in labels), np.int64, count=len(labels))
+        q_arr = np.fromiter((mm[s][2] for s in labels), np.int64, count=len(labels))
+        c = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        n, s, q = n_arr[codes], s_arr[codes], q_arr[codes]
+        lhs = n * c - s
+        assert len(lhs) == 0 or np.abs(lhs).max() < 2**31, "|n·v − S| overflow"
+        outlier = (lhs * lhs > 9 * (n * q - s * s)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": et,
+                "v_cents": pa.array(c, pa.int64()),
+                "is_outlier": pa.array(outlier, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=65536)
+
+
 def user_retention_cohorts(sf_dir: str, week_s: int = 604800):
     """Cohort retention matrix: users grouped by the epoch-week of their
     FIRST event; for each (cohort_week, week_offset) the count of
