@@ -239,6 +239,13 @@ def test_round3_queries_block_structure_invariance(ray_session):
     checks.append((events_winsorized_stats, ["event_type"]))
     checks.append((dedup.keep_best_dedup, ["doc_id"]))
     checks.append((web.leakage_safe_splits, ["doc_id"]))
+    from open_parse_ray.stages.relational import (
+        events_outlier_flags,
+        user_retention_cohorts,
+    )
+
+    checks.append((user_retention_cohorts, ["cohort_week", "week_offset"]))
+    checks.append((events_outlier_flags, ["event_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
