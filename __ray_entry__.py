@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized_stats": relational.events_winsorized_stats,
         "user_retention_cohorts": relational.user_retention_cohorts,
         "events_outlier_flags": relational.events_outlier_flags,
+        "events_hourly_top_users": relational.events_hourly_top_users,
     }
 
 
@@ -875,6 +876,24 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS rank
                   FROM tf JOIN df USING (term))
             SELECT doc_id, rank, term, tf, df FROM j WHERE rank <= 3
+        """,
+        "events_hourly_top_users": """
+            WITH s AS (
+              SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                         AS hour_epoch,
+                     user_id,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT hour_epoch, user_id, v,
+                     CAST(row_number() OVER (
+                       PARTITION BY hour_epoch ORDER BY v DESC, user_id
+                     ) AS BIGINT) AS rank
+              FROM s
+            )
+            SELECT hour_epoch, rank, user_id, v AS total_value_cents
+            FROM r WHERE rank <= 3
         """,
         "events_outlier_flags": """
             WITH c AS (

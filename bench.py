@@ -183,6 +183,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_winsorized_stats",
         "user_retention_cohorts",
         "events_outlier_flags",
+        "events_hourly_top_users",
     ]
 
     timings: dict[str, float] = {}

@@ -874,6 +874,82 @@ def _asof_probe(part: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"event_id": eid, "prev_click_ts_us": out})
 
 
+def events_hourly_top_users(sf_dir: str, k: int = 3):
+    """Windowed grouped top-k: per tumbling hour, the k users with the
+    highest summed value cents (ties: user_id ascending) — the
+    "trending entities per window" continuous-analytics shape.
+    Returns (hour_epoch, rank, user_id, total_value_cents).
+
+    Plan: per-batch (hour, user) partial cent sums (Arrow helper)
+    collapse each block; exchange 1 salts on the PAIR and finishes the
+    sums (pair-salting splits an hour across partitions, so the top-k
+    cannot be taken here); exchange 2 salts on the hour and ranks
+    vectorized. Both exchanges carry 24-byte rows bounded by the number
+    of ACTIVE (hour, user) pairs, never the event count."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["ts", "user_id", "value"]
+    )
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        e = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[s]")
+            .astype(np.int64)
+        )
+        return _arrow_group_aggs(
+            {
+                "hour_epoch": (e // 3600) * 3600,
+                "user_id": t.column("user_id").to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            },
+            {
+                "v": (
+                    "sum",
+                    _cents(t.column("value").to_numpy(zero_copy_only=False)),
+                ),
+            },
+            t.num_rows,
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def finish_sums(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["hour_epoch", "user_id"], as_index=False).agg(
+            v=("v", "sum")
+        )
+
+    sums = salted_groupby(
+        partials,
+        lambda b: pd.util.hash_pandas_object(
+            b[["hour_epoch", "user_id"]], index=False
+        ).astype("int64"),
+        finish_sums,
+    )
+
+    def rank_topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["hour_epoch", "v", "user_id"], ascending=[True, False, True]
+        )
+        part["rank"] = part.groupby("hour_epoch").cumcount().to_numpy(np.int64) + 1
+        part = part[part["rank"] <= k]
+        return pd.DataFrame(
+            {
+                "hour_epoch": part["hour_epoch"].astype("int64"),
+                "rank": part["rank"].astype("int64"),
+                "user_id": part["user_id"].astype("int64"),
+                "total_value_cents": part["v"].astype("int64"),
+            }
+        )
+
+    return salted_groupby(sums, lambda b: b["hour_epoch"], rank_topk)
+
+
 def events_outlier_flags(sf_dir: str):
     """Per-type 3σ outlier flags with EXACT integer arithmetic — the
     streaming anomaly-detection pass, oracle-checkable because the

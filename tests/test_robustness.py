@@ -246,6 +246,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
 
     checks.append((user_retention_cohorts, ["cohort_week", "week_offset"]))
     checks.append((events_outlier_flags, ["event_id"]))
+    from open_parse_ray.stages.relational import events_hourly_top_users
+
+    checks.append((events_hourly_top_users, ["hour_epoch", "rank"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
