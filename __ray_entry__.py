@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": relational.user_retention_cohorts,
         "events_outlier_flags": relational.events_outlier_flags,
         "events_hourly_top_users": relational.events_hourly_top_users,
+        "copurchase_triangles": graph.copurchase_triangles,
     }
 
 
@@ -1588,5 +1589,29 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1'), doc_id
                    ) AS BIGINT) AS pos
             FROM documents
+        """,
+        # triangle census of the part co-purchase graph: DISTINCT-pair
+        # edge CTE (u < v) + triple self-join; all counts integer-exact
+        "copurchase_triangles": """
+            WITH pl AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ),
+            e AS (
+              SELECT DISTINCT a.p AS u, b.p AS v
+              FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+            ),
+            d AS (
+              SELECT node, count(*) AS deg
+              FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+              GROUP BY node
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d)
+                       AS n_wedges,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM e e1
+                    JOIN e e2 ON e2.u = e1.v
+                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
         """,
     }

@@ -145,3 +145,62 @@ def test_pagerank_partitioned_bitwise_equals_driver(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_triangle_counts_match_brute_force(ray_session):
+    """triangle_counts (oriented wedge join) == O(n^3)/set brute force
+    on random Erdos-Renyi graphs of several densities, including graphs
+    with isolated nodes and a graph with zero triangles (a star)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for n, p in [(12, 0.5), (30, 0.2), (50, 0.08), (25, 1.0)]:
+        m = rng.random((n, n)) < p
+        iu = np.triu_indices(n, 1)
+        keep = m[iu]
+        cases.append((n, iu[0][keep].astype(np.int64), iu[1][keep].astype(np.int64)))
+    # star graph: hub 0 — many wedges, zero triangles
+    cases.append((9, np.zeros(8, dtype=np.int64), np.arange(1, 9, dtype=np.int64)))
+
+    for n, u, v in cases:
+        adj = set(zip(u.tolist(), v.tolist()))
+        deg = np.zeros(n, dtype=np.int64)
+        np.add.at(deg, u, 1)
+        np.add.at(deg, v, 1)
+        tri = sum(
+            1
+            for (a, b) in adj
+            for c in range(b + 1, n)
+            if (a, c) in adj and (b, c) in adj
+        )
+        got = (
+            triangle_counts(
+                rd.from_pandas(pd.DataFrame({"u": u, "v": v}).astype("int64")).repartition(4),
+                n_nodes=n,
+                num_parts=5,
+            )
+            .to_pandas()
+            .iloc[0]
+        )
+        assert got["n_nodes"] == int((deg > 0).sum())
+        assert got["n_edges"] == len(adj)
+        assert got["n_wedges"] == int((deg * (deg - 1) // 2).sum())
+        assert got["n_triangles"] == tri, (n, len(adj), got["n_triangles"], tri)
+
+
+def test_copurchase_triangles_matches_duckdb(ray_session):
+    import duckdb
+
+    from open_parse_ray.stages.graph import copurchase_triangles
+
+    sf = "/root/testdata/sf0.001"
+    got = copurchase_triangles(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    import __ray_entry__ as e
+
+    want = con.execute(e.oracle_sql()["copurchase_triangles"]).df().astype("int64")
+    pd.testing.assert_frame_equal(got, want)

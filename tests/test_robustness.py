@@ -249,6 +249,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import events_hourly_top_users
 
     checks.append((events_hourly_top_users, ["hour_epoch", "rank"]))
+    from open_parse_ray.stages.graph import copurchase_triangles
+
+    checks.append((copurchase_triangles, ["n_nodes"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
