@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outlier_flags": relational.events_outlier_flags,
         "events_hourly_top_users": relational.events_hourly_top_users,
         "copurchase_triangles": graph.copurchase_triangles,
+        "events_prior_window_counts": relational.events_prior_window_counts,
     }
 
 
@@ -914,6 +915,17 @@ def oracle_sql() -> dict[str, str]:
                                   > 9 * (m.n * m.q - m.s * m.s)
                              THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
             FROM c JOIN m USING (event_type)
+        """,
+        "events_prior_window_counts": """
+            SELECT l.event_id,
+                   CAST(count(r.event_id) AS BIGINT) AS n_prior
+            FROM events l
+            LEFT JOIN events r
+              ON r.event_type = 'click'
+             AND r.ts >= l.ts - INTERVAL 600 SECOND
+             AND r.ts < l.ts
+            WHERE l.event_type = 'purchase'
+            GROUP BY l.event_id
         """,
         "user_retention_cohorts": """
             WITH e AS (

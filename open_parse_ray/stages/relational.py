@@ -1660,3 +1660,116 @@ def events_user_rolling(sf_dir: str, frame: int = 3):
         lambda b: pd.util.hash_pandas_object(b["user_id"], index=False).astype("int64"),
         roll,
     )
+
+
+def events_prior_window_counts(
+    sf_dir: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    window_s: int = 600,
+    num_parts: int = 32,
+):
+    """Bucketized INTERVAL (range) join with NO equi-key: for every
+    ``left_type`` event, the exact count of ``right_type`` events — by
+    ANY user — with ts in [t - W, t). The pure time-range predicate is
+    the join Ray Data (and the reference) cannot express natively;
+    events_followup's user-salted shape doesn't apply because there is
+    no key to co-locate on.
+
+    Plan: quantize time into buckets of width W. A right event belongs
+    to bucket t//W; a left event's window spans AT MOST two buckets, so
+    it ships exactly two probe rows (buckets b-1 and b). One salted
+    exchange on bucket id co-locates each probe with every right event
+    it could match; the per-partition kernel clamps the window to the
+    probed bucket's time span [tb·W, (tb+1)·W) — distinct buckets own
+    disjoint time ranges, so two searchsorted calls over the
+    partition's ts-sorted right events count exactly the in-bucket
+    in-window rows, and summing a left event's two probes (second
+    salted exchange, on event_id) gives the exact total. Rows shipped:
+    2·|left| + |right| fixed-width rows — never the events payload; no
+    all-pairs stage at any skew (a hot bucket is bounded by W's event
+    rate, and W is the query parameter).
+
+    PARTITIONING ASSUMPTION: per-bucket right-event count fits a
+    worker (salt on bucket id; hot buckets could be sub-salted by
+    splitting the probe instead — not needed at any tested scale)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    w_us = np.int64(window_s) * 1_000_000
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "ts", "event_type"]
+    )
+
+    def to_bucket_rows(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].values.astype("datetime64[us]").astype(np.int64)
+        et = b["event_type"].to_numpy()
+        eid = b["event_id"].to_numpy(dtype=np.int64)
+        outs = []
+        mr = et == right_type
+        if mr.any():
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "bucket": t[mr] // w_us,
+                        "tag": np.int64(0),
+                        "event_id": eid[mr],
+                        "t": t[mr],
+                    }
+                )
+            )
+        ml = et == left_type
+        if ml.any():
+            bkt = t[ml] // w_us
+            for tb in (bkt - 1, bkt):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "bucket": tb,
+                            "tag": np.int64(1),
+                            "event_id": eid[ml],
+                            "t": t[ml],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {"bucket": [], "tag": [], "event_id": [], "t": []}
+            ).astype("int64")
+        return pd.concat(outs, ignore_index=True).astype("int64")
+
+    rows = ds.map_batches(to_bucket_rows, batch_format="pandas", batch_size=65536)
+
+    def probe(part: pd.DataFrame) -> pd.DataFrame:
+        tag = part["tag"].to_numpy(dtype=np.int64)
+        t = part["t"].to_numpy(dtype=np.int64)
+        rt = np.sort(t[tag == 0])
+        pm = tag == 1
+        pt, pb = t[pm], part["bucket"].to_numpy(dtype=np.int64)[pm]
+        lo = np.maximum(pt - w_us, pb * w_us)
+        hi = np.minimum(pt, (pb + 1) * w_us)
+        cnt = np.searchsorted(rt, hi, side="left") - np.searchsorted(
+            rt, lo, side="left"
+        )
+        cnt = np.where(hi > lo, cnt, 0)
+        return pd.DataFrame(
+            {
+                "event_id": part["event_id"].to_numpy(dtype=np.int64)[pm],
+                "cnt": cnt.astype(np.int64),
+            }
+        )
+
+    partials = salted_groupby(rows, lambda b: b["bucket"], probe, num_parts=num_parts)
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("event_id", as_index=False).agg(n_prior=("cnt", "sum"))
+        return g.astype({"event_id": "int64", "n_prior": "int64"})
+
+    return salted_groupby(
+        partials,
+        lambda b: pd.util.hash_pandas_object(b["event_id"], index=False).astype("int64"),
+        finish,
+        num_parts=num_parts,
+    )

@@ -954,3 +954,45 @@ def test_corpus_report_single_fused_pass_consistency(ray_session):
         assert (again == got).all()
     finally:
         ctx.target_max_block_size = old
+
+
+def test_events_prior_window_counts_boundaries_and_parts(ray_session, tmp_path):
+    """Pure time-range join (no equi-key): half-open [t-W, t) window at
+    exact microsecond boundaries, zero-count rows kept, plus num_parts
+    invariance on the corpus (the bucket exchange shape cannot depend
+    on partition count)."""
+    from open_parse_ray.stages.relational import events_prior_window_counts
+
+    W = 600
+    t0 = pd.Timestamp("2024-01-01 01:00:05")  # not bucket-aligned
+    us = pd.Timedelta(microseconds=1)
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6, 7],
+            "ts": [
+                t0,  # the purchase under test
+                t0 - pd.Timedelta(seconds=W),  # exactly t-W -> IN
+                t0 - pd.Timedelta(seconds=W) - us,  # just before t-W -> OUT
+                t0 - us,  # just before t -> IN
+                t0,  # exactly t -> OUT (half-open)
+                t0 + pd.Timedelta(seconds=5 * W),  # far future -> OUT
+                pd.Timestamp("2024-01-01 00:00:00"),  # lonely purchase
+            ],
+            "user_id": np.int64(1),
+            "event_type": [
+                "purchase", "click", "click", "click", "click", "click",
+                "purchase",
+            ],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    rows.to_parquet(tmp_path / "events.parquet")
+    out = _df(events_prior_window_counts(str(tmp_path))).set_index("event_id")
+    assert out.loc[1, "n_prior"] == 2  # events 2 and 4 only
+    assert out.loc[7, "n_prior"] == 0  # zero-count purchases still emit
+    assert len(out) == 2
+
+    a = _sorted(_df(events_prior_window_counts(SF, num_parts=3)))
+    b = _sorted(_df(events_prior_window_counts(SF, num_parts=32)))
+    pd.testing.assert_frame_equal(a, b)

@@ -252,6 +252,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.graph import copurchase_triangles
 
     checks.append((copurchase_triangles, ["n_nodes"]))
+    from open_parse_ray.stages.relational import events_prior_window_counts
+
+    checks.append((events_prior_window_counts, ["event_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
