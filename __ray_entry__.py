@@ -422,6 +422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_top_users": relational.events_hourly_top_users,
         "copurchase_triangles": graph.copurchase_triangles,
         "events_prior_window_counts": relational.events_prior_window_counts,
+        "orders_returned_semijoin": relational.orders_returned_semijoin,
+        "apply_changelog": incremental.apply_changelog,
+        "events_robust_stats": relational.events_robust_stats,
     }
 
 
@@ -926,6 +929,72 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # nested medians share the family's ceil rank rule; the oracle
+        # recomputes |v - med| from rows, the Ray side folds it from
+        # the same histogram — identical discrete result
+        "events_robust_stats": """
+            WITH c AS (
+              SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            h AS (SELECT event_type, v, count(*) AS n FROM c GROUP BY 1, 2),
+            t AS (
+              SELECT event_type, v,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+                     sum(n) OVER (PARTITION BY event_type) AS tot
+              FROM h
+            ),
+            med AS (SELECT event_type, min(v) AS med FROM t
+                    WHERE cum >= (tot * 50 + 99) // 100 GROUP BY event_type),
+            d AS (SELECT c.event_type, abs(c.v - med.med) AS av
+                  FROM c JOIN med USING (event_type)),
+            h2 AS (SELECT event_type, av, count(*) AS n FROM d GROUP BY 1, 2),
+            t2 AS (
+              SELECT event_type, av,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY av) AS cum,
+                     sum(n) OVER (PARTITION BY event_type) AS tot
+              FROM h2
+            ),
+            mad AS (SELECT event_type, min(av) AS mad FROM t2
+                    WHERE cum >= (tot * 50 + 99) // 100 GROUP BY event_type)
+            SELECT med.event_type,
+                   CAST(med.med AS BIGINT) AS median_cents,
+                   CAST(mad.mad AS BIGINT) AS mad_cents
+            FROM med JOIN mad USING (event_type)
+        """,
+        # CDC merge: changelog derived in closed form on both sides
+        # (base corpus is the implicit seq-0 upsert), last writer wins
+        "apply_changelog": """
+            WITH ch AS (
+              SELECT doc_id, 0 AS seq, 1 AS op, md5(text) AS fp
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 1, 1, md5(text || ' rev1')
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, 2, 0, ''
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id, 3, 1, md5(text || ' rev2')
+              FROM documents WHERE doc_id % 35 = 0
+            ),
+            last AS (
+              SELECT doc_id,
+                     arg_max(op, seq) AS op,
+                     arg_max(fp, seq) AS fp
+              FROM ch GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, fp
+            FROM last WHERE op = 1
+        """,
+        "orders_returned_semijoin": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
         """,
         "user_retention_cohorts": """
             WITH e AS (

@@ -92,3 +92,74 @@ def snapshot_diff(sf_dir: str):
         lambda b: pd.util.hash_pandas_object(b["doc_id"], index=False).astype("int64"),
         diff,
     )
+
+
+def apply_changelog(sf_dir: str):
+    """CDC merge — apply an upsert/delete changelog to a base corpus
+    with LAST-WRITER-WINS by sequence number, the primitive behind
+    incremental corpus refresh (snapshot_diff tells you WHAT changed;
+    this produces the merged state). Returns (doc_id, fp) — the md5
+    fingerprint of every doc's final text; deleted docs emit nothing.
+
+    Oracle strategy (synthesize-on-both-sides): the changelog derives
+    deterministically from `documents` — doc_id % 5 == 0 upserts
+    text + ' rev1' at seq 1, doc_id % 7 == 0 deletes at seq 2,
+    doc_id % 35 == 0 upserts text + ' rev2' at seq 3 (resurrecting
+    after its own delete, exercising win-by-seq across op kinds); the
+    base corpus is the implicit seq-0 upsert.
+
+    Scale shape: text NEVER crosses the exchange — each batch
+    fingerprints its base and changelog texts locally and ships only
+    (doc_id, seq, op, 32-byte fp) rows salted on hash(doc_id); the
+    per-partition kernel takes the max-seq row per doc and keeps
+    upsert winners. Unlike snapshot_diff the output covers the full
+    surviving corpus, but every shipped row is fixed-width."""
+    from open_parse_ray.stages.analysis import read_documents
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    def tagged_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        texts = b["text"]
+        rows = {"doc_id": [], "seq": [], "op": [], "fp": []}
+
+        def emit(d, seq, op, fp):
+            rows["doc_id"].append(d)
+            rows["seq"].append(seq)
+            rows["op"].append(op)
+            rows["fp"].append(fp)
+
+        for i, d in enumerate(ids):
+            d = int(d)
+            t = texts.iloc[i]
+            emit(d, 0, 1, hashlib.md5(t.encode()).hexdigest())
+            if d % 5 == 0:
+                emit(d, 1, 1, hashlib.md5((t + " rev1").encode()).hexdigest())
+            if d % 7 == 0:
+                emit(d, 2, 0, "")
+            if d % 35 == 0:
+                emit(d, 3, 1, hashlib.md5((t + " rev2").encode()).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(rows["doc_id"], dtype=np.int64),
+                "seq": np.asarray(rows["seq"], dtype=np.int64),
+                "op": np.asarray(rows["op"], dtype=np.int64),
+                "fp": rows["fp"],
+            }
+        )
+
+    tagged = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        tagged_rows, batch_format="pandas", batch_size=8192
+    )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        win = part.loc[part.groupby("doc_id")["seq"].idxmax()]
+        keep = win[win["op"] == 1]
+        return pd.DataFrame(
+            {"doc_id": keep["doc_id"].astype("int64"), "fp": keep["fp"]}
+        )
+
+    return salted_groupby(
+        tagged,
+        lambda b: pd.util.hash_pandas_object(b["doc_id"], index=False).astype("int64"),
+        merge,
+    )

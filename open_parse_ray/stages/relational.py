@@ -1773,3 +1773,139 @@ def events_prior_window_counts(
         finish,
         num_parts=num_parts,
     )
+
+
+def orders_returned_semijoin(sf_dir: str):
+    """Distributed SEMI-join — the EXISTS shape (TPC-H Q4): per
+    o_orderpriority, the count of orders with AT LEAST ONE returned
+    line (l_returnflag = 'R'). Completes the join family alongside the
+    inner (orders_customer_join), anti (customers_no_urgent_orders),
+    as-of (events_asof_prev_click), band (events_followup) and keyless
+    range (events_prior_window_counts) joins.
+
+    Scale shape: the probe side never ships payload — lineitem batches
+    collapse to the DISTINCT qualifying orderkeys in the block before
+    the exchange (a returned order with 7 returned lines ships ≤1 row
+    per block it appears in, deduped again inside the partition), and
+    the build side ships (orderkey, priority) only. One salted exchange
+    on orderkey co-locates both sides; each partition emits bounded
+    per-priority partial counts (≤5 rows), so the final combine is
+    driver-sized regardless of input size."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    def proj_lineitem(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = t.filter(pc.equal(t["l_returnflag"], "R"))["l_orderkey"]
+        uniq = np.unique(keys.to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "key": pa.array(uniq),
+                "side": pa.array(np.ones(len(uniq), dtype=np.int64)),
+                "prio": pa.array([""] * len(uniq), type=pa.string()),
+            }
+        )
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["o_orderkey"].cast(pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "prio": t["o_orderpriority"].cast(pa.string()),
+            }
+        )
+
+    probe = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(proj_lineitem, batch_format="pyarrow", batch_size=65536)
+    build = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
+
+    def semi(part: pd.DataFrame) -> pd.DataFrame:
+        have = part.loc[part["side"] == 1, "key"].to_numpy(dtype=np.int64)
+        o = part[part["side"] == 0]
+        hit = o.loc[
+            np.isin(o["key"].to_numpy(dtype=np.int64), have), "prio"
+        ]
+        if not len(hit):
+            return pd.DataFrame({"o_orderpriority": [], "n_orders": []}).astype(
+                {"o_orderpriority": "str", "n_orders": "int64"}
+            )
+        g = hit.value_counts()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": g.index.astype(str),
+                "n_orders": g.to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = salted_groupby_arrow(
+        probe.union(build), lambda t: t["key"].to_numpy(zero_copy_only=False), semi
+    )
+    return _combine_partials(partials, ["o_orderpriority"], {"n_orders": "sum"})
+
+
+def events_robust_stats(sf_dir: str):
+    """EXACT per-type robust statistics — median and MAD (median
+    absolute deviation) of value in cents — from ONE histogram pass:
+    the same bounded (event_type, v_cents) count partials as
+    events_quantiles, but after the combine the |v - median| histogram
+    is DERIVED from the value histogram locally (reflect-and-sum, no
+    second data scan), so the two nested medians cost one exchange.
+    Rank rule is the family's ceil form: smallest v with
+    cum >= ceil(total*50/100). Returns
+    (event_type, median_cents, mad_cents)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        return _arrow_group_aggs(
+            {
+                "event_type": t.column("event_type"),
+                "v_cents": _cents(t.column("value").to_numpy(zero_copy_only=False)),
+            },
+            {"n": ("count", None)},
+            t.num_rows,
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    hist = _combine_partials(partials, ["event_type", "v_cents"], {"n": "sum"})
+
+    def _rank_pick(vals: np.ndarray, cnts: np.ndarray) -> int:
+        order = np.argsort(vals, kind="stable")
+        v, n = vals[order], cnts[order]
+        cum = np.cumsum(n)
+        tot = int(cum[-1])
+        thresh = (tot * 50 + 99) // 100
+        return int(v[np.searchsorted(cum, thresh, side="left")])
+
+    def robust(h: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_m, out_d = [], [], []
+        for et, g in h.groupby("event_type"):
+            vals = g["v_cents"].to_numpy(dtype=np.int64)
+            cnts = g["n"].to_numpy(dtype=np.int64)
+            med = _rank_pick(vals, cnts)
+            # |v - med| histogram folded from the value histogram
+            dev = np.abs(vals - med)
+            uv, inv = np.unique(dev, return_inverse=True)
+            dn = np.zeros(len(uv), dtype=np.int64)
+            np.add.at(dn, inv, cnts)
+            out_t.append(et)
+            out_m.append(med)
+            out_d.append(_rank_pick(uv, dn))
+        return pd.DataFrame(
+            {
+                "event_type": out_t,
+                "median_cents": np.asarray(out_m, dtype=np.int64),
+                "mad_cents": np.asarray(out_d, dtype=np.int64),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        robust, batch_format="pandas", batch_size=None
+    )

@@ -996,3 +996,83 @@ def test_events_prior_window_counts_boundaries_and_parts(ray_session, tmp_path):
     a = _sorted(_df(events_prior_window_counts(SF, num_parts=3)))
     b = _sorted(_df(events_prior_window_counts(SF, num_parts=32)))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_orders_returned_semijoin_counts_order_once(ray_session, tmp_path):
+    """Semi-join semantics: an order with MANY returned lines counts
+    once; an order with no returned line does not count."""
+    from open_parse_ray.stages.relational import orders_returned_semijoin
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [9, 9, 9],
+            "o_orderstatus": "O",
+            "o_totalprice": 1.0,
+            "o_orderdate": pd.Timestamp("2024-01-01"),
+            "o_orderpriority": ["1-URGENT", "1-URGENT", "5-LOW"],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 2, 3],
+            "l_partkey": 0,
+            "l_suppkey": 0,
+            "l_linenumber": np.arange(5, dtype=np.int32),
+            "l_quantity": 1.0,
+            "l_extendedprice": 1.0,
+            "l_discount": 0.0,
+            "l_tax": 0.0,
+            "l_returnflag": ["R", "R", "R", "N", "R"],
+            "l_linestatus": "O",
+            "l_shipdate": pd.Timestamp("2024-01-01"),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    out = (
+        _df(orders_returned_semijoin(str(tmp_path)))
+        .set_index("o_orderpriority")["n_orders"]
+    )
+    assert out["1-URGENT"] == 1  # order 1 once (3 R lines), order 2 excluded
+    assert out["5-LOW"] == 1
+    assert len(out) == 2
+
+
+def test_apply_changelog_last_writer_wins(ray_session, tmp_path):
+    """CDC merge hand-case: base-only doc keeps base fp; %5 doc takes
+    rev1; %7 doc is deleted; %35 doc is deleted THEN resurrected by the
+    higher-seq rev2 upsert (win-by-seq across op kinds)."""
+    import hashlib
+
+    from open_parse_ray.stages.incremental import apply_changelog
+
+    pd.DataFrame(
+        {"doc_id": [1, 5, 7, 35], "text": ["a", "b", "c", "d"]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = _df(apply_changelog(str(tmp_path))).set_index("doc_id")["fp"]
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1] == md5("a")
+    assert out[5] == md5("b rev1")
+    assert 7 not in out.index
+    assert out[35] == md5("d rev2")
+    assert len(out) == 3
+
+
+def test_events_robust_stats_hand_case(ray_session, tmp_path):
+    """Median/MAD at the discrete ceil-rank rule on a known vector:
+    values [1,2,3,4,100] -> median 3 (rank ceil(5*50/100)=3), deviations
+    [2,1,0,1,97] -> MAD 1."""
+    from open_parse_ray.stages.relational import events_robust_stats
+
+    pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": np.int64(1),
+            "event_type": "click",
+            "value": [0.01, 0.02, 0.03, 0.04, 1.00],
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    out = _df(events_robust_stats(str(tmp_path)))
+    assert out.loc[0, "median_cents"] == 3
+    assert out.loc[0, "mad_cents"] == 1

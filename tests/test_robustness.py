@@ -255,6 +255,15 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import events_prior_window_counts
 
     checks.append((events_prior_window_counts, ["event_id"]))
+    from open_parse_ray.stages.incremental import apply_changelog
+    from open_parse_ray.stages.relational import (
+        events_robust_stats,
+        orders_returned_semijoin,
+    )
+
+    checks.append((orders_returned_semijoin, ["o_orderpriority"]))
+    checks.append((apply_changelog, ["doc_id"]))
+    checks.append((events_robust_stats, ["event_type"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
