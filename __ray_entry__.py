@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_returned_semijoin": relational.orders_returned_semijoin,
         "apply_changelog": incremental.apply_changelog,
         "events_robust_stats": relational.events_robust_stats,
+        "frequent_term_pairs": analysis.frequent_term_pairs,
     }
 
 
@@ -929,6 +930,23 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # a-priori frequent pairs: the oracle applies the SAME two-level
+        # pruning (df >= min_df, then pair count >= min_pair) — the
+        # pruning is exact, so both sides see identical surviving pairs
+        "frequent_term_pairs": """
+            WITH dt AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ),
+            f AS (SELECT term FROM dt GROUP BY term HAVING count(*) >= 100),
+            fd AS (SELECT dt.doc_id, dt.term FROM dt JOIN f USING (term))
+            SELECT a.term AS term_a, b.term AS term_b,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM fd a JOIN fd b
+              ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY 1, 2 HAVING count(*) >= 320
         """,
         # nested medians share the family's ceil rank rule; the oracle
         # recomputes |v - med| from rows, the Ray side folds it from

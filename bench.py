@@ -184,6 +184,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "user_retention_cohorts",
         "events_outlier_flags",
         "events_hourly_top_users",
+        "copurchase_triangles",
+        "events_prior_window_counts",
+        "orders_returned_semijoin",
+        "apply_changelog",
+        "events_robust_stats",
     ]
 
     timings: dict[str, float] = {}

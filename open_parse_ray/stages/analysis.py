@@ -1741,3 +1741,97 @@ def corpus_report(sf_dir: str):
         .repartition(1)
         .map_batches(combine, batch_format="pandas", batch_size=None)
     )
+
+def frequent_term_pairs(sf_dir: str, min_df: int = 100, min_pair: int = 320):
+    """Exact distributed frequent-itemset mining at size 2 (the SON /
+    a-priori shape): every unordered pair of terms that co-occurs in at
+    least ``min_pair`` documents, where BOTH terms individually appear
+    in at least ``min_df`` documents. The a-priori pruning is what makes
+    the pair space tractable at corpus scale: candidate pairs are drawn
+    only from the frequent-term set, never from the raw vocabulary.
+
+    Scale shape, two passes:
+    - Pass 1 = document frequency per term (one row per (doc, term),
+      term-salted exchange, group-size — the tfidf_top_terms df trick),
+      filtered to df >= min_df. The surviving set is driver-bounded by
+      construction: sum(df) <= total (doc, term) rows, so
+      |frequent| <= rows / min_df — the threshold is the bound knob
+      (same argument as heavy_hitter_terms). Broadcast via ray.put.
+    - Pass 2 = per batch, each doc's distinct terms intersect the
+      broadcast set (sorted), emitting C(k,2) candidate pairs with
+      k <= |frequent-in-doc| — then bounded per-(pair) count partials
+      inside the pair-salted exchange, thresholded at min_pair.
+
+    Returns (term_a, term_b, n_docs), term_a < term_b."""
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def dt_rows(b: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, terms = [], []
+        for d, t in zip(b["doc_id"].to_numpy(), b["text"]):
+            t = t.strip()
+            if not t:
+                continue
+            uniq = set(_WS_SPLIT.split(t))
+            doc_ids.extend([int(d)] * len(uniq))
+            terms.extend(uniq)
+        return pd.DataFrame(
+            {"doc_id": np.asarray(doc_ids, dtype=np.int64), "term": terms}
+        )
+
+    dt = ds.map_batches(dt_rows, batch_format="pandas", batch_size=8192)
+
+    def df_filter(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("term", as_index=False).agg(df=("doc_id", "size"))
+        return g[g["df"] >= min_df][["term"]]
+
+    freq = sorted(
+        r["term"]
+        for r in salted_groupby(
+            dt,
+            lambda b: pd.util.hash_pandas_object(b["term"], index=False).astype(
+                "int64"
+            ),
+            df_filter,
+        ).take_all()
+    )
+    freq_ref = ray.put(frozenset(freq))
+
+    def pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        fs = ray.get(freq_ref)
+        ta, tb = [], []
+        for t in b["text"]:
+            t = t.strip()
+            if not t:
+                continue
+            present = sorted(set(_WS_SPLIT.split(t)) & fs)
+            for i in range(len(present)):
+                for j in range(i + 1, len(present)):
+                    ta.append(present[i])
+                    tb.append(present[j])
+        # bounded per-batch partial: collapse repeats before the exchange
+        p = pd.DataFrame({"term_a": ta, "term_b": tb})
+        return p.groupby(["term_a", "term_b"], as_index=False).agg(
+            n_docs=("term_a", "size")
+        )
+
+    pairs = ds.map_batches(pair_rows, batch_format="pandas", batch_size=8192)
+
+    def count_filter(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["term_a", "term_b"], as_index=False).agg(
+            n_docs=("n_docs", "sum")
+        )
+        g = g[g["n_docs"] >= min_pair]
+        return g.astype({"n_docs": "int64"})
+
+    return salted_groupby(
+        pairs,
+        lambda b: pd.util.hash_pandas_object(
+            b["term_a"] + "\x00" + b["term_b"], index=False
+        ).astype("int64"),
+        count_filter,
+    )

@@ -1076,3 +1076,25 @@ def test_events_robust_stats_hand_case(ray_session, tmp_path):
     out = _df(events_robust_stats(str(tmp_path)))
     assert out.loc[0, "median_cents"] == 3
     assert out.loc[0, "mad_cents"] == 1
+
+
+def test_frequent_term_pairs_apriori_pruning(ray_session, tmp_path):
+    """A pair that meets min_pair but contains an infrequent term must
+    NOT appear (a-priori semantics: both terms individually frequent),
+    while a fully-frequent pair survives."""
+    from open_parse_ray.stages.analysis import frequent_term_pairs
+
+    pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["x y z", "x y z", "x y"],
+            "lang": "en",
+            "source": "s",
+            "n_chars": 5,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = _df(frequent_term_pairs(str(tmp_path), min_df=3, min_pair=2))
+    got = set(zip(out["term_a"], out["term_b"]))
+    # z has df=2 < 3: (x,z) and (y,z) pruned despite co-occurring twice
+    assert got == {("x", "y")}
+    assert out.set_index(["term_a", "term_b"]).loc[("x", "y"), "n_docs"] == 3
