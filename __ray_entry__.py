@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apply_changelog": incremental.apply_changelog,
         "events_robust_stats": relational.events_robust_stats,
         "frequent_term_pairs": analysis.frequent_term_pairs,
+        "jaccard_selfjoin": dedup.jaccard_selfjoin,
     }
 
 
@@ -930,6 +931,27 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # exact all-pairs similarity join: the oracle is the O(n^2)
+        # brute force; the Ray side's prefix filter must lose nothing
+        "jaccard_selfjoin": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(regexp_split_to_array(trim(text), '\\s+'))
+                       AS toks
+              FROM documents WHERE trim(text) <> ''
+            ),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.toks, b.toks)) AS inter,
+                     len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks)) AS un
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(inter AS BIGINT) AS n_inter,
+                   CAST(un AS BIGINT) AS n_union
+            FROM p WHERE 100 * inter >= 90 * un
         """,
         # a-priori frequent pairs: the oracle applies the SAME two-level
         # pruning (df >= min_df, then pair count >= min_pair) — the

@@ -189,6 +189,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "orders_returned_semijoin",
         "apply_changelog",
         "events_robust_stats",
+        "frequent_term_pairs",
+        "jaccard_selfjoin",
     ]
 
     timings: dict[str, float] = {}

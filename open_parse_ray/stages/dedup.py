@@ -2102,3 +2102,205 @@ def dup_span_excise(sf_dir: str, window: int = 16, stride: int = 8):
         )
 
     return salted_groupby(union, lambda b: b["doc_id"], excise)
+
+
+def jaccard_selfjoin(sf_dir: str, threshold_pct: int = 90, num_parts: int = 32):
+    """EXACT all-pairs similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family) — every document pair whose distinct-word
+    Jaccard is >= threshold_pct/100, with exact integer intersection and
+    union counts. This is the exact counterpart to the probabilistic
+    minhash/simhash LSH paths: no candidate that should match is ever
+    missed, by the prefix-filter theorem rather than by luck.
+
+    Prefix filter (rarest-first global order): rank every token by
+    (document frequency asc, hash asc); a doc with k distinct tokens
+    emits only its p = k - ceil(tau*k) + 1 rarest tokens as candidate
+    buckets. If jac(A,B) >= tau, the rarest COMMON token t satisfies:
+    were t outside A's prefix, every common token would sit in A's
+    ceil(tau*k_a) - 1 most-common tail, capping the intersection below
+    the ceil(tau*k_a) that jac >= tau forces — contradiction; so t is in
+    BOTH prefixes and the pair surfaces in t's bucket. All arithmetic is
+    integer (ceil via (pct*k + 99)//100; the final test is
+    100*inter >= pct*union), matching the DuckDB list-function oracle.
+
+    Scale shape: the (token-rank -> rank) dictionary is the
+    vocabulary-bounded broadcast every AllPairs implementation carries
+    (a rank-attach salted join is the fallback for vocabularies that
+    outgrow it); prefix rows are fixed-width (rank, doc_id) and each doc
+    ships only p of them — the rarer the doc's tokens, the smaller its
+    bucket fan-in, which is the whole point of rarest-first ordering.
+    Candidates dedupe in a pair-salted exchange before verification;
+    token-set blobs attach via two keyed exchanges (each involved doc
+    ships its set once per candidate side, the minhash attach shape) and
+    verification is a per-pair sorted-array intersection. Word identity
+    is 64-bit md5 (collision-free in practice; the oracle compares the
+    strings themselves). Returns (doc_a, doc_b, n_inter, n_union)."""
+    import ray
+    import ray.data as rd
+
+    pct = int(threshold_pct)
+    docs = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def doc_sets(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ks, blobs = [], [], []
+        for d, t in zip(b["doc_id"].to_numpy(), b["text"]):
+            t = t.strip()
+            if not t:
+                continue
+            th = np.unique(_hash_words(t.split()))
+            ids.append(int(d))
+            ks.append(len(th))
+            blobs.append(th.tobytes())
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "k": np.asarray(ks, dtype=np.int64),
+                "blob": blobs,
+            }
+        )
+
+    sets = docs.map_batches(doc_sets, batch_format="pandas", batch_size=8192)
+
+    # --- token document frequency (per-batch partial: a doc contributes
+    # once per token by construction, so counts of blob tokens ARE df)
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"th": pd.Series(dtype="uint64"),
+                                 "n": pd.Series(dtype="int64")})
+        hs = np.frombuffer(b"".join(b["blob"]), dtype=np.uint64)
+        u, c = np.unique(hs, return_counts=True)
+        return pd.DataFrame({"th": u, "n": c.astype(np.int64)})
+
+    from open_parse_ray.stages.relational import _combine_partials
+
+    hist = _combine_partials(
+        sets.map_batches(df_partial, batch_format="pandas", batch_size=8192),
+        ["th"],
+        {"n": "sum"},
+    ).take_all()
+    th_all = np.array([r["th"] for r in hist], dtype=np.uint64)
+    df_all = np.array([r["n"] for r in hist], dtype=np.int64)
+    # global rarest-first rank: (df asc, hash asc) — a bijection
+    order = np.lexsort((th_all, df_all))
+    rank_of_sorted = np.empty(len(th_all), dtype=np.int64)
+    srt = np.argsort(th_all, kind="stable")
+    pos_in_order = np.empty(len(th_all), dtype=np.int64)
+    pos_in_order[order] = np.arange(len(th_all), dtype=np.int64)
+    rank_ref = ray.put((th_all[srt], pos_in_order[srt]))
+
+    def prefix_rows(b: pd.DataFrame) -> pd.DataFrame:
+        th_sorted, ranks_lookup = ray.get(rank_ref)
+        buckets, dids = [], []
+        for d, k, blob in zip(b["doc_id"].to_numpy(), b["k"].to_numpy(), b["blob"]):
+            th = np.frombuffer(blob, dtype=np.uint64)
+            r = np.sort(ranks_lookup[np.searchsorted(th_sorted, th)])
+            p = int(k) - (pct * int(k) + 99) // 100 + 1
+            buckets.extend(r[:p].tolist())
+            dids.extend([int(d)] * min(p, len(r)))
+        return pd.DataFrame(
+            {
+                "bucket": np.asarray(buckets, dtype=np.int64),
+                "doc_id": np.asarray(dids, dtype=np.int64),
+            }
+        )
+
+    prefix = sets.map_batches(prefix_rows, batch_format="pandas", batch_size=8192)
+
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        oa, ob = [], []
+        for _, g in part.groupby("bucket", sort=False):
+            ids = np.unique(g["doc_id"].to_numpy(dtype=np.int64))
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            oa.append(ids[ia])
+            ob.append(ids[ib])
+        if not oa:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(oa).astype(np.int64),
+                "doc_b": np.concatenate(ob).astype(np.int64),
+            }
+        )
+
+    cands = salted_groupby(
+        prefix, lambda b: b["bucket"], bucket_pairs, num_parts=num_parts
+    )
+
+    def dedupe(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["doc_a", "doc_b"])
+
+    cands = salted_groupby(
+        cands,
+        lambda b: (b["doc_a"] * 0x9E3779B9 + b["doc_b"]).astype("int64"),
+        dedupe,
+        num_parts=num_parts,
+    )
+
+    # --- attach token-set blobs for each side (tagged union-join).
+    # Both streams carry the SAME ordered column set (int -1 / b""
+    # placeholders) so Arrow unifies the union's block schemas.
+    def _attach(cands_ds, cand_cols, key_col: str, out_col: str):
+        cols = list(cand_cols)
+
+        def tag_c(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"key": b[key_col].astype("int64")})
+            for c in cols:
+                out[c] = b[c]
+            out["side"] = np.int64(0)
+            out["ablob"] = [b""] * len(b)
+            return out
+
+        def tag_s(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"key": b["doc_id"].astype("int64")})
+            for c in cols:
+                out[c] = (
+                    [b""] * len(b)
+                    if c.startswith("blob")
+                    else np.full(len(b), -1, dtype=np.int64)
+                )
+            out["side"] = np.int64(1)
+            out["ablob"] = list(b["blob"])
+            return out
+
+        tagged = cands_ds.map_batches(
+            tag_c, batch_format="pandas", batch_size=8192
+        ).union(sets.map_batches(tag_s, batch_format="pandas", batch_size=8192))
+
+        def attach(part: pd.DataFrame) -> pd.DataFrame:
+            side = part[part["side"] == 1][["key", "ablob"]]
+            tgt = part[part["side"] == 0].drop(columns=["ablob", "side"])
+            out = tgt.merge(side, on="key", how="inner")
+            return out.drop(columns=["key"]).rename(columns={"ablob": out_col})
+
+        return salted_groupby(
+            tagged, lambda b: b["key"], attach, num_parts=num_parts
+        )
+
+    with_a = _attach(cands, ["doc_a", "doc_b"], "doc_a", "blob_a")
+    with_b = _attach(with_a, ["doc_a", "doc_b", "blob_a"], "doc_b", "blob_b")
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        da, db, ni, nu = [], [], [], []
+        for a, bb, ba, bbb in zip(b["doc_a"], b["doc_b"], b["blob_a"], b["blob_b"]):
+            A = np.frombuffer(ba, dtype=np.uint64)
+            B = np.frombuffer(bbb, dtype=np.uint64)
+            inter = int(np.intersect1d(A, B, assume_unique=True).size)
+            union = len(A) + len(B) - inter
+            if 100 * inter >= pct * union:
+                da.append(int(a))
+                db.append(int(bb))
+                ni.append(inter)
+                nu.append(union)
+        return pd.DataFrame(
+            {
+                "doc_a": np.asarray(da, dtype=np.int64),
+                "doc_b": np.asarray(db, dtype=np.int64),
+                "n_inter": np.asarray(ni, dtype=np.int64),
+                "n_union": np.asarray(nu, dtype=np.int64),
+            }
+        )
+
+    return with_b.map_batches(verify, batch_format="pandas", batch_size=8192)

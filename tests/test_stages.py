@@ -1201,3 +1201,46 @@ def test_source_capped_sample_cap_respected(ray_session):
     lhs = out.sort_values(["source", "rank"]).reset_index(drop=True)
     rhs = again.sort_values(["source", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(lhs, rhs)
+
+
+def test_jaccard_selfjoin_matches_bruteforce_random(ray_session, tmp_path):
+    """Prefix-filter completeness: on a seeded random corpus with doc
+    sizes spanning the ceil boundaries (k=1..40, skewed token freqs),
+    the exact similarity join equals the O(n^2) brute force at TWO
+    thresholds — a lost candidate at any k/tau combination fails this."""
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.dedup import jaccard_selfjoin
+
+    rng = np.random.RandomState(4242)
+    vocab = np.array([f"w{i}" for i in range(60)])
+    # zipf-ish skew so rarest-first ordering actually matters
+    probs = 1.0 / np.arange(1, len(vocab) + 1)
+    probs /= probs.sum()
+    texts = []
+    for i in range(120):
+        k = int(rng.randint(1, 41))
+        toks = rng.choice(vocab, size=k, p=probs)
+        texts.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": texts})
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "documents.parquet"))
+
+    sets = {int(r.doc_id): set(r.text.split()) for r in df.itertuples()}
+
+    for pct in (50, 66):
+        got = jaccard_selfjoin(str(tmp_path), threshold_pct=pct).to_pandas()
+        got_set = (
+            set(zip(got["doc_a"], got["doc_b"], got["n_inter"], got["n_union"]))
+            if len(got)
+            else set()
+        )
+        want = set()
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if 100 * inter >= pct * union:
+                    want.add((a, b, inter, union))
+        assert got_set == want, f"pct={pct}"
+    assert len(want) == 1  # the pct=66 round keeps exactly the top pair
