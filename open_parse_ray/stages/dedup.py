@@ -2104,13 +2104,25 @@ def dup_span_excise(sf_dir: str, window: int = 16, stride: int = 8):
     return salted_groupby(union, lambda b: b["doc_id"], excise)
 
 
-def jaccard_selfjoin(sf_dir: str, threshold_pct: int = 90, num_parts: int = 32):
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+# first set bit of a byte, counted from the MSB (bit packed as
+# 1 << (7 - pos)): position of the LOWEST local token index present
+_FSB8 = np.array([0] + [8 - v.bit_length() for v in range(1, 256)], dtype=np.int64)
+
+
+def jaccard_selfjoin(
+    sf_dir: str,
+    threshold_pct: int = 90,
+    num_parts: int = 32,
+    bitset_vocab_cap: int = 4096,
+):
     """EXACT all-pairs similarity self-join via prefix filtering (the
     AllPairs/PPJoin family) — every document pair whose distinct-word
-    Jaccard is >= threshold_pct/100, with exact integer intersection and
-    union counts. This is the exact counterpart to the probabilistic
-    minhash/simhash LSH paths: no candidate that should match is ever
-    missed, by the prefix-filter theorem rather than by luck.
+    Jaccard is >= threshold_pct/100 (threshold_pct >= 1), with exact
+    integer intersection and union counts. The exact counterpart to the
+    probabilistic minhash/simhash LSH paths: no candidate that should
+    match is ever missed, by the prefix-filter theorem rather than by
+    luck.
 
     Prefix filter (rarest-first global order): rank every token by
     (document frequency asc, hash asc); a doc with k distinct tokens
@@ -2119,26 +2131,37 @@ def jaccard_selfjoin(sf_dir: str, threshold_pct: int = 90, num_parts: int = 32):
     were t outside A's prefix, every common token would sit in A's
     ceil(tau*k_a) - 1 most-common tail, capping the intersection below
     the ceil(tau*k_a) that jac >= tau forces — contradiction; so t is in
-    BOTH prefixes and the pair surfaces in t's bucket. All arithmetic is
+    BOTH prefixes and the pair surfaces in t's bucket.
+
+    ONE exchange, verify-once: each prefix row carries the doc's full
+    token set AS SORTED RANKS (a bijection of the tokens, so
+    intersection counts are unchanged), and the bucket kernel verifies
+    candidate pairs in place — emitting a pair ONLY in the bucket of its
+    rarest common rank, which both prefixes provably contain. No
+    candidate exchange, no pair dedupe, no blob-attach join. Candidates
+    pass the AllPairs length filter (100*min(ka,kb) >= pct*max(ka,kb))
+    before verification; verification is vectorized when the bucket's
+    local vocabulary fits ``bitset_vocab_cap`` (batch-local rank
+    dictionary -> per-doc bitsets -> AND + popcount + first-set-bit for
+    the rarest common rank; the per-pair sorted-merge path is the
+    unbounded-vocab fallback — both gated identical). All arithmetic is
     integer (ceil via (pct*k + 99)//100; the final test is
     100*inter >= pct*union), matching the DuckDB list-function oracle.
 
-    Scale shape: the (token-rank -> rank) dictionary is the
+    Scale shape: the (token -> rank) dictionary is the
     vocabulary-bounded broadcast every AllPairs implementation carries
     (a rank-attach salted join is the fallback for vocabularies that
-    outgrow it); prefix rows are fixed-width (rank, doc_id) and each doc
-    ships only p of them — the rarer the doc's tokens, the smaller its
-    bucket fan-in, which is the whole point of rarest-first ordering.
-    Candidates dedupe in a pair-salted exchange before verification;
-    token-set blobs attach via two keyed exchanges (each involved doc
-    ships its set once per candidate side, the minhash attach shape) and
-    verification is a per-pair sorted-array intersection. Word identity
-    is 64-bit md5 (collision-free in practice; the oracle compares the
-    strings themselves). Returns (doc_a, doc_b, n_inter, n_union)."""
+    outgrow it); each doc ships p copies of its fixed-width rank set —
+    the rarer the doc's tokens, the smaller its bucket fan-in, which is
+    the point of rarest-first ordering. Word identity is 64-bit md5
+    (collision-free in practice; the oracle compares the strings
+    themselves). Returns (doc_a, doc_b, n_inter, n_union)."""
     import ray
     import ray.data as rd
 
     pct = int(threshold_pct)
+    if pct < 1:
+        raise ValueError("threshold_pct must be >= 1")
     docs = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def doc_sets(b: pd.DataFrame) -> pd.DataFrame:
@@ -2182,7 +2205,6 @@ def jaccard_selfjoin(sf_dir: str, threshold_pct: int = 90, num_parts: int = 32):
     df_all = np.array([r["n"] for r in hist], dtype=np.int64)
     # global rarest-first rank: (df asc, hash asc) — a bijection
     order = np.lexsort((th_all, df_all))
-    rank_of_sorted = np.empty(len(th_all), dtype=np.int64)
     srt = np.argsort(th_all, kind="stable")
     pos_in_order = np.empty(len(th_all), dtype=np.int64)
     pos_in_order[order] = np.arange(len(th_all), dtype=np.int64)
@@ -2190,117 +2212,124 @@ def jaccard_selfjoin(sf_dir: str, threshold_pct: int = 90, num_parts: int = 32):
 
     def prefix_rows(b: pd.DataFrame) -> pd.DataFrame:
         th_sorted, ranks_lookup = ray.get(rank_ref)
-        buckets, dids = [], []
+        buckets, dids, dks, rblobs = [], [], [], []
         for d, k, blob in zip(b["doc_id"].to_numpy(), b["k"].to_numpy(), b["blob"]):
             th = np.frombuffer(blob, dtype=np.uint64)
             r = np.sort(ranks_lookup[np.searchsorted(th_sorted, th)])
             p = int(k) - (pct * int(k) + 99) // 100 + 1
-            buckets.extend(r[:p].tolist())
-            dids.extend([int(d)] * min(p, len(r)))
+            n = min(p, len(r))
+            rb = r.tobytes()
+            buckets.extend(r[:n].tolist())
+            dids.extend([int(d)] * n)
+            dks.extend([int(k)] * n)
+            rblobs.extend([rb] * n)
         return pd.DataFrame(
             {
                 "bucket": np.asarray(buckets, dtype=np.int64),
                 "doc_id": np.asarray(dids, dtype=np.int64),
+                "k": np.asarray(dks, dtype=np.int64),
+                "rblob": rblobs,
             }
         )
 
     prefix = sets.map_batches(prefix_rows, batch_format="pandas", batch_size=8192)
 
-    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        oa, ob = [], []
-        for _, g in part.groupby("bucket", sort=False):
-            ids = np.unique(g["doc_id"].to_numpy(dtype=np.int64))
+    def _empty_out() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "n_inter": pd.Series(dtype="int64"),
+                "n_union": pd.Series(dtype="int64"),
+            }
+        )
+
+    def bucket_verify(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for r, g in part.groupby("bucket", sort=False):
+            gg = g.drop_duplicates("doc_id")
+            ids = gg["doc_id"].to_numpy(dtype=np.int64)
             if len(ids) < 2:
                 continue
+            srt_ids = np.argsort(ids)
+            ids = ids[srt_ids]
+            ks = gg["k"].to_numpy(dtype=np.int64)[srt_ids]
+            rbl = [gg["rblob"].iloc[i] for i in srt_ids]
             ia, ib = np.triu_indices(len(ids), k=1)
-            oa.append(ids[ia])
-            ob.append(ids[ib])
-        if not oa:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64")})
-        return pd.DataFrame(
-            {
-                "doc_a": np.concatenate(oa).astype(np.int64),
-                "doc_b": np.concatenate(ob).astype(np.int64),
-            }
-        )
-
-    cands = salted_groupby(
-        prefix, lambda b: b["bucket"], bucket_pairs, num_parts=num_parts
-    )
-
-    def dedupe(part: pd.DataFrame) -> pd.DataFrame:
-        return part.drop_duplicates(["doc_a", "doc_b"])
-
-    cands = salted_groupby(
-        cands,
-        lambda b: (b["doc_a"] * 0x9E3779B9 + b["doc_b"]).astype("int64"),
-        dedupe,
-        num_parts=num_parts,
-    )
-
-    # --- attach token-set blobs for each side (tagged union-join).
-    # Both streams carry the SAME ordered column set (int -1 / b""
-    # placeholders) so Arrow unifies the union's block schemas.
-    def _attach(cands_ds, cand_cols, key_col: str, out_col: str):
-        cols = list(cand_cols)
-
-        def tag_c(b: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({"key": b[key_col].astype("int64")})
-            for c in cols:
-                out[c] = b[c]
-            out["side"] = np.int64(0)
-            out["ablob"] = [b""] * len(b)
-            return out
-
-        def tag_s(b: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({"key": b["doc_id"].astype("int64")})
-            for c in cols:
-                out[c] = (
-                    [b""] * len(b)
-                    if c.startswith("blob")
-                    else np.full(len(b), -1, dtype=np.int64)
+            # AllPairs length filter: a necessary condition for jac>=tau
+            ka, kb = ks[ia], ks[ib]
+            keep = 100 * np.minimum(ka, kb) >= pct * np.maximum(ka, kb)
+            ia, ib = ia[keep], ib[keep]
+            if not len(ia):
+                continue
+            tok = np.unique(np.frombuffer(b"".join(rbl), dtype=np.int64))
+            if len(tok) <= bitset_vocab_cap:
+                w8 = (len(tok) + 7) // 8
+                bits = np.zeros((len(ids), w8), dtype=np.uint8)
+                for i, blob in enumerate(rbl):
+                    idx = np.searchsorted(
+                        tok, np.frombuffer(blob, dtype=np.int64)
+                    )
+                    np.bitwise_or.at(
+                        bits[i], idx >> 3, (1 << (7 - (idx & 7))).astype(np.uint8)
+                    )
+                AND = bits[ia] & bits[ib]
+                inter = _POP8[AND].sum(axis=1).astype(np.int64)
+                union = ks[ia] + ks[ib] - inter
+                ok = 100 * inter >= pct * union
+                if not ok.any():
+                    continue
+                AND = AND[ok]
+                # rarest common rank: tok is rank-ascending, so the
+                # first set bit of the AND bitset IS the minimum
+                nz = AND != 0
+                first_byte = nz.argmax(axis=1)
+                byte_val = AND[np.arange(len(AND)), first_byte]
+                min_rank = tok[first_byte * 8 + _FSB8[byte_val]]
+                emit = min_rank == r
+                sel = np.nonzero(ok)[0][emit]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[ia[sel]],
+                            "doc_b": ids[ib[sel]],
+                            "n_inter": inter[ok][emit],
+                            "n_union": union[ok][emit],
+                        }
+                    )
                 )
-            out["side"] = np.int64(1)
-            out["ablob"] = list(b["blob"])
-            return out
+            else:
+                da, db, ni, nu = [], [], [], []
+                for x, y in zip(ia, ib):
+                    A = np.frombuffer(rbl[x], dtype=np.int64)
+                    B = np.frombuffer(rbl[y], dtype=np.int64)
+                    common = np.intersect1d(A, B, assume_unique=True)
+                    inter = int(common.size)
+                    union = len(A) + len(B) - inter
+                    if (
+                        100 * inter >= pct * union
+                        and inter
+                        and int(common[0]) == r
+                    ):
+                        da.append(int(ids[x]))
+                        db.append(int(ids[y]))
+                        ni.append(inter)
+                        nu.append(union)
+                if da:
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_a": np.asarray(da, dtype=np.int64),
+                                "doc_b": np.asarray(db, dtype=np.int64),
+                                "n_inter": np.asarray(ni, dtype=np.int64),
+                                "n_union": np.asarray(nu, dtype=np.int64),
+                            }
+                        )
+                    )
+        if not outs:
+            return _empty_out()
+        return pd.concat(outs, ignore_index=True)
 
-        tagged = cands_ds.map_batches(
-            tag_c, batch_format="pandas", batch_size=8192
-        ).union(sets.map_batches(tag_s, batch_format="pandas", batch_size=8192))
-
-        def attach(part: pd.DataFrame) -> pd.DataFrame:
-            side = part[part["side"] == 1][["key", "ablob"]]
-            tgt = part[part["side"] == 0].drop(columns=["ablob", "side"])
-            out = tgt.merge(side, on="key", how="inner")
-            return out.drop(columns=["key"]).rename(columns={"ablob": out_col})
-
-        return salted_groupby(
-            tagged, lambda b: b["key"], attach, num_parts=num_parts
-        )
-
-    with_a = _attach(cands, ["doc_a", "doc_b"], "doc_a", "blob_a")
-    with_b = _attach(with_a, ["doc_a", "doc_b", "blob_a"], "doc_b", "blob_b")
-
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
-        da, db, ni, nu = [], [], [], []
-        for a, bb, ba, bbb in zip(b["doc_a"], b["doc_b"], b["blob_a"], b["blob_b"]):
-            A = np.frombuffer(ba, dtype=np.uint64)
-            B = np.frombuffer(bbb, dtype=np.uint64)
-            inter = int(np.intersect1d(A, B, assume_unique=True).size)
-            union = len(A) + len(B) - inter
-            if 100 * inter >= pct * union:
-                da.append(int(a))
-                db.append(int(bb))
-                ni.append(inter)
-                nu.append(union)
-        return pd.DataFrame(
-            {
-                "doc_a": np.asarray(da, dtype=np.int64),
-                "doc_b": np.asarray(db, dtype=np.int64),
-                "n_inter": np.asarray(ni, dtype=np.int64),
-                "n_union": np.asarray(nu, dtype=np.int64),
-            }
-        )
-
-    return with_b.map_batches(verify, batch_format="pandas", batch_size=8192)
+    return salted_groupby(
+        prefix, lambda b: b["bucket"], bucket_verify, num_parts=num_parts
+    )

@@ -1244,3 +1244,15 @@ def test_jaccard_selfjoin_matches_bruteforce_random(ray_session, tmp_path):
                     want.add((a, b, inter, union))
         assert got_set == want, f"pct={pct}"
     assert len(want) == 1  # the pct=66 round keeps exactly the top pair
+
+    # forced per-pair fallback (bitset_vocab_cap=0) must equal the
+    # vectorized bitset path exactly
+    fb = jaccard_selfjoin(
+        str(tmp_path), threshold_pct=50, bitset_vocab_cap=0
+    ).to_pandas()
+    bs = jaccard_selfjoin(str(tmp_path), threshold_pct=50).to_pandas()
+    key = ["doc_a", "doc_b"]
+    pd.testing.assert_frame_equal(
+        fb.sort_values(key).reset_index(drop=True),
+        bs.sort_values(key).reset_index(drop=True),
+    )
