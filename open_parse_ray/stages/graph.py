@@ -571,7 +571,12 @@ def _group_layout(sorted_keys: np.ndarray):
     return starts, sizes
 
 
-def triangle_counts(edges, n_nodes: int, num_parts: int = 32):
+def triangle_counts(
+    edges,
+    n_nodes: int,
+    num_parts: int = 32,
+    max_broadcast_edges: int = 5_000_000,
+):
     """Exact distributed triangle / wedge / edge counts over an
     undirected simple graph given as a Dataset of DISTINCT edges
     (u:int64, v:int64, u < v). Returns a one-row Dataset
@@ -596,7 +601,16 @@ def triangle_counts(edges, n_nodes: int, num_parts: int = 32):
     memory-bounded chunks (_grouped_pairs); the closing-edge probe is
     a second salted exchange co-partitioning wedge partials with the
     edge set on hash(u, v) — no all-pairs stage, no driver-resident
-    edge or wedge set. Only num_parts counter rows reach the driver."""
+    edge or wedge set. Only num_parts counter rows reach the driver.
+
+    Threshold switch (the semdedup_keep/union-find pattern): when the
+    DISTINCT edge count is <= max_broadcast_edges, the wedge exchange
+    (whose volume is sum C(outdeg, 2) — often tens of times the edge
+    count on dense graphs) is replaced by a broadcast oriented-CSR and
+    ONE streaming pass: triangles through oriented edge (a, b) are
+    |N+(a) ∩ N+(b)|, and each triangle is counted exactly once at its
+    two lowest-key endpoints' edge. Both paths are bit-identical
+    (equality gate in tests/test_graph.py)."""
     import ray
     import ray.data as rd
 
@@ -642,6 +656,47 @@ def triangle_counts(edges, n_nodes: int, num_parts: int = 32):
         ).astype("int64")
 
     oriented = edges.map_batches(orient, batch_format="pandas", batch_size=65536)
+
+    if n_edges <= max_broadcast_edges:
+        # broadcast path: oriented adjacency as CSR (edge-bounded:
+        # 16 B/edge), one streaming intersection pass over the edges
+        ep = oriented.to_pandas()
+        a_all = ep["a"].to_numpy(dtype=np.int64)
+        b_all = ep["b"].to_numpy(dtype=np.int64)
+        order = np.lexsort((b_all, a_all))
+        a_s, b_s = a_all[order], b_all[order]
+        indptr = np.zeros(n_nodes + 1, dtype=np.int64)
+        np.add.at(indptr, a_s + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        csr_ref = ray.put((indptr, b_s))
+
+        def tri_partial(b: pd.DataFrame) -> pd.DataFrame:
+            indptr_, nbr = ray.get(csr_ref)
+            aa = b["a"].to_numpy(dtype=np.int64)
+            bb = b["b"].to_numpy(dtype=np.int64)
+            tot = 0
+            for x, y in zip(aa, bb):
+                A = nbr[indptr_[x] : indptr_[x + 1]]
+                B = nbr[indptr_[y] : indptr_[y + 1]]
+                if len(A) and len(B):
+                    tot += int(
+                        np.intersect1d(A, B, assume_unique=True).size
+                    )
+            return pd.DataFrame({"tri": [np.int64(tot)]})
+
+        tri_df = oriented.map_batches(
+            tri_partial, batch_format="pandas", batch_size=65536
+        ).to_pandas()
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "n_nodes": [n_graph_nodes],
+                    "n_edges": [n_edges],
+                    "n_wedges": [n_wedges],
+                    "n_triangles": [int(tri_df["tri"].sum())],
+                }
+            ).astype("int64")
+        )
 
     def wedge_partial(part: pd.DataFrame) -> pd.DataFrame:
         ok = ray.get(okey_ref)

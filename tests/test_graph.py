@@ -176,19 +176,25 @@ def test_triangle_counts_match_brute_force(ray_session):
             for c in range(b + 1, n)
             if (a, c) in adj and (b, c) in adj
         )
-        got = (
-            triangle_counts(
-                rd.from_pandas(pd.DataFrame({"u": u, "v": v}).astype("int64")).repartition(4),
-                n_nodes=n,
-                num_parts=5,
+        # BOTH paths: broadcast-CSR (default at this size) and the
+        # forced wedge-join partitioned path must match brute force
+        for force in (5_000_000, 0):
+            got = (
+                triangle_counts(
+                    rd.from_pandas(
+                        pd.DataFrame({"u": u, "v": v}).astype("int64")
+                    ).repartition(4),
+                    n_nodes=n,
+                    num_parts=5,
+                    max_broadcast_edges=force,
+                )
+                .to_pandas()
+                .iloc[0]
             )
-            .to_pandas()
-            .iloc[0]
-        )
-        assert got["n_nodes"] == int((deg > 0).sum())
-        assert got["n_edges"] == len(adj)
-        assert got["n_wedges"] == int((deg * (deg - 1) // 2).sum())
-        assert got["n_triangles"] == tri, (n, len(adj), got["n_triangles"], tri)
+            assert got["n_nodes"] == int((deg > 0).sum())
+            assert got["n_edges"] == len(adj)
+            assert got["n_wedges"] == int((deg * (deg - 1) // 2).sum())
+            assert got["n_triangles"] == tri, (n, force, got["n_triangles"], tri)
 
 
 def test_copurchase_triangles_matches_duckdb(ray_session):
