@@ -276,6 +276,15 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_clusters(sf_dir)
 
 
+def _q_embedding_pca(sf_dir: str):
+    """Distributed PCA projection of the embedding table (int64 moment
+    partials -> driver eigh; fit is pytest-gated bit-identical to a
+    single-process reference; non-SQL, rows-only driver check)."""
+    from open_parse_ray.stages.clustering import embedding_pca_coords
+
+    return embedding_pca_coords(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the FIRST 50 entries (the driver's recording window)
     are all oracle-backed, and ROTATED each round so every oracle-backed
@@ -427,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_stats": relational.events_robust_stats,
         "frequent_term_pairs": analysis.frequent_term_pairs,
         "jaccard_selfjoin": dedup.jaccard_selfjoin,
+        "embedding_pca_coords": _q_embedding_pca,
     }
 
 

@@ -191,6 +191,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_robust_stats",
         "frequent_term_pairs",
         "jaccard_selfjoin",
+        "embedding_pca_coords",
     ]
 
     timings: dict[str, float] = {}

@@ -187,3 +187,102 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5, dim: int = 64, batc
         batch_format="pandas",
         batch_size=4096,
     )
+
+
+def pca_fit(sf_dir: str, n_components: int = 8, dim: int = 64, batch_size: int = 4096):
+    """Distributed PCA fit over the embedding table — returns
+    (components (n_components, dim) float64, explained_var
+    (n_components,) float64, mean (dim,) float64), a pure function of
+    the quantized inputs.
+
+    Bit-determinism (the kmeans_fit argument, extended to second
+    moments): per-batch partials are EXACT int64 (n, sum q, sum q q^T)
+    over _SCALE-quantized embeddings; the driver folds partials with
+    arbitrary-precision Python ints (the q q^T entries are bounded by
+    2^40 per row, so batch partials fit int64, but a 10^12-row total
+    does not — the object-dtype fold is the overflow guarantee, not a
+    convenience). Mean and covariance are then two float64 expressions
+    of exact integers, and numpy's eigh on the (dim, dim) covariance is
+    deterministic on a fixed BLAS — so components are bit-identical at
+    any batch size or block structure. Sign convention: each component
+    is flipped so its largest-|coordinate| entry is positive
+    (eigenvector sign is otherwise arbitrary).
+
+    Scale shape: ONE streaming pass; each batch ships a single
+    (8 + 8*dim + 8*dim^2)-byte partial row (dim=64: ~33 KB), bounded by
+    batch count, not rows. The (dim, dim) eigendecomposition is
+    driver-side and dimension-bounded."""
+    ds = _read_embeddings(sf_dir)
+
+    def moment_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"n": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype=object),
+                                 "m": pd.Series(dtype=object)})
+        q = _quantize(
+            np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
+        )
+        return pd.DataFrame(
+            {
+                "n": [np.int64(q.shape[0])],
+                "s": [q.sum(axis=0, dtype=np.int64).tobytes()],
+                "m": [(q.T @ q).astype(np.int64).tobytes()],
+            }
+        )
+
+    parts = ds.map_batches(
+        moment_partial, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()
+
+    n_total = int(parts["n"].sum())
+    if n_total == 0:
+        raise ValueError("empty embedding table")
+    s_tot = np.zeros(dim, dtype=object)
+    m_tot = np.zeros((dim, dim), dtype=object)
+    for s_raw, m_raw in zip(parts["s"], parts["m"]):
+        s_tot = s_tot + np.frombuffer(s_raw, dtype=np.int64).astype(object)
+        m_tot = m_tot + np.frombuffer(m_raw, dtype=np.int64).reshape(dim, dim).astype(object)
+
+    mean = s_tot.astype(np.float64) / (_SCALE * n_total)
+    # E[xx^T] - mean mean^T, both from exact integer moments
+    exx = m_tot.astype(np.float64) / (float(_SCALE) ** 2 * n_total)
+    cov = exx - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    idx = np.argsort(w)[::-1][:n_components]
+    comps = v[:, idx].T.copy()
+    var = w[idx].copy()
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, var, mean
+
+
+def embedding_pca_coords(
+    sf_dir: str, n_components: int = 8, dim: int = 64, batch_size: int = 4096
+):
+    """(vec_id, c0..c{n-1}) — every embedding projected onto the
+    distributed-PCA components (centered, same quantized input as the
+    fit, so coordinates are a deterministic function of the table)."""
+    import ray
+
+    comps, _var, mean = pca_fit(
+        sf_dir, n_components=n_components, dim=dim, batch_size=batch_size
+    )
+    ref = ray.put((comps, mean))
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        cm, mu = ray.get(ref)
+        q = _quantize(
+            np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
+        )
+        x = q.astype(np.float64) / _SCALE - mu
+        proj = x @ cm.T
+        out = {"vec_id": b["vec_id"].astype("int64").to_numpy()}
+        for i in range(cm.shape[0]):
+            out[f"c{i}"] = proj[:, i]
+        return pd.DataFrame(out)
+
+    return _read_embeddings(sf_dir).map_batches(
+        project, batch_format="pandas", batch_size=batch_size
+    )

@@ -114,3 +114,64 @@ def test_semdedup_pairs_match_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         dist, keep.sort_values("vec_id").reset_index(drop=True)
     )
+
+
+def test_pca_fit_matches_local_reference_bitwise(ray_session):
+    """Distributed PCA == single-process numpy reference, bit-for-bit:
+    the int64 moment partials are exact, so mean/cov — and therefore
+    eigh — see identical float64 inputs regardless of distribution."""
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.clustering import _SCALE, _quantize, pca_fit
+
+    sf = "/root/testdata/sf0.001"
+    comps, var, mean = pca_fit(sf, n_components=8)
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    q = _quantize(np.array([np.asarray(e, dtype=np.float64) for e in tbl["embedding"]]))
+    n = q.shape[0]
+    s = q.sum(axis=0, dtype=np.int64)
+    m = (q.T @ q).astype(np.int64)
+    mean_ref = s.astype(np.float64) / (_SCALE * n)
+    cov_ref = m.astype(np.float64) / (float(_SCALE) ** 2 * n) - np.outer(
+        mean_ref, mean_ref
+    )
+    w, v = np.linalg.eigh(cov_ref)
+    idx = np.argsort(w)[::-1][:8]
+    comps_ref = v[:, idx].T.copy()
+    for i in range(8):
+        j = int(np.argmax(np.abs(comps_ref[i])))
+        if comps_ref[i, j] < 0:
+            comps_ref[i] = -comps_ref[i]
+
+    assert np.array_equal(mean, mean_ref)
+    assert np.array_equal(var, w[idx])
+    assert np.array_equal(comps, comps_ref)
+
+    # batch-size invariance of the fit (int partials fold exactly)
+    comps2, var2, mean2 = pca_fit(sf, n_components=8, batch_size=128)
+    assert np.array_equal(comps, comps2)
+    assert np.array_equal(var, var2)
+    assert np.array_equal(mean, mean2)
+
+
+def test_embedding_pca_coords_properties(ray_session):
+    """Projection sanity: components orthonormal, per-component sample
+    variance equals the eigenvalue (both computed over the same
+    centered quantized data), coordinates' empirical mean ~ 0."""
+    from open_parse_ray.stages.clustering import embedding_pca_coords, pca_fit
+
+    sf = "/root/testdata/sf0.001"
+    comps, var, _mean = pca_fit(sf, n_components=4)
+    g = np.abs(comps @ comps.T - np.eye(4))
+    assert g.max() < 1e-10
+
+    out = embedding_pca_coords(sf, n_components=4).to_pandas()
+    assert len(out) == 500
+    X = out[[f"c{i}" for i in range(4)]].to_numpy()
+    assert np.abs(X.mean(axis=0)).max() < 1e-9
+    # biased (1/n) sample variance is exactly the eigenvalue of the cov
+    v_emp = (X**2).mean(axis=0)
+    assert np.abs(v_emp - var).max() < 1e-12 * max(1.0, np.abs(var).max())
+    # explained variance is sorted descending
+    assert np.all(np.diff(var) <= 1e-15)
