@@ -437,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_term_pairs": analysis.frequent_term_pairs,
         "jaccard_selfjoin": dedup.jaccard_selfjoin,
         "embedding_pca_coords": _q_embedding_pca,
+        "copurchase_lift_pairs": graph.copurchase_lift_pairs,
     }
 
 
@@ -941,6 +942,27 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # market-basket lift: integer cross-multiplied threshold
+        # (lift_den*N*c_ab >= lift_num*c_a*c_b) exact on both sides
+        "copurchase_lift_pairs": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+            pf AS (SELECT l_partkey, count(*) AS c FROM op GROUP BY 1),
+            pairs AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                     CAST(count(*) AS BIGINT) AS c_ab
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            )
+            SELECT pa AS part_a, pb AS part_b, c_ab AS n_ab,
+                   CAST(fa.c AS BIGINT) AS n_a, CAST(fb.c AS BIGINT) AS n_b
+            FROM pairs
+            JOIN pf fa ON fa.l_partkey = pa
+            JOIN pf fb ON fb.l_partkey = pb, n
+            WHERE c_ab >= 2
+              AND 1 * n.n_orders * c_ab >= 2 * fa.c * fb.c
         """,
         # exact all-pairs similarity join: the oracle is the O(n^2)
         # brute force; the Ray side's prefix filter must lose nothing

@@ -192,6 +192,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "frequent_term_pairs",
         "jaccard_selfjoin",
         "embedding_pca_coords",
+        "copurchase_lift_pairs",
     ]
 
     timings: dict[str, float] = {}

@@ -840,3 +840,127 @@ def copurchase_triangles(sf_dir: str):
 
     n_nodes = int(pc.max(maxp).as_py()) + 1
     return triangle_counts(copurchase_edges(sf_dir), n_nodes)
+
+
+def copurchase_lift_pairs(
+    sf_dir: str,
+    min_ab: int = 2,
+    lift_num: int = 2,
+    lift_den: int = 1,
+    num_parts: int = 32,
+):
+    """Market-basket association mining over the co-purchase graph:
+    every part pair co-occurring in >= min_ab orders whose LIFT
+    N·c_ab / (c_a·c_b) is >= lift_num/lift_den — the 'customers who
+    bought X also bought Y' statistic. The lift test is a pure integer
+    cross-multiplication (lift_den·N·c_ab >= lift_num·c_a·c_b), exact
+    on both sides of the SQL oracle.
+
+    Scale shape: all rows of one order co-locate in the order-salted
+    exchange (the copurchase_edges invariant), so per-order DISTINCT
+    (order, part) and pair generation are partition-local, and the
+    same partition emits (a) per-pair count partials in memory-bounded
+    chunks and (b) per-part order-frequency partials plus an exact
+    order count. Pair partials finish in a pair-salted exchange; the
+    part-frequency table is NODE-bounded (one row per part — the
+    degree-vector broadcast of triangle_counts) and c_a/c_b attach via
+    that broadcast, never a join. min_ab prunes the pair tail before
+    the lift test. Returns (part_a, part_b, n_ab, n_a, n_b)."""
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.sources.tables import table_path
+    from open_parse_ray.stages.dedup import salted_groupby
+    from open_parse_ray.stages.ranking import _fold
+    from open_parse_ray.stages.relational import _combine_partials
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def order_pair_counts(part: pd.DataFrame) -> pd.DataFrame:
+        o = part["l_orderkey"].to_numpy(dtype=np.int64)
+        p = part["l_partkey"].to_numpy(dtype=np.int64)
+        key = np.unique(o * _OKEY_BASE + p)
+        o, p = key // _OKEY_BASE, key % _OKEY_BASE
+        starts, sizes = _group_layout(o)
+        chunks = []
+        for lf, rt in _grouped_pairs(starts, sizes):
+            chunks.append(p[lf] * _OKEY_BASE + p[rt])
+        if chunks:
+            uniq, cnt = np.unique(np.concatenate(chunks), return_counts=True)
+        else:
+            uniq = cnt = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "pa": uniq // _OKEY_BASE,
+                "pb": uniq % _OKEY_BASE,
+                "n_ab": cnt.astype(np.int64),
+            }
+        ).astype("int64")
+
+    def part_freq_partial(part: pd.DataFrame) -> pd.DataFrame:
+        o = part["l_orderkey"].to_numpy(dtype=np.int64)
+        p = part["l_partkey"].to_numpy(dtype=np.int64)
+        key = np.unique(o * _OKEY_BASE + p)
+        pk, c = np.unique(key % _OKEY_BASE, return_counts=True)
+        n_orders = len(np.unique(key // _OKEY_BASE))
+        return pd.DataFrame(
+            {
+                "part": np.concatenate([pk, [-1]]),
+                "c": np.concatenate([c, [n_orders]]),
+            }
+        ).astype("int64")
+
+    pair_partials = salted_groupby(
+        ds, lambda b: b["l_orderkey"], order_pair_counts, num_parts=num_parts
+    )
+    freq = _combine_partials(
+        salted_groupby(
+            ds, lambda b: b["l_orderkey"], part_freq_partial, num_parts=num_parts
+        ),
+        ["part"],
+        {"c": "sum"},
+    ).to_pandas()
+    n_orders = int(freq.loc[freq["part"] == -1, "c"].iloc[0])
+    pf = freq[freq["part"] >= 0]
+    maxp = int(pf["part"].max()) + 1
+    cvec = np.zeros(maxp, dtype=np.int64)
+    cvec[pf["part"].to_numpy(dtype=np.int64)] = pf["c"].to_numpy(dtype=np.int64)
+    cref = ray.put(cvec)
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["pa", "pb"], as_index=False).agg(n_ab=("n_ab", "sum"))
+        g = g[g["n_ab"] >= min_ab]
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "part_a": pd.Series(dtype="int64"),
+                    "part_b": pd.Series(dtype="int64"),
+                    "n_ab": pd.Series(dtype="int64"),
+                    "n_a": pd.Series(dtype="int64"),
+                    "n_b": pd.Series(dtype="int64"),
+                }
+            )
+        c = ray.get(cref)
+        pa = g["pa"].to_numpy(dtype=np.int64)
+        pb = g["pb"].to_numpy(dtype=np.int64)
+        nab = g["n_ab"].to_numpy(dtype=np.int64)
+        na, nb = c[pa], c[pb]
+        keep = lift_den * n_orders * nab >= lift_num * na * nb
+        return pd.DataFrame(
+            {
+                "part_a": pa[keep],
+                "part_b": pb[keep],
+                "n_ab": nab[keep],
+                "n_a": na[keep],
+                "n_b": nb[keep],
+            }
+        )
+
+    return salted_groupby(
+        pair_partials,
+        lambda b: (b["pa"] * _OKEY_BASE + b["pb"]),
+        finish,
+        num_parts=num_parts,
+    )

@@ -210,3 +210,35 @@ def test_copurchase_triangles_matches_duckdb(ray_session):
 
     want = con.execute(e.oracle_sql()["copurchase_triangles"]).df().astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_copurchase_lift_pairs_semantics(ray_session, tmp_path):
+    """Lift is not co-count: a pair bought together in EVERY order
+    (lift exactly 1) is excluded, while a pair whose co-occurrence is
+    concentrated (lift 2) passes with fewer co-purchases."""
+    from open_parse_ray.stages.graph import copurchase_lift_pairs
+
+    # 4 orders; parts 1,2 in all four (lift 4*4/(4*4)=1);
+    # parts 3,4 in orders 10,11 only (lift 4*2/(2*2)=2)
+    rows = []
+    for o in (10, 11, 12, 13):
+        rows += [(o, 1), (o, 2)]
+    for o in (10, 11):
+        rows += [(o, 3), (o, 4)]
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    df["l_suppkey"] = 0
+    df["l_linenumber"] = np.arange(len(df), dtype=np.int32)
+    df["l_quantity"] = 1.0
+    df["l_extendedprice"] = 1.0
+    df["l_discount"] = 0.0
+    df["l_tax"] = 0.0
+    df["l_returnflag"] = "N"
+    df["l_linestatus"] = "O"
+    df["l_shipdate"] = pd.Timestamp("2024-01-01")
+    df.to_parquet(tmp_path / "lineitem.parquet")
+
+    out = copurchase_lift_pairs(str(tmp_path)).to_pandas()
+    got = set(zip(out["part_a"], out["part_b"]))
+    assert got == {(3, 4)}
+    row = out.set_index(["part_a", "part_b"]).loc[(3, 4)]
+    assert row["n_ab"] == 2 and row["n_a"] == 2 and row["n_b"] == 2

@@ -266,6 +266,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     checks.append((events_robust_stats, ["event_type"]))
     checks.append((analysis.frequent_term_pairs, ["term_a", "term_b"]))
     checks.append((dedup.jaccard_selfjoin, ["doc_a", "doc_b"]))
+    from open_parse_ray.stages.graph import copurchase_lift_pairs
+
+    checks.append((copurchase_lift_pairs, ["part_a", "part_b"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
