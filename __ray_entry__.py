@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_selfjoin": dedup.jaccard_selfjoin,
         "embedding_pca_coords": _q_embedding_pca,
         "copurchase_lift_pairs": graph.copurchase_lift_pairs,
+        "url_editdist_pairs": web.url_editdist_pairs,
     }
 
 
@@ -942,6 +943,23 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # bounded edit-distance join: deletion-neighborhood candidates,
+        # exact Levenshtein verify — the oracle is the brute-force
+        # self-join over the same closed-form canonical URLs
+        "url_editdist_pairs": """
+            WITH c AS (
+              SELECT DISTINCT
+                     'https://' || source || '.org/d/' ||
+                     CAST(doc_id % 50 AS VARCHAR) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '?page=' || CAST(doc_id % 7 AS VARCHAR)
+                          ELSE '' END AS u
+              FROM documents
+            )
+            SELECT a.u AS url_a, b.u AS url_b
+            FROM c a JOIN c b ON a.u < b.u
+            WHERE levenshtein(a.u, b.u) = 1
         """,
         # market-basket lift: integer cross-multiplied threshold
         # (lift_den*N*c_ab >= lift_num*c_a*c_b) exact on both sides

@@ -193,6 +193,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "jaccard_selfjoin",
         "embedding_pca_coords",
         "copurchase_lift_pairs",
+        "url_editdist_pairs",
     ]
 
     timings: dict[str, float] = {}

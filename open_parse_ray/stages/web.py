@@ -279,3 +279,99 @@ def domain_quality_filter(sf_dir: str, min_mean_chars: int = 300):
     return read_documents(sf_dir, columns=["doc_id", "source"]).map_batches(
         keep, batch_format="pandas", batch_size=65536
     )
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact bounded check: edit distance(a, b) <= 1 (O(len) scan)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # la + 1 == lb: try to align by skipping one char of b
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def url_editdist_pairs(sf_dir: str, num_parts: int = 32):
+    """Bounded edit-distance self-join over the DISTINCT canonical crawl
+    URLs: every pair at Levenshtein distance exactly 1 (typosquats,
+    off-by-one ids, near-miss paths — the URL analog of near-dup text).
+    The deletion-neighborhood (SymSpell) construction makes the join
+    exact WITHOUT an all-pairs stage: two strings at distance <= 1 share
+    at least one member of their deletion neighborhoods ({s} plus every
+    single-character deletion), so bucketing each string by the md5 of
+    each of its <= len+1 distinct variants surfaces every qualifying
+    pair in some shared bucket; candidates are verified by an exact
+    O(len) bounded-distance scan, then deduped in a pair-salted
+    exchange (a pair can share several variant buckets).
+
+    Scale shape: a URL of length L ships <= L+1 fixed-width
+    (bucket-hash, url) rows; bucket fan-in is bounded by how many
+    strings share a variant — the near-dup cluster size, not the corpus
+    size. Returns (url_a, url_b), url_a < url_b."""
+    from open_parse_ray.stages.analysis import read_documents
+    from open_parse_ray.stages.dedup import _md5_64, salted_groupby
+
+    docs = read_documents(sf_dir, columns=["doc_id", "source"])
+
+    def canon_rows(b: pd.DataFrame) -> pd.DataFrame:
+        urls = {
+            canonicalize_url(synth_messy_url(int(d), s))
+            for d, s in zip(b["doc_id"].to_numpy(), b["source"])
+        }
+        return pd.DataFrame({"url": sorted(urls)})
+
+    def distinct(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates("url")[["url"]]
+
+    canon = salted_groupby(
+        docs.map_batches(canon_rows, batch_format="pandas", batch_size=8192),
+        lambda b: pd.util.hash_pandas_object(b["url"], index=False).astype("int64"),
+        distinct,
+        num_parts=num_parts,
+    )
+
+    def deletion_rows(b: pd.DataFrame) -> pd.DataFrame:
+        buckets, urls = [], []
+        for s in b["url"]:
+            variants = {s}
+            for i in range(len(s)):
+                variants.add(s[:i] + s[i + 1 :])
+            for v in variants:
+                buckets.append(_md5_64(v) & 0x7FFFFFFFFFFFFFFF)
+                urls.append(s)
+        return pd.DataFrame(
+            {"bucket": np.asarray(buckets, dtype=np.int64), "url": urls}
+        )
+
+    rows = canon.map_batches(deletion_rows, batch_format="pandas", batch_size=8192)
+
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        oa, ob = [], []
+        for _, g in part.groupby("bucket", sort=False):
+            us = sorted(set(g["url"]))
+            for i in range(len(us)):
+                for j in range(i + 1, len(us)):
+                    if _ed_le1(us[i], us[j]):
+                        oa.append(us[i])
+                        ob.append(us[j])
+        return pd.DataFrame({"url_a": oa, "url_b": ob})
+
+    pairs = salted_groupby(rows, lambda b: b["bucket"], bucket_pairs, num_parts=num_parts)
+
+    def dedupe(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["url_a", "url_b"])
+
+    return salted_groupby(
+        pairs,
+        lambda b: pd.util.hash_pandas_object(
+            b["url_a"] + "\x00" + b["url_b"], index=False
+        ).astype("int64"),
+        dedupe,
+        num_parts=num_parts,
+    )

@@ -444,3 +444,87 @@ def test_leakage_safe_splits_group_cohesion(ray_session):
         (reps["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761))
         % np.uint64(2**32) % np.uint64(100)
     ).astype(np.int64)).all()
+
+
+def test_ed_le1_matches_dp_reference():
+    """_ed_le1 == (full Levenshtein DP <= 1) over exhaustive short
+    strings and seeded random perturbations."""
+    import itertools
+
+    from open_parse_ray.stages.web import _ed_le1
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            cur = [i]
+            for j, y in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (x != y)))
+            prev = cur
+        return prev[-1]
+
+    al = "abc"
+    pool = [
+        "".join(t) for n in range(0, 4) for t in itertools.product(al, repeat=n)
+    ]
+    for a in pool:
+        for b in pool:
+            assert _ed_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+    rng = np.random.RandomState(99)
+    for _ in range(300):
+        n = rng.randint(1, 12)
+        a = "".join(rng.choice(list("abcd"), n))
+        b = list(a)
+        op = rng.randint(0, 4)
+        if op == 0 and len(b) > 1:
+            del b[rng.randint(len(b))]
+        elif op == 1:
+            b.insert(rng.randint(len(b) + 1), "e")
+        elif op == 2:
+            b[rng.randint(len(b))] = "f"
+        else:
+            b = list("".join(rng.choice(list("abcd"), rng.randint(1, 12))))
+        b = "".join(b)
+        assert _ed_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+
+def test_url_editdist_pairs_matches_bruteforce(ray_session):
+    """The deletion-neighborhood join == brute-force ED-1 self-join over
+    the same distinct canonical URLs at sf0.001."""
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.stages.web import (
+        canonicalize_url,
+        synth_messy_url,
+        url_editdist_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "source"]
+    ).to_pandas()
+    urls = sorted(
+        {
+            canonicalize_url(synth_messy_url(int(d), s))
+            for d, s in zip(df["doc_id"], df["source"])
+        }
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            cur = [i]
+            for j, y in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (x != y)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b)
+        for i, a in enumerate(urls)
+        for b in urls[i + 1 :]
+        if lev(a, b) == 1
+    }
+    got = url_editdist_pairs(sf).to_pandas()
+    assert set(zip(got["url_a"], got["url_b"])) == want
+    assert len(want) > 100  # the corpus really has ED-1 structure

@@ -269,6 +269,7 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.graph import copurchase_lift_pairs
 
     checks.append((copurchase_lift_pairs, ["part_a", "part_b"]))
+    checks.append((web.url_editdist_pairs, ["url_a", "url_b"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
