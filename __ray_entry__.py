@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_coords": _q_embedding_pca,
         "copurchase_lift_pairs": graph.copurchase_lift_pairs,
         "url_editdist_pairs": web.url_editdist_pairs,
+        "events_session_ids": relational.events_session_ids,
     }
 
 
@@ -943,6 +944,26 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # row-level sessionization: integer-microsecond gap test on
+        # both sides; session_idx = running sum of gap-start flags
+        "events_session_ids": """
+            WITH f AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(epoch_us(ts) AS BIGINT)
+                               - CAST(epoch_us(lag(ts) OVER w) AS BIGINT)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS st
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(st) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_idx
+            FROM f
         """,
         # bounded edit-distance join: deletion-neighborhood candidates,
         # exact Levenshtein verify — the oracle is the brute-force

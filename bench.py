@@ -194,6 +194,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "embedding_pca_coords",
         "copurchase_lift_pairs",
         "url_editdist_pairs",
+        "events_session_ids",
     ]
 
     timings: dict[str, float] = {}

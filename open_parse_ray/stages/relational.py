@@ -1909,3 +1909,48 @@ def events_robust_stats(sf_dir: str):
     return hist.repartition(1).map_batches(
         robust, batch_format="pandas", batch_size=None
     )
+
+
+def events_session_ids(sf_dir: str, gap_minutes: int = 30):
+    """Per-EVENT sessionization (sessions_per_user's row-level twin):
+    assign every event its user-scoped session index (1-based, in
+    (ts, event_id) order; a new session starts when the gap to the
+    user's previous event exceeds ``gap_minutes``). The window-function
+    shape — sum of gap-start flags over the per-user ordered prefix —
+    computed with one user-salted exchange and a partition-wide
+    vectorized cumsum (no per-user Python loop: session indices are the
+    grouped cumulative sum of start flags, reset at user boundaries by
+    construction). Returns (event_id, user_id, session_idx)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def assign(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts", "event_id"])
+        # integer-microsecond gap test: exact on both sides of the oracle
+        t = g["ts"].values.astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(t, prepend=t[0] if len(t) else 0)
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        start = (
+            new_user.to_numpy() | (gaps > np.int64(gap_minutes) * 60 * 1_000_000)
+        )
+        cum = np.cumsum(start.astype(np.int64))
+        # reset per user: subtract the cumsum just before the user's
+        # first row (its start flag is always set, so idx starts at 1)
+        first = np.where(new_user.to_numpy())[0]
+        base = np.zeros(len(g), dtype=np.int64)
+        base[first] = cum[first] - 1
+        base = np.maximum.accumulate(base)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "user_id": g["user_id"].to_numpy(dtype=np.int64),
+                "session_idx": cum - base,
+            }
+        )
+
+    return salted_groupby(ds, lambda b: b["user_id"], assign)

@@ -1098,3 +1098,42 @@ def test_frequent_term_pairs_apriori_pruning(ray_session, tmp_path):
     # z has df=2 < 3: (x,z) and (y,z) pruned despite co-occurring twice
     assert got == {("x", "y")}
     assert out.set_index(["term_a", "term_b"]).loc[("x", "y"), "n_docs"] == 3
+
+
+def test_events_session_ids_boundaries_and_consistency(ray_session, tmp_path):
+    """Row-level sessionization: a gap of EXACTLY 30 min stays in the
+    session (strict >), one microsecond more starts a new one; per-user
+    max session_idx equals sessions_per_user's n_sessions on the
+    corpus."""
+    from open_parse_ray.stages.relational import (
+        events_session_ids,
+        sessions_per_user,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    us = pd.Timedelta(microseconds=1)
+    half_hour = pd.Timedelta(minutes=30)
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [t0, t0 + half_hour, t0 + 2 * half_hour + us, t0],
+            "user_id": np.asarray([7, 7, 7, 8], dtype=np.int64),
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    out = (
+        _df(events_session_ids(str(tmp_path)))
+        .set_index("event_id")["session_idx"]
+    )
+    assert out[1] == 1 and out[2] == 1  # exactly 30 min -> same session
+    assert out[3] == 2  # 30 min + 1 us -> new session
+    assert out[4] == 1  # other user restarts at 1
+
+    ids = _df(events_session_ids(SF))
+    per_user = ids.groupby("user_id")["session_idx"].max().sort_index()
+    spu = (
+        _df(sessions_per_user(SF)).set_index("user_id")["n_sessions"].sort_index()
+    )
+    assert (per_user == spu).all()

@@ -270,6 +270,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
 
     checks.append((copurchase_lift_pairs, ["part_a", "part_b"]))
     checks.append((web.url_editdist_pairs, ["url_a", "url_b"]))
+    from open_parse_ray.stages.relational import events_session_ids
+
+    checks.append((events_session_ids, ["event_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
