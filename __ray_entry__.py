@@ -440,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_lift_pairs": graph.copurchase_lift_pairs,
         "url_editdist_pairs": web.url_editdist_pairs,
         "events_session_ids": relational.events_session_ids,
+        "fk_audit": relational.fk_audit,
     }
 
 
@@ -944,6 +945,36 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # referential-integrity audit: orphan counts per FK relation
+        "fk_audit": """
+            SELECT 'orders.o_custkey->customer' AS relation,
+                   CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+                   CAST((SELECT count(*) FROM orders o
+                         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                           WHERE c.c_custkey = o.o_custkey))
+                        AS BIGINT) AS n_orphans
+            UNION ALL
+            SELECT 'lineitem.l_orderkey->orders',
+                   CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+                   CAST((SELECT count(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                           WHERE o.o_orderkey = l.l_orderkey))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part',
+                   CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+                   CAST((SELECT count(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM part p
+                                           WHERE p.p_partkey = l.l_partkey))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation',
+                   CAST((SELECT count(*) FROM customer) AS BIGINT),
+                   CAST((SELECT count(*) FROM customer c
+                         WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                           WHERE n.n_nationkey = c.c_nationkey))
+                        AS BIGINT)
         """,
         # row-level sessionization: integer-microsecond gap test on
         # both sides; session_idx = running sum of gap-start flags

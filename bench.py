@@ -195,6 +195,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "copurchase_lift_pairs",
         "url_editdist_pairs",
         "events_session_ids",
+        "fk_audit",
     ]
 
     timings: dict[str, float] = {}

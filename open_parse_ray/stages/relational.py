@@ -1954,3 +1954,101 @@ def events_session_ids(sf_dir: str, gap_minutes: int = 30):
         )
 
     return salted_groupby(ds, lambda b: b["user_id"], assign)
+
+
+def fk_audit(sf_dir: str, num_parts: int = 32):
+    """Referential-integrity audit — the data-quality gate a pipeline
+    runs before trusting a snapshot: for each FK relation, the exact
+    number of child rows whose key has no parent. Relations covered:
+    orders.o_custkey -> customer, lineitem.l_orderkey -> orders,
+    lineitem.l_partkey -> part, customer.c_nationkey -> nation.
+    Returns (relation, n_child, n_orphans).
+
+    Scale shape: each relation is a salted ANTI-join on the key — both
+    sides ship (key, side, cnt) fixed-width rows only; the child side
+    pre-aggregates to distinct keys WITH COUNTS per block (a key
+    appearing 10^6 times ships once per block), the parent side is
+    deduped per block, and each partition counts child rows whose key
+    has no parent row co-located with it. Per-relation output is one
+    row per partition, combined driver-side."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    def one_relation(child_tbl, child_col, parent_tbl, parent_col, name):
+        child = rd.read_parquet(table_path(sf_dir, child_tbl), columns=[child_col])
+        parent = rd.read_parquet(table_path(sf_dir, parent_tbl), columns=[parent_col])
+
+        def proj_child(t: pa.Table) -> pa.Table:
+            k, c = np.unique(
+                t[child_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                return_counts=True,
+            )
+            return pa.table(
+                {
+                    "key": pa.array(k),
+                    "side": pa.array(np.zeros(len(k), dtype=np.int64)),
+                    "cnt": pa.array(c.astype(np.int64)),
+                }
+            )
+
+        def proj_parent(t: pa.Table) -> pa.Table:
+            k = np.unique(
+                t[parent_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "key": pa.array(k),
+                    "side": pa.array(np.ones(len(k), dtype=np.int64)),
+                    "cnt": pa.array(np.zeros(len(k), dtype=np.int64)),
+                }
+            )
+
+        both = child.map_batches(
+            proj_child, batch_format="pyarrow", batch_size=65536
+        ).union(
+            parent.map_batches(proj_parent, batch_format="pyarrow", batch_size=65536)
+        )
+
+        def anti(part: pd.DataFrame) -> pd.DataFrame:
+            have = np.unique(
+                part.loc[part["side"] == 1, "key"].to_numpy(dtype=np.int64)
+            )
+            ch = part[part["side"] == 0]
+            keys = ch["key"].to_numpy(dtype=np.int64)
+            orphan = ~np.isin(keys, have)
+            return pd.DataFrame(
+                {
+                    "n_child": [np.int64(ch["cnt"].sum())],
+                    "n_orphans": [
+                        np.int64(ch["cnt"].to_numpy(dtype=np.int64)[orphan].sum())
+                    ],
+                }
+            )
+
+        parts = salted_groupby_arrow(
+            both, lambda t: t["key"].to_numpy(zero_copy_only=False), anti,
+            num_parts=num_parts,
+        ).to_pandas()
+        return {
+            "relation": name,
+            "n_child": int(parts["n_child"].sum()),
+            "n_orphans": int(parts["n_orphans"].sum()),
+        }
+
+    rows = [
+        one_relation("orders", "o_custkey", "customer", "c_custkey",
+                     "orders.o_custkey->customer"),
+        one_relation("lineitem", "l_orderkey", "orders", "o_orderkey",
+                     "lineitem.l_orderkey->orders"),
+        one_relation("lineitem", "l_partkey", "part", "p_partkey",
+                     "lineitem.l_partkey->part"),
+        one_relation("customer", "c_nationkey", "nation", "n_nationkey",
+                     "customer.c_nationkey->nation"),
+    ]
+    import ray.data as _rd
+
+    return _rd.from_pandas(
+        pd.DataFrame(rows).astype({"n_child": "int64", "n_orphans": "int64"})
+    )

@@ -1137,3 +1137,28 @@ def test_events_session_ids_boundaries_and_consistency(ray_session, tmp_path):
         _df(sessions_per_user(SF)).set_index("user_id")["n_sessions"].sort_index()
     )
     assert (per_user == spu).all()
+
+
+def test_fk_audit_detects_orphans(ray_session, tmp_path):
+    """Orphan counting is per child ROW (a key appearing many times
+    counts each row), and a clean relation reports zero."""
+    from open_parse_ray.stages.relational import fk_audit
+
+    pd.DataFrame({"c_custkey": [1, 2], "c_nationkey": [0, 0]}).to_parquet(
+        tmp_path / "customer.parquet"
+    )
+    pd.DataFrame(
+        {"o_orderkey": [10, 11, 12], "o_custkey": [1, 9, 9]}
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {"l_orderkey": [10, 10, 99], "l_partkey": [5, 5, 5]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame({"p_partkey": [5]}).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame({"n_nationkey": [0]}).to_parquet(tmp_path / "nation.parquet")
+
+    out = _df(fk_audit(str(tmp_path))).set_index("relation")
+    assert out.loc["orders.o_custkey->customer", "n_orphans"] == 2
+    assert out.loc["lineitem.l_orderkey->orders", "n_orphans"] == 1
+    assert out.loc["lineitem.l_partkey->part", "n_orphans"] == 0
+    assert out.loc["customer.c_nationkey->nation", "n_orphans"] == 0
+    assert out["n_child"].tolist() == [3, 3, 3, 2]

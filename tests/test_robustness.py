@@ -273,6 +273,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import events_session_ids
 
     checks.append((events_session_ids, ["event_id"]))
+    from open_parse_ray.stages.relational import fk_audit
+
+    checks.append((fk_audit, ["relation"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
