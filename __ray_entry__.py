@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_editdist_pairs": web.url_editdist_pairs,
         "events_session_ids": relational.events_session_ids,
         "fk_audit": relational.fk_audit,
+        "events_user_streaks": relational.events_user_streaks,
     }
 
 
@@ -945,6 +946,26 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # gaps-and-islands: day - row_number() groups consecutive runs
+        "events_user_streaks": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+              FROM events
+            ),
+            r AS (
+              SELECT user_id, day,
+                     day - row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS grp
+              FROM d
+            ),
+            s AS (SELECT user_id, count(*) AS len
+                  FROM r GROUP BY user_id, grp)
+            SELECT user_id,
+                   CAST(max(len) AS BIGINT) AS max_streak_days,
+                   CAST(sum(len) AS BIGINT) AS n_active_days
+            FROM s GROUP BY user_id
         """,
         # referential-integrity audit: orphan counts per FK relation
         "fk_audit": """

@@ -196,6 +196,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "url_editdist_pairs",
         "events_session_ids",
         "fk_audit",
+        "events_user_streaks",
     ]
 
     timings: dict[str, float] = {}

@@ -2052,3 +2052,52 @@ def fk_audit(sf_dir: str, num_parts: int = 32):
     return _rd.from_pandas(
         pd.DataFrame(rows).astype({"n_child": "int64", "n_orphans": "int64"})
     )
+
+
+def events_user_streaks(sf_dir: str):
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE UTC
+    calendar days with at least one event, plus the total count of
+    active days — the engagement-streak statistic. Fully vectorized
+    island detection over one user-salted exchange: distinct
+    (user, day) pairs sort within the partition, an island starts where
+    the user changes or the day jumps by more than 1, and island
+    lengths come from boundary differences (no per-user loop).
+    Returns (user_id, max_streak_days, n_active_days)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def streaks(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "max_streak_days": pd.Series(dtype="int64"),
+                    "n_active_days": pd.Series(dtype="int64"),
+                }
+            )
+        u = part["user_id"].to_numpy(dtype=np.int64)
+        day = (
+            part["ts"].values.astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        # distinct (user, day), sorted — day fits well under 2^20
+        key = np.unique(u * (1 << 21) + day)
+        ku, kd = key >> 21, key & ((1 << 21) - 1)
+        starts = np.ones(len(key), dtype=bool)
+        starts[1:] = (ku[1:] != ku[:-1]) | (kd[1:] - kd[:-1] > 1)
+        sidx = np.flatnonzero(starts)
+        lengths = np.diff(np.append(sidx, len(key)))
+        island_user = ku[sidx]
+        uu, inv = np.unique(island_user, return_inverse=True)
+        mx = np.zeros(len(uu), dtype=np.int64)
+        np.maximum.at(mx, inv, lengths)
+        tot = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(tot, inv, lengths)
+        return pd.DataFrame(
+            {"user_id": uu, "max_streak_days": mx, "n_active_days": tot}
+        )
+
+    return salted_groupby(ds, lambda b: b["user_id"], streaks)

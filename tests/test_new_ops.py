@@ -1162,3 +1162,33 @@ def test_fk_audit_detects_orphans(ray_session, tmp_path):
     assert out.loc["lineitem.l_partkey->part", "n_orphans"] == 0
     assert out.loc["customer.c_nationkey->nation", "n_orphans"] == 0
     assert out["n_child"].tolist() == [3, 3, 3, 2]
+
+
+def test_events_user_streaks_islands(ray_session, tmp_path):
+    """Gaps-and-islands semantics: multiple events in one day count
+    once; midnight boundaries split days; a 1-day gap breaks the
+    streak but both islands count toward active days."""
+    from open_parse_ray.stages.relational import events_user_streaks
+
+    ts = [
+        # user 1: days 0,1,2 (streak 3), then day 4 (gap) -> max 3, active 4
+        "2024-01-01 09:00", "2024-01-01 23:59", "2024-01-02 00:00",
+        "2024-01-03 12:00", "2024-01-05 01:00",
+        # user 2: one day only
+        "2024-02-10 10:00",
+    ]
+    pd.DataFrame(
+        {
+            "event_id": np.arange(len(ts), dtype=np.int64),
+            "ts": pd.to_datetime(ts),
+            "user_id": np.asarray([1, 1, 1, 1, 1, 2], dtype=np.int64),
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    out = _df(events_user_streaks(str(tmp_path))).set_index("user_id")
+    assert out.loc[1, "max_streak_days"] == 3
+    assert out.loc[1, "n_active_days"] == 4
+    assert out.loc[2, "max_streak_days"] == 1
+    assert out.loc[2, "n_active_days"] == 1

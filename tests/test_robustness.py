@@ -276,6 +276,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import fk_audit
 
     checks.append((fk_audit, ["relation"]))
+    from open_parse_ray.stages.relational import events_user_streaks
+
+    checks.append((events_user_streaks, ["user_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
