@@ -442,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_ids": relational.events_session_ids,
         "fk_audit": relational.fk_audit,
         "events_user_streaks": relational.events_user_streaks,
+        "events_max_concurrency": relational.events_max_concurrency,
     }
 
 
@@ -946,6 +947,22 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # interval max-concurrency: +1/-1 sweep, ends-before-starts at
+        # equal t (half-open intervals) on both sides
+        "events_max_concurrency": """
+            WITH pts AS (
+              SELECT CAST(epoch_us(ts) AS BIGINT) AS t, 1 AS d FROM events
+              UNION ALL
+              SELECT CAST(epoch_us(ts + INTERVAL 300 SECOND) AS BIGINT), -1
+              FROM events
+            ),
+            r AS (
+              SELECT sum(d) OVER (
+                ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+              FROM pts
+            )
+            SELECT CAST(max(c) AS BIGINT) AS max_concurrent FROM r
         """,
         # gaps-and-islands: day - row_number() groups consecutive runs
         "events_user_streaks": """

@@ -197,6 +197,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_session_ids",
         "fk_audit",
         "events_user_streaks",
+        "events_max_concurrency",
     ]
 
     timings: dict[str, float] = {}

@@ -2101,3 +2101,67 @@ def events_user_streaks(sf_dir: str):
         )
 
     return salted_groupby(ds, lambda b: b["user_id"], streaks)
+
+
+def events_max_concurrency(
+    sf_dir: str, duration_s: int = 300, bucket_s: int = 3600, num_parts: int = 32
+):
+    """Interval max-concurrency (the 'airport problem'): treating every
+    event as an interval [ts, ts + duration), the maximum number
+    simultaneously open at any instant. The canonical +1/-1 sweep needs
+    a GLOBALLY ordered running sum — the distributed-scan shape: time
+    is bucketed, each bucket's partition reduces its local deltas to
+    (bucket, total_delta, local_max_prefix), the driver prefix-scans
+    the tiny per-bucket table (one row per NONEMPTY bucket) to get each
+    bucket's carry-in, and the answer is max over buckets of
+    carry_in + local_max_prefix. One exchange; only (t_us, delta) pairs
+    travel; the driver holds one row per nonempty bucket.
+
+    Tie order at equal t is delta ascending (-1 before +1): intervals
+    are half-open, an end at t never overlaps a start at t — the same
+    (t, d) ordering the SQL oracle's window uses.
+    Returns one row (max_concurrent)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    dur_us = np.int64(duration_s) * 1_000_000
+    b_us = np.int64(bucket_s) * 1_000_000
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["ts"])
+
+    def deltas(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].values.astype("datetime64[us]").astype(np.int64)
+        ts_all = np.concatenate([t, t + dur_us])
+        d = np.concatenate(
+            [np.ones(len(t), dtype=np.int64), -np.ones(len(t), dtype=np.int64)]
+        )
+        return pd.DataFrame({"bucket": ts_all // b_us, "t": ts_all, "d": d})
+
+    pts = ds.map_batches(deltas, batch_format="pandas", batch_size=65536)
+
+    def bucket_reduce(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bk, g in part.groupby("bucket", sort=False):
+            order = np.lexsort((g["d"].to_numpy(), g["t"].to_numpy()))
+            c = np.cumsum(g["d"].to_numpy(dtype=np.int64)[order])
+            rows.append(
+                {
+                    "bucket": np.int64(bk),
+                    "total": np.int64(c[-1]),
+                    "local_max": np.int64(c.max()),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    per_bucket = salted_groupby(
+        pts, lambda b: b["bucket"], bucket_reduce, num_parts=num_parts
+    ).to_pandas()
+    per_bucket = per_bucket.sort_values("bucket")
+    carry = np.concatenate(
+        [[0], np.cumsum(per_bucket["total"].to_numpy(dtype=np.int64))[:-1]]
+    )
+    best = int((carry + per_bucket["local_max"].to_numpy(dtype=np.int64)).max())
+    return rd.from_pandas(
+        pd.DataFrame({"max_concurrent": [best]}).astype("int64")
+    )

@@ -1192,3 +1192,38 @@ def test_events_user_streaks_islands(ray_session, tmp_path):
     assert out.loc[1, "n_active_days"] == 4
     assert out.loc[2, "max_streak_days"] == 1
     assert out.loc[2, "n_active_days"] == 1
+
+
+def test_events_max_concurrency_boundaries(ray_session, tmp_path):
+    """Half-open interval semantics: an interval ending exactly when
+    another starts does NOT overlap it; carry-in across time buckets
+    is exercised by a pile-up spanning a bucket boundary."""
+    from open_parse_ray.stages.relational import events_max_concurrency
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    ts = [
+        t0,                                   # [0, 300)
+        t0 + pd.Timedelta(seconds=300),       # [300, 600) — no overlap with #1
+        # pile-up straddling the 1h bucket boundary: three intervals
+        # open at 3599.9s..3600.1s
+        t0 + pd.Timedelta(seconds=3500),
+        t0 + pd.Timedelta(seconds=3550),
+        t0 + pd.Timedelta(seconds=3599),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": np.arange(len(ts), dtype=np.int64),
+            "ts": ts,
+            "user_id": np.int64(1),
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    out = _df(events_max_concurrency(str(tmp_path)))
+    assert out.loc[0, "max_concurrent"] == 3
+
+    # num_parts invariance on the corpus
+    a = _df(events_max_concurrency(SF, num_parts=3))
+    b = _df(events_max_concurrency(SF, num_parts=32))
+    assert a.equals(b)

@@ -279,6 +279,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import events_user_streaks
 
     checks.append((events_user_streaks, ["user_id"]))
+    from open_parse_ray.stages.relational import events_max_concurrency
+
+    checks.append((events_max_concurrency, ["max_concurrent"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
