@@ -443,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_audit": relational.fk_audit,
         "events_user_streaks": relational.events_user_streaks,
         "events_max_concurrency": relational.events_max_concurrency,
+        "copurchase_distances": graph.copurchase_distances,
     }
 
 
@@ -947,6 +948,53 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # BFS layers unrolled as MATERIALIZED CTEs (plain CTEs inline
+        # exponentially — the pagerank oracle lesson)
+        "copurchase_distances": """
+            WITH op AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            ed AS MATERIALIZED (
+              SELECT a.l_partkey AS u, b.l_partkey AS v
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey <> b.l_partkey
+              GROUP BY 1, 2
+            ),
+            d0 AS MATERIALIZED (
+              SELECT min(u) AS node, 0 AS dist FROM ed
+            ),
+            d1 AS MATERIALIZED (
+              SELECT DISTINCT ed.v AS node, 1 AS dist
+              FROM ed JOIN d0 ON ed.u = d0.node
+              WHERE ed.v NOT IN (SELECT node FROM d0)
+            ),
+            d2 AS MATERIALIZED (
+              SELECT DISTINCT ed.v AS node, 2 AS dist
+              FROM ed JOIN d1 ON ed.u = d1.node
+              WHERE ed.v NOT IN (SELECT node FROM d0
+                                 UNION ALL SELECT node FROM d1)
+            ),
+            d3 AS MATERIALIZED (
+              SELECT DISTINCT ed.v AS node, 3 AS dist
+              FROM ed JOIN d2 ON ed.u = d2.node
+              WHERE ed.v NOT IN (SELECT node FROM d0
+                                 UNION ALL SELECT node FROM d1
+                                 UNION ALL SELECT node FROM d2)
+            ),
+            d4 AS MATERIALIZED (
+              SELECT DISTINCT ed.v AS node, 4 AS dist
+              FROM ed JOIN d3 ON ed.u = d3.node
+              WHERE ed.v NOT IN (SELECT node FROM d0
+                                 UNION ALL SELECT node FROM d1
+                                 UNION ALL SELECT node FROM d2
+                                 UNION ALL SELECT node FROM d3)
+            )
+            SELECT CAST(node AS BIGINT) AS part, CAST(dist AS BIGINT) AS dist
+            FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+                  UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3
+                  UNION ALL SELECT * FROM d4)
         """,
         # interval max-concurrency: +1/-1 sweep, ends-before-starts at
         # equal t (half-open intervals) on both sides

@@ -198,6 +198,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "fk_audit",
         "events_user_streaks",
         "events_max_concurrency",
+        "copurchase_distances",
     ]
 
     timings: dict[str, float] = {}

@@ -964,3 +964,98 @@ def copurchase_lift_pairs(
         finish,
         num_parts=num_parts,
     )
+
+
+def copurchase_distances(sf_dir: str, max_hops: int = 4, num_parts: int = 32):
+    """Unweighted single-source shortest paths (BFS layers) over the
+    part co-purchase graph, from the smallest part id that has an edge
+    — the graph-traversal member of the pagerank/labelprop/triangle
+    family. Returns (part, dist) for every part within ``max_hops``.
+
+    Scale shape (the pagerank partitioning assumption): the dist vector
+    is NODE-bounded and lives on the driver; each BFS layer broadcasts
+    the current frontier as a boolean vector (ray.put) and streams the
+    EDGE set once, emitting per-batch nonzero 'reached' partials — no
+    frontier queue ever ships, no edge is held on the driver. Layer
+    count is the hop bound; a diameter-unbounded variant would switch
+    to the labelprop exchange shape. The SQL oracle unrolls the layers
+    as MATERIALIZED CTEs (the pagerank oracle lesson: plain CTEs inline
+    exponentially)."""
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.ranking import _fold
+    from open_parse_ray.stages.relational import _combine_partials
+
+    import pyarrow.parquet as pq
+
+    maxp = pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey"])[
+        "p_partkey"
+    ]
+    import pyarrow.compute as pc
+
+    n_nodes = int(pc.max(maxp).as_py()) + 1
+    edges = copurchase_edges(sf_dir, num_parts=num_parts).materialize()
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_nodes, dtype=np.int64)
+        if len(b):
+            np.add.at(acc, b["u"].to_numpy(dtype=np.int64), 1)
+            np.add.at(acc, b["v"].to_numpy(dtype=np.int64), 1)
+        nz = np.nonzero(acc)[0]
+        return pd.DataFrame({"node": nz.astype(np.int64), "s": acc[nz]})
+
+    got = _combine_partials(
+        _fold(
+            edges.map_batches(deg_partial, batch_format="pandas", batch_size=65536),
+            ["node"],
+            {"s": "sum"},
+        ),
+        ["node"],
+        {"s": "sum"},
+    ).to_pandas()
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    deg[got["node"].to_numpy(dtype=np.int64)] = got["s"].to_numpy(dtype=np.int64)
+    src = int(np.flatnonzero(deg > 0)[0])
+
+    dist = np.full(n_nodes, -1, dtype=np.int64)
+    dist[src] = 0
+    frontier = np.zeros(n_nodes, dtype=bool)
+    frontier[src] = True
+
+    for hop in range(1, max_hops + 1):
+        f_ref = ray.put(frontier)
+
+        def reach_partial(b: pd.DataFrame) -> pd.DataFrame:
+            f = ray.get(f_ref)
+            u = b["u"].to_numpy(dtype=np.int64)
+            v = b["v"].to_numpy(dtype=np.int64)
+            hit = np.zeros(n_nodes, dtype=np.int64)
+            hit[v[f[u]]] = 1
+            hit[u[f[v]]] = 1
+            nz = np.nonzero(hit)[0]
+            return pd.DataFrame({"node": nz.astype(np.int64), "s": hit[nz]})
+
+        reached = _combine_partials(
+            _fold(
+                edges.map_batches(
+                    reach_partial, batch_format="pandas", batch_size=65536
+                ),
+                ["node"],
+                {"s": "sum"},
+            ),
+            ["node"],
+            {"s": "sum"},
+        ).to_pandas()
+        nodes = reached["node"].to_numpy(dtype=np.int64)
+        new = nodes[dist[nodes] < 0]
+        if not len(new):
+            break
+        dist[new] = hop
+        frontier = np.zeros(n_nodes, dtype=bool)
+        frontier[new] = True
+
+    found = np.flatnonzero(dist >= 0)
+    return rd.from_pandas(
+        pd.DataFrame({"part": found.astype(np.int64), "dist": dist[found]})
+    )

@@ -242,3 +242,39 @@ def test_copurchase_lift_pairs_semantics(ray_session, tmp_path):
     assert got == {(3, 4)}
     row = out.set_index(["part_a", "part_b"]).loc[(3, 4)]
     assert row["n_ab"] == 2 and row["n_a"] == 2 and row["n_b"] == 2
+
+
+def test_copurchase_distances_bfs_semantics(ray_session, tmp_path):
+    """BFS layers from the smallest connected part: chain distances,
+    hop cap, and a disconnected component that must NOT appear."""
+    from open_parse_ray.stages.graph import copurchase_distances
+
+    # chain 1-2-3-4-5-6-7 via shared orders; parts 50,51 disconnected
+    orders = [(100, 1, 2), (101, 2, 3), (102, 3, 4), (103, 4, 5),
+              (104, 5, 6), (105, 6, 7), (200, 50, 51)]
+    rows = [(o, p) for o, a, b in orders for p in (a, b)]
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    df["l_suppkey"] = 0
+    df["l_linenumber"] = np.arange(len(df), dtype=np.int32)
+    df["l_quantity"] = 1.0
+    df["l_extendedprice"] = 1.0
+    df["l_discount"] = 0.0
+    df["l_tax"] = 0.0
+    df["l_returnflag"] = "N"
+    df["l_linestatus"] = "O"
+    df["l_shipdate"] = pd.Timestamp("2024-01-01")
+    df.to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame({"p_partkey": np.arange(60, dtype=np.int64)}).to_parquet(
+        tmp_path / "part.parquet"
+    )
+
+    out = (
+        copurchase_distances(str(tmp_path), max_hops=4)
+        .to_pandas()
+        .set_index("part")["dist"]
+    )
+    # source = 1 (smallest with an edge); chain: dist == part - 1, capped
+    assert out.to_dict() == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    # parts 6,7 beyond the hop cap; 50,51 disconnected — absent
+    for absent in (6, 7, 50, 51):
+        assert absent not in out.index

@@ -282,6 +282,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import events_max_concurrency
 
     checks.append((events_max_concurrency, ["max_concurrent"]))
+    from open_parse_ray.stages.graph import copurchase_distances
+
+    checks.append((copurchase_distances, ["part"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
