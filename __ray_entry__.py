@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_streaks": relational.events_user_streaks,
         "events_max_concurrency": relational.events_max_concurrency,
         "copurchase_distances": graph.copurchase_distances,
+        "events_hourly_trend": relational.events_hourly_trend,
     }
 
 
@@ -948,6 +949,35 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # integer least-squares slope components: exact where a float
+        # slope could not hash-compare; hours rebased (shift-invariant)
+        "events_hourly_trend": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS y
+              FROM events GROUP BY 1, 2
+            ),
+            x AS (
+              SELECT event_type,
+                     hr - (SELECT min(hr) FROM h) AS xx, y
+              FROM h
+            ),
+            a AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(xx) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(xx * y) AS BIGINT) AS sxy,
+                     CAST(sum(xx * xx) AS BIGINT) AS sxx
+              FROM x GROUP BY 1
+            )
+            SELECT event_type, n AS n_hours,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+            FROM a
         """,
         # BFS layers unrolled as MATERIALIZED CTEs (plain CTEs inline
         # exponentially — the pagerank oracle lesson)

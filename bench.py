@@ -199,6 +199,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_user_streaks",
         "events_max_concurrency",
         "copurchase_distances",
+        "events_hourly_trend",
     ]
 
     timings: dict[str, float] = {}

@@ -2165,3 +2165,72 @@ def events_max_concurrency(
     return rd.from_pandas(
         pd.DataFrame({"max_concurrent": [best]}).astype("int64")
     )
+
+
+def events_hourly_trend(sf_dir: str):
+    """Per-type linear TREND of hourly revenue, integer-exact: the
+    least-squares slope of (hour index, hourly total cents) reported as
+    the exact integer pair (slope_num, slope_den) = (n·Σxy − Σx·Σy,
+    n·Σx² − (Σx)²) over the OBSERVED hours — the ratio is the slope in
+    cents/hour, but the components hash-compare exactly where a float
+    slope could not. Hours are rebased to the corpus's first hour
+    (slope is shift-invariant) which keeps every product comfortably
+    in int64. One bounded-cardinality two-phase aggregate (the
+    events_hourly shape); the regression arithmetic runs in the single
+    combined block, driver-free. Returns
+    (event_type, n_hours, slope_num, slope_den)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        return _arrow_group_aggs(
+            {"event_type": t.column("event_type"), "hr": hr},
+            {
+                "y": ("sum", _cents(t.column("value").to_numpy(zero_copy_only=False))),
+            },
+            t.num_rows,
+        )
+
+    hourly = _combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "hr"],
+        {"y": "sum"},
+    )
+
+    def trend(h: pd.DataFrame) -> pd.DataFrame:
+        if not len(h):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "n_hours": pd.Series(dtype="int64"),
+                    "slope_num": pd.Series(dtype="int64"),
+                    "slope_den": pd.Series(dtype="int64"),
+                }
+            )
+        h0 = int(h["hr"].min())
+        rows = []
+        for et, g in h.groupby("event_type"):
+            x = g["hr"].to_numpy(dtype=np.int64) - h0
+            y = g["y"].to_numpy(dtype=np.int64)
+            n = np.int64(len(x))
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy, sxx = int((x * y).sum()), int((x * x).sum())
+            rows.append(
+                {
+                    "event_type": et,
+                    "n_hours": int(n),
+                    "slope_num": int(n) * sxy - sx * sy,
+                    "slope_den": int(n) * sxx - sx * sx,
+                }
+            )
+        out = pd.DataFrame(rows)
+        return out.astype(
+            {"n_hours": "int64", "slope_num": "int64", "slope_den": "int64"}
+        )
+
+    return hourly.repartition(1).map_batches(
+        trend, batch_format="pandas", batch_size=None
+    )

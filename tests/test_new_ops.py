@@ -1227,3 +1227,30 @@ def test_events_max_concurrency_boundaries(ray_session, tmp_path):
     a = _df(events_max_concurrency(SF, num_parts=3))
     b = _df(events_max_concurrency(SF, num_parts=32))
     assert a.equals(b)
+
+
+def test_events_hourly_trend_known_slope(ray_session, tmp_path):
+    """Hand case with a known exact slope: hourly totals 100, 200, 300
+    cents at hours 0,1,2 -> slope exactly 100 cents/hour
+    (num/den = 600/6); a flat type yields slope_num == 0."""
+    from open_parse_ray.stages.relational import events_hourly_trend
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for h, cents in [(0, 100), (1, 200), (2, 300)]:
+        rows.append(("up", t0 + pd.Timedelta(hours=h), cents / 100))
+    for h in (0, 1, 2):
+        rows.append(("flat", t0 + pd.Timedelta(hours=h), 0.50))
+    df = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    df["user_id"] = np.int64(1)
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet")
+
+    out = (
+        _df(events_hourly_trend(str(tmp_path))).set_index("event_type")
+    )
+    up = out.loc["up"]
+    assert up["slope_num"] * 1 == 100 * up["slope_den"]  # slope == 100
+    assert up["n_hours"] == 3
+    assert out.loc["flat", "slope_num"] == 0

@@ -285,6 +285,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.graph import copurchase_distances
 
     checks.append((copurchase_distances, ["part"]))
+    from open_parse_ray.stages.relational import events_hourly_trend
+
+    checks.append((events_hourly_trend, ["event_type"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
