@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_max_concurrency": relational.events_max_concurrency,
         "copurchase_distances": graph.copurchase_distances,
         "events_hourly_trend": relational.events_hourly_trend,
+        "related_parts_topk": graph.related_parts_topk,
     }
 
 
@@ -949,6 +950,32 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # item-to-item recommendation table: per-part top-k by co-order
+        # count, deterministic (count DESC, other ASC) tie-break
+        "related_parts_topk": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            ),
+            d AS (
+              SELECT pa AS part, pb AS other, n_ab FROM pairs
+              UNION ALL
+              SELECT pb, pa, n_ab FROM pairs
+            ),
+            r AS (
+              SELECT part, other, n_ab,
+                     CAST(row_number() OVER (
+                       PARTITION BY part ORDER BY n_ab DESC, other
+                     ) AS BIGINT) AS rank
+              FROM d
+            )
+            SELECT part, rank, other, n_ab FROM r WHERE rank <= 3
         """,
         # integer least-squares slope components: exact where a float
         # slope could not hash-compare; hours rebased (shift-invariant)

@@ -200,6 +200,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_max_concurrency",
         "copurchase_distances",
         "events_hourly_trend",
+        "related_parts_topk",
     ]
 
     timings: dict[str, float] = {}

@@ -1059,3 +1059,83 @@ def copurchase_distances(sf_dir: str, max_hops: int = 4, num_parts: int = 32):
     return rd.from_pandas(
         pd.DataFrame({"part": found.astype(np.int64), "dist": dist[found]})
     )
+
+
+def related_parts_topk(sf_dir: str, k: int = 3, num_parts: int = 32):
+    """The item-to-item recommendation TABLE: for every part, its top-k
+    co-purchased parts ranked by (co-order count DESC, part id ASC) —
+    copurchase_lift_pairs thresholds the pair set; this ranks it per
+    item. Returns (part, rank, other, n_ab).
+
+    Scale shape: per-order distinct pair counts (one order-salted
+    exchange, the copurchase_edges invariant), pair-salted partial-sum
+    finish, then each pair emits its TWO directed rows and a
+    part-salted exchange ranks within each part via one vectorized
+    sort + cumcount (the top_orders_per_customer shape — hot parts
+    never hit map_groups)."""
+    import ray.data as rd
+
+    from open_parse_ray.sources.tables import table_path
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def order_pair_counts(part: pd.DataFrame) -> pd.DataFrame:
+        o = part["l_orderkey"].to_numpy(dtype=np.int64)
+        p = part["l_partkey"].to_numpy(dtype=np.int64)
+        key = np.unique(o * _OKEY_BASE + p)
+        o, p = key // _OKEY_BASE, key % _OKEY_BASE
+        starts, sizes = _group_layout(o)
+        chunks = []
+        for lf, rt in _grouped_pairs(starts, sizes):
+            chunks.append(p[lf] * _OKEY_BASE + p[rt])
+        if chunks:
+            uniq, cnt = np.unique(np.concatenate(chunks), return_counts=True)
+        else:
+            uniq = cnt = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "pa": uniq // _OKEY_BASE,
+                "pb": uniq % _OKEY_BASE,
+                "n_ab": cnt.astype(np.int64),
+            }
+        ).astype("int64")
+
+    pair_partials = salted_groupby(
+        ds, lambda b: b["l_orderkey"], order_pair_counts, num_parts=num_parts
+    )
+
+    def finish_and_mirror(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["pa", "pb"], as_index=False).agg(n_ab=("n_ab", "sum"))
+        return pd.DataFrame(
+            {
+                "part": np.concatenate(
+                    [g["pa"].to_numpy(np.int64), g["pb"].to_numpy(np.int64)]
+                ),
+                "other": np.concatenate(
+                    [g["pb"].to_numpy(np.int64), g["pa"].to_numpy(np.int64)]
+                ),
+                "n_ab": np.tile(g["n_ab"].to_numpy(np.int64), 2),
+            }
+        )
+
+    directed = salted_groupby(
+        pair_partials,
+        lambda b: (b["pa"] * _OKEY_BASE + b["pb"]),
+        finish_and_mirror,
+        num_parts=num_parts,
+    )
+
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["part", "n_ab", "other"], ascending=[True, False, True]
+        )
+        part = part.assign(
+            rank=part.groupby("part").cumcount().to_numpy(dtype=np.int64) + 1
+        )
+        part = part[part["rank"] <= k]
+        return part[["part", "rank", "other", "n_ab"]].astype("int64")
+
+    return salted_groupby(directed, lambda b: b["part"], topk, num_parts=num_parts)

@@ -278,3 +278,37 @@ def test_copurchase_distances_bfs_semantics(ray_session, tmp_path):
     # parts 6,7 beyond the hop cap; 50,51 disconnected — absent
     for absent in (6, 7, 50, 51):
         assert absent not in out.index
+
+
+def test_related_parts_topk_ranking(ray_session, tmp_path):
+    """Per-item ranking semantics: count DESC then part-id ASC
+    tie-break; both directions of a pair rank each other."""
+    from open_parse_ray.stages.graph import related_parts_topk
+
+    # orders: (1,2) x3, (1,3) x2, (1,4) x2 -> for part 1:
+    # rank1 = 2 (n=3), rank2 = 3 (n=2, ties with 4, lower id), rank3 = 4
+    rows = []
+    oid = 0
+    for other, times in [(2, 3), (3, 2), (4, 2)]:
+        for _ in range(times):
+            rows += [(oid, 1), (oid, other)]
+            oid += 1
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    df["l_suppkey"] = 0
+    df["l_linenumber"] = np.arange(len(df), dtype=np.int32)
+    df["l_quantity"] = 1.0
+    df["l_extendedprice"] = 1.0
+    df["l_discount"] = 0.0
+    df["l_tax"] = 0.0
+    df["l_returnflag"] = "N"
+    df["l_linestatus"] = "O"
+    df["l_shipdate"] = pd.Timestamp("2024-01-01")
+    df.to_parquet(tmp_path / "lineitem.parquet")
+
+    out = related_parts_topk(str(tmp_path)).to_pandas()
+    p1 = out[out["part"] == 1].sort_values("rank")
+    assert list(p1["other"]) == [2, 3, 4]
+    assert list(p1["n_ab"]) == [3, 2, 2]
+    # reverse direction: part 2's top related is 1 with n=3
+    p2 = out[(out["part"] == 2) & (out["rank"] == 1)].iloc[0]
+    assert p2["other"] == 1 and p2["n_ab"] == 3

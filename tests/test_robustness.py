@@ -288,6 +288,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import events_hourly_trend
 
     checks.append((events_hourly_trend, ["event_type"]))
+    from open_parse_ray.stages.graph import related_parts_topk
+
+    checks.append((related_parts_topk, ["part", "rank"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
