@@ -1803,18 +1803,29 @@ def frequent_term_pairs(sf_dir: str, min_df: int = 100, min_pair: int = 320):
 
     def pair_rows(b: pd.DataFrame) -> pd.DataFrame:
         fs = ray.get(freq_ref)
-        ta, tb = [], []
+        chunks_a, chunks_b = [], []
         for t in b["text"]:
             t = t.strip()
             if not t:
                 continue
-            present = sorted(set(_WS_SPLIT.split(t)) & fs)
-            for i in range(len(present)):
-                for j in range(i + 1, len(present)):
-                    ta.append(present[i])
-                    tb.append(present[j])
+            present = np.array(sorted(set(_WS_SPLIT.split(t)) & fs), dtype=object)
+            if len(present) < 2:
+                continue
+            ia, ib = np.triu_indices(len(present), k=1)
+            chunks_a.append(present[ia])
+            chunks_b.append(present[ib])
+        if not chunks_a:
+            return pd.DataFrame(
+                {
+                    "term_a": pd.Series(dtype="object"),
+                    "term_b": pd.Series(dtype="object"),
+                    "n_docs": pd.Series(dtype="int64"),
+                }
+            )
         # bounded per-batch partial: collapse repeats before the exchange
-        p = pd.DataFrame({"term_a": ta, "term_b": tb})
+        p = pd.DataFrame(
+            {"term_a": np.concatenate(chunks_a), "term_b": np.concatenate(chunks_b)}
+        )
         return p.groupby(["term_a", "term_b"], as_index=False).agg(
             n_docs=("term_a", "size")
         )
