@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_distances": graph.copurchase_distances,
         "events_hourly_trend": relational.events_hourly_trend,
         "related_parts_topk": graph.related_parts_topk,
+        "recommend_parts_topk": graph.recommend_parts_topk,
     }
 
 
@@ -950,6 +951,45 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # 2-hop item-based collaborative filtering: candidate score =
+        # summed co-purchase counts with owned parts; owned excluded
+        "recommend_parts_topk": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            cp AS (
+              SELECT DISTINCT o.o_custkey AS cust, op.l_partkey AS part
+              FROM op JOIN orders o ON o.o_orderkey = op.l_orderkey
+            ),
+            pairs AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            ),
+            co AS (SELECT pa AS q, pb AS p, n FROM pairs
+                   UNION ALL SELECT pb, pa, n FROM pairs),
+            sc AS (
+              SELECT cp.cust, co.p, CAST(sum(co.n) AS BIGINT) AS score
+              FROM cp JOIN co ON co.q = cp.part
+              GROUP BY 1, 2
+            ),
+            f AS (
+              SELECT sc.cust, sc.p, sc.score FROM sc
+              WHERE NOT EXISTS (SELECT 1 FROM cp
+                                WHERE cp.cust = sc.cust AND cp.part = sc.p)
+            ),
+            r AS (
+              SELECT cust, p, score,
+                     CAST(row_number() OVER (
+                       PARTITION BY cust ORDER BY score DESC, p
+                     ) AS BIGINT) AS rank
+              FROM f
+            )
+            SELECT CAST(cust AS BIGINT) AS c_custkey, rank,
+                   CAST(p AS BIGINT) AS part, score
+            FROM r WHERE rank <= 3
         """,
         # item-to-item recommendation table: per-part top-k by co-order
         # count, deterministic (count DESC, other ASC) tie-break

@@ -201,6 +201,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "copurchase_distances",
         "events_hourly_trend",
         "related_parts_topk",
+        "recommend_parts_topk",
     ]
 
     timings: dict[str, float] = {}

@@ -1139,3 +1139,215 @@ def related_parts_topk(sf_dir: str, k: int = 3, num_parts: int = 32):
         return part[["part", "rank", "other", "n_ab"]].astype("int64")
 
     return salted_groupby(directed, lambda b: b["part"], topk, num_parts=num_parts)
+
+
+def recommend_parts_topk(sf_dir: str, k: int = 3, num_parts: int = 32):
+    """User-level collaborative filtering ('customers who bought what
+    you bought also bought...'): for every customer, the top-k parts
+    they have NOT bought, scored by the summed co-purchase counts
+    between each candidate and the customer's owned parts — the 2-hop
+    item-based CF pipeline, end to end. Returns
+    (c_custkey, rank, part, score), ties broken (score DESC, part ASC).
+
+    Four slim exchanges, payloads never wider than three int64s:
+    (1) orderkey-salted tagged union co-locates lineitem's distinct
+        (order, part) rows with orders' (order, cust) to build raw
+        (cust, part) ownership rows;
+    (2) (cust, part)-salted dedupe makes ownership DISTINCT (a part
+        bought in many orders must score once);
+    (3) part-salted score join meets ownership with the directed
+        co-purchase count table (built by the copurchase pair-count
+        shape) and emits per-partition pre-aggregated (cust, candidate,
+        partial score) rows;
+    (4) cust-salted finish sums scores, anti-filters candidates the
+        customer already owns (ownership rows ride the same exchange),
+        and ranks with one vectorized sort + cumcount."""
+    import ray.data as rd
+
+    from open_parse_ray.sources.tables import table_path
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+
+    # --- (1) ownership rows: co-partition lineitem with orders on orderkey
+    def tag_li(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": b["l_orderkey"].astype("int64"),
+                "val": b["l_partkey"].astype("int64"),
+                "side": np.int64(0),
+            }
+        )
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": b["o_orderkey"].astype("int64"),
+                "val": b["o_custkey"].astype("int64"),
+                "side": np.int64(1),
+            }
+        )
+
+    tagged = li.map_batches(tag_li, batch_format="pandas", batch_size=65536).union(
+        orders.map_batches(tag_orders, batch_format="pandas", batch_size=65536)
+    )
+
+    def build_cp(part: pd.DataFrame) -> pd.DataFrame:
+        cust = part[part["side"] == 1][["okey", "val"]].rename(
+            columns={"val": "cust"}
+        )
+        parts_ = part[part["side"] == 0][["okey", "val"]].rename(
+            columns={"val": "part"}
+        )
+        out = parts_.merge(cust, on="okey")[["cust", "part"]].drop_duplicates()
+        return out.astype("int64")
+
+    cp_raw = salted_groupby(tagged, lambda b: b["okey"], build_cp, num_parts=num_parts)
+
+    # --- (2) global DISTINCT ownership
+    def dedupe(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["cust", "part"])
+
+    cp = salted_groupby(
+        cp_raw,
+        lambda b: (b["cust"] * _OKEY_BASE + b["part"]),
+        dedupe,
+        num_parts=num_parts,
+    ).materialize()
+
+    # --- directed co-purchase counts (q -> candidate p with count n)
+    def order_pair_counts(part: pd.DataFrame) -> pd.DataFrame:
+        o = part["l_orderkey"].to_numpy(dtype=np.int64)
+        p = part["l_partkey"].to_numpy(dtype=np.int64)
+        key = np.unique(o * _OKEY_BASE + p)
+        o, p = key // _OKEY_BASE, key % _OKEY_BASE
+        starts, sizes = _group_layout(o)
+        chunks = []
+        for lf, rt in _grouped_pairs(starts, sizes):
+            chunks.append(p[lf] * _OKEY_BASE + p[rt])
+        if chunks:
+            uniq, cnt = np.unique(np.concatenate(chunks), return_counts=True)
+        else:
+            uniq = cnt = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "pa": uniq // _OKEY_BASE,
+                "pb": uniq % _OKEY_BASE,
+                "n": cnt.astype(np.int64),
+            }
+        ).astype("int64")
+
+    pair_partials = salted_groupby(
+        li, lambda b: b["l_orderkey"], order_pair_counts, num_parts=num_parts
+    )
+
+    def finish_and_mirror(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["pa", "pb"], as_index=False).agg(n=("n", "sum"))
+        return pd.DataFrame(
+            {
+                "q": np.concatenate(
+                    [g["pa"].to_numpy(np.int64), g["pb"].to_numpy(np.int64)]
+                ),
+                "p": np.concatenate(
+                    [g["pb"].to_numpy(np.int64), g["pa"].to_numpy(np.int64)]
+                ),
+                "n": np.tile(g["n"].to_numpy(np.int64), 2),
+            }
+        )
+
+    co = salted_groupby(
+        pair_partials,
+        lambda b: (b["pa"] * _OKEY_BASE + b["pb"]),
+        finish_and_mirror,
+        num_parts=num_parts,
+    )
+
+    # --- (3) score join on q = owned part
+    def tag_cp_q(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "q": b["part"].astype("int64"),
+                "a": b["cust"].astype("int64"),
+                "b": np.full(len(b), -1, dtype=np.int64),
+                "side": np.int64(0),
+            }
+        )
+
+    def tag_co(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "q": b["q"].astype("int64"),
+                "a": b["p"].astype("int64"),
+                "b": b["n"].astype("int64"),
+                "side": np.int64(1),
+            }
+        )
+
+    score_in = cp.map_batches(tag_cp_q, batch_format="pandas", batch_size=65536).union(
+        co.map_batches(tag_co, batch_format="pandas", batch_size=65536)
+    )
+
+    def score_partial(part: pd.DataFrame) -> pd.DataFrame:
+        own = part[part["side"] == 0][["q", "a"]].rename(columns={"a": "cust"})
+        cn = part[part["side"] == 1][["q", "a", "b"]].rename(
+            columns={"a": "p", "b": "n"}
+        )
+        j = own.merge(cn, on="q")
+        g = j.groupby(["cust", "p"], as_index=False).agg(score=("n", "sum"))
+        return g.astype("int64")
+
+    scores = salted_groupby(
+        score_in, lambda b: b["q"], score_partial, num_parts=num_parts
+    )
+
+    # --- (4) cust-salted finish: sum, anti-filter owned, rank
+    def tag_scores(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cust": b["cust"].astype("int64"),
+                "p": b["p"].astype("int64"),
+                "score": b["score"].astype("int64"),
+                "side": np.int64(0),
+            }
+        )
+
+    def tag_cp_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cust": b["cust"].astype("int64"),
+                "p": b["part"].astype("int64"),
+                "score": np.full(len(b), -1, dtype=np.int64),
+                "side": np.int64(1),
+            }
+        )
+
+    final_in = scores.map_batches(
+        tag_scores, batch_format="pandas", batch_size=65536
+    ).union(cp.map_batches(tag_cp_cust, batch_format="pandas", batch_size=65536))
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        sc = part[part["side"] == 0]
+        g = sc.groupby(["cust", "p"], as_index=False).agg(score=("score", "sum"))
+        owned = part[part["side"] == 1][["cust", "p"]]
+        g = g.merge(owned, on=["cust", "p"], how="left", indicator=True)
+        g = g[g["_merge"] == "left_only"].drop(columns=["_merge"])
+        g = g.sort_values(["cust", "score", "p"], ascending=[True, False, True])
+        g = g.assign(
+            rank=g.groupby("cust").cumcount().to_numpy(dtype=np.int64) + 1
+        )
+        g = g[g["rank"] <= k]
+        return pd.DataFrame(
+            {
+                "c_custkey": g["cust"].to_numpy(np.int64),
+                "rank": g["rank"].to_numpy(np.int64),
+                "part": g["p"].to_numpy(np.int64),
+                "score": g["score"].to_numpy(np.int64),
+            }
+        )
+
+    return salted_groupby(final_in, lambda b: b["cust"], finish, num_parts=num_parts)

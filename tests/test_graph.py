@@ -312,3 +312,43 @@ def test_related_parts_topk_ranking(ray_session, tmp_path):
     # reverse direction: part 2's top related is 1 with n=3
     p2 = out[(out["part"] == 2) & (out["rank"] == 1)].iloc[0]
     assert p2["other"] == 1 and p2["n_ab"] == 3
+
+
+def test_recommend_parts_topk_cf_semantics(ray_session, tmp_path):
+    """2-hop CF: candidates score by summed co-purchase counts with the
+    customer's owned parts; owned parts are excluded; a customer who
+    owns everything gets no rows."""
+    from open_parse_ray.stages.graph import recommend_parts_topk
+
+    # cust 1 owns A=100 (order 1). Other orders (cust 2): {A,B} twice,
+    # {A,C} once -> cust 1 recs: B (score 2), C (score 1); A excluded.
+    # cust 2 owns A,B,C -> nothing left to recommend.
+    li = [(1, 100), (10, 100), (10, 101), (11, 100), (11, 101),
+          (12, 100), (12, 102)]
+    df = pd.DataFrame(li, columns=["l_orderkey", "l_partkey"])
+    df["l_suppkey"] = 0
+    df["l_linenumber"] = np.arange(len(df), dtype=np.int32)
+    df["l_quantity"] = 1.0
+    df["l_extendedprice"] = 1.0
+    df["l_discount"] = 0.0
+    df["l_tax"] = 0.0
+    df["l_returnflag"] = "N"
+    df["l_linestatus"] = "O"
+    df["l_shipdate"] = pd.Timestamp("2024-01-01")
+    df.to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 10, 11, 12],
+            "o_custkey": [1, 2, 2, 2],
+            "o_orderstatus": "O",
+            "o_totalprice": 1.0,
+            "o_orderdate": pd.Timestamp("2024-01-01"),
+            "o_orderpriority": "3-MEDIUM",
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    out = recommend_parts_topk(str(tmp_path)).to_pandas()
+    c1 = out[out["c_custkey"] == 1].sort_values("rank")
+    assert list(c1["part"]) == [101, 102]
+    assert list(c1["score"]) == [2, 1]
+    assert (out["c_custkey"] == 2).sum() == 0

@@ -291,6 +291,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.graph import related_parts_topk
 
     checks.append((related_parts_topk, ["part", "rank"]))
+    from open_parse_ray.stages.graph import recommend_parts_topk
+
+    checks.append((recommend_parts_topk, ["c_custkey", "rank"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
