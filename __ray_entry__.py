@@ -968,8 +968,16 @@ def oracle_sql() -> dict[str, str]:
                AND a.l_partkey < b.l_partkey
               GROUP BY 1, 2
             ),
-            co AS (SELECT pa AS q, pb AS p, n FROM pairs
-                   UNION ALL SELECT pb, pa, n FROM pairs),
+            co_full AS (SELECT pa AS q, pb AS p, n FROM pairs
+                        UNION ALL SELECT pb, pa, n FROM pairs),
+            co AS (
+              SELECT q, p, n FROM (
+                SELECT q, p, n,
+                       row_number() OVER (
+                         PARTITION BY q ORDER BY n DESC, p) AS nr
+                FROM co_full)
+              WHERE nr <= 16
+            ),
             sc AS (
               SELECT cp.cust, co.p, CAST(sum(co.n) AS BIGINT) AS score
               FROM cp JOIN co ON co.q = cp.part
