@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_trend": relational.events_hourly_trend,
         "related_parts_topk": graph.related_parts_topk,
         "recommend_parts_topk": graph.recommend_parts_topk,
+        "events_grouping_sets": relational.events_grouping_sets,
     }
 
 
@@ -951,6 +952,23 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # one-pass multi-level aggregate; sentinels '*'/-1 stand in for
+        # the aggregated dimensions on both sides
+        "events_grouping_sets": """
+            WITH c AS (
+              SELECT event_type,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hod,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            )
+            SELECT COALESCE(event_type, '*') AS event_type,
+                   CAST(COALESCE(hod, -1) AS BIGINT) AS hour_of_day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS v_cents
+            FROM c
+            GROUP BY GROUPING SETS ((event_type, hod), (event_type),
+                                    (hod), ())
         """,
         # 2-hop item-based collaborative filtering: candidate score =
         # summed co-purchase counts with owned parts; owned excluded

@@ -202,6 +202,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_hourly_trend",
         "related_parts_topk",
         "recommend_parts_topk",
+        "events_grouping_sets",
     ]
 
     timings: dict[str, float] = {}

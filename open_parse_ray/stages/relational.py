@@ -2234,3 +2234,80 @@ def events_hourly_trend(sf_dir: str):
     return hourly.repartition(1).map_batches(
         trend, batch_format="pandas", batch_size=None
     )
+
+
+def events_grouping_sets(sf_dir: str):
+    """Multi-level aggregate in ONE pass (GROUPING SETS / CUBE over
+    (event_type, hour-of-day)): counts and summed cents at all four
+    levels — (type, hod), (type), (hod), and grand total — with
+    sentinel '*' / -1 for aggregated dimensions. The doc_rollup_stats
+    pattern for events: per-batch partials at the FINEST level only
+    (bounded: types × 24), one combine, coarse levels DERIVED from the
+    finest combined table so every level is mutually consistent by
+    construction. Returns (event_type, hour_of_day, n, v_cents)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_type", "ts", "value"]
+    )
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        hod = (ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000) % 24
+        return _arrow_group_aggs(
+            {"event_type": t.column("event_type"), "hour_of_day": hod},
+            {
+                "n": ("count", None),
+                "v_cents": (
+                    "sum",
+                    _cents(t.column("value").to_numpy(zero_copy_only=False)),
+                ),
+            },
+            t.num_rows,
+        )
+
+    fine = _combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "hour_of_day"],
+        {"n": "sum", "v_cents": "sum"},
+    )
+
+    def levels(h: pd.DataFrame) -> pd.DataFrame:
+        if not len(h):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "hour_of_day": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "v_cents": pd.Series(dtype="int64"),
+                }
+            )
+        outs = [h]
+        by_t = h.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), v_cents=("v_cents", "sum")
+        )
+        by_t["hour_of_day"] = np.int64(-1)
+        outs.append(by_t)
+        by_h = h.groupby("hour_of_day", as_index=False).agg(
+            n=("n", "sum"), v_cents=("v_cents", "sum")
+        )
+        by_h["event_type"] = "*"
+        outs.append(by_h)
+        outs.append(
+            pd.DataFrame(
+                {
+                    "event_type": ["*"],
+                    "hour_of_day": np.int64(-1),
+                    "n": [np.int64(h["n"].sum())],
+                    "v_cents": [np.int64(h["v_cents"].sum())],
+                }
+            )
+        )
+        out = pd.concat(outs, ignore_index=True)
+        return out[["event_type", "hour_of_day", "n", "v_cents"]].astype(
+            {"hour_of_day": "int64", "n": "int64", "v_cents": "int64"}
+        )
+
+    return fine.repartition(1).map_batches(
+        levels, batch_format="pandas", batch_size=None
+    )

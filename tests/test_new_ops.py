@@ -1254,3 +1254,22 @@ def test_events_hourly_trend_known_slope(ray_session, tmp_path):
     assert up["slope_num"] * 1 == 100 * up["slope_den"]  # slope == 100
     assert up["n_hours"] == 3
     assert out.loc["flat", "slope_num"] == 0
+
+
+def test_events_grouping_sets_levels_consistent(ray_session):
+    """All four levels derive from one finest table: per-type rows sum
+    to the type marginal, marginals sum to the grand total, on both
+    n and v_cents."""
+    from open_parse_ray.stages.relational import events_grouping_sets
+
+    out = _df(events_grouping_sets(SF))
+    fine = out[(out["event_type"] != "*") & (out["hour_of_day"] >= 0)]
+    by_t = out[(out["event_type"] != "*") & (out["hour_of_day"] == -1)]
+    by_h = out[(out["event_type"] == "*") & (out["hour_of_day"] >= 0)]
+    total = out[(out["event_type"] == "*") & (out["hour_of_day"] == -1)]
+    for col in ("n", "v_cents"):
+        agg = fine.groupby("event_type")[col].sum().sort_index()
+        assert (agg == by_t.set_index("event_type")[col].sort_index()).all()
+        agg_h = fine.groupby("hour_of_day")[col].sum().sort_index()
+        assert (agg_h == by_h.set_index("hour_of_day")[col].sort_index()).all()
+        assert total[col].iloc[0] == fine[col].sum()

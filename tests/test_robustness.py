@@ -294,6 +294,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.graph import recommend_parts_topk
 
     checks.append((recommend_parts_topk, ["c_custkey", "rank"]))
+    from open_parse_ray.stages.relational import events_grouping_sets
+
+    checks.append((events_grouping_sets, ["event_type", "hour_of_day"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
