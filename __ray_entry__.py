@@ -448,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_parts_topk": graph.related_parts_topk,
         "recommend_parts_topk": graph.recommend_parts_topk,
         "events_grouping_sets": relational.events_grouping_sets,
+        "customer_rfm_segments": relational.customer_rfm_segments,
     }
 
 
@@ -952,6 +953,52 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # RFM terciles share the ceil rank rule: cutoff = value at rank
+        # ceil(n*p/100); segment = 1 + (v > c33) + (v > c66)
+        "customer_rfm_segments": """
+            WITH t AS (
+              SELECT o_custkey AS c_custkey,
+                     CAST(floor(epoch(max(o_orderdate))) AS BIGINT) // 86400
+                       AS last_day,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS m_cents
+              FROM orders GROUP BY 1
+            ),
+            v AS (
+              SELECT c_custkey,
+                     (SELECT max(last_day) FROM t) - last_day AS r_days,
+                     n_orders, m_cents
+              FROM t
+            ),
+            cr AS (SELECT max(CASE WHEN rn = (tot*33+99)//100 THEN x END) AS c33,
+                          max(CASE WHEN rn = (tot*66+99)//100 THEN x END) AS c66
+                   FROM (SELECT r_days AS x,
+                                row_number() OVER (ORDER BY r_days) AS rn,
+                                count(*) OVER () AS tot FROM v)),
+            cf AS (SELECT max(CASE WHEN rn = (tot*33+99)//100 THEN x END) AS c33,
+                          max(CASE WHEN rn = (tot*66+99)//100 THEN x END) AS c66
+                   FROM (SELECT n_orders AS x,
+                                row_number() OVER (ORDER BY n_orders) AS rn,
+                                count(*) OVER () AS tot FROM v)),
+            cm AS (SELECT max(CASE WHEN rn = (tot*33+99)//100 THEN x END) AS c33,
+                          max(CASE WHEN rn = (tot*66+99)//100 THEN x END) AS c66
+                   FROM (SELECT m_cents AS x,
+                                row_number() OVER (ORDER BY m_cents) AS rn,
+                                count(*) OVER () AS tot FROM v))
+            SELECT c_custkey, CAST(r_days AS BIGINT) AS r_days,
+                   n_orders, m_cents,
+                   CAST(1 + CASE WHEN r_days > cr.c33 THEN 1 ELSE 0 END
+                          + CASE WHEN r_days > cr.c66 THEN 1 ELSE 0 END
+                        AS BIGINT) AS r_seg,
+                   CAST(1 + CASE WHEN n_orders > cf.c33 THEN 1 ELSE 0 END
+                          + CASE WHEN n_orders > cf.c66 THEN 1 ELSE 0 END
+                        AS BIGINT) AS f_seg,
+                   CAST(1 + CASE WHEN m_cents > cm.c33 THEN 1 ELSE 0 END
+                          + CASE WHEN m_cents > cm.c66 THEN 1 ELSE 0 END
+                        AS BIGINT) AS m_seg
+            FROM v, cr, cf, cm
         """,
         # one-pass multi-level aggregate; sentinels '*'/-1 stand in for
         # the aggregated dimensions on both sides

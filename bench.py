@@ -203,6 +203,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "related_parts_topk",
         "recommend_parts_topk",
         "events_grouping_sets",
+        "customer_rfm_segments",
     ]
 
     timings: dict[str, float] = {}

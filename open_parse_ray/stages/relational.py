@@ -2311,3 +2311,113 @@ def events_grouping_sets(sf_dir: str):
     return fine.repartition(1).map_batches(
         levels, batch_format="pandas", batch_size=None
     )
+
+
+def customer_rfm_segments(sf_dir: str, num_parts: int = 32):
+    """RFM segmentation — the classic customer-analytics operator: per
+    customer, Recency (days between their last order and the corpus's
+    last order), Frequency (order count) and Monetary (total cents),
+    each bucketed into terciles 1..3 by the family's ceil rank rule
+    (cutoff = value at rank ceil(n_customers·p/100), p = 33, 66;
+    segment = 1 + (v > c33) + (v > c66)). Returns
+    (c_custkey, r_days, n_orders, m_cents, r_seg, f_seg, m_seg).
+
+    Plan: one cust-salted exchange builds the per-customer triple
+    (orders' payload never leaves its partition); per-batch
+    (value, count) histogram partials over the TRIPLES give the three
+    cutoff pairs on the driver (distinct-value bounded, the
+    events_quantiles argument); the broadcast cutoffs map each triple
+    to segments in a final streaming pass."""
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def triples(part: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            part["o_orderdate"].values.astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        g = pd.DataFrame(
+            {
+                "c_custkey": part["o_custkey"].to_numpy(dtype=np.int64),
+                "day": day,
+                "cents": _cents(part["o_totalprice"].to_numpy()),
+            }
+        ).groupby("c_custkey", as_index=False)
+        out = g.agg(
+            last_day=("day", "max"),
+            n_orders=("day", "size"),
+            m_cents=("cents", "sum"),
+        )
+        return out.astype("int64")
+
+    tri = salted_groupby(
+        ds, lambda b: b["o_custkey"], triples, num_parts=num_parts
+    ).materialize()
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col in ("last_day", "n_orders", "m_cents"):
+            v, c = np.unique(b[col].to_numpy(dtype=np.int64), return_counts=True)
+            frames.append(pd.DataFrame({"dim": col, "v": v, "n": c.astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    hist = _combine_partials(
+        tri.map_batches(hist_partial, batch_format="pandas", batch_size=65536),
+        ["dim", "v"],
+        {"n": "sum"},
+    ).to_pandas()
+
+    max_day = int(hist.loc[hist["dim"] == "last_day", "v"].max())
+
+    def cutoffs(dim: str, transform=None):
+        g = hist[hist["dim"] == dim].sort_values("v")
+        v = g["v"].to_numpy(dtype=np.int64)
+        if transform is not None:
+            v = transform(v)
+            order = np.argsort(v, kind="stable")
+            v = v[order]
+            n = g["n"].to_numpy(dtype=np.int64)[order]
+        else:
+            n = g["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(n)
+        tot = int(cum[-1])
+        out = []
+        for p in (33, 66):
+            thresh = (tot * p + 99) // 100
+            out.append(int(v[np.searchsorted(cum, thresh, side="left")]))
+        return out
+
+    c_r = cutoffs("last_day", transform=lambda v: max_day - v)
+    c_f = cutoffs("n_orders")
+    c_m = cutoffs("m_cents")
+    cut_ref = ray.put((max_day, c_r, c_f, c_m))
+
+    def segment(b: pd.DataFrame) -> pd.DataFrame:
+        md, cr, cf, cm = ray.get(cut_ref)
+        r = md - b["last_day"].to_numpy(dtype=np.int64)
+        f = b["n_orders"].to_numpy(dtype=np.int64)
+        m = b["m_cents"].to_numpy(dtype=np.int64)
+
+        def seg(v, c):
+            return 1 + (v > c[0]).astype(np.int64) + (v > c[1]).astype(np.int64)
+
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+                "r_days": r,
+                "n_orders": f,
+                "m_cents": m,
+                "r_seg": seg(r, cr),
+                "f_seg": seg(f, cf),
+                "m_seg": seg(m, cm),
+            }
+        )
+
+    return tri.map_batches(segment, batch_format="pandas", batch_size=65536)

@@ -297,6 +297,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import events_grouping_sets
 
     checks.append((events_grouping_sets, ["event_type", "hour_of_day"]))
+    from open_parse_ray.stages.relational import customer_rfm_segments
+
+    checks.append((customer_rfm_segments, ["c_custkey"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
