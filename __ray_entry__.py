@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recommend_parts_topk": graph.recommend_parts_topk,
         "events_grouping_sets": relational.events_grouping_sets,
         "customer_rfm_segments": relational.customer_rfm_segments,
+        "copurchase_cheapest_paths": graph.copurchase_cheapest_paths,
     }
 
 
@@ -953,6 +954,59 @@ def oracle_sql() -> dict[str, str]:
              AND r.ts < l.ts
             WHERE l.event_type = 'purchase'
             GROUP BY l.event_id
+        """,
+        # Bellman-Ford relaxation rounds unrolled as MATERIALIZED CTEs
+        # with a min-combine per level (min-plus semiring)
+        "copurchase_cheapest_paths": """
+            WITH op AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS MATERIALIZED (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            ),
+            e AS MATERIALIZED (
+              SELECT pa AS u, pb AS v, 1000 // n + 1 AS w FROM pairs
+              UNION ALL
+              SELECT pb, pa, 1000 // n + 1 FROM pairs
+            ),
+            d0 AS MATERIALIZED (
+              SELECT min(u) AS node, CAST(0 AS BIGINT) AS cost FROM e
+            ),
+            d1 AS MATERIALIZED (
+              SELECT node, min(c) AS cost FROM (
+                SELECT node, cost AS c FROM d0
+                UNION ALL
+                SELECT e.v, d0.cost + e.w FROM d0 JOIN e ON e.u = d0.node
+              ) GROUP BY node
+            ),
+            d2 AS MATERIALIZED (
+              SELECT node, min(c) AS cost FROM (
+                SELECT node, cost AS c FROM d1
+                UNION ALL
+                SELECT e.v, d1.cost + e.w FROM d1 JOIN e ON e.u = d1.node
+              ) GROUP BY node
+            ),
+            d3 AS MATERIALIZED (
+              SELECT node, min(c) AS cost FROM (
+                SELECT node, cost AS c FROM d2
+                UNION ALL
+                SELECT e.v, d2.cost + e.w FROM d2 JOIN e ON e.u = d2.node
+              ) GROUP BY node
+            ),
+            d4 AS MATERIALIZED (
+              SELECT node, min(c) AS cost FROM (
+                SELECT node, cost AS c FROM d3
+                UNION ALL
+                SELECT e.v, d3.cost + e.w FROM d3 JOIN e ON e.u = d3.node
+              ) GROUP BY node
+            )
+            SELECT CAST(node AS BIGINT) AS part, CAST(cost AS BIGINT) AS cost
+            FROM d4
         """,
         # RFM terciles share the ceil rank rule: cutoff = value at rank
         # ceil(n*p/100); segment = 1 + (v > c33) + (v > c66)

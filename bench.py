@@ -204,6 +204,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "recommend_parts_topk",
         "events_grouping_sets",
         "customer_rfm_segments",
+        "copurchase_cheapest_paths",
     ]
 
     timings: dict[str, float] = {}

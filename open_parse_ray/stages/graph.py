@@ -1387,3 +1387,144 @@ def recommend_parts_topk(
         )
 
     return salted_groupby(final_in, lambda b: b["cust"], finish, num_parts=num_parts)
+
+
+def copurchase_cheapest_paths(sf_dir: str, n_rounds: int = 4, num_parts: int = 32):
+    """Weighted single-source shortest paths (Bellman-Ford, min-plus
+    semiring) over the co-purchase graph: edge weight
+    w = 1000 // co_count + 1 (stronger ties are cheaper), source = the
+    smallest part with an edge; returns every part's cheapest path cost
+    reachable within ``n_rounds`` relaxation rounds. Complements
+    copurchase_distances (hop-count BFS) with the WEIGHTED traversal —
+    the same node-bounded broadcast-vector shape, but the per-round
+    combine is MIN, not sum (the min-plus member of the iterate family).
+
+    Scale shape: the dist vector broadcasts per round (pagerank's node
+    assumption); each edge block emits per-batch per-node MIN partials;
+    edges only stream. The SQL oracle unrolls the rounds as
+    MATERIALIZED CTEs with a min-combine per level.
+    Returns (part, cost)."""
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.ranking import _fold
+    from open_parse_ray.stages.relational import _combine_partials
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    maxp = pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey"])[
+        "p_partkey"
+    ]
+    n_nodes = int(pc.max(maxp).as_py()) + 1
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def order_pair_counts(part: pd.DataFrame) -> pd.DataFrame:
+        o = part["l_orderkey"].to_numpy(dtype=np.int64)
+        p = part["l_partkey"].to_numpy(dtype=np.int64)
+        key = np.unique(o * _OKEY_BASE + p)
+        o, p = key // _OKEY_BASE, key % _OKEY_BASE
+        starts, sizes = _group_layout(o)
+        chunks = []
+        for lf, rt in _grouped_pairs(starts, sizes):
+            chunks.append(p[lf] * _OKEY_BASE + p[rt])
+        if chunks:
+            uniq, cnt = np.unique(np.concatenate(chunks), return_counts=True)
+        else:
+            uniq = cnt = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "pa": uniq // _OKEY_BASE,
+                "pb": uniq % _OKEY_BASE,
+                "n": cnt.astype(np.int64),
+            }
+        ).astype("int64")
+
+    def weighted_mirror(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["pa", "pb"], as_index=False).agg(n=("n", "sum"))
+        w = 1000 // g["n"].to_numpy(np.int64) + 1
+        return pd.DataFrame(
+            {
+                "u": np.concatenate(
+                    [g["pa"].to_numpy(np.int64), g["pb"].to_numpy(np.int64)]
+                ),
+                "v": np.concatenate(
+                    [g["pb"].to_numpy(np.int64), g["pa"].to_numpy(np.int64)]
+                ),
+                "w": np.tile(w, 2),
+            }
+        )
+
+    edges = salted_groupby(
+        salted_groupby(
+            li, lambda b: b["l_orderkey"], order_pair_counts, num_parts=num_parts
+        ),
+        lambda b: (b["pa"] * _OKEY_BASE + b["pb"]),
+        weighted_mirror,
+        num_parts=num_parts,
+    ).materialize()
+
+    INF = np.int64(1 << 60)
+
+    def min_partial(b: pd.DataFrame, dist_ref) -> pd.DataFrame:
+        d = ray.get(dist_ref)
+        u = b["u"].to_numpy(dtype=np.int64)
+        v = b["v"].to_numpy(dtype=np.int64)
+        w = b["w"].to_numpy(dtype=np.int64)
+        fin = d[u] < INF
+        if not fin.any():
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="int64"), "s": pd.Series(dtype="int64")}
+            )
+        cand = np.full(n_nodes, INF, dtype=np.int64)
+        np.minimum.at(cand, v[fin], d[u[fin]] + w[fin])
+        nz = np.flatnonzero(cand < INF)
+        return pd.DataFrame({"node": nz.astype(np.int64), "s": cand[nz]})
+
+    # source = smallest node with an edge (exact: min over edge endpoints)
+    src_df = _combine_partials(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"m": [np.int64(min(b["u"].min(), b["v"].min()))]})
+            if len(b)
+            else pd.DataFrame({"m": pd.Series(dtype="int64")}),
+            batch_format="pandas",
+            batch_size=65536,
+        ).map_batches(
+            lambda b: b.assign(k=np.int64(0)), batch_format="pandas", batch_size=None
+        ),
+        ["k"],
+        {"m": "min"},
+    ).to_pandas()
+    src = int(src_df["m"].iloc[0])
+
+    dist = np.full(n_nodes, INF, dtype=np.int64)
+    dist[src] = 0
+
+    for _ in range(n_rounds):
+        dist_ref = ray.put(dist)
+        got = _combine_partials(
+            _fold(
+                edges.map_batches(
+                    min_partial,
+                    fn_kwargs={"dist_ref": dist_ref},
+                    batch_format="pandas",
+                    batch_size=65536,
+                ),
+                ["node"],
+                {"s": "min"},
+            ),
+            ["node"],
+            {"s": "min"},
+        ).to_pandas()
+        if len(got):
+            nodes = got["node"].to_numpy(dtype=np.int64)
+            np.minimum.at(dist, nodes, got["s"].to_numpy(dtype=np.int64))
+
+    found = np.flatnonzero(dist < INF)
+    return rd.from_pandas(
+        pd.DataFrame({"part": found.astype(np.int64), "cost": dist[found]})
+    )

@@ -352,3 +352,42 @@ def test_recommend_parts_topk_cf_semantics(ray_session, tmp_path):
     assert list(c1["part"]) == [101, 102]
     assert list(c1["score"]) == [2, 1]
     assert (out["c_custkey"] == 2).sum() == 0
+
+
+def test_copurchase_cheapest_paths_prefers_strong_ties(ray_session, tmp_path):
+    """Min-plus semantics: a 2-hop path over strong ties (high
+    co-count, low weight) beats a direct weak edge; Bellman-Ford
+    relaxation finds it within the round budget."""
+    from open_parse_ray.stages.graph import copurchase_cheapest_paths
+
+    # edges via shared orders: (1,2) x500 (w=1000//500+1=3),
+    # (2,3) x500 (w=3), (1,3) x1 (w=1001) -> cost(3) = 6 via 1-2-3
+    li = []
+    oid = 0
+    for a, b, times in [(1, 2, 500), (2, 3, 500), (1, 3, 1)]:
+        for _ in range(times):
+            li += [(oid, a), (oid, b)]
+            oid += 1
+    df = pd.DataFrame(li, columns=["l_orderkey", "l_partkey"])
+    df["l_suppkey"] = 0
+    df["l_linenumber"] = np.arange(len(df), dtype=np.int32)
+    df["l_quantity"] = 1.0
+    df["l_extendedprice"] = 1.0
+    df["l_discount"] = 0.0
+    df["l_tax"] = 0.0
+    df["l_returnflag"] = "N"
+    df["l_linestatus"] = "O"
+    df["l_shipdate"] = pd.Timestamp("2024-01-01")
+    df.to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame({"p_partkey": np.arange(5, dtype=np.int64)}).to_parquet(
+        tmp_path / "part.parquet"
+    )
+
+    out = (
+        copurchase_cheapest_paths(str(tmp_path))
+        .to_pandas()
+        .set_index("part")["cost"]
+    )
+    assert out[1] == 0
+    assert out[2] == 3
+    assert out[3] == 6  # 2-hop strong path beats the direct w=1001 edge

@@ -300,6 +300,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import customer_rfm_segments
 
     checks.append((customer_rfm_segments, ["c_custkey"]))
+    from open_parse_ray.stages.graph import copurchase_cheapest_paths
+
+    checks.append((copurchase_cheapest_paths, ["part"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
