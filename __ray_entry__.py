@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouping_sets": relational.events_grouping_sets,
         "customer_rfm_segments": relational.customer_rfm_segments,
         "copurchase_cheapest_paths": graph.copurchase_cheapest_paths,
+        "customer_order_distribution": relational.customer_order_distribution,
     }
 
 
@@ -2146,5 +2147,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM e e1
                     JOIN e e2 ON e2.u = e1.v
                     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+        """,
+        # TPC-H Q13 shape: per-customer order-count distribution with
+        # the zero class (LEFT JOIN counts NULL o_orderkey as 0)
+        "customer_order_distribution": """
+            WITH c_orders AS (
+              SELECT c_custkey, count(o_orderkey) AS n_orders
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            SELECT CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM c_orders GROUP BY n_orders
         """,
     }

@@ -205,6 +205,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_grouping_sets",
         "customer_rfm_segments",
         "copurchase_cheapest_paths",
+        "customer_order_distribution",
     ]
 
     timings: dict[str, float] = {}

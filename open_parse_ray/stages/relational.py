@@ -2421,3 +2421,78 @@ def customer_rfm_segments(sf_dir: str, num_parts: int = 32):
         )
 
     return tri.map_batches(segment, batch_format="pandas", batch_size=65536)
+
+
+def customer_order_distribution(sf_dir: str):
+    """Order-count distribution over customers INCLUDING the zero class
+    (the TPC-H Q13 shape: how many customers placed exactly N orders).
+    The classic plan LEFT-joins the full customer table against orders;
+    at 10^12 customers that join ships every customer row through an
+    exchange just to discover most have some orders. Here the customer
+    table never crosses an exchange at all: per-block Arrow partials
+    collapse orders to (custkey -> count) rows, a custkey-salted
+    exchange finishes the counts, and each key-complete partition
+    collapses AGAIN to a (n_orders -> n_customers) histogram partial —
+    bounded by max-orders-per-customer, so the final combine is tiny.
+    The zero class is pure scalar arithmetic: |customer| (a streaming
+    count) minus the histogram's own mass (each partition holds disjoint
+    custkeys, so the sum of histogram counts IS the number of distinct
+    ordering customers — no separate distinct pass). Returns
+    (n_orders, n_customers). Reference's only distribution report is
+    per-document token stats (schemas.py:499-524); this is the
+    cross-table scale analog."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    orders = rd.read_parquet(table_path(sf_dir, "orders"), columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _arrow_group_aggs(
+            {"k": t["o_custkey"]}, {"n": ("count", None)}, t.num_rows
+        )
+
+    partials = orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def hist(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "n_orders": pd.Series([], dtype="int64"),
+                    "n_customers": pd.Series([], dtype="int64"),
+                }
+            )
+        per_cust = part.groupby("k")["n"].sum()
+        vc = per_cust.value_counts()
+        return pd.DataFrame(
+            {
+                "n_orders": vc.index.to_numpy(dtype=np.int64),
+                "n_customers": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    h = salted_groupby_arrow(
+        partials, lambda t: t["k"].to_numpy(zero_copy_only=False), hist
+    )
+    combined = _combine_partials(h, ["n_orders"], {"n_customers": "sum"}).to_pandas()
+
+    n_cust = rd.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey"]
+    ).count()
+    n_zero = int(n_cust) - int(combined["n_customers"].sum())
+    if n_zero > 0:
+        combined = pd.concat(
+            [
+                pd.DataFrame({"n_orders": [0], "n_customers": [n_zero]}),
+                combined,
+            ],
+            ignore_index=True,
+        )
+    import ray.data as _rd
+
+    return _rd.from_pandas(
+        combined.sort_values("n_orders")
+        .reset_index(drop=True)
+        .astype({"n_orders": "int64", "n_customers": "int64"})
+    )

@@ -1294,3 +1294,38 @@ def test_customer_rfm_segments_properties(ray_session):
     # monetary terciles are real terciles on this corpus
     share = out["m_seg"].value_counts(normalize=True)
     assert share.min() > 0.15
+
+
+def test_customer_order_distribution_zero_class(ray_session, tmp_path):
+    """The zero class comes from scalar arithmetic (|customer| minus the
+    histogram's own mass), never a customer-side join: customers with no
+    orders must appear as the n_orders=0 bucket, and the histogram must
+    conserve both customers and orders."""
+    from open_parse_ray.stages.relational import customer_order_distribution
+
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4, 5],
+            "c_name": ["a", "b", "c", "d", "e"],
+            "c_nationkey": [0] * 5,
+            "c_acctbal": [0.0] * 5,
+            "c_mktsegment": ["X"] * 5,
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        {
+            "o_orderkey": [10, 11, 12],
+            "o_custkey": [1, 1, 3],
+            "o_orderstatus": ["O"] * 3,
+            "o_totalprice": [1.0] * 3,
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * 3),
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    out = _df(customer_order_distribution(str(tmp_path))).set_index("n_orders")
+    # custs 2,4,5 have zero orders; cust 1 has two; cust 3 has one
+    assert out.loc[0, "n_customers"] == 3
+    assert out.loc[1, "n_customers"] == 1
+    assert out.loc[2, "n_customers"] == 1
+    assert out["n_customers"].sum() == 5
+    assert (out.index * out["n_customers"]).sum() == 3

@@ -303,6 +303,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.graph import copurchase_cheapest_paths
 
     checks.append((copurchase_cheapest_paths, ["part"]))
+    from open_parse_ray.stages.relational import customer_order_distribution
+
+    checks.append((customer_order_distribution, ["n_orders"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
