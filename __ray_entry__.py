@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm_segments": relational.customer_rfm_segments,
         "copurchase_cheapest_paths": graph.copurchase_cheapest_paths,
         "customer_order_distribution": relational.customer_order_distribution,
+        "dormant_balance_report": relational.dormant_balance_report,
     }
 
 
@@ -2159,5 +2160,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_orders AS BIGINT) AS n_orders,
                    CAST(count(*) AS BIGINT) AS n_customers
             FROM c_orders GROUP BY n_orders
+        """,
+        # TPC-H Q22 shape: integer cross-multiplied global-average
+        # threshold (bal*n > tot) + anti-join on recent orders
+        "dormant_balance_report": """
+            WITH s AS (
+              SELECT count(*) AS n,
+                     sum(CAST(round(c_acctbal*100) AS BIGINT)) AS tot
+              FROM customer WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0
+            ),
+            cand AS (
+              SELECT c_mktsegment,
+                     CAST(round(c_acctbal*100) AS BIGINT) AS bal
+              FROM customer c, s
+              WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0
+                AND CAST(round(c_acctbal*100) AS BIGINT) * s.n > s.tot
+                AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            )
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(bal) AS BIGINT) AS bal_cents
+            FROM cand GROUP BY c_mktsegment
         """,
     }

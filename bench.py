@@ -206,6 +206,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "customer_rfm_segments",
         "copurchase_cheapest_paths",
         "customer_order_distribution",
+        "dormant_balance_report",
     ]
 
     timings: dict[str, float] = {}

@@ -2496,3 +2496,126 @@ def customer_order_distribution(sf_dir: str):
         .reset_index(drop=True)
         .astype({"n_orders": "int64", "n_customers": "int64"})
     )
+
+
+def dormant_balance_report(sf_dir: str, cutoff: str = "2000-01-01"):
+    """Dormant high-balance customers per market segment (the TPC-H Q22
+    shape): customers whose positive account balance is STRICTLY above
+    the average positive balance and who placed no order on/after
+    ``cutoff``, reported as (segment, count, total balance cents). Three
+    scale moves: (1) the global average is never a float — phase A
+    reduces customer to two integer scalars (n, total_cents) via
+    per-batch partials and the threshold test is the cross-multiplied
+    ``bal*n > tot`` (events_outlier_flags' integer trick; the product
+    bound is asserted, not assumed); (2) the orders probe side is
+    predicate-filtered AT THE READ (o_orderdate >= cutoff pushed into
+    the Parquet scan) and per-batch deduped, so only distinct recent
+    custkeys travel; (3) the anti-join is the co-partitioned tagged
+    union of customers_no_urgent_orders, and each partition collapses
+    straight to per-segment partials — bounded cardinality, tiny final
+    combine. Returns (c_mktsegment, n_cust, bal_cents)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    cust_raw = rd.read_parquet(
+        table_path(sf_dir, "customer"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    # phase A: two integer scalars over positive-balance customers
+    def scal_partial(t: pa.Table) -> pa.Table:
+        bal = _cents(t["c_acctbal"].to_numpy())
+        pos = bal[bal > 0]
+        return pa.table(
+            {
+                "n": pa.array([np.int64(len(pos))]),
+                "tot": pa.array([pos.sum(dtype=np.int64)]),
+            }
+        )
+
+    sc = (
+        cust_raw.map_batches(scal_partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .sum()
+    )
+    n_pos, tot_pos = int(sc["n"]), int(sc["tot"])
+    thresh_ref = ray.put((n_pos, tot_pos))
+
+    def proj_cand(t: pa.Table) -> pa.Table:
+        n_p, tot_p = ray.get(thresh_ref)
+        bal = _cents(t["c_acctbal"].to_numpy())
+        # integer cross-multiply: bal > tot/n  <=>  bal*n > tot; the
+        # product must fit int64 — assert the bound, never fall back to
+        # a silent float comparison
+        if len(bal):
+            assert abs(int(bal.max())) * max(n_p, 1) < 2**63
+        keep = (bal > 0) & (bal * np.int64(n_p) > np.int64(tot_p))
+        kept = t.filter(pa.array(keep))
+        m = kept.num_rows
+        return pa.table(
+            {
+                "key": kept["c_custkey"].cast(pa.int64()),
+                "side": pa.array(np.zeros(m, dtype=np.int64)),
+                "seg": kept["c_mktsegment"].cast(pa.string()),
+                "bal": pa.array(_cents(kept["c_acctbal"].to_numpy())),
+            }
+        )
+
+    def proj_recent(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t["o_custkey"].combine_chunks()).cast(pa.int64())
+        m = len(keys)
+        return pa.table(
+            {
+                "key": keys,
+                "side": pa.array(np.ones(m, dtype=np.int64)),
+                "seg": pa.array([""] * m, pa.string()),
+                "bal": pa.array(np.full(m, -1, dtype=np.int64)),
+            }
+        )
+
+    import datetime as _dt
+
+    cut_ts = _dt.datetime.fromisoformat(cutoff)
+    cand = cust_raw.map_batches(proj_cand, batch_format="pyarrow", batch_size=65536)
+    recent = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= cut_ts,
+    ).map_batches(proj_recent, batch_format="pyarrow", batch_size=65536)
+
+    def anti_seg_partial(part: pd.DataFrame) -> pd.DataFrame:
+        left = part[part["side"] == 0]
+        have = part.loc[part["side"] == 1, "key"]
+        out = left[~left["key"].isin(have)]
+        if len(out) == 0:
+            return pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series([], dtype="object"),
+                    "n_cust": pd.Series([], dtype="int64"),
+                    "bal_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        g = out.groupby("seg", as_index=False).agg(
+            n_cust=("key", "size"), bal_cents=("bal", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "c_mktsegment": g["seg"],
+                "n_cust": g["n_cust"].astype("int64"),
+                "bal_cents": g["bal_cents"].astype("int64"),
+            }
+        )
+
+    partials = salted_groupby_arrow(
+        cand.union(recent),
+        lambda t: t["key"].to_numpy(zero_copy_only=False),
+        anti_seg_partial,
+    )
+    return _combine_partials(
+        partials, ["c_mktsegment"], {"n_cust": "sum", "bal_cents": "sum"}
+    )

@@ -1329,3 +1329,39 @@ def test_customer_order_distribution_zero_class(ray_session, tmp_path):
     assert out.loc[2, "n_customers"] == 1
     assert out["n_customers"].sum() == 5
     assert (out.index * out["n_customers"]).sum() == 3
+
+
+def test_dormant_balance_report_boundaries(ray_session, tmp_path):
+    """Q22-shape boundaries: strictly-above-average (a customer AT the
+    positive-balance average is excluded), negative balances excluded
+    from both the average and the candidates, recent order excludes,
+    old order does not."""
+    from open_parse_ray.stages.relational import dormant_balance_report
+
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4, 5, 6],
+            "c_name": list("abcdef"),
+            "c_nationkey": [0] * 6,
+            # positive cents: 100,200,300,400,250 → n=5 tot=1250 avg=250
+            "c_acctbal": [1.0, 2.0, 3.0, 4.0, -1.0, 2.5],
+            "c_mktsegment": ["S1", "S1", "S2", "S3", "S2", "S2"],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        {
+            "o_orderkey": [10, 11],
+            "o_custkey": [4, 3],  # cust4 recent → excluded; cust3 old → kept
+            "o_orderstatus": ["O", "O"],
+            "o_totalprice": [1.0, 1.0],
+            "o_orderdate": pd.to_datetime(["2000-06-01", "1999-01-01"]),
+            "o_orderpriority": ["1-URGENT"] * 2,
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    out = _df(dormant_balance_report(str(tmp_path)))
+    # only cust3 (bal 300 > avg 250, no recent order) survives;
+    # cust6 sits exactly AT the average (250) and must be excluded
+    assert len(out) == 1
+    assert out.iloc[0]["c_mktsegment"] == "S2"
+    assert out.iloc[0]["n_cust"] == 1
+    assert out.iloc[0]["bal_cents"] == 300

@@ -306,6 +306,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import customer_order_distribution
 
     checks.append((customer_order_distribution, ["n_orders"]))
+    from open_parse_ray.stages.relational import dormant_balance_report
+
+    checks.append((dormant_balance_report, ["c_mktsegment"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
