@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_cheapest_paths": graph.copurchase_cheapest_paths,
         "customer_order_distribution": relational.customer_order_distribution,
         "dormant_balance_report": relational.dormant_balance_report,
+        "large_volume_orders": relational.large_volume_orders,
     }
 
 
@@ -2183,5 +2184,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
                    CAST(sum(bal) AS BIGINT) AS bal_cents
             FROM cand GROUP BY c_mktsegment
+        """,
+        # TPC-H Q18 shape: HAVING-bounded qualifying set + enrichment
+        # joins (quantities are integral by construction; CAST is exact)
+        "large_volume_orders": """
+            WITH s AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+            )
+            SELECT o.o_orderkey, o.o_custkey, c.c_name,
+                   CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+                   s.q AS total_qty
+            FROM s
+            JOIN orders o ON o.o_orderkey = s.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
         """,
     }

@@ -207,6 +207,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "copurchase_cheapest_paths",
         "customer_order_distribution",
         "dormant_balance_report",
+        "large_volume_orders",
     ]
 
     timings: dict[str, float] = {}

@@ -2619,3 +2619,107 @@ def dormant_balance_report(sf_dir: str, cutoff: str = "2000-01-01"):
     return _combine_partials(
         partials, ["c_mktsegment"], {"n_cust": "sum", "bal_cents": "sum"}
     )
+
+
+def large_volume_orders(sf_dir: str, min_qty: int = 250):
+    """Large-volume orders (the TPC-H Q18 shape): orders whose summed
+    lineitem quantity exceeds ``min_qty``, enriched with the customer
+    name. The HAVING filter is the scale bound: the qualifying set holds
+    at most total_quantity/min_qty orders (each must absorb > min_qty
+    units), so it broadcasts — lineitem collapses through Arrow
+    (orderkey → qty) partials and one orderkey-salted exchange, the
+    survivors become a ray.put lookup, and BOTH enrichment scans
+    (orders, customer) are streaming filters against that broadcast set
+    (sorted-np.isin, no join exchange; the final customer-name attach
+    happens on two qualifying-sized tables). Returns (o_orderkey,
+    o_custkey, c_name, price_cents, total_qty)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.rint(t["l_quantity"].to_numpy()).astype(np.int64)
+        return _arrow_group_aggs(
+            {"k": t["l_orderkey"]}, {"q": ("sum", q)}, t.num_rows
+        )
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("k", as_index=False)["q"].sum()
+        g = g[g["q"] > min_qty]
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["k"].astype("int64"),
+                "total_qty": g["q"].astype("int64"),
+            }
+        )
+
+    qualifying = salted_groupby_arrow(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        lambda t: t["k"].to_numpy(zero_copy_only=False),
+        finish,
+    ).to_pandas()
+    okeys = np.sort(qualifying["o_orderkey"].to_numpy(dtype=np.int64))
+    qty_of = dict(
+        zip(qualifying["o_orderkey"].astype(int), qualifying["total_qty"].astype(int))
+    )
+    ok_ref = ray.put(okeys)
+
+    def pick_orders(t: pa.Table) -> pa.Table:
+        want = ray.get(ok_ref)
+        ids = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(ids, want, assume_unique=False)
+        kept = t.filter(pa.array(m))
+        return pa.table(
+            {
+                "o_orderkey": kept["o_orderkey"].cast(pa.int64()),
+                "o_custkey": kept["o_custkey"].cast(pa.int64()),
+                "price_cents": pa.array(_cents(kept["o_totalprice"].to_numpy())),
+            }
+        )
+
+    hits = (
+        rd.read_parquet(
+            table_path(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        .map_batches(pick_orders, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+    )
+
+    ckeys = np.sort(hits["o_custkey"].unique().astype(np.int64))
+    ck_ref = ray.put(ckeys)
+
+    def pick_cust(t: pa.Table) -> pa.Table:
+        want = ray.get(ck_ref)
+        ids = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = t.filter(pa.array(np.isin(ids, want)))
+        return pa.table(
+            {
+                "c_custkey": kept["c_custkey"].cast(pa.int64()),
+                "c_name": kept["c_name"].cast(pa.string()),
+            }
+        )
+
+    names = (
+        rd.read_parquet(
+            table_path(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+        )
+        .map_batches(pick_cust, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+    )
+
+    out = hits.merge(names, left_on="o_custkey", right_on="c_custkey")
+    out["total_qty"] = out["o_orderkey"].map(qty_of).astype("int64")
+    import ray.data as _rd
+
+    return _rd.from_pandas(
+        out[["o_orderkey", "o_custkey", "c_name", "price_cents", "total_qty"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )

@@ -1365,3 +1365,52 @@ def test_dormant_balance_report_boundaries(ray_session, tmp_path):
     assert out.iloc[0]["c_mktsegment"] == "S2"
     assert out.iloc[0]["n_cust"] == 1
     assert out.iloc[0]["bal_cents"] == 300
+
+
+def test_large_volume_orders_threshold_boundary(ray_session, tmp_path):
+    """HAVING boundary: an order summing EXACTLY to the threshold is
+    excluded (strict >), one unit above qualifies; quantities sum across
+    lineitems of the same order."""
+    from open_parse_ray.stages.relational import large_volume_orders
+
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 2, 3],
+            "l_partkey": [0] * 5,
+            "l_suppkey": [0] * 5,
+            "l_linenumber": [1, 2, 1, 2, 1],
+            "l_quantity": [100.0, 150.0, 100.0, 151.0, 10.0],
+            "l_extendedprice": [0.0] * 5,
+            "l_discount": [0.0] * 5,
+            "l_tax": [0.0] * 5,
+            "l_returnflag": ["N"] * 5,
+            "l_linestatus": ["O"] * 5,
+            "l_shipdate": pd.to_datetime(["2000-01-01"] * 5),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [7, 8, 9],
+            "o_orderstatus": ["O"] * 3,
+            "o_totalprice": [10.0, 20.005, 30.0],
+            "o_orderdate": pd.to_datetime(["2000-01-01"] * 3),
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "c_custkey": [7, 8, 9],
+            "c_name": ["Customer7", "Customer8", "Customer9"],
+            "c_nationkey": [0] * 3,
+            "c_acctbal": [0.0] * 3,
+            "c_mktsegment": ["X"] * 3,
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    out = _df(large_volume_orders(str(tmp_path)))
+    # order 1 sums to exactly 250 → excluded; order 2 sums to 251 → kept
+    assert out["o_orderkey"].tolist() == [2]
+    row = out.iloc[0]
+    assert row["total_qty"] == 251
+    assert row["c_name"] == "Customer8"
+    assert row["price_cents"] == 2001  # round-half-away on 20.005

@@ -309,6 +309,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import dormant_balance_report
 
     checks.append((dormant_balance_report, ["c_mktsegment"]))
+    from open_parse_ray.stages.relational import large_volume_orders
+
+    checks.append((large_volume_orders, ["o_orderkey"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
