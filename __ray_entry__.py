@@ -453,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": relational.customer_order_distribution,
         "dormant_balance_report": relational.dormant_balance_report,
         "large_volume_orders": relational.large_volume_orders,
+        "inverted_index": analysis.inverted_index,
     }
 
 
@@ -2200,5 +2201,20 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             JOIN orders o ON o.o_orderkey = s.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        # sharded inverted index: postings assembled per (term, doc
+        # range bucket) so hot terms never pin one partition
+        "inverted_index": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       regexp_split_to_array(trim(text), '\\s+'))) AS term
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT term, CAST(doc_id // 128 AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM w GROUP BY term, doc_id // 128
         """,
     }

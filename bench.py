@@ -208,6 +208,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "customer_order_distribution",
         "dormant_balance_report",
         "large_volume_orders",
+        "inverted_index",
     ]
 
     timings: dict[str, float] = {}

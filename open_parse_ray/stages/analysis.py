@@ -1846,3 +1846,69 @@ def frequent_term_pairs(sf_dir: str, min_df: int = 100, min_pair: int = 320):
         ).astype("int64"),
         count_filter,
     )
+
+
+def inverted_index(sf_dir: str, shard_size: int = 128):
+    """SHARDED inverted index: (term, shard, df, postings) where
+    ``shard = doc_id // shard_size`` range-buckets the posting list and
+    ``postings`` is the comma-joined ascending doc_id list within the
+    shard. Sharding is the scale move: a stopword's posting list is
+    O(corpus) and would otherwise pin one partition (and one output
+    string) to the full document count — bucketing by doc range spreads
+    every hot term across shards, each assembled independently inside a
+    (term, shard)-salted partition, and readers reconstruct the full
+    list by concatenating shards in shard order. Per-batch kernels emit
+    per-doc DISTINCT terms only (a doc lives in exactly one input row,
+    so (term, shard) groups are disjoint across batches and assembly is
+    exact). The reference's retrieval surface is per-node embeddings
+    (semantic_transforms.py:20-68); this is the sparse-retrieval scale
+    analog (the index behind bm25_lite_topk's scoring)."""
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        terms: list = []
+        docs: list = []
+        for did, t in zip(b["doc_id"], b["text"]):
+            t = t.strip()
+            if not t:
+                continue
+            uniq = set(_WS_SPLIT.split(t))
+            terms.extend(uniq)
+            docs.extend([did] * len(uniq))
+        doc = np.asarray(docs, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "term": terms,
+                "doc_id": doc,
+                "shard": doc // np.int64(shard_size),
+            }
+        )
+
+    pr = ds.map_batches(pairs, batch_format="pandas", batch_size=8192)
+
+    def assemble(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="object"),
+                    "shard": pd.Series([], dtype="int64"),
+                    "df": pd.Series([], dtype="int64"),
+                    "postings": pd.Series([], dtype="object"),
+                }
+            )
+        part = part.sort_values(["term", "shard", "doc_id"])
+        g = part.groupby(["term", "shard"], as_index=False, sort=False).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))),
+        )
+        return g.astype({"shard": "int64", "df": "int64"})
+
+    def salt(b: pd.DataFrame) -> pd.Series:
+        return (
+            pd.util.hash_pandas_object(b["term"], index=False).astype("int64") * 31
+            + b["shard"]
+        )
+
+    return salted_groupby(pr, salt, assemble)

@@ -1414,3 +1414,31 @@ def test_large_volume_orders_threshold_boundary(ray_session, tmp_path):
     assert row["total_qty"] == 251
     assert row["c_name"] == "Customer8"
     assert row["price_cents"] == 2001  # round-half-away on 20.005
+
+
+def test_inverted_index_sharding_and_order(ray_session, tmp_path):
+    """Postings are ascending within each doc-range shard, duplicate
+    terms inside a doc count once, and a doc id on the shard boundary
+    (128) lands in the next shard."""
+    from open_parse_ray.stages.analysis import inverted_index
+
+    pd.DataFrame(
+        {
+            "doc_id": [128, 1, 127, 2],
+            "text": ["apple", "apple apple banana", "apple", "  "],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [5, 18, 5, 2],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = (
+        _df(inverted_index(str(tmp_path)))
+        .set_index(["term", "shard"])
+        .sort_index()
+    )
+    assert out.loc[("apple", 0), "postings"] == "1,127"
+    assert out.loc[("apple", 0), "df"] == 2
+    assert out.loc[("apple", 1), "postings"] == "128"
+    assert out.loc[("banana", 0), "df"] == 1
+    # blank doc contributes nothing
+    assert len(out) == 3

@@ -312,6 +312,7 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import large_volume_orders
 
     checks.append((large_volume_orders, ["o_orderkey"]))
+    checks.append((analysis.inverted_index, ["term", "shard"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
