@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dormant_balance_report": relational.dormant_balance_report,
         "large_volume_orders": relational.large_volume_orders,
         "inverted_index": analysis.inverted_index,
+        "distinctive_terms_by_lang": analysis.distinctive_terms_by_lang,
     }
 
 
@@ -2216,5 +2217,34 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM w GROUP BY term, doc_id // 128
+        """,
+        # keyness by exact integer 2x2 determinant a*d - b*c (orders
+        # like chi-square for fixed margins, hash-comparable)
+        "distinctive_terms_by_lang": """
+            WITH w AS (
+              SELECT doc_id, lang,
+                     unnest(list_distinct(
+                       regexp_split_to_array(trim(text), '\\s+'))) AS term
+              FROM documents WHERE trim(text) <> ''),
+            lt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS a
+                   FROM w GROUP BY 1, 2),
+            nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+                   FROM documents WHERE trim(text) <> '' GROUP BY lang),
+            tf AS (SELECT term, CAST(sum(a) AS BIGINT) AS df
+                   FROM lt GROUP BY term),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n
+                    FROM documents WHERE trim(text) <> ''),
+            sc AS (SELECT lt.lang, lt.term,
+                          a*((n - nl.nl) - (tf.df - a))
+                            - (nl.nl - a)*(tf.df - a) AS score
+                   FROM lt JOIN nl USING(lang) JOIN tf USING(term), tot),
+            r AS (SELECT lang, term, score,
+                         row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY score DESC, term) AS rank
+                  FROM sc WHERE score > 0)
+            SELECT lang, CAST(rank AS BIGINT) AS rank, term,
+                   CAST(score AS BIGINT) AS score
+            FROM r WHERE rank <= 10
         """,
     }

@@ -209,6 +209,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "dormant_balance_report",
         "large_volume_orders",
         "inverted_index",
+        "distinctive_terms_by_lang",
     ]
 
     timings: dict[str, float] = {}

@@ -1912,3 +1912,107 @@ def inverted_index(sf_dir: str, shard_size: int = 128):
         )
 
     return salted_groupby(pr, salt, assemble)
+
+
+def distinctive_terms_by_lang(sf_dir: str, k: int = 10):
+    """Per-language DISTINCTIVE terms (corpus keyness): for each (lang,
+    term) build the 2x2 document contingency table (a = lang docs with
+    term, b = lang docs without, c = other docs with term, d = rest) and
+    rank by the determinant ``score = a*d - b*c`` — an exact-integer
+    association statistic that orders like chi-square/G2 for fixed
+    margins but never touches a float (the repo's hash-comparable
+    requirement; products are bounded by N² and asserted to fit int64 —
+    a 10^12-doc corpus needs HUGEINT on both sides, never a silent
+    float fallback). Plan: per-doc DISTINCT (term, lang) partials; the
+    per-lang doc totals are a bounded partial reduce broadcast as a
+    dict; inside the term-salted partition df(term) is the sum of the
+    term's own lang rows (no df side-join — the tfidf_top_terms rule),
+    so every cell of the table is local; positive-score survivors take
+    a second lang-salted exchange for the top-k rank. Returns
+    (lang, rank, term, score)."""
+    from collections import Counter
+
+    import ray
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = read_documents(sf_dir, columns=["lang", "text"])
+
+    # bounded per-lang doc totals (langs are a small closed set)
+    def lang_partial(b: pd.DataFrame) -> pd.DataFrame:
+        nz = b["text"].str.strip() != ""
+        vc = b.loc[nz, "lang"].value_counts()
+        return pd.DataFrame(
+            {"lang": vc.index, "n": vc.to_numpy().astype(np.int64)}
+        )
+
+    lt = (
+        ds.map_batches(lang_partial, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+        .groupby("lang")["n"]
+        .sum()
+    )
+    n_lang = {str(k_): int(v) for k_, v in lt.items()}
+    n_total = int(lt.sum())
+    assert n_total < 3_000_000_000, "a*d product needs HUGEINT beyond ~3e9 docs"
+    lang_ref = ray.put((n_lang, n_total))
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for lg, t in zip(b["lang"], b["text"]):
+            t = t.strip()
+            if not t:
+                continue
+            for term in set(_WS_SPLIT.split(t)):
+                c[(term, lg)] += 1
+        ks = list(c.keys())
+        return pd.DataFrame(
+            {
+                "term": [x[0] for x in ks],
+                "lang": [x[1] for x in ks],
+                "a": np.asarray(list(c.values()), dtype=np.int64),
+            }
+        )
+
+    pr = ds.map_batches(pair_partial, batch_format="pandas", batch_size=8192)
+
+    def score_part(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="object"),
+                    "term": pd.Series([], dtype="object"),
+                    "score": pd.Series([], dtype="int64"),
+                }
+            )
+        nl, n = ray.get(lang_ref)
+        g = part.groupby(["term", "lang"], as_index=False)["a"].sum()
+        df = g.groupby("term")["a"].transform("sum").to_numpy(dtype=np.int64)
+        a = g["a"].to_numpy(dtype=np.int64)
+        nlv = g["lang"].map(nl).to_numpy(dtype=np.int64)
+        b_ = nlv - a
+        c_ = df - a
+        d_ = (n - nlv) - c_
+        score = a * d_ - b_ * c_
+        out = pd.DataFrame({"lang": g["lang"], "term": g["term"], "score": score})
+        return out[out["score"] > 0].reset_index(drop=True)
+
+    cand = salted_groupby(
+        pr,
+        lambda b: pd.util.hash_pandas_object(b["term"], index=False).astype("int64"),
+        score_part,
+    )
+
+    def rank_topk(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(
+            ["lang", "score", "term"], ascending=[True, False, True]
+        )
+        g = g.assign(rank=(g.groupby("lang").cumcount() + 1).astype("int64"))
+        g = g[g["rank"] <= k]
+        return g[["lang", "rank", "term", "score"]].astype({"score": "int64"})
+
+    return salted_groupby(
+        cand,
+        lambda b: pd.util.hash_pandas_object(b["lang"], index=False).astype("int64"),
+        rank_topk,
+    )

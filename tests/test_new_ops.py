@@ -1442,3 +1442,33 @@ def test_inverted_index_sharding_and_order(ray_session, tmp_path):
     assert out.loc[("banana", 0), "df"] == 1
     # blank doc contributes nothing
     assert len(out) == 3
+
+
+def test_distinctive_terms_by_lang_hand_case(ray_session, tmp_path):
+    """Known 2x2 tables: a term exclusive to one language scores
+    a*d-b*c > 0 there and is absent (c*b dominance → negative score,
+    pruned) elsewhere; a uniformly-distributed term scores zero and is
+    pruned everywhere."""
+    from open_parse_ray.stages.analysis import distinctive_terms_by_lang
+
+    # 4 en docs all contain 'foo' and 'common'; 4 de docs contain only
+    # 'common' → for ('en','foo'): a=4,b=0,c=0,d=4 → score 16;
+    # ('en'|'de','common'): a=4,b=0,c=4,d=0 → score 0 (pruned)
+    pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": ["foo common"] * 4 + ["common"] * 4,
+            "lang": ["en"] * 4 + ["de"] * 4,
+            "source": ["s"] * 8,
+            "n_chars": [10] * 8,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = _df(distinctive_terms_by_lang(str(tmp_path)))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["lang"], row["term"], row["rank"], row["score"]) == (
+        "en",
+        "foo",
+        1,
+        16,
+    )
