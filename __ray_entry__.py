@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_orders": relational.large_volume_orders,
         "inverted_index": analysis.inverted_index,
         "distinctive_terms_by_lang": analysis.distinctive_terms_by_lang,
+        "user_journeys": relational.user_journeys,
     }
 
 
@@ -2246,5 +2247,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(rank AS BIGINT) AS rank, term,
                    CAST(score AS BIGINT) AS score
             FROM r WHERE rank <= 10
+        """,
+        # event-log → training-sequence assembly; the 64-event cap is
+        # part of the spec (scale bound on the journey string)
+        "user_journeys": """
+            WITH e AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events)
+            SELECT user_id, CAST(any_value(n) AS BIGINT) AS n_events,
+                   string_agg(event_type, '>' ORDER BY rn) AS journey
+            FROM e WHERE rn <= 64 GROUP BY user_id
         """,
     }

@@ -210,6 +210,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "large_volume_orders",
         "inverted_index",
         "distinctive_terms_by_lang",
+        "user_journeys",
     ]
 
     timings: dict[str, float] = {}

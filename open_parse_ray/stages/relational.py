@@ -2723,3 +2723,55 @@ def large_volume_orders(sf_dir: str, min_qty: int = 250):
         .sort_values("o_orderkey")
         .reset_index(drop=True)
     )
+
+
+def user_journeys(sf_dir: str, max_len: int = 64):
+    """Per-user behavioral JOURNEY strings — the event-log→training-
+    sequence assembly step for sequence models: each user's event types
+    joined with '>' in (ts, event_id) order, TRUNCATED to the first
+    ``max_len`` events (the scale bound on the output string — a bot
+    user with 10^8 events must not produce a 10^8-token row; the cap is
+    part of the spec and mirrored by the oracle's row_number cutoff),
+    plus the UNtruncated total count. One user-salted exchange; inside
+    each partition a single lexsort + cumcount builds every journey
+    vectorized (no per-user Python). Returns (user_id, n_events,
+    journey)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "ts_us": b["ts"].astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+                "event_type": b["event_type"],
+            }
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def assemble(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "journey": pd.Series([], dtype="object"),
+                }
+            )
+        g = part.sort_values(["user_id", "ts_us", "event_id"])
+        pos = g.groupby("user_id").cumcount()
+        n = g.groupby("user_id", as_index=False).agg(n_events=("event_id", "size"))
+        kept = g[pos.to_numpy() < max_len]
+        j = kept.groupby("user_id", as_index=False).agg(
+            journey=("event_type", lambda s: ">".join(s))
+        )
+        out = n.merge(j, on="user_id")
+        return out.astype({"user_id": "int64", "n_events": "int64"})
+
+    return salted_groupby(ds, lambda b: b["user_id"], assemble)

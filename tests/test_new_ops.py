@@ -1472,3 +1472,26 @@ def test_distinctive_terms_by_lang_hand_case(ray_session, tmp_path):
         1,
         16,
     )
+
+
+def test_user_journeys_truncation_and_tie_order(ray_session, tmp_path):
+    """The cap truncates the journey but not n_events; simultaneous
+    events order by event_id."""
+    from open_parse_ray.stages.relational import user_journeys
+
+    t0 = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": [3, 1, 2, 10, 11],
+            # user 1: events at t0 (ids 1,2 simultaneous) then t0+1h
+            "ts": [t0 + pd.Timedelta(hours=1), t0, t0, t0, t0],
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["c", "a", "b", "x", "x"],
+            "value": [0.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    out = _df(user_journeys(str(tmp_path), max_len=2)).set_index("user_id")
+    assert out.loc[1, "journey"] == "a>b"  # tie by event_id, capped at 2
+    assert out.loc[1, "n_events"] == 3  # count is NOT truncated
+    assert out.loc[2, "n_events"] == 2

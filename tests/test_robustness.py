@@ -314,6 +314,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     checks.append((large_volume_orders, ["o_orderkey"]))
     checks.append((analysis.inverted_index, ["term", "shard"]))
     checks.append((analysis.distinctive_terms_by_lang, ["lang", "rank"]))
+    from open_parse_ray.stages.relational import user_journeys
+
+    checks.append((user_journeys, ["user_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
