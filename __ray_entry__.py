@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": analysis.inverted_index,
         "distinctive_terms_by_lang": analysis.distinctive_terms_by_lang,
         "user_journeys": relational.user_journeys,
+        "events_gap_histogram": relational.events_gap_histogram,
     }
 
 
@@ -2260,5 +2261,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(any_value(n) AS BIGINT) AS n_events,
                    string_agg(event_type, '>' ORDER BY rn) AS journey
             FROM e WHERE rn <= 64 GROUP BY user_id
+        """,
+        # log2-bucketed inter-arrival gaps; bucket = bit_length(gap_s)
+        # (length of the binary rendering), -1 for sub-second
+        "events_gap_histogram": """
+            WITH e AS (
+              SELECT user_id, event_type,
+                     lag(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS pts,
+                     ts
+              FROM events),
+            g AS (SELECT event_type,
+                         (epoch_us(ts) - epoch_us(pts)) // 1000000 AS gap_s
+                  FROM e WHERE pts IS NOT NULL)
+            SELECT event_type,
+                   CAST(CASE WHEN gap_s = 0 THEN -1
+                        ELSE length(printf('%b', gap_s)) END AS BIGINT)
+                       AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(gap_s) AS BIGINT) AS total_gap_s
+            FROM g GROUP BY 1, 2
         """,
     }

@@ -211,6 +211,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "inverted_index",
         "distinctive_terms_by_lang",
         "user_journeys",
+        "events_gap_histogram",
     ]
 
     timings: dict[str, float] = {}

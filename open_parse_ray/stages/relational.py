@@ -2775,3 +2775,71 @@ def user_journeys(sf_dir: str, max_len: int = 64):
         return out.astype({"user_id": "int64", "n_events": "int64"})
 
     return salted_groupby(ds, lambda b: b["user_id"], assemble)
+
+
+def events_gap_histogram(sf_dir: str):
+    """Inter-arrival structure per event type: the histogram of gaps
+    between CONSECUTIVE same-(user, type) events, log2-bucketed —
+    bucket = bit_length(gap seconds), −1 for sub-second — with the
+    exact integer gap-second sum per bucket (burstiness / periodicity
+    report; the log2 bucketing is what bounds the group cardinality to
+    ~40 buckets per type, where raw microsecond gaps would make the
+    partial table as large as the input). One user-salted exchange
+    builds gaps vectorized (lag within (user, type) runs after a single
+    lexsort — (user, type) nests inside the user salt); bucket ids come
+    from np.frexp's exponent, which equals bit_length exactly for
+    integers < 2^53. Returns (event_type, bucket, n, total_gap_s)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"),
+        columns=["user_id", "event_type", "ts", "event_id"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "event_type": b["event_type"],
+                "ts_us": b["ts"].values.astype("datetime64[us]").astype(np.int64),
+                "event_id": b["event_id"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def gaps_partial(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "total_gap_s": pd.Series([], dtype="int64"),
+                }
+            )
+        g = part.sort_values(["user_id", "event_type", "ts_us", "event_id"])
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = (u[1:] == u[:-1]) & (t[1:] == t[:-1])
+        gap_us = np.zeros(len(g), dtype=np.int64)
+        gap_us[1:] = ts[1:] - ts[:-1]
+        gap_s = gap_us[same] // 1_000_000
+        types = t[same]
+        # bit_length via frexp's exponent (exact for ints < 2^53)
+        bucket = np.where(
+            gap_s == 0, np.int64(-1), np.frexp(gap_s.astype(np.float64))[1]
+        ).astype(np.int64)
+        df = pd.DataFrame({"event_type": types, "bucket": bucket, "gap_s": gap_s})
+        out = df.groupby(["event_type", "bucket"], as_index=False).agg(
+            n=("gap_s", "size"), total_gap_s=("gap_s", "sum")
+        )
+        return out.astype({"bucket": "int64", "n": "int64", "total_gap_s": "int64"})
+
+    partials = salted_groupby(ds, lambda b: b["user_id"], gaps_partial)
+    return _combine_partials(
+        partials, ["event_type", "bucket"], {"n": "sum", "total_gap_s": "sum"}
+    )

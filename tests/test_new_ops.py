@@ -1495,3 +1495,38 @@ def test_user_journeys_truncation_and_tie_order(ray_session, tmp_path):
     assert out.loc[1, "journey"] == "a>b"  # tie by event_id, capped at 2
     assert out.loc[1, "n_events"] == 3  # count is NOT truncated
     assert out.loc[2, "n_events"] == 2
+
+
+def test_events_gap_histogram_buckets(ray_session, tmp_path):
+    """Known gaps land in exact log2 buckets: 0s → -1, 1s → 1, 2s → 2,
+    3s → 2, 4s → 3 (bit_length); gaps never cross users or types."""
+    from open_parse_ray.stages.relational import events_gap_histogram
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    pd.DataFrame(
+        {
+            "event_id": range(8),
+            # user 1 'a': 0s,1s,3s,7s,11s → gaps 1,2,4,4
+            # user 1 'b' at 5s and user 2 'a' at 6s: no gaps (singletons)
+            # user 2 'b': 0s,0.5s → sub-second gap → bucket -1
+            "ts": [t0, t0 + s, t0 + 3 * s, t0 + 7 * s, t0 + 11 * s,
+                   t0 + 5 * s, t0, t0 + pd.Timedelta(milliseconds=500)],
+            "user_id": [1, 1, 1, 1, 1, 1, 2, 2],
+            "event_type": ["a", "a", "a", "a", "a", "b", "b", "b"],
+            "value": [0.0] * 8,
+            "props": ["{}"] * 8,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    out = (
+        _df(events_gap_histogram(str(tmp_path)))
+        .set_index(["event_type", "bucket"])
+        .sort_index()
+    )
+    # 'a' gaps: 1 (bucket 1), 2 (bucket 2), 4+4 (bucket 3)
+    assert out.loc[("a", 1), "n"] == 1 and out.loc[("a", 1), "total_gap_s"] == 1
+    assert out.loc[("a", 2), "n"] == 1 and out.loc[("a", 2), "total_gap_s"] == 2
+    assert out.loc[("a", 3), "n"] == 2 and out.loc[("a", 3), "total_gap_s"] == 8
+    # 'b' sub-second gap
+    assert out.loc[("b", -1), "n"] == 1 and out.loc[("b", -1), "total_gap_s"] == 0
+    assert len(out) == 4

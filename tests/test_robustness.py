@@ -317,6 +317,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import user_journeys
 
     checks.append((user_journeys, ["user_id"]))
+    from open_parse_ray.stages.relational import events_gap_histogram
+
+    checks.append((events_gap_histogram, ["event_type", "bucket"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
