@@ -457,7 +457,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms_by_lang": analysis.distinctive_terms_by_lang,
         "user_journeys": relational.user_journeys,
         "events_gap_histogram": relational.events_gap_histogram,
+        "copurchase_kcore": graph.copurchase_kcore,
     }
+
+
+def _kcore_oracle(k: int = 68, rounds: int = 8) -> str:
+    """Unrolled k-core peel: R MATERIALIZED degree-filter CTEs (the
+    pagerank-oracle lesson — plain CTEs inline exponentially), final
+    degree recount over the last survivor set. Must mirror
+    stages/graph.py copurchase_kcore's (k, rounds) defaults."""
+    parts = [
+        """WITH pl AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p),
+    a0 AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    a{r} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, count(*) AS deg FROM (
+          SELECT e.u AS node FROM e
+          JOIN a{r - 1} x ON x.node = e.u JOIN a{r - 1} y ON y.node = e.v
+          UNION ALL
+          SELECT e.v FROM e
+          JOIN a{r - 1} x ON x.node = e.u JOIN a{r - 1} y ON y.node = e.v
+        ) GROUP BY node) WHERE deg >= {k})"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(node AS BIGINT) AS part, CAST(count(*) AS BIGINT) AS core_deg
+    FROM (
+      SELECT e.u AS node FROM e
+      JOIN a{rounds} x ON x.node = e.u JOIN a{rounds} y ON y.node = e.v
+      UNION ALL
+      SELECT e.v FROM e
+      JOIN a{rounds} x ON x.node = e.u JOIN a{rounds} y ON y.node = e.v
+    ) GROUP BY node"""
+    )
+    return "".join(parts)
 
 
 def _knn_oracle(k: int = 10) -> str:
@@ -2282,4 +2323,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(gap_s) AS BIGINT) AS total_gap_s
             FROM g GROUP BY 1, 2
         """,
+        "copurchase_kcore": _kcore_oracle(),
     }

@@ -212,6 +212,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "distinctive_terms_by_lang",
         "user_journeys",
         "events_gap_histogram",
+        "copurchase_kcore",
     ]
 
     timings: dict[str, float] = {}

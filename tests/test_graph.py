@@ -391,3 +391,62 @@ def test_copurchase_cheapest_paths_prefers_strong_ties(ray_session, tmp_path):
     assert out[1] == 0
     assert out[2] == 3
     assert out[3] == 6  # 2-hop strong path beats the direct w=1001 edge
+
+
+def test_copurchase_kcore_cascade_and_fixpoint(ray_session, tmp_path):
+    """Multi-round peel cascade: a 2-core triangle with a pendant chain
+    — the chain unravels one node per round (5 drops, THEN 4 drops),
+    the triangle survives with in-core degree 2; extra rounds are
+    idempotent (fixpoint)."""
+    import pandas as pd
+
+    from open_parse_ray.stages.graph import copurchase_kcore
+
+    # orders: triangle {1,2},{2,3},{1,3}; chain {3,4},{4,5}
+    rows = [(10, 1), (10, 2), (11, 2), (11, 3), (12, 1), (12, 3),
+            (13, 3), (13, 4), (14, 4), (14, 5)]
+    pd.DataFrame(
+        {
+            "l_orderkey": [r[0] for r in rows],
+            "l_partkey": [r[1] for r in rows],
+            "l_suppkey": [0] * len(rows),
+            "l_linenumber": list(range(len(rows))),
+            "l_quantity": [1.0] * len(rows),
+            "l_extendedprice": [0.0] * len(rows),
+            "l_discount": [0.0] * len(rows),
+            "l_tax": [0.0] * len(rows),
+            "l_returnflag": ["N"] * len(rows),
+            "l_linestatus": ["O"] * len(rows),
+            "l_shipdate": pd.to_datetime(["2000-01-01"] * len(rows)),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4, 5],
+            "p_name": ["p"] * 5,
+            "p_brand": ["b"] * 5,
+            "p_type": ["t"] * 5,
+            "p_size": [1] * 5,
+            "p_retailprice": [1.0] * 5,
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    out = (
+        copurchase_kcore(str(tmp_path), k=2, rounds=8)
+        .to_pandas()
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+    assert out["part"].tolist() == [1, 2, 3]
+    assert out["core_deg"].tolist() == [2, 2, 2]
+    # idempotent past the fixpoint: more rounds change nothing
+    out2 = (
+        copurchase_kcore(str(tmp_path), k=2, rounds=12)
+        .to_pandas()
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+    assert out2.equals(out)
+    # k above the max degree empties the core (schema preserved)
+    out3 = copurchase_kcore(str(tmp_path), k=4, rounds=8)
+    assert out3.count() == 0
+    assert [f.name for f in out3.schema().base_schema] == ["part", "core_deg"]

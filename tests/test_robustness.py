@@ -320,6 +320,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import events_gap_histogram
 
     checks.append((events_gap_histogram, ["event_type", "bucket"]))
+    from open_parse_ray.stages.graph import copurchase_kcore
+
+    checks.append((copurchase_kcore, ["part"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
