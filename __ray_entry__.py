@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_journeys": relational.user_journeys,
         "events_gap_histogram": relational.events_gap_histogram,
         "copurchase_kcore": graph.copurchase_kcore,
+        "shipping_priority_top10": relational.shipping_priority_top10,
     }
 
 
@@ -2324,4 +2325,23 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY 1, 2
         """,
         "copurchase_kcore": _kcore_oracle(),
+        # TPC-H Q3 shape: segment semijoin + date-pruned scans +
+        # distributed top-k by revenue
+        "shipping_priority_top10": """
+            SELECT l.l_orderkey,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(epoch(o.o_orderdate) // 86400 AS BIGINT)
+                       AS o_orderdate_day,
+                   o.o_orderpriority
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 3, 4
+            ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10
+        """,
     }

@@ -213,6 +213,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "user_journeys",
         "events_gap_histogram",
         "copurchase_kcore",
+        "shipping_priority_top10",
     ]
 
     timings: dict[str, float] = {}

@@ -2843,3 +2843,159 @@ def events_gap_histogram(sf_dir: str):
     return _combine_partials(
         partials, ["event_type", "bucket"], {"n": "sum", "total_gap_s": "sum"}
     )
+
+
+def shipping_priority_top10(sf_dir: str, k: int = 10):
+    """Shipping-priority report (the TPC-H Q3 shape): the ``k`` highest-
+    revenue unshipped orders for BUILDING-segment customers — orders
+    placed before 1998-01-01 with lineitems shipping after it. Plan:
+    both date predicates are pushed INTO the Parquet scans; the
+    customer-segment semijoin is the co-partitioned tagged union on
+    custkey (the probe side ships only distinct custkeys); qualifying
+    orders then meet lineitem revenue partials in an orderkey-salted
+    exchange where each partition finishes its sums AND keeps only its
+    local top-k (revenue DESC, orderkey ASC) — the global answer is a
+    k-row merge of 32 k-row partials, so no full ranking ever
+    materializes. Returns (l_orderkey, revenue_cents, o_orderdate_day,
+    o_orderpriority)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby, salted_groupby_arrow
+
+    cut = _dt.datetime(1998, 1, 1)
+
+    def proj_cust(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t["c_custkey"].combine_chunks()).cast(pa.int64())
+        n = len(keys)
+        return pa.table(
+            {
+                "key": keys,
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "okey": pa.array(np.full(n, -1, dtype=np.int64)),
+                "oday": pa.array(np.full(n, -1, dtype=np.int64)),
+                "oprio": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        day = (
+            t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "key": t["o_custkey"].cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "oday": pa.array(day.astype(np.int64)),
+                "oprio": t["o_orderpriority"].cast(pa.string()),
+            }
+        )
+
+    cust = rd.read_parquet(
+        table_path(sf_dir, "customer"),
+        columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    ).map_batches(proj_cust, batch_format="pyarrow", batch_size=65536)
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cut,
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
+
+    def semi(part: pd.DataFrame) -> pd.DataFrame:
+        seg = part.loc[part["side"] == 0, "key"]
+        o = part[part["side"] == 1]
+        o = o[o["key"].isin(seg)]
+        return pd.DataFrame(
+            {
+                "okey": o["okey"].astype("int64"),
+                "oday": o["oday"].astype("int64"),
+                "oprio": o["oprio"],
+                "rev": np.zeros(len(o), dtype=np.int64),
+                "side": np.zeros(len(o), dtype=np.int64),
+            }
+        )
+
+    qual_orders = salted_groupby_arrow(
+        cust.union(orders),
+        lambda t: t["key"].to_numpy(zero_copy_only=False),
+        semi,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        agg = _arrow_group_aggs(
+            {"okey": t["l_orderkey"]},
+            {"rev": ("sum", _cents(price * (1 - disc)))},
+            t.num_rows,
+        )
+        n = agg.num_rows
+        return agg.append_column(
+            "oday", pa.array(np.full(n, -1, dtype=np.int64))
+        ).append_column("oprio", pa.array([""] * n, pa.string())).append_column(
+            "side", pa.array(np.ones(n, dtype=np.int64))
+        )
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cut,
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def topk_partial(part: pd.DataFrame) -> pd.DataFrame:
+        o = part[part["side"] == 0]
+        r = part[part["side"] == 1]
+        rev = r.groupby("okey")["rev"].sum()
+        o = o[o["okey"].isin(rev.index)].copy()
+        o["revenue_cents"] = o["okey"].map(rev).astype("int64")
+        o = o.sort_values(["revenue_cents", "okey"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {
+                "l_orderkey": o["okey"].astype("int64"),
+                "revenue_cents": o["revenue_cents"],
+                "o_orderdate_day": o["oday"].astype("int64"),
+                "o_orderpriority": o["oprio"],
+            }
+        )
+
+    partials = salted_groupby(
+        qual_orders.union(
+            li.map_batches(
+                lambda b: b[["okey", "oday", "oprio", "rev", "side"]],
+                batch_format="pandas",
+                batch_size=65536,
+            )
+        ),
+        lambda b: b["okey"],
+        topk_partial,
+    ).to_pandas()
+    out = partials.sort_values(
+        ["revenue_cents", "l_orderkey"], ascending=[False, True]
+    ).head(k)
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        _pa.table(
+            {
+                "l_orderkey": _pa.array(
+                    out["l_orderkey"].to_numpy(dtype=np.int64), _pa.int64()
+                ),
+                "revenue_cents": _pa.array(
+                    out["revenue_cents"].to_numpy(dtype=np.int64), _pa.int64()
+                ),
+                "o_orderdate_day": _pa.array(
+                    out["o_orderdate_day"].to_numpy(dtype=np.int64), _pa.int64()
+                ),
+                "o_orderpriority": _pa.array(out["o_orderpriority"], _pa.string()),
+            }
+        )
+    )

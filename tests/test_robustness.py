@@ -323,6 +323,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.graph import copurchase_kcore
 
     checks.append((copurchase_kcore, ["part"]))
+    from open_parse_ray.stages.relational import shipping_priority_top10
+
+    checks.append((shipping_priority_top10, ["l_orderkey"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
