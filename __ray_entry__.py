@@ -459,6 +459,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_histogram": relational.events_gap_histogram,
         "copurchase_kcore": graph.copurchase_kcore,
         "shipping_priority_top10": relational.shipping_priority_top10,
+        "promo_revenue_share": relational.promo_revenue_share,
+        "small_qty_order_revenue": relational.small_qty_order_revenue,
+        "top_supplier_revenue": relational.top_supplier_revenue,
+        "nation_volume_shipping": relational.nation_volume_shipping,
+        "returned_item_top_customers": relational.returned_item_top_customers,
     }
 
 
@@ -2343,5 +2348,95 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate > TIMESTAMP '1998-01-01'
             GROUP BY 1, 3, 4
             ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10
+        """,
+        # TPC-H Q14 shape: promo/total revenue by ship month, integer
+        # sums instead of the percentage (float-free hash); month is
+        # months-since-1970 == numpy datetime64[M]
+        "promo_revenue_share": """
+            SELECT CAST((year(l.l_shipdate) - 1970) * 12
+                        + month(l.l_shipdate) - 1 AS BIGINT) AS ship_month,
+                   CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(round(l.l_extendedprice
+                                                 * (1 - l.l_discount) * 100)
+                                           AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS promo_cents,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS total_cents,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1
+        """,
+        # TPC-H Q17 shape: correlated 20%-of-avg-quantity test as the
+        # exact integer cross-multiply 5*qty*cnt < sum_qty
+        "small_qty_order_revenue": """
+            WITH cand AS (
+                SELECT l.l_partkey AS pk,
+                       CAST(l.l_quantity AS BIGINT) AS qty,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_brand = 'Brand#13'
+            ),
+            st AS (SELECT pk, sum(qty) AS s, count(*) AS c FROM cand GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+                   CAST(coalesce(sum(cand.cents), 0) AS BIGINT) AS revenue_cents
+            FROM cand JOIN st ON st.pk = cand.pk
+            WHERE 5 * cand.qty * st.c < st.s
+        """,
+        # TPC-H Q15 shape: global argmax supplier by windowed revenue,
+        # ties kept (correlated max instead of the view)
+        "top_supplier_revenue": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice
+                                           * (1 - l_discount) * 100)
+                                     AS BIGINT)) AS BIGINT) AS total_revenue_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+            ORDER BY s.s_suppkey
+        """,
+        # TPC-H Q7 shape generalized: revenue between every ordered pair
+        # of distinct (supplier nation, customer nation) by ship year
+        "nation_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND n1.n_nationkey <> n2.n_nationkey
+            GROUP BY 1, 2, 3
+        """,
+        # TPC-H Q10 shape: top-k customers by returned-item revenue in a
+        # half-year order window, with balance and nation
+        "returned_item_top_customers": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                   n.n_name
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY 1, 2, 4, 5
+            ORDER BY revenue_cents DESC, c.c_custkey LIMIT 20
         """,
     }

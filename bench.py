@@ -214,6 +214,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_gap_histogram",
         "copurchase_kcore",
         "shipping_priority_top10",
+        "promo_revenue_share",
+        "small_qty_order_revenue",
+        "top_supplier_revenue",
+        "nation_volume_shipping",
+        "returned_item_top_customers",
     ]
 
     timings: dict[str, float] = {}

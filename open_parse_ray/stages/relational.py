@@ -2999,3 +2999,525 @@ def shipping_priority_top10(sf_dir: str, k: int = 10):
             }
         )
     )
+
+
+def promo_revenue_share(sf_dir: str):
+    """Promo revenue share by ship month (the TPC-H Q14 shape, all
+    months): per calendar month, revenue cents from PROMO-type parts
+    and total revenue cents — emitted as two integer sums rather than
+    the percentage so the value hash is float-free (the reader divides).
+    Plan: the part table collapses to a partkey-indexed BIT array
+    (np.packbits — one bit per partkey, so 10^9 parts broadcast as
+    ~125 MB via ray.put) and lineitem streams through a single
+    column-pruned scan with bounded (month) partials; zero exchanges.
+    Months are integer months-since-1970 (numpy datetime64[M] ==
+    (year-1970)*12 + month-1 in the oracle). Returns (ship_month,
+    promo_cents, total_cents, n_items)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    part = pd.read_parquet(
+        table_path(sf_dir, "part"), columns=["p_partkey", "p_type"]
+    )
+    keys = part["p_partkey"].to_numpy(dtype=np.int64)
+    flags = np.zeros(int(keys.max()) + 1, dtype=np.uint8)
+    flags[keys[(part["p_type"] == "PROMO").to_numpy()]] = 1
+    bits_ref = ray.put(np.packbits(flags))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_promo = (bits[pk >> 3] >> (7 - (pk & 7))) & 1
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = _cents(price * (1 - disc))
+        month = (
+            t["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        return _arrow_group_aggs(
+            {"ship_month": month},
+            {
+                "promo_cents": ("sum", cents * is_promo.astype(np.int64)),
+                "total_cents": ("sum", cents),
+                "n_items": ("count", None),
+            },
+            t.num_rows,
+        )
+
+    partials = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return _combine_partials(
+        partials,
+        ["ship_month"],
+        {"promo_cents": "sum", "total_cents": "sum", "n_items": "sum"},
+    )
+
+
+def small_qty_order_revenue(sf_dir: str, brand: str = "Brand#13"):
+    """Small-quantity-order revenue (the TPC-H Q17 shape): total revenue
+    from ``brand`` lineitems whose quantity is below 20% of that part's
+    corpus-wide average quantity. The correlated subquery never becomes
+    a join: every lineitem of one part lands in one partkey-salted
+    partition (the brand filter — a broadcast sorted-partkey np.isin —
+    preselects exactly the rows the subquery aggregates over, since
+    brand is a property of the part), so the per-part (sum_qty, count)
+    and the row-level test happen in the SAME partition: ONE exchange
+    total. The 20%-of-average test is the exact integer cross-multiply
+    5*qty*cnt < sum_qty — no float division on either side. Quantities
+    are asserted integral before the cast. Returns one row
+    (n_lineitems, revenue_cents)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    part = pd.read_parquet(
+        table_path(sf_dir, "part"), columns=["p_partkey", "p_brand"]
+    )
+    brand_keys = np.sort(
+        part.loc[part["p_brand"] == brand, "p_partkey"].to_numpy(dtype=np.int64)
+    )
+    keys_ref = ray.put(brand_keys)
+
+    def pick(t: pa.Table) -> pa.Table:
+        bk = ray.get(keys_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(pk, bk)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)[m]
+        assert np.all(qty == np.floor(qty)), "non-integral l_quantity"
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        return pa.table(
+            {
+                "pk": pa.array(pk[m], pa.int64()),
+                "qty": pa.array(qty.astype(np.int64), pa.int64()),
+                "cents": pa.array(_cents(pd.Series(price)), pa.int64()),
+            }
+        )
+
+    cand = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(pick, batch_format="pyarrow", batch_size=65536)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"n_lineitems": pd.Series([], dtype="int64"),
+                 "revenue_cents": pd.Series([], dtype="int64")}
+            )
+        st = g.groupby("pk")["qty"].agg(["sum", "count"])
+        s = g["pk"].map(st["sum"]).to_numpy(dtype=np.int64)
+        c = g["pk"].map(st["count"]).to_numpy(dtype=np.int64)
+        keep = 5 * g["qty"].to_numpy(dtype=np.int64) * c < s
+        return pd.DataFrame(
+            {
+                "n_lineitems": [np.int64(keep.sum())],
+                "revenue_cents": [g["cents"].to_numpy(dtype=np.int64)[keep].sum()],
+            }
+        )
+
+    partials = salted_groupby_arrow(
+        cand,
+        lambda t: t["pk"].to_numpy(zero_copy_only=False),
+        verify,
+    )
+
+    def total(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_lineitems": [np.int64(b["n_lineitems"].sum())],
+                "revenue_cents": [np.int64(b["revenue_cents"].sum())],
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        total, batch_format="pandas", batch_size=None
+    )
+
+
+def top_supplier_revenue(sf_dir: str):
+    """Top supplier(s) by 1996 shipped revenue (the TPC-H Q15 shape —
+    global argmax with ties kept). Plan: the date window is pushed into
+    the lineitem scan; per-batch Arrow partials collapse each block to
+    its distinct suppkeys; a suppkey-salted exchange finishes the sums
+    and each partition forwards only its LOCAL max rows (ties included),
+    so the driver merges ≤ |partitions| × ties candidates instead of
+    every supplier; the winner set then isin-filters a streaming
+    supplier scan for names (no supplier broadcast needed — only the
+    argmax result crosses to the driver). Returns (s_suppkey, s_name,
+    total_revenue_cents), all tied maxima."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return _arrow_group_aggs(
+            {"sk": t["l_suppkey"]},
+            {"rev": ("sum", _cents(price * (1 - disc)))},
+            t.num_rows,
+        )
+
+    parts = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def local_max(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"sk": pd.Series([], dtype="int64"),
+                 "rev": pd.Series([], dtype="int64")}
+            )
+        tot = g.groupby("sk", as_index=False)["rev"].sum()
+        return tot[tot["rev"] == tot["rev"].max()]
+
+    cand = salted_groupby_arrow(
+        parts,
+        lambda t: t["sk"].to_numpy(zero_copy_only=False),
+        local_max,
+    ).to_pandas()
+    best = int(cand["rev"].max())
+    winners = np.sort(
+        cand.loc[cand["rev"] == best, "sk"].to_numpy(dtype=np.int64)
+    )
+    win_ref = ray.put(winners)
+
+    def pick_names(t: pa.Table) -> pa.Table:
+        w = ray.get(win_ref)
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(sk, w)))
+
+    names = (
+        rd.read_parquet(
+            table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_name"]
+        )
+        .map_batches(pick_names, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "s_suppkey": names["s_suppkey"].to_numpy(dtype=np.int64),
+                "s_name": names["s_name"].to_numpy(dtype=object),
+                "total_revenue_cents": np.full(len(names), best, dtype=np.int64),
+            }
+        )
+    )
+
+
+def nation_volume_shipping(sf_dir: str):
+    """Cross-nation shipping volume (the TPC-H Q7 shape, generalized to
+    every ordered nation pair): revenue by (supplier nation, customer
+    nation, ship year) where the two nations differ, over two ship
+    years. Plan: supplier→nationkey broadcasts as a dense suppkey-
+    indexed int8 array (nationkeys are bounded) so lineitem resolves its
+    supplier nation with zero joins; exchange 1 (orderkey salt) joins
+    date-pruned lineitem partials with orders and RE-aggregates to
+    (custkey, supp_nk, year) before anything else moves; exchange 2
+    (custkey salt) resolves the customer nation and collapses to the
+    bounded (supp_nk, cust_nk, year) grid, so the final combine sees
+    ≤ 25×25×2 rows per partition. Names attach from a 25-row broadcast
+    dict at the very end. Returns (supp_nation, cust_nation, l_year,
+    revenue_cents)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby, salted_groupby_arrow
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+
+    nation = pd.read_parquet(table_path(sf_dir, "nation"))
+    nk_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    supp = pd.read_parquet(
+        table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    s_nk = np.full(int(sk.max()) + 1, -1, dtype=np.int8)
+    s_nk[sk] = supp["s_nationkey"].to_numpy(dtype=np.int8)
+    snk_ref = ray.put(s_nk)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        m = ray.get(snk_ref)
+        skey = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        year = (
+            t["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        agg = _arrow_group_aggs(
+            {
+                "okey": t["l_orderkey"],
+                "supp_nk": m[skey].astype(np.int64),
+                "l_year": year,
+            },
+            {"rev": ("sum", _cents(price * (1 - disc)))},
+            t.num_rows,
+        )
+        return agg.append_column(
+            "side", pa.array(np.ones(agg.num_rows, dtype=np.int64))
+        )
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "supp_nk": t["o_custkey"].cast(pa.int64()),
+                "l_year": pa.array(np.zeros(n, dtype=np.int64)),
+                "rev": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
+
+    def join1(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        ck = dict(zip(o["okey"].to_numpy(), o["supp_nk"].to_numpy()))
+        cust = l["okey"].map(ck)
+        out = pd.DataFrame(
+            {
+                "custkey": cust.to_numpy(dtype=np.int64),
+                "supp_nk": l["supp_nk"].to_numpy(dtype=np.int64),
+                "l_year": l["l_year"].to_numpy(dtype=np.int64),
+                "rev": l["rev"].to_numpy(dtype=np.int64),
+            }
+        )
+        out = out.groupby(["custkey", "supp_nk", "l_year"], as_index=False)[
+            "rev"
+        ].sum()
+        out["side"] = np.int64(1)
+        return out
+
+    stage1 = salted_groupby_arrow(
+        orders.union(li),
+        lambda t: t["okey"].to_numpy(zero_copy_only=False),
+        join1,
+    )
+
+    def proj_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+                "supp_nk": b["c_nationkey"].to_numpy(dtype=np.int64),
+                "l_year": np.zeros(len(b), dtype=np.int64),
+                "rev": np.zeros(len(b), dtype=np.int64),
+                "side": np.zeros(len(b), dtype=np.int64),
+            }
+        )
+
+    cust = rd.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(proj_cust, batch_format="pandas", batch_size=65536)
+
+    def join2(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == 0]
+        r = g[g["side"] == 1]
+        nk = dict(zip(c["custkey"].to_numpy(), c["supp_nk"].to_numpy()))
+        out = pd.DataFrame(
+            {
+                "supp_nk": r["supp_nk"].to_numpy(dtype=np.int64),
+                "cust_nk": r["custkey"].map(nk).to_numpy(dtype=np.int64),
+                "l_year": r["l_year"].to_numpy(dtype=np.int64),
+                "rev": r["rev"].to_numpy(dtype=np.int64),
+            }
+        )
+        out = out[out["supp_nk"] != out["cust_nk"]]
+        return out.groupby(["supp_nk", "cust_nk", "l_year"], as_index=False)[
+            "rev"
+        ].sum()
+
+    partials = salted_groupby(
+        cust.union(stage1), lambda b: b["custkey"], join2
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "supp_nation": pd.Series([], dtype=object),
+                    "cust_nation": pd.Series([], dtype=object),
+                    "l_year": pd.Series([], dtype="int64"),
+                    "revenue_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        out = b.groupby(["supp_nk", "cust_nk", "l_year"], as_index=False)[
+            "rev"
+        ].sum()
+        return pd.DataFrame(
+            {
+                "supp_nation": out["supp_nk"].map(nk_name).to_numpy(dtype=object),
+                "cust_nation": out["cust_nk"].map(nk_name).to_numpy(dtype=object),
+                "l_year": out["l_year"].to_numpy(dtype=np.int64),
+                "revenue_cents": out["rev"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def returned_item_top_customers(sf_dir: str, k: int = 20):
+    """Returned-item reporting (the TPC-H Q10 shape): the ``k`` customers
+    who generated the most revenue on returned lineitems (returnflag R)
+    for orders placed in 1996H1, with account balance and nation. Plan:
+    the returnflag filter and the order-date window are both pushed into
+    the scans; per-batch lineitem partials collapse to distinct
+    orderkeys; exchange 1 (orderkey salt) joins them with orders and
+    re-aggregates to per-partition custkey sums; exchange 2 (custkey
+    salt) finishes the sums and keeps only each partition's local top-k,
+    so the driver merges k×|partitions| rows; the k winners then
+    isin-filter a streaming customer scan (broadcast winner array — the
+    customer table never shuffles) and nation names come from a 25-row
+    dict. Returns (c_custkey, c_name, revenue_cents, acctbal_cents,
+    n_name) ordered by revenue DESC, custkey."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby, salted_groupby_arrow
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1996, 7, 1)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        agg = _arrow_group_aggs(
+            {"okey": t["l_orderkey"]},
+            {"rev": ("sum", _cents(price * (1 - disc)))},
+            t.num_rows,
+        )
+        return agg.append_column(
+            "side", pa.array(np.ones(agg.num_rows, dtype=np.int64))
+        )
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "rev": t["o_custkey"].cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
+
+    def join1(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        ck = dict(zip(o["okey"].to_numpy(), o["rev"].to_numpy()))
+        cust = l["okey"].map(ck)
+        m = cust.notna()
+        out = pd.DataFrame(
+            {
+                "custkey": cust[m].to_numpy(dtype=np.int64),
+                "rev": l.loc[m, "rev"].to_numpy(dtype=np.int64),
+            }
+        )
+        return out.groupby("custkey", as_index=False)["rev"].sum()
+
+    stage1 = salted_groupby_arrow(
+        orders.union(li),
+        lambda t: t["okey"].to_numpy(zero_copy_only=False),
+        join1,
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"custkey": pd.Series([], dtype="int64"),
+                 "rev": pd.Series([], dtype="int64")}
+            )
+        tot = g.groupby("custkey", as_index=False)["rev"].sum()
+        return tot.sort_values(
+            ["rev", "custkey"], ascending=[False, True]
+        ).head(k)
+
+    cand = salted_groupby(stage1, lambda b: b["custkey"], topk).to_pandas()
+    win = cand.sort_values(["rev", "custkey"], ascending=[False, True]).head(k)
+    winners = np.sort(win["custkey"].to_numpy(dtype=np.int64))
+    rev_of = dict(zip(win["custkey"].to_numpy(), win["rev"].to_numpy()))
+    win_ref = ray.put(winners)
+
+    def pick(t: pa.Table) -> pa.Table:
+        w = ray.get(win_ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(ck, w)))
+
+    cust = (
+        rd.read_parquet(
+            table_path(sf_dir, "customer"),
+            columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        )
+        .map_batches(pick, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+    )
+    nation = pd.read_parquet(table_path(sf_dir, "nation"))
+    nk_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    cust["revenue_cents"] = cust["c_custkey"].map(rev_of).astype("int64")
+    cust = cust.sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True]
+    )
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "c_custkey": cust["c_custkey"].to_numpy(dtype=np.int64),
+                "c_name": cust["c_name"].to_numpy(dtype=object),
+                "revenue_cents": cust["revenue_cents"].to_numpy(dtype=np.int64),
+                "acctbal_cents": _cents(cust["c_acctbal"]),
+                "n_name": cust["c_nationkey"].map(nk_name).to_numpy(dtype=object),
+            }
+        )
+    )

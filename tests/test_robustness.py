@@ -326,6 +326,22 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import shipping_priority_top10
 
     checks.append((shipping_priority_top10, ["l_orderkey"]))
+    from open_parse_ray.stages.relational import (
+        promo_revenue_share,
+        small_qty_order_revenue,
+    )
+
+    checks.append((promo_revenue_share, ["ship_month"]))
+    checks.append((small_qty_order_revenue, ["n_lineitems"]))
+    from open_parse_ray.stages.relational import (
+        nation_volume_shipping,
+        returned_item_top_customers,
+        top_supplier_revenue,
+    )
+
+    checks.append((top_supplier_revenue, ["s_suppkey"]))
+    checks.append((nation_volume_shipping, ["supp_nation", "cust_nation", "l_year"]))
+    checks.append((returned_item_top_customers, ["c_custkey"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
