@@ -464,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": relational.top_supplier_revenue,
         "nation_volume_shipping": relational.nation_volume_shipping,
         "returned_item_top_customers": relational.returned_item_top_customers,
+        "order_fulfillment_span": relational.order_fulfillment_span,
+        "largest_doc_by_group": relational.largest_doc_by_group,
     }
 
 
@@ -2438,5 +2440,36 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1996-07-01'
             GROUP BY 1, 2, 4, 5
             ORDER BY revenue_cents DESC, c.c_custkey LIMIT 20
+        """,
+        # per-priority fulfillment lag: integer day sums from order date
+        # to first/last lineitem shipment (inner join drops lineitem-less
+        # orders)
+        "order_fulfillment_span": """
+            WITH s AS (
+                SELECT l_orderkey,
+                       min(CAST(epoch(l_shipdate) // 86400 AS BIGINT)) AS lo,
+                       max(CAST(epoch(l_shipdate) // 86400 AS BIGINT)) AS hi
+                FROM lineitem GROUP BY 1
+            )
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(s.lo - CAST(epoch(o.o_orderdate) // 86400 AS BIGINT))
+                        AS BIGINT) AS total_first_lag_days,
+                   CAST(sum(s.hi - CAST(epoch(o.o_orderdate) // 86400 AS BIGINT))
+                        AS BIGINT) AS total_last_lag_days
+            FROM orders o JOIN s ON s.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        # distributed argmax via monotone integer composite: per
+        # (lang, source) the longest doc, ties to the smallest doc_id
+        "largest_doc_by_group": """
+            SELECT lang, source, doc_id, n_chars FROM (
+                SELECT lang, source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY n_chars DESC, doc_id ASC
+                       ) AS rn
+                FROM documents
+            ) WHERE rn = 1
         """,
     }

@@ -219,6 +219,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "top_supplier_revenue",
         "nation_volume_shipping",
         "returned_item_top_customers",
+        "order_fulfillment_span",
+        "largest_doc_by_group",
     ]
 
     timings: dict[str, float] = {}

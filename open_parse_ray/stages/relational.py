@@ -3521,3 +3521,156 @@ def returned_item_top_customers(sf_dir: str, k: int = 20):
             }
         )
     )
+
+
+def order_fulfillment_span(sf_dir: str):
+    """Order fulfillment span by priority: per o_orderpriority, how many
+    orders and the total days from order date to FIRST and to LAST
+    lineitem shipment (integer day sums, not float averages — the reader
+    divides). Plan: lineitem collapses per batch to per-orderkey
+    (min_day, max_day) Arrow partials, so only one row per distinct
+    orderkey per block crosses the single orderkey-salted exchange;
+    orders ride with (priority, order day); inside the partition lags
+    resolve and re-collapse to the bounded priority grid. Orders with no
+    lineitems drop (inner-join semantics, mirrored by the oracle).
+    Returns (o_orderpriority, n_orders, total_first_lag_days,
+    total_last_lag_days)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        agg = _arrow_group_aggs(
+            {"okey": t["l_orderkey"]},
+            {"lo": ("min", day), "hi": ("max", day)},
+            t.num_rows,
+        )
+        return agg.append_column(
+            "prio", pa.array([""] * agg.num_rows, pa.string())
+        ).append_column("side", pa.array(np.ones(agg.num_rows, dtype=np.int64)))
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        day = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "lo": pa.array(day, pa.int64()),
+                "hi": pa.array(np.zeros(n, dtype=np.int64)),
+                "prio": t["o_orderpriority"].cast(pa.string()),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
+
+    def span(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        if len(l) == 0 or len(o) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype=object),
+                    "n_orders": pd.Series([], dtype="int64"),
+                    "total_first_lag_days": pd.Series([], dtype="int64"),
+                    "total_last_lag_days": pd.Series([], dtype="int64"),
+                }
+            )
+        ship = l.groupby("okey").agg(lo=("lo", "min"), hi=("hi", "max"))
+        j = o.set_index("okey").join(ship, how="inner", lsuffix="_o")
+        out = pd.DataFrame(
+            {
+                "o_orderpriority": j["prio"].to_numpy(dtype=object),
+                "first_lag": j["lo"].to_numpy(dtype=np.int64)
+                - j["lo_o"].to_numpy(dtype=np.int64),
+                "last_lag": j["hi"].to_numpy(dtype=np.int64)
+                - j["lo_o"].to_numpy(dtype=np.int64),
+            }
+        )
+        return out.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("first_lag", "size"),
+            total_first_lag_days=("first_lag", "sum"),
+            total_last_lag_days=("last_lag", "sum"),
+        )
+
+    partials = salted_groupby_arrow(
+        orders.union(li),
+        lambda t: t["okey"].to_numpy(zero_copy_only=False),
+        span,
+    )
+    return _combine_partials(
+        partials,
+        ["o_orderpriority"],
+        {
+            "n_orders": "sum",
+            "total_first_lag_days": "sum",
+            "total_last_lag_days": "sum",
+        },
+    )
+
+
+def largest_doc_by_group(sf_dir: str):
+    """Distributed argmax with a deterministic tie rule and ZERO
+    exchanges: per (lang, source), the doc with the most characters
+    (ties → smallest doc_id). The (value, id) argmax folds through
+    plain integer MAX partials because the pair is packed into one
+    monotone composite — n_chars·2^40 + (2^40−1−doc_id) — so max
+    composite ⟺ (max n_chars, then min doc_id); both bounds are
+    asserted per batch (n_chars < 2^23, doc_id < 2^40, same idiom as
+    grouped_rank_events). Per-batch Arrow max partials collapse to the
+    bounded (lang, source) grid; the driver-side decode unpacks the
+    winner. Returns (lang, source, doc_id, n_chars)."""
+    import pyarrow as pa
+
+    from open_parse_ray.stages.analysis import read_documents
+
+    _ID_SPACE = np.int64(1) << 40
+
+    def partial(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if t.num_rows:
+            assert nc.max() < (1 << 23) and 0 <= did.min() and did.max() < _ID_SPACE
+        comp = nc * _ID_SPACE + (_ID_SPACE - 1 - did)
+        return _arrow_group_aggs(
+            {"lang": t["lang"], "source": t["source"]},
+            {"comp": ("max", comp)},
+            t.num_rows,
+        )
+
+    partials = read_documents(
+        sf_dir, columns=["doc_id", "lang", "source", "n_chars"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    combined = _combine_partials(partials, ["lang", "source"], {"comp": "max"})
+
+    def decode(b: pd.DataFrame) -> pd.DataFrame:
+        comp = b["comp"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "lang": b["lang"].to_numpy(dtype=object),
+                "source": b["source"].to_numpy(dtype=object),
+                "doc_id": _ID_SPACE - 1 - (comp % _ID_SPACE),
+                "n_chars": comp // _ID_SPACE,
+            }
+        )
+
+    return combined.map_batches(decode, batch_format="pandas", batch_size=None)

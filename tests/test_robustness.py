@@ -342,6 +342,13 @@ def test_round3_queries_block_structure_invariance(ray_session):
     checks.append((top_supplier_revenue, ["s_suppkey"]))
     checks.append((nation_volume_shipping, ["supp_nation", "cust_nation", "l_year"]))
     checks.append((returned_item_top_customers, ["c_custkey"]))
+    from open_parse_ray.stages.relational import (
+        largest_doc_by_group,
+        order_fulfillment_span,
+    )
+
+    checks.append((order_fulfillment_span, ["o_orderpriority"]))
+    checks.append((largest_doc_by_group, ["lang", "source"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
