@@ -1530,3 +1530,308 @@ def test_events_gap_histogram_buckets(ray_session, tmp_path):
     # 'b' sub-second gap
     assert out.loc[("b", -1), "n"] == 1 and out.loc[("b", -1), "total_gap_s"] == 0
     assert len(out) == 4
+
+
+def _write_lineitem(path, **cols):
+    n = max(len(v) for v in cols.values() if hasattr(v, "__len__"))
+    base = {
+        "l_orderkey": [1] * n,
+        "l_partkey": [0] * n,
+        "l_suppkey": [0] * n,
+        "l_linenumber": np.arange(n, dtype=np.int32),
+        "l_quantity": [1.0] * n,
+        "l_extendedprice": [1.0] * n,
+        "l_discount": [0.0] * n,
+        "l_tax": [0.0] * n,
+        "l_returnflag": ["N"] * n,
+        "l_linestatus": ["O"] * n,
+        "l_shipdate": [pd.Timestamp("1996-06-01")] * n,
+    }
+    base.update(cols)
+    pd.DataFrame(base).to_parquet(path / "lineitem.parquet")
+
+
+def _write_orders(path, **cols):
+    n = max(len(v) for v in cols.values() if hasattr(v, "__len__"))
+    base = {
+        "o_orderkey": np.arange(1, n + 1, dtype=np.int64),
+        "o_custkey": [1] * n,
+        "o_orderstatus": ["O"] * n,
+        "o_totalprice": [1.0] * n,
+        "o_orderdate": [pd.Timestamp("1996-01-01")] * n,
+        "o_orderpriority": ["1-URGENT"] * n,
+    }
+    base.update(cols)
+    pd.DataFrame(base).to_parquet(path / "orders.parquet")
+
+
+def test_shipping_priority_hand_case(ray_session, tmp_path):
+    """Q3 semantics: only BUILDING customers, only orders placed before
+    the cutoff, and only revenue from lines shipping AFTER the cutoff
+    (order 1 has one pre-cutoff line that must not count)."""
+    from open_parse_ray.stages.relational import shipping_priority_top10
+
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2],
+            "c_name": ["a", "b"],
+            "c_nationkey": [0, 0],
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["BUILDING", "AUTOMOBILE"],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    _write_orders(
+        tmp_path,
+        o_orderkey=np.array([1, 2, 3], dtype=np.int64),
+        o_custkey=[1, 2, 1],
+        o_orderdate=[
+            pd.Timestamp("1997-06-01"),
+            pd.Timestamp("1997-06-01"),
+            pd.Timestamp("1998-06-01"),  # placed after cutoff → excluded
+        ],
+        o_orderpriority=["1-URGENT", "2-HIGH", "3-MEDIUM"],
+    )
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1, 1, 2, 3],
+        l_extendedprice=[100.0, 40.0, 100.0, 100.0],
+        l_shipdate=[
+            pd.Timestamp("1998-02-01"),
+            pd.Timestamp("1997-12-01"),  # shipped pre-cutoff → not revenue
+            pd.Timestamp("1998-02-01"),
+            pd.Timestamp("1998-07-01"),
+        ],
+    )
+    out = _df(shipping_priority_top10(str(tmp_path)))
+    assert out["l_orderkey"].tolist() == [1]
+    assert out["revenue_cents"].tolist() == [10000]
+    assert out["o_orderpriority"].tolist() == ["1-URGENT"]
+
+
+def test_promo_revenue_share_bit_boundaries(ray_session, tmp_path):
+    """The packbits partkey bitmap must be exact across byte boundaries:
+    promo flags on keys 7, 8, 16 (bit 7 of byte 0, bit 0 of bytes 1 and
+    2) and non-promo neighbors must not bleed."""
+    from open_parse_ray.stages.relational import promo_revenue_share
+
+    keys = np.arange(1, 18, dtype=np.int64)
+    pd.DataFrame(
+        {
+            "p_partkey": keys,
+            "p_name": "p",
+            "p_brand": "Brand#1",
+            "p_type": ["PROMO" if k in (7, 8, 16) else "STANDARD" for k in keys],
+            "p_size": 1,
+            "p_retailprice": 1.0,
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1] * 17,
+        l_partkey=keys,
+        l_extendedprice=[10.0] * 17,
+        l_shipdate=[pd.Timestamp("1996-03-15")] * 17,
+    )
+    out = _df(promo_revenue_share(str(tmp_path)))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["ship_month"] == (1996 - 1970) * 12 + 2
+    assert row["promo_cents"] == 3000 and row["total_cents"] == 17000
+    assert row["n_items"] == 17
+
+
+def test_small_qty_order_revenue_threshold_boundary(ray_session, tmp_path):
+    """5*qty*cnt < sum is strict: part 1 (qty 1,9 → 5*1*2 == 10 == sum)
+    sits exactly AT 20% of avg and must NOT qualify; part 2 (qty 1,99)
+    qualifies with only the small line's revenue; part 3 is the wrong
+    brand and is invisible even though its small line would pass."""
+    from open_parse_ray.stages.relational import small_qty_order_revenue
+
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3],
+            "p_name": "p",
+            "p_brand": ["Brand#13", "Brand#13", "Brand#9"],
+            "p_type": "STANDARD",
+            "p_size": 1,
+            "p_retailprice": 1.0,
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1] * 6,
+        l_partkey=[1, 1, 2, 2, 3, 3],
+        l_quantity=[1.0, 9.0, 1.0, 99.0, 1.0, 99.0],
+        l_extendedprice=[5.0, 5.0, 7.5, 5.0, 5.0, 5.0],
+    )
+    out = _df(small_qty_order_revenue(str(tmp_path)))
+    assert len(out) == 1
+    assert out.iloc[0]["n_lineitems"] == 1
+    assert out.iloc[0]["revenue_cents"] == 750
+
+
+def test_top_supplier_revenue_ties_and_window(ray_session, tmp_path):
+    """Both tied maxima come back (suppliers 1 and 2 at 100.00 inside
+    the 1996 window); supplier 3's larger 1997 shipment is outside the
+    window and must not win."""
+    from open_parse_ray.stages.relational import top_supplier_revenue
+
+    pd.DataFrame(
+        {
+            "s_suppkey": [1, 2, 3],
+            "s_name": ["s1", "s2", "s3"],
+            "s_nationkey": [0, 0, 0],
+            "s_acctbal": [0.0] * 3,
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1, 1, 1, 1],
+        l_suppkey=[1, 2, 3, 3],
+        l_extendedprice=[100.0, 100.0, 40.0, 500.0],
+        l_shipdate=[
+            pd.Timestamp("1996-06-01"),
+            pd.Timestamp("1996-06-01"),
+            pd.Timestamp("1996-06-01"),
+            pd.Timestamp("1997-06-01"),
+        ],
+    )
+    out = _df(top_supplier_revenue(str(tmp_path)))
+    assert out["s_suppkey"].tolist() == [1, 2]
+    assert out["s_name"].tolist() == ["s1", "s2"]
+    assert set(out["total_revenue_cents"]) == {10000}
+
+
+def test_nation_volume_shipping_hand_case(ray_session, tmp_path):
+    """Same-nation flows are excluded; years split; revenue lands on the
+    (supplier nation, customer nation) pair in the right direction."""
+    from open_parse_ray.stages.relational import nation_volume_shipping
+
+    pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["NA0", "NA1"], "n_regionkey": [0, 0]}
+    ).to_parquet(tmp_path / "nation.parquet")
+    pd.DataFrame(
+        {
+            "s_suppkey": [1, 2],
+            "s_name": ["s1", "s2"],
+            "s_nationkey": [0, 1],
+            "s_acctbal": [0.0, 0.0],
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    pd.DataFrame(
+        {
+            "c_custkey": [1],
+            "c_name": ["c"],
+            "c_nationkey": [1],
+            "c_acctbal": [0.0],
+            "c_mktsegment": ["BUILDING"],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    _write_orders(tmp_path, o_orderkey=np.array([1], dtype=np.int64), o_custkey=[1])
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1, 1, 1],
+        l_suppkey=[1, 1, 2],
+        l_extendedprice=[100.0, 50.0, 70.0],
+        l_shipdate=[
+            pd.Timestamp("1996-06-01"),
+            pd.Timestamp("1997-06-01"),  # second year, same pair
+            pd.Timestamp("1996-06-01"),  # supp nation == cust nation → drop
+        ],
+    )
+    out = _df(nation_volume_shipping(str(tmp_path))).sort_values("l_year")
+    assert out["supp_nation"].tolist() == ["NA0", "NA0"]
+    assert out["cust_nation"].tolist() == ["NA1", "NA1"]
+    assert out["l_year"].tolist() == [1996, 1997]
+    assert out["revenue_cents"].tolist() == [10000, 5000]
+
+
+def test_returned_item_top_customers_tie_and_cut(ray_session, tmp_path):
+    """Only R lines in the order window count; revenue ties rank by
+    smaller custkey; k cuts after the merge of per-partition top-ks."""
+    from open_parse_ray.stages.relational import returned_item_top_customers
+
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3],
+            "c_name": ["c1", "c2", "c3"],
+            "c_nationkey": [0, 0, 0],
+            "c_acctbal": [5.0, 6.0, 7.0],
+            "c_mktsegment": ["BUILDING"] * 3,
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        {"n_nationkey": [0], "n_name": ["NA0"], "n_regionkey": [0]}
+    ).to_parquet(tmp_path / "nation.parquet")
+    _write_orders(
+        tmp_path,
+        o_orderkey=np.array([1, 2, 3, 4], dtype=np.int64),
+        o_custkey=[3, 2, 1, 1],
+        o_orderdate=[
+            pd.Timestamp("1996-02-01"),
+            pd.Timestamp("1996-02-01"),
+            pd.Timestamp("1996-02-01"),
+            pd.Timestamp("1996-09-01"),  # outside the order window
+        ],
+    )
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1, 2, 3, 3, 4],
+        l_extendedprice=[100.0, 100.0, 100.0, 30.0, 999.0],
+        l_returnflag=["R", "R", "R", "N", "R"],
+    )
+    out = _df(returned_item_top_customers(str(tmp_path), k=2))
+    # all three customers tie at 10000; tie order is custkey ASC, k=2
+    # keeps customers 1 and 2 (order 4's R line is outside the window)
+    assert out["c_custkey"].tolist() == [1, 2]
+    assert out["revenue_cents"].tolist() == [10000, 10000]
+    assert out["acctbal_cents"].tolist() == [500, 600]
+    assert out["n_name"].tolist() == ["NA0", "NA0"]
+
+
+def test_order_fulfillment_span_hand_case(ray_session, tmp_path):
+    """First/last lags from a multi-line order; a lineitem-less order
+    contributes nothing (inner-join semantics)."""
+    from open_parse_ray.stages.relational import order_fulfillment_span
+
+    _write_orders(
+        tmp_path,
+        o_orderkey=np.array([1, 2], dtype=np.int64),
+        o_orderdate=[pd.Timestamp("1996-01-01")] * 2,
+        o_orderpriority=["1-URGENT", "5-LOW"],
+    )
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1, 1, 1],
+        l_shipdate=[
+            pd.Timestamp("1996-01-04"),
+            pd.Timestamp("1996-01-02"),
+            pd.Timestamp("1996-01-31"),
+        ],
+    )
+    out = _df(order_fulfillment_span(str(tmp_path)))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["o_orderpriority"] == "1-URGENT"
+    assert row["n_orders"] == 1
+    assert row["total_first_lag_days"] == 1
+    assert row["total_last_lag_days"] == 30
+
+
+def test_largest_doc_by_group_tie_rule(ray_session, tmp_path):
+    """Equal n_chars → smallest doc_id wins (the monotone composite's
+    tie direction), independently per (lang, source) group."""
+    from open_parse_ray.stages.relational import largest_doc_by_group
+
+    pd.DataFrame(
+        {
+            "doc_id": np.array([10, 3, 7, 20], dtype=np.int64),
+            "text": ["aaaa", "bbbb", "cc", "ddddd"],
+            "lang": ["en", "en", "en", "fr"],
+            "source": ["s", "s", "s", "s"],
+            "n_chars": np.array([4, 4, 2, 5], dtype=np.int64),
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = _df(largest_doc_by_group(str(tmp_path))).sort_values("lang")
+    assert out["doc_id"].tolist() == [3, 20]
+    assert out["n_chars"].tolist() == [4, 5]
