@@ -466,6 +466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_top_customers": relational.returned_item_top_customers,
         "order_fulfillment_span": relational.order_fulfillment_span,
         "largest_doc_by_group": relational.largest_doc_by_group,
+        "forecast_revenue_change": relational.forecast_revenue_change,
+        "banded_brand_revenue": relational.banded_brand_revenue,
     }
 
 
@@ -2471,5 +2473,42 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn = 1
+        """,
+        # TPC-H Q6 shape: pushed date window + integer-percent discount
+        # band + quantity cut, one scalar row
+        "forecast_revenue_change": """
+            SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+                   CAST(coalesce(sum(CAST(round(l_extendedprice
+                                               * l_discount * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS forecast_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND round(l_discount * 100) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        # TPC-H Q19 shape: disjunctive (brand, quantity-band) arms as a
+        # broadcast arm-code array, per-arm integer sums
+        "banded_brand_revenue": """
+            WITH coded AS (
+                SELECT l.l_quantity AS qty,
+                       CAST(round(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100) AS BIGINT)
+                           AS cents,
+                       CASE p.p_brand WHEN 'Brand#1' THEN 1
+                                      WHEN 'Brand#2' THEN 2
+                                      WHEN 'Brand#3' THEN 3
+                                      ELSE 0 END AS arm
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            )
+            SELECT CAST(arm AS BIGINT) AS arm,
+                   CAST(count(*) AS BIGINT) AS n_lineitems,
+                   CAST(sum(cents) AS BIGINT) AS revenue_cents
+            FROM coded
+            WHERE (arm = 1 AND qty BETWEEN 1 AND 11)
+               OR (arm = 2 AND qty BETWEEN 10 AND 20)
+               OR (arm = 3 AND qty BETWEEN 20 AND 30)
+            GROUP BY 1
         """,
     }

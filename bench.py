@@ -221,6 +221,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "returned_item_top_customers",
         "order_fulfillment_span",
         "largest_doc_by_group",
+        "forecast_revenue_change",
+        "banded_brand_revenue",
     ]
 
     timings: dict[str, float] = {}

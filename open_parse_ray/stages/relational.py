@@ -3674,3 +3674,110 @@ def largest_doc_by_group(sf_dir: str):
         )
 
     return combined.map_batches(decode, batch_format="pandas", batch_size=None)
+
+
+def forecast_revenue_change(sf_dir: str):
+    """Forecast revenue change (the TPC-H Q6 shape): the revenue a
+    blanket discount revocation would have recovered — sum of
+    extendedprice × discount over one ship year for mid-band discounts
+    (5-7%) and small quantities (< 24). Pure scan-side pipeline: the
+    date window is pushed into the Parquet scan (row groups outside it
+    never leave storage), the discount band compares in integer
+    percent (round(d*100) ∈ [5,7] — no float-boundary ambiguity against
+    the oracle's identical expression) and the quantity cut is
+    vectorized; blocks collapse to one partial row each; zero
+    exchanges. Returns one row (n_lineitems, forecast_cents)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        pct = np.round(disc * 100).astype(np.int64)
+        m = (pct >= 5) & (pct <= 7) & (qty < 24)
+        return pa.table(
+            {
+                "n_lineitems": pa.array([np.int64(m.sum())], pa.int64()),
+                "forecast_cents": pa.array(
+                    [_cents(pd.Series(price[m] * disc[m])).sum()], pa.int64()
+                ),
+            }
+        )
+
+    partials = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def total(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_lineitems": [np.int64(b["n_lineitems"].sum())],
+                "forecast_cents": [np.int64(b["forecast_cents"].sum())],
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        total, batch_format="pandas", batch_size=None
+    )
+
+
+def banded_brand_revenue(sf_dir: str):
+    """Disjunctive multi-predicate revenue (the TPC-H Q19 shape, minus
+    the container/shipmode columns this corpus lacks): revenue from
+    lineitems satisfying ANY of three (brand, quantity-band) arms —
+    (Brand#1, qty 1–11) ∨ (Brand#2, qty 10–20) ∨ (Brand#3, qty 20–30).
+    The OR never becomes three scans: part collapses to a dense
+    partkey-indexed int8 brand-code array (0 = not interesting, 1/2/3 =
+    arm) broadcast once, and one lineitem pass evaluates all three arms
+    vectorized against the per-row arm code; blocks collapse to one
+    (arm, n, cents) partial each (bounded grid), zero exchanges.
+    Returns (arm, n_lineitems, revenue_cents) — one row per arm so a
+    plan regression in any single arm is visible in the hash."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    arms = {"Brand#1": 1, "Brand#2": 2, "Brand#3": 3}
+    part = pd.read_parquet(
+        table_path(sf_dir, "part"), columns=["p_partkey", "p_brand"]
+    )
+    keys = part["p_partkey"].to_numpy(dtype=np.int64)
+    code = np.zeros(int(keys.max()) + 1, dtype=np.int8)
+    for b, c in arms.items():
+        code[keys[(part["p_brand"] == b).to_numpy()]] = c
+    code_ref = ray.put(code)
+    lo = np.array([0, 1, 10, 20], dtype=np.int64)
+    hi = np.array([0, 11, 20, 30], dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cd = ray.get(code_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        arm = cd[pk].astype(np.int64)
+        m = (arm > 0) & (qty >= lo[arm]) & (qty <= hi[arm])
+        return _arrow_group_aggs(
+            {"arm": arm[m]},
+            {
+                "n_lineitems": ("count", None),
+                "revenue_cents": ("sum", _cents(pd.Series(price[m] * (1 - disc[m])))),
+            },
+            int(m.sum()),
+        )
+
+    partials = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return _combine_partials(
+        partials, ["arm"], {"n_lineitems": "sum", "revenue_cents": "sum"}
+    )

@@ -1835,3 +1835,52 @@ def test_largest_doc_by_group_tie_rule(ray_session, tmp_path):
     out = _df(largest_doc_by_group(str(tmp_path))).sort_values("lang")
     assert out["doc_id"].tolist() == [3, 20]
     assert out["n_chars"].tolist() == [4, 5]
+
+
+def test_forecast_revenue_change_band_boundaries(ray_session, tmp_path):
+    """Discount band is integer-percent inclusive [5,7]: 4% and 8% are
+    out, 5% and 7% are in; qty 24 is out (strict <); date window is
+    half-open on both operators' sides."""
+    from open_parse_ray.stages.relational import forecast_revenue_change
+
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1] * 7,
+        l_quantity=[1.0, 1.0, 1.0, 1.0, 24.0, 1.0, 1.0],
+        l_extendedprice=[100.0] * 7,
+        l_discount=[0.04, 0.05, 0.07, 0.08, 0.05, 0.05, 0.05],
+        l_shipdate=[pd.Timestamp("1996-06-01")] * 5
+        + [pd.Timestamp("1995-12-31"), pd.Timestamp("1997-01-01")],
+    )
+    out = _df(forecast_revenue_change(str(tmp_path)))
+    assert out.iloc[0]["n_lineitems"] == 2
+    assert out.iloc[0]["forecast_cents"] == 500 + 700
+
+
+def test_banded_brand_revenue_arm_bands(ray_session, tmp_path):
+    """Each arm applies ITS OWN quantity band: qty 12 passes arm 2 but
+    not arm 1; an uninteresting brand never appears; inclusive ends."""
+    from open_parse_ray.stages.relational import banded_brand_revenue
+
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4],
+            "p_name": "p",
+            "p_brand": ["Brand#1", "Brand#2", "Brand#3", "Brand#9"],
+            "p_type": "STANDARD",
+            "p_size": 1,
+            "p_retailprice": 1.0,
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1] * 7,
+        l_partkey=[1, 1, 2, 2, 3, 3, 4],
+        l_quantity=[11.0, 12.0, 12.0, 9.0, 20.0, 31.0, 5.0],
+        l_extendedprice=[10.0] * 7,
+    )
+    out = _df(banded_brand_revenue(str(tmp_path))).set_index("arm")
+    assert out.loc[1, "n_lineitems"] == 1 and out.loc[1, "revenue_cents"] == 1000
+    assert out.loc[2, "n_lineitems"] == 1
+    assert out.loc[3, "n_lineitems"] == 1
+    assert len(out) == 3

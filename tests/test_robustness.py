@@ -349,6 +349,13 @@ def test_round3_queries_block_structure_invariance(ray_session):
 
     checks.append((order_fulfillment_span, ["o_orderpriority"]))
     checks.append((largest_doc_by_group, ["lang", "source"]))
+    from open_parse_ray.stages.relational import (
+        banded_brand_revenue,
+        forecast_revenue_change,
+    )
+
+    checks.append((forecast_revenue_change, ["n_lineitems"]))
+    checks.append((banded_brand_revenue, ["arm"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
