@@ -468,7 +468,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "largest_doc_by_group": relational.largest_doc_by_group,
         "forecast_revenue_change": relational.forecast_revenue_change,
         "banded_brand_revenue": relational.banded_brand_revenue,
+        "copurchase_components": graph.copurchase_components,
     }
+
+
+def _components_oracle(min_ab: int = 3, rounds: int = 8) -> str:
+    """Unrolled min-label propagation over the strong co-purchase graph:
+    R MATERIALIZED label-min CTEs (each takes the min of a node's own
+    label and its neighbors' previous-round labels). Must mirror
+    stages/graph.py copurchase_components' (min_ab, rounds) defaults."""
+    parts = [
+        f"""WITH pl AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    es AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT a.p AS u, b.p AS v, count(*) AS c
+        FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+      WHERE c >= {min_ab}),
+    ed AS MATERIALIZED (SELECT u, v FROM es UNION ALL SELECT v, u FROM es),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM ed)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    l{r} AS MATERIALIZED (
+      SELECT n.node, min(least(n.lbl, coalesce(l2.lbl, n.lbl))) AS lbl
+      FROM l{r - 1} n
+      LEFT JOIN ed ON ed.u = n.node
+      LEFT JOIN l{r - 1} l2 ON l2.node = ed.v
+      GROUP BY n.node)"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(node AS BIGINT) AS part, CAST(lbl AS BIGINT) AS component
+    FROM l{rounds}"""
+    )
+    return "".join(parts)
 
 
 def _kcore_oracle(k: int = 68, rounds: int = 8) -> str:
@@ -2511,4 +2546,5 @@ def oracle_sql() -> dict[str, str]:
                OR (arm = 3 AND qty BETWEEN 20 AND 30)
             GROUP BY 1
         """,
+        "copurchase_components": _components_oracle(),
     }

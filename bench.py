@@ -223,6 +223,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "largest_doc_by_group",
         "forecast_revenue_change",
         "banded_brand_revenue",
+        "copurchase_components",
     ]
 
     timings: dict[str, float] = {}

@@ -1635,3 +1635,155 @@ def copurchase_kcore(sf_dir: str, k: int = 68, rounds: int = 8, num_parts: int =
             }
         )
     )
+
+
+def copurchase_strong_edges(sf_dir: str, min_ab: int = 3, num_parts: int = 32):
+    """DISTINCT strong co-purchase edges: part pairs appearing together
+    in ≥ ``min_ab`` distinct orders (u < v). Same two-exchange shape as
+    :func:`copurchase_edges`, but the order-salted stage emits per-
+    partition PAIR COUNTS (np.unique with counts — per-order distinct
+    pairs, so counts are order-multiplicities) and the pair-salted stage
+    finishes the sums and applies the threshold, so only qualifying
+    (u, v) int64 rows survive the second exchange. ``min_ab`` is the
+    scale bound: it prunes the quadratic pair tail exactly like
+    copurchase_lift_pairs' min_ab."""
+    import ray.data as rd
+
+    from open_parse_ray.sources.tables import table_path
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def order_pair_counts(part: pd.DataFrame) -> pd.DataFrame:
+        o = part["l_orderkey"].to_numpy(dtype=np.int64)
+        p = part["l_partkey"].to_numpy(dtype=np.int64)
+        key = np.unique(o * _OKEY_BASE + p)
+        o, p = key // _OKEY_BASE, key % _OKEY_BASE
+        starts, sizes = _group_layout(o)
+        chunks = []
+        for lf, rt in _grouped_pairs(starts, sizes):
+            chunks.append(p[lf] * _OKEY_BASE + p[rt])
+        if chunks:
+            uniq, cnt = np.unique(np.concatenate(chunks), return_counts=True)
+        else:
+            uniq = cnt = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {"key": uniq, "n_ab": cnt.astype(np.int64)}
+        ).astype("int64")
+
+    partials = salted_groupby(
+        ds, lambda b: b["l_orderkey"], order_pair_counts, num_parts=num_parts
+    )
+
+    def threshold(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame({"u": [], "v": []}).astype("int64")
+        tot = part.groupby("key", as_index=False)["n_ab"].sum()
+        key = tot.loc[tot["n_ab"] >= min_ab, "key"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"u": key // _OKEY_BASE, "v": key % _OKEY_BASE}
+        ).astype("int64")
+
+    return salted_groupby(
+        partials, lambda b: b["key"], threshold, num_parts=num_parts
+    )
+
+
+def copurchase_components(
+    sf_dir: str, min_ab: int = 3, rounds: int = 8, num_parts: int = 32
+):
+    """Connected components of the STRONG co-purchase graph (edges =
+    pairs co-purchased in ≥ ``min_ab`` distinct orders) by ``rounds``
+    of min-label propagation — the MIN-combine member of the iterate
+    family (pagerank sums, BFS reaches, Bellman-Ford path mins, k-core
+    filters). The spec is "label after R rounds": idempotent at the
+    fixpoint (extra rounds are no-ops), and R bounds the label distance
+    exactly like max_hops bounds BFS, so the SQL oracle can unroll the
+    rounds as MATERIALIZED CTEs. Per round the node-bounded label
+    vector broadcasts once (ray.put) and the edge set streams with
+    per-batch np.minimum.at partials — no adjacency on the driver, no
+    frontier ever ships. Returns (part, component) for every part with
+    a strong edge; component ids are the component-minimum part id once
+    converged."""
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.ranking import _fold
+    from open_parse_ray.stages.relational import _combine_partials
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    maxp = pq.read_table(table_path(sf_dir, "part"), columns=["p_partkey"])[
+        "p_partkey"
+    ]
+    n_nodes = int(pc.max(maxp).as_py()) + 1
+    edges = copurchase_strong_edges(
+        sf_dir, min_ab=min_ab, num_parts=num_parts
+    ).materialize()
+
+    def touch_partial(b: pd.DataFrame) -> pd.DataFrame:
+        hit = np.zeros(n_nodes, dtype=np.int64)
+        if len(b):
+            hit[b["u"].to_numpy(dtype=np.int64)] = 1
+            hit[b["v"].to_numpy(dtype=np.int64)] = 1
+        nz = np.nonzero(hit)[0]
+        return pd.DataFrame({"node": nz.astype(np.int64), "s": hit[nz]})
+
+    got = _combine_partials(
+        _fold(
+            edges.map_batches(touch_partial, batch_format="pandas", batch_size=65536),
+            ["node"],
+            {"s": "sum"},
+        ),
+        ["node"],
+        {"s": "sum"},
+    ).to_pandas()
+    present = got["node"].to_numpy(dtype=np.int64)
+
+    NO = np.iinfo(np.int64).max
+    lbl = np.full(n_nodes, NO, dtype=np.int64)
+    lbl[present] = present
+
+    for _ in range(rounds):
+        l_ref = ray.put(lbl)
+
+        def min_partial(b: pd.DataFrame) -> pd.DataFrame:
+            lv = ray.get(l_ref)
+            u = b["u"].to_numpy(dtype=np.int64)
+            v = b["v"].to_numpy(dtype=np.int64)
+            cand = np.full(n_nodes, NO, dtype=np.int64)
+            np.minimum.at(cand, v, lv[u])
+            np.minimum.at(cand, u, lv[v])
+            better = np.flatnonzero(cand < lv)
+            return pd.DataFrame(
+                {"node": better.astype(np.int64), "s": cand[better]}
+            )
+
+        upd = _combine_partials(
+            _fold(
+                edges.map_batches(
+                    min_partial, batch_format="pandas", batch_size=65536
+                ),
+                ["node"],
+                {"s": "min"},
+            ),
+            ["node"],
+            {"s": "min"},
+        ).to_pandas()
+        if len(upd) == 0:
+            break
+        nodes = upd["node"].to_numpy(dtype=np.int64)
+        vals = upd["s"].to_numpy(dtype=np.int64)
+        m = vals < lbl[nodes]
+        if not m.any():
+            break
+        lbl[nodes[m]] = vals[m]
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {"part": present.astype(np.int64), "component": lbl[present]}
+        )
+    )

@@ -1884,3 +1884,39 @@ def test_banded_brand_revenue_arm_bands(ray_session, tmp_path):
     assert out.loc[2, "n_lineitems"] == 1
     assert out.loc[3, "n_lineitems"] == 1
     assert len(out) == 3
+
+
+def test_copurchase_components_hand_case(ray_session, tmp_path):
+    """A 5-node chain of strong edges (each pair in 3 orders) collapses
+    to its minimum id across multiple propagation rounds; a 2-order
+    (weak) bridge must NOT merge the second component; the isolated
+    strong pair keeps its own min label."""
+    from open_parse_ray.stages.graph import copurchase_components
+
+    orders, parts = [], []
+
+    def add_orders(pair, n, start):
+        for i in range(n):
+            orders.extend([start + i, start + i])
+            parts.extend(pair)
+
+    add_orders((1, 2), 3, 100)
+    add_orders((2, 3), 3, 200)
+    add_orders((3, 4), 3, 300)
+    add_orders((4, 5), 3, 400)
+    add_orders((5, 10), 2, 500)   # weak: below min_ab=3
+    add_orders((10, 11), 3, 600)
+    _write_lineitem(tmp_path, l_orderkey=orders, l_partkey=parts)
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4, 5, 10, 11],
+            "p_name": "p",
+            "p_brand": "Brand#1",
+            "p_type": "STANDARD",
+            "p_size": 1,
+            "p_retailprice": 1.0,
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    out = _df(copurchase_components(str(tmp_path))).sort_values("part")
+    assert out["part"].tolist() == [1, 2, 3, 4, 5, 10, 11]
+    assert out["component"].tolist() == [1, 1, 1, 1, 1, 10, 10]

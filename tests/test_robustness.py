@@ -356,6 +356,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
 
     checks.append((forecast_revenue_change, ["n_lineitems"]))
     checks.append((banded_brand_revenue, ["arm"]))
+    from open_parse_ray.stages.graph import copurchase_components
+
+    checks.append((copurchase_components, ["part"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
