@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue_change": relational.forecast_revenue_change,
         "banded_brand_revenue": relational.banded_brand_revenue,
         "copurchase_components": graph.copurchase_components,
+        "customer_cohort_revenue": relational.customer_cohort_revenue,
     }
 
 
@@ -2547,4 +2548,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "copurchase_components": _components_oracle(),
+        # cohort-LTV triangle: first-order month per customer × order
+        # month; months-since-1970 == numpy datetime64[M]
+        "customer_cohort_revenue": """
+            WITH m AS (
+                SELECT o_custkey AS ck,
+                       CAST((year(o_orderdate) - 1970) * 12
+                            + month(o_orderdate) - 1 AS BIGINT) AS om,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ),
+            c AS (SELECT ck, min(om) AS cohort FROM m GROUP BY 1)
+            SELECT c.cohort AS cohort_month, m.om AS order_month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(m.cents) AS BIGINT) AS revenue_cents
+            FROM m JOIN c ON c.ck = m.ck
+            GROUP BY 1, 2
+        """,
     }

@@ -224,6 +224,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "forecast_revenue_change",
         "banded_brand_revenue",
         "copurchase_components",
+        "customer_cohort_revenue",
     ]
 
     timings: dict[str, float] = {}

@@ -3781,3 +3781,67 @@ def banded_brand_revenue(sf_dir: str):
     return _combine_partials(
         partials, ["arm"], {"n_lineitems": "sum", "revenue_cents": "sum"}
     )
+
+
+def customer_cohort_revenue(sf_dir: str):
+    """Customer-cohort revenue triangle (the LTV matrix a subscription
+    dashboard draws): customers are grouped by the month of their FIRST
+    order, and revenue is reported per (cohort_month, order_month).
+    The window function never runs: a custkey-salted exchange co-locates
+    each customer's entire order history, so the per-customer min-month
+    and the (cohort, month) rollup happen in the same partition — ONE
+    exchange over (custkey, month, cents) rows pre-aggregated per batch,
+    and the output is the bounded month×month triangle. Months are
+    months-since-1970 (datetime64[M]). Returns (cohort_month,
+    order_month, n_orders, revenue_cents)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        return _arrow_group_aggs(
+            {"ck": t["o_custkey"], "m": month},
+            {
+                "n_orders": ("count", None),
+                "cents": ("sum", _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))),
+            },
+            t.num_rows,
+        )
+
+    parts = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def cohort(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "cohort_month": pd.Series([], dtype="int64"),
+                    "order_month": pd.Series([], dtype="int64"),
+                    "n_orders": pd.Series([], dtype="int64"),
+                    "revenue_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.copy()
+        g["cohort_month"] = g.groupby("ck")["m"].transform("min")
+        out = g.groupby(["cohort_month", "m"], as_index=False).agg(
+            n_orders=("n_orders", "sum"), revenue_cents=("cents", "sum")
+        )
+        return out.rename(columns={"m": "order_month"})
+
+    partials = salted_groupby_arrow(
+        parts, lambda t: t["ck"].to_numpy(zero_copy_only=False), cohort
+    )
+    return _combine_partials(
+        partials,
+        ["cohort_month", "order_month"],
+        {"n_orders": "sum", "revenue_cents": "sum"},
+    )

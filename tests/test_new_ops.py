@@ -1920,3 +1920,81 @@ def test_copurchase_components_hand_case(ray_session, tmp_path):
     out = _df(copurchase_components(str(tmp_path))).sort_values("part")
     assert out["part"].tolist() == [1, 2, 3, 4, 5, 10, 11]
     assert out["component"].tolist() == [1, 1, 1, 1, 1, 10, 10]
+
+
+def test_customer_cohort_revenue_hand_case(ray_session, tmp_path):
+    """The cohort is the customer's FIRST order month: customer 1's
+    March order reports under the January cohort; customer 2's single
+    March order forms its own March cohort row."""
+    from open_parse_ray.stages.relational import customer_cohort_revenue
+
+    _write_orders(
+        tmp_path,
+        o_orderkey=np.array([1, 2, 3], dtype=np.int64),
+        o_custkey=[1, 1, 2],
+        o_totalprice=[10.0, 20.0, 40.0],
+        o_orderdate=[
+            pd.Timestamp("1996-01-15"),
+            pd.Timestamp("1996-03-02"),
+            pd.Timestamp("1996-03-20"),
+        ],
+    )
+    jan = (1996 - 1970) * 12 + 0
+    mar = jan + 2
+    out = (
+        _df(customer_cohort_revenue(str(tmp_path)))
+        .sort_values(["cohort_month", "order_month"])
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [
+        [jan, jan, 1, 1000],
+        [jan, mar, 1, 2000],
+        [mar, mar, 1, 4000],
+    ]
+
+
+def test_argmax_composite_idiom_matches_pandas(ray_session):
+    """Property gate for the monotone-composite argmax (the
+    largest_doc_by_group idiom): on seeded random (group, value, id)
+    triples with heavy ties, decoding max(value*2^40 + (2^40-1-id))
+    equals pandas sort_values + first per group."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),        # group
+                st.integers(0, 5),        # value (ties likely)
+                st.integers(0, 1 << 39),  # id
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(rows):
+        df = pd.DataFrame(rows, columns=["g", "v", "i"]).drop_duplicates(
+            ["g", "i"]
+        )
+        space = np.int64(1) << 40
+        comp = df["v"].to_numpy(np.int64) * space + (
+            space - 1 - df["i"].to_numpy(np.int64)
+        )
+        got = (
+            pd.DataFrame({"g": df["g"], "comp": comp})
+            .groupby("g")["comp"]
+            .max()
+        )
+        dec = pd.DataFrame(
+            {"v": got // space, "i": space - 1 - (got % space)}
+        )
+        want = (
+            df.sort_values(["g", "v", "i"], ascending=[True, False, True])
+            .groupby("g")
+            .first()
+        )
+        assert dec["v"].tolist() == want["v"].tolist()
+        assert dec["i"].tolist() == want["i"].tolist()
+
+    run()

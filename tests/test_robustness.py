@@ -359,6 +359,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.graph import copurchase_components
 
     checks.append((copurchase_components, ["part"]))
+    from open_parse_ray.stages.relational import customer_cohort_revenue
+
+    checks.append((customer_cohort_revenue, ["cohort_month", "order_month"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
