@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "banded_brand_revenue": relational.banded_brand_revenue,
         "copurchase_components": graph.copurchase_components,
         "customer_cohort_revenue": relational.customer_cohort_revenue,
+        "order_value_quantiles_by_segment": quantiles.order_value_quantiles_by_segment,
     }
 
 
@@ -2564,5 +2565,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(m.cents) AS BIGINT) AS revenue_cents
             FROM m JOIN c ON c.ck = m.ck
             GROUP BY 1, 2
+        """,
+        # exact per-segment order-value percentiles: same ceil-rank rule
+        # 1 + (p*(n-1))//100 as every quantile oracle in this module
+        "order_value_quantiles_by_segment": """
+            WITH v AS (
+                SELECT c.c_mktsegment AS seg,
+                       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            ),
+            ranked AS (
+                SELECT seg, cents,
+                       row_number() OVER (PARTITION BY seg ORDER BY cents) AS rn,
+                       count(*) OVER (PARTITION BY seg) AS n
+                FROM v
+            )
+            SELECT seg AS c_mktsegment, CAST(q.p AS BIGINT) AS p,
+                   CAST(cents AS BIGINT) AS value_cents
+            FROM ranked JOIN (VALUES (25), (50), (75)) AS q(p)
+              ON rn = 1 + (q.p * (n - 1)) // 100
+            ORDER BY 1, 2
         """,
     }

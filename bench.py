@@ -225,6 +225,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "banded_brand_revenue",
         "copurchase_components",
         "customer_cohort_revenue",
+        "order_value_quantiles_by_segment",
     ]
 
     timings: dict[str, float] = {}

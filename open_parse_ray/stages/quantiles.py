@@ -347,3 +347,104 @@ def token_weighted_ratio_quantiles(sf_dir: str, percents: Sequence[int] = (25, 5
         }
     ).sort_values(["lang", "p"]).reset_index(drop=True)
     return rd.from_pandas(out)
+
+
+def order_value_quantiles_by_segment(
+    sf_dir: str, percents: Sequence[int] = (25, 50, 75)
+):
+    """Exact order-value percentiles (integer cents) per customer market
+    segment — the quantile engine composed with a distributed dimension
+    attach: segment lives on CUSTOMER, so a custkey-salted tagged union
+    maps each order to its segment gid (the shipping_priority semijoin
+    shape — only (custkey, cents) rows cross), then the multi-pass
+    radix-histogram ranker finds each (segment, p) value without any
+    sort. Keys are ordered_u64 over exact float cents (integers < 2^53
+    round-trip bit-exactly), rank rule 1 + (p*(n-1))//100 on both sides.
+    Returns (c_mktsegment, p, value_cents)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_parse_ray.sources.tables import table_path
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+    from open_parse_ray.stages.relational import _cents, _combine_partials
+
+    cust = rd.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def seg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"seg": b["c_mktsegment"].unique(), "one": np.int64(1)})
+
+    segs = sorted(
+        _combine_partials(
+            cust.map_batches(seg_partial, batch_format="pandas", batch_size=65536),
+            ["seg"],
+            {"one": "sum"},
+        )
+        .to_pandas()["seg"]
+        .tolist()
+    )
+    gid_of = {s: i for i, s in enumerate(segs)}
+
+    def proj_cust(t: pa.Table) -> pa.Table:
+        gid = np.array(
+            [gid_of[s] for s in t["c_mktsegment"].to_pylist()], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "ck": t["c_custkey"].cast(pa.int64()),
+                "val": pa.array(gid, pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "ck": t["o_custkey"].cast(pa.int64()),
+                "val": pa.array(cents, pa.int64()),
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    tagged = cust.map_batches(
+        proj_cust, batch_format="pyarrow", batch_size=65536
+    ).union(
+        rd.read_parquet(
+            table_path(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+        ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == 0]
+        o = g[g["side"] == 1]
+        gid = o["ck"].map(
+            dict(zip(c["ck"].to_numpy(), c["val"].to_numpy()))
+        )
+        m = gid.notna()
+        return pd.DataFrame(
+            {
+                "gid": gid[m].to_numpy(dtype=np.int64),
+                "key": ordered_u64(
+                    o.loc[m, "val"].to_numpy(dtype=np.int64).astype(np.float64)
+                ),
+            }
+        )
+
+    keyed = salted_groupby_arrow(
+        tagged, lambda t: t["ck"].to_numpy(zero_copy_only=False), attach
+    )
+    qv = quantile_values(keyed, percents)
+    out = pd.DataFrame(
+        {
+            "c_mktsegment": [segs[g] for g in qv["gid"]],
+            "p": qv["p"].astype("int64"),
+            "value_cents": np.array(
+                [int(round(v)) for v in qv["value"]], dtype=np.int64
+            ),
+        }
+    ).sort_values(["c_mktsegment", "p"]).reset_index(drop=True)
+    import ray.data as _rd
+
+    return _rd.from_pandas(out)

@@ -1998,3 +1998,33 @@ def test_argmax_composite_idiom_matches_pandas(ray_session):
         assert dec["i"].tolist() == want["i"].tolist()
 
     run()
+
+
+def test_order_value_quantiles_by_segment_exact_ranks(ray_session, tmp_path):
+    """With 5 known values per segment the rank rule 1+(p*(n-1))//100
+    picks exact elements: p25→rank 2, p50→rank 3, p75→rank 4; a
+    second segment's values must not bleed in."""
+    from open_parse_ray.stages.quantiles import order_value_quantiles_by_segment
+
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2],
+            "c_name": ["a", "b"],
+            "c_nationkey": [0, 0],
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["AUTO", "HOUSE"],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    _write_orders(
+        tmp_path,
+        o_orderkey=np.arange(1, 11, dtype=np.int64),
+        o_custkey=[1] * 5 + [2] * 5,
+        o_totalprice=[5.0, 1.0, 4.0, 2.0, 3.0, 50.0, 10.0, 40.0, 20.0, 30.0],
+    )
+    out = _df(order_value_quantiles_by_segment(str(tmp_path))).set_index(
+        ["c_mktsegment", "p"]
+    )["value_cents"]
+    assert out[("AUTO", 25)] == 200 and out[("AUTO", 50)] == 300
+    assert out[("AUTO", 75)] == 400
+    assert out[("HOUSE", 25)] == 2000 and out[("HOUSE", 50)] == 3000
+    assert out[("HOUSE", 75)] == 4000
