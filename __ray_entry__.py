@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_components": graph.copurchase_components,
         "customer_cohort_revenue": relational.customer_cohort_revenue,
         "order_value_quantiles_by_segment": quantiles.order_value_quantiles_by_segment,
+        "loyal_customers": relational.loyal_customers,
     }
 
 
@@ -2585,5 +2586,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked JOIN (VALUES (25), (50), (75)) AS q(p)
               ON rn = 1 + (q.p * (n - 1)) // 100
             ORDER BY 1, 2
+        """,
+        # near-relational-division: customers ordering in >= 3 distinct
+        # quarters of 1996 (HAVING count distinct over the divisor set)
+        "loyal_customers": """
+            SELECT o_custkey AS c_custkey,
+                   CAST(count(DISTINCT (month(o_orderdate) - 1) // 3)
+                        AS BIGINT) AS n_quarters,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+            HAVING count(DISTINCT (month(o_orderdate) - 1) // 3) >= 3
         """,
     }

@@ -226,6 +226,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "copurchase_components",
         "customer_cohort_revenue",
         "order_value_quantiles_by_segment",
+        "loyal_customers",
     ]
 
     timings: dict[str, float] = {}

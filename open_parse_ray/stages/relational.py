@@ -3845,3 +3845,69 @@ def customer_cohort_revenue(sf_dir: str):
         ["cohort_month", "order_month"],
         {"n_orders": "sum", "revenue_cents": "sum"},
     )
+
+
+def loyal_customers(sf_dir: str, min_quarters: int = 3):
+    """Near-relational-division loyalty report: customers who placed
+    orders in at least ``min_quarters`` distinct quarters of 1996, with
+    their quarter count, order count and total spend. The divisor set
+    (quarters) is tiny and fixed, so division reduces to a distinct
+    count: per-batch Arrow partials collapse blocks to (custkey,
+    quarter) rows with order/cents sums, ONE custkey-salted exchange
+    finishes the distinct-quarter count and the HAVING filter
+    partition-locally — qualifying rows only ever cross to the driver.
+    Returns (c_custkey, n_quarters, n_orders, total_cents)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        qt = (month - (1996 - 1970) * 12) // 3
+        return _arrow_group_aggs(
+            {"ck": t["o_custkey"], "qt": qt},
+            {
+                "n_orders": ("count", None),
+                "cents": ("sum", _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))),
+            },
+            t.num_rows,
+        )
+
+    parts = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def divide(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "c_custkey": pd.Series([], dtype="int64"),
+                    "n_quarters": pd.Series([], dtype="int64"),
+                    "n_orders": pd.Series([], dtype="int64"),
+                    "total_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        out = g.groupby("ck").agg(
+            n_quarters=("qt", "nunique"),
+            n_orders=("n_orders", "sum"),
+            total_cents=("cents", "sum"),
+        )
+        out = out[out["n_quarters"] >= min_quarters].reset_index()
+        return out.rename(columns={"ck": "c_custkey"}).astype("int64")
+
+    return salted_groupby_arrow(
+        parts, lambda t: t["ck"].to_numpy(zero_copy_only=False), divide
+    )

@@ -2028,3 +2028,31 @@ def test_order_value_quantiles_by_segment_exact_ranks(ray_session, tmp_path):
     assert out[("AUTO", 75)] == 400
     assert out[("HOUSE", 25)] == 2000 and out[("HOUSE", 50)] == 3000
     assert out[("HOUSE", 75)] == 4000
+
+
+def test_loyal_customers_division_boundary(ray_session, tmp_path):
+    """Distinct-quarter semantics: three orders in ONE quarter don't
+    qualify; three distinct quarters do (>= min_quarters=3); the window
+    excludes a 1995 order that would otherwise add a quarter."""
+    from open_parse_ray.stages.relational import loyal_customers
+
+    _write_orders(
+        tmp_path,
+        o_orderkey=np.arange(1, 8, dtype=np.int64),
+        o_custkey=[1, 1, 1, 2, 2, 2, 2],
+        o_totalprice=[10.0] * 7,
+        o_orderdate=[
+            pd.Timestamp("1996-01-05"),
+            pd.Timestamp("1996-02-05"),
+            pd.Timestamp("1996-03-05"),  # cust 1: all Q1 → 1 quarter
+            pd.Timestamp("1996-01-05"),
+            pd.Timestamp("1996-05-05"),
+            pd.Timestamp("1996-10-05"),  # cust 2: Q1,Q2,Q4 → 3 quarters
+            pd.Timestamp("1995-07-05"),  # outside window
+        ],
+    )
+    out = _df(loyal_customers(str(tmp_path)))
+    assert out["c_custkey"].tolist() == [2]
+    assert out.iloc[0]["n_quarters"] == 3
+    assert out.iloc[0]["n_orders"] == 3
+    assert out.iloc[0]["total_cents"] == 3000

@@ -365,6 +365,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.quantiles import order_value_quantiles_by_segment
 
     checks.append((order_value_quantiles_by_segment, ["c_mktsegment", "p"]))
+    from open_parse_ray.stages.relational import loyal_customers
+
+    checks.append((loyal_customers, ["c_custkey"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
