@@ -2379,7 +2379,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(l.l_extendedprice
                                        * (1 - l.l_discount) * 100)
                                  AS BIGINT)) AS BIGINT) AS revenue_cents,
-                   CAST(epoch(o.o_orderdate) // 86400 AS BIGINT)
+                   CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400
                        AS o_orderdate_day,
                    o.o_orderpriority
             FROM lineitem l
@@ -2487,15 +2487,19 @@ def oracle_sql() -> dict[str, str]:
         "order_fulfillment_span": """
             WITH s AS (
                 SELECT l_orderkey,
-                       min(CAST(epoch(l_shipdate) // 86400 AS BIGINT)) AS lo,
-                       max(CAST(epoch(l_shipdate) // 86400 AS BIGINT)) AS hi
+                       min(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400)
+                           AS lo,
+                       max(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400)
+                           AS hi
                 FROM lineitem GROUP BY 1
             )
             SELECT o.o_orderpriority,
                    CAST(count(*) AS BIGINT) AS n_orders,
-                   CAST(sum(s.lo - CAST(epoch(o.o_orderdate) // 86400 AS BIGINT))
+                   CAST(sum(s.lo - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+                                   // 86400)
                         AS BIGINT) AS total_first_lag_days,
-                   CAST(sum(s.hi - CAST(epoch(o.o_orderdate) // 86400 AS BIGINT))
+                   CAST(sum(s.hi - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+                                   // 86400)
                         AS BIGINT) AS total_last_lag_days
             FROM orders o JOIN s ON s.l_orderkey = o.o_orderkey
             GROUP BY 1

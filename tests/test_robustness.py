@@ -381,3 +381,138 @@ def test_round3_queries_block_structure_invariance(ray_session):
             assert norm(fn(sf), k).equals(want), fn.__name__
     finally:
         ctx.target_max_block_size = old
+
+
+def test_salted_ops_under_extreme_skew(ray_session, tmp_path):
+    """Skew stress: hot keys carrying 30-50% of all rows (one user with
+    30k of 35k events, one order with 10k lineitems, one customer
+    owning half the orders, one part on a third of all lines) must not
+    change ANY answer — every salted exchange co-locates by key, so a
+    hot key concentrates work, never splits it. Each operator is
+    cross-checked against its own oracle_sql() on the same skewed
+    tables (exactly the driver's comparison, hostile distribution)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    rng = np.random.default_rng(0)
+    sf = str(tmp_path)
+
+    # --- events: user 1 is 30k of 35k rows -------------------------------
+    n_hot, n_cold = 30_000, 5_000
+    user = np.concatenate(
+        [np.ones(n_hot, dtype=np.int64), rng.integers(2, 52, n_cold)]
+    )
+    ts0 = pd.Timestamp("2024-01-01").value // 1000
+    ts = ts0 + np.sort(rng.integers(0, 90 * 86_400_000_000, n_hot + n_cold))
+    pd.DataFrame(
+        {
+            "event_id": np.arange(n_hot + n_cold, dtype=np.int64),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "user_id": user,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    # --- orders: customer 1 owns half; dates spread over 1996-1997 -------
+    n_orders = 4_000
+    ck = np.where(
+        rng.random(n_orders) < 0.5, 1, rng.integers(2, 101, n_orders)
+    ).astype(np.int64)
+    odate = pd.to_datetime(
+        pd.Timestamp("1996-01-01").value // 1000
+        + rng.integers(0, 720 * 86_400_000_000, n_orders),
+        unit="us",
+    )
+    pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, n_orders + 1, dtype=np.int64),
+            "o_custkey": ck,
+            "o_orderstatus": "O",
+            "o_totalprice": np.round(rng.uniform(10, 1000, n_orders), 2),
+            "o_orderdate": odate,
+            "o_orderpriority": "1-URGENT",
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    # --- lineitem: order 1 has 10k lines; part 7 is a third of lines -----
+    n_tail = 20_000
+    okey = np.concatenate(
+        [np.ones(10_000, dtype=np.int64), rng.integers(2, n_orders + 1, n_tail)]
+    )
+    n_li = len(okey)
+    pk = np.where(rng.random(n_li) < 0.33, 7, rng.integers(1, 21, n_li)).astype(
+        np.int64
+    )
+    pd.DataFrame(
+        {
+            "l_orderkey": okey,
+            "l_partkey": pk,
+            "l_suppkey": np.int64(1),
+            "l_linenumber": np.arange(n_li, dtype=np.int32),
+            "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(10, 2000, n_li), 2),
+            "l_discount": rng.integers(0, 11, n_li) / 100.0,
+            "l_tax": 0.0,
+            "l_returnflag": rng.choice(["N", "R"], n_li),
+            "l_linestatus": "O",
+            "l_shipdate": pd.to_datetime(
+                pd.Timestamp("1996-01-01").value // 1000
+                + rng.integers(0, 900 * 86_400_000_000, n_li),
+                unit="us",
+            ),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    pd.DataFrame(
+        {
+            "p_partkey": np.arange(1, 21, dtype=np.int64),
+            "p_name": "p",
+            "p_brand": ["Brand#13" if k % 3 == 1 else "Brand#1" for k in range(1, 21)],
+            "p_type": ["PROMO" if k % 4 == 0 else "STANDARD" for k in range(1, 21)],
+            "p_size": 1,
+            "p_retailprice": 1.0,
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame(
+        {
+            "c_custkey": np.arange(1, 101, dtype=np.int64),
+            "c_name": [f"c{i}" for i in range(1, 101)],
+            "c_nationkey": np.zeros(100, dtype=np.int64),
+            "c_acctbal": np.round(rng.uniform(-100, 1000, 100), 2),
+            "c_mktsegment": "BUILDING",
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        {"n_nationkey": [0], "n_name": ["NATION_0"], "n_regionkey": [0]}
+    ).to_parquet(tmp_path / "nation.parquet")
+
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    con = duckdb.connect()
+    for t in ["events", "orders", "lineitem", "part", "customer", "nation"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    for name in [
+        "events_session_ids",
+        "order_fulfillment_span",
+        "loyal_customers",
+        "small_qty_order_revenue",
+        "shipping_priority_top10",
+        "promo_revenue_share",
+    ]:
+        got = queries[name](sf).to_pandas()
+        want = con.sql(oracles[name]).df()
+        got = got[sorted(got.columns)].sort_values(sorted(got.columns))
+        want = want[sorted(want.columns)].sort_values(sorted(want.columns))
+        got = got.reset_index(drop=True)
+        want = want.reset_index(drop=True)
+        assert len(got) == len(want), name
+        for c in got.columns:
+            assert np.array_equal(
+                got[c].to_numpy(), want[c].to_numpy()
+            ), f"{name}.{c}"
