@@ -472,6 +472,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_cohort_revenue": relational.customer_cohort_revenue,
         "order_value_quantiles_by_segment": quantiles.order_value_quantiles_by_segment,
         "loyal_customers": relational.loyal_customers,
+        "late_order_priority_counts": relational.late_order_priority_counts,
+        "sole_delay_suppliers": relational.sole_delay_suppliers,
+        "user_modal_event": relational.user_modal_event,
+        "parts_never_shipped": relational.parts_never_shipped,
     }
 
 
@@ -2605,5 +2609,81 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY 1
             HAVING count(DISTINCT (month(o_orderdate) - 1) // 3) >= 3
+        """,
+        # TPC-H Q4 shape: EXISTS(late line) == max ship day > order day
+        # + 60, integer epoch-days (floor, never round) on both sides
+        "late_order_priority_counts": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_late_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o.o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400
+                        > CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400
+                          + 60)
+            GROUP BY 1
+        """,
+        # TPC-H Q21 shape: sole late supplier on multi-supplier 'F'
+        # orders; top-25 by wait count, ties to the smaller suppkey (a
+        # total order, so the cutoff is exact on both sides)
+        "sole_delay_suppliers": """
+            WITH per AS (
+                SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+                       max(CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400)
+                           AS md,
+                       any_value(CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+                                 // 86400) AS oday
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderstatus = 'F'
+                GROUP BY 1, 2
+            ),
+            flg AS (SELECT ok, sk, (md > oday + 60) AS late FROM per),
+            st AS (SELECT ok, count(*) AS ns,
+                          sum(CASE WHEN late THEN 1 ELSE 0 END) AS nl
+                   FROM flg GROUP BY 1),
+            waits AS (
+                SELECT f.sk, count(*) AS n
+                FROM flg f JOIN st ON st.ok = f.ok
+                WHERE f.late AND st.ns >= 2 AND st.nl = 1
+                GROUP BY 1
+            ),
+            topk AS (
+                SELECT sk, n FROM (
+                    SELECT sk, n, row_number()
+                        OVER (ORDER BY n DESC, sk) AS rn
+                    FROM waits)
+                WHERE rn <= 25
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(t.n AS BIGINT) AS n_orders_sole_late
+            FROM topk t JOIN supplier s ON s.s_suppkey = t.sk
+        """,
+        # per-user modal event type, ties to the lexicographically
+        # smallest type (row_number total order mirrors the stable
+        # sort + first-row rule)
+        "user_modal_event": """
+            SELECT user_id, event_type, n_events FROM (
+                SELECT user_id, event_type,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY 1, 2)
+            WHERE rn = 1
+        """,
+        # NOT EXISTS anti-join resolved inside one partkey-salted
+        # partition: parts with no lineitem shipped during 1997
+        "parts_never_shipped": """
+            SELECT p.p_partkey, p.p_name, p.p_brand
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_partkey = p.p_partkey
+                  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1998-01-01')
         """,
     }

@@ -227,6 +227,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "customer_cohort_revenue",
         "order_value_quantiles_by_segment",
         "loyal_customers",
+        "late_order_priority_counts",
+        "sole_delay_suppliers",
+        "user_modal_event",
+        "parts_never_shipped",
     ]
 
     timings: dict[str, float] = {}

@@ -3911,3 +3911,379 @@ def loyal_customers(sf_dir: str, min_quarters: int = 3):
     return salted_groupby_arrow(
         parts, lambda t: t["ck"].to_numpy(zero_copy_only=False), divide
     )
+
+
+def late_order_priority_counts(sf_dir: str, late_days: int = 60):
+    """Order-priority late check (the TPC-H Q4 shape with the EXISTS
+    collapsed to an order-local max): per o_orderpriority, how many
+    orders placed in [1996-07-01, 1997-07-01) have at least one lineitem
+    shipped more than ``late_days`` whole days after the order date.
+    EXISTS(ship_day > order_day + k) == (max ship_day > order_day + k),
+    so lineitem collapses per block to one (orderkey, max_day) Arrow
+    partial row and the whole test resolves inside ONE orderkey-salted
+    partition; the date window prunes orders at the scan. Day arithmetic
+    is integer epoch-days on both sides (floor, never round). Output per
+    partition is the bounded priority grid. Returns (o_orderpriority,
+    n_late_orders)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    lo, hi = _dt.datetime(1996, 7, 1), _dt.datetime(1997, 7, 1)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        agg = _arrow_group_aggs(
+            {"okey": t["l_orderkey"]}, {"md": ("max", day)}, t.num_rows
+        )
+        return agg.append_column(
+            "prio", pa.array([""] * agg.num_rows, pa.string())
+        ).append_column("side", pa.array(np.ones(agg.num_rows, dtype=np.int64)))
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "md": pa.array(day, pa.int64()),
+                "prio": t["o_orderpriority"].cast(pa.string()),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
+
+    def late(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype=object),
+                    "n_late_orders": pd.Series([], dtype="int64"),
+                }
+            )
+        ship = l.groupby("okey")["md"].max()
+        j = o.set_index("okey").join(ship, how="inner", rsuffix="_s")
+        j = j[j["md_s"].to_numpy() > j["md"].to_numpy() + late_days]
+        if len(j) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype=object),
+                    "n_late_orders": pd.Series([], dtype="int64"),
+                }
+            )
+        return j.groupby("prio", as_index=False).size().rename(
+            columns={"prio": "o_orderpriority", "size": "n_late_orders"}
+        )
+
+    partials = salted_groupby_arrow(
+        orders.union(li),
+        lambda t: t["okey"].to_numpy(zero_copy_only=False),
+        late,
+    )
+    return _combine_partials(partials, ["o_orderpriority"], {"n_late_orders": "sum"})
+
+
+def sole_delay_suppliers(sf_dir: str, k: int = 25, late_days: int = 60):
+    """Suppliers who alone delayed multi-supplier finished orders (the
+    TPC-H Q21 shape): over orders with o_orderstatus = 'F', a supplier
+    scores one wait per order where (a) the order drew lines from >= 2
+    distinct suppliers, (b) this supplier's latest line shipped more
+    than ``late_days`` whole days after the order date, and (c) no other
+    supplier on the order was late. Top ``k`` suppliers by wait count
+    (ties broken by suppkey — a total order, so the cutoff is exact).
+
+    Plan: lineitem collapses per block to (orderkey, suppkey, max_day)
+    Arrow partials; status-filtered orders ride (orderkey, order_day);
+    ONE orderkey-salted exchange resolves the whole per-order rule
+    locally and re-collapses to per-supplier partial counts; a second
+    suppkey-salted exchange finishes the counts and forwards only each
+    partition's LOCAL top-k (suppkeys are disjoint across partitions, so
+    the global top-k is the top-k of <= parts x k candidates); the
+    winner set then isin-filters a streaming supplier scan for names —
+    supplier never shuffles and nothing unbounded reaches the driver.
+    Returns (s_suppkey, s_name, n_orders_sole_late)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        agg = _arrow_group_aggs(
+            {"okey": t["l_orderkey"], "sk": t["l_suppkey"]},
+            {"md": ("max", day)},
+            t.num_rows,
+        )
+        return agg.append_column(
+            "side", pa.array(np.ones(agg.num_rows, dtype=np.int64))
+        )
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "sk": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "md": pa.array(day, pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate"],
+        filter=pads.field("o_orderstatus") == "F",
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
+
+    def waits_partial(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"sk": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+        )
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        per = l.groupby(["okey", "sk"], as_index=False)["md"].max()
+        per = per.merge(
+            o[["okey", "md"]].rename(columns={"md": "oday"}), on="okey", how="inner"
+        )
+        if len(per) == 0:
+            return empty
+        per["late"] = per["md"].to_numpy() > per["oday"].to_numpy() + late_days
+        st = per.groupby("okey").agg(ns=("sk", "size"), nl=("late", "sum"))
+        per = per.join(st, on="okey")
+        win = per[per["late"] & (per["ns"] >= 2) & (per["nl"] == 1)]
+        if len(win) == 0:
+            return empty
+        return win.groupby("sk", as_index=False).size().rename(columns={"size": "n"})
+
+    partials = salted_groupby_arrow(
+        orders.union(li),
+        lambda t: t["okey"].to_numpy(zero_copy_only=False),
+        waits_partial,
+    )
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"sk": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+            )
+        tot = g.groupby("sk", as_index=False)["n"].sum()
+        return tot.sort_values(["n", "sk"], ascending=[False, True]).head(k)
+
+    cand = salted_groupby_arrow(
+        partials.map_batches(
+            lambda t: t, batch_format="pyarrow", batch_size=65536
+        ),
+        lambda t: t["sk"].to_numpy(zero_copy_only=False),
+        local_topk,
+    ).to_pandas()
+    cand = cand.sort_values(["n", "sk"], ascending=[False, True]).head(k)
+    counts = dict(
+        zip(cand["sk"].to_numpy(dtype=np.int64), cand["n"].to_numpy(dtype=np.int64))
+    )
+    win_ref = ray.put(np.sort(cand["sk"].to_numpy(dtype=np.int64)))
+
+    def pick_names(t: pa.Table) -> pa.Table:
+        w = ray.get(win_ref)
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(sk, w)))
+
+    names = (
+        rd.read_parquet(table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+        .map_batches(pick_names, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    sk = names["s_suppkey"].to_numpy(dtype=np.int64)
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "s_suppkey": sk,
+                "s_name": names["s_name"].to_numpy(dtype=object),
+                "n_orders_sole_late": np.array(
+                    [counts[int(s)] for s in sk], dtype=np.int64
+                ),
+            }
+        )
+    )
+
+
+def user_modal_event(sf_dir: str):
+    """Per-user modal event type: for every user, the event_type they
+    fired most often (ties to the lexicographically smallest type) and
+    its count. Per-block Arrow partials collapse to distinct
+    (user, type) pairs — bounded by block rows, and in practice by
+    users x |event-type vocabulary| — then ONE user-salted exchange
+    finishes the sums and resolves the argmax locally (every type of a
+    user lands in the same partition; the tie rule is a stable sort by
+    type within user before an idxmax). No second combine: users are
+    disjoint across partitions. Returns (user_id, event_type,
+    n_events)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _arrow_group_aggs(
+            {"user_id": t["user_id"], "event_type": t["event_type"]},
+            {"n_events": ("count", None)},
+            t.num_rows,
+        )
+
+    parts = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "event_type"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def modal(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype=object),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        tot = g.groupby(["user_id", "event_type"], as_index=False)["n_events"].sum()
+        # (count DESC, type ASC) argmax per user via one stable sort +
+        # first-row-per-user — no Python loop.
+        tot = tot.sort_values(
+            ["user_id", "n_events", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = tot.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(dtype=np.int64),
+                "event_type": out["event_type"].to_numpy(dtype=object),
+                "n_events": out["n_events"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return salted_groupby_arrow(
+        parts, lambda t: t["user_id"].to_numpy(zero_copy_only=False), modal
+    )
+
+
+def parts_never_shipped(sf_dir: str, year: int = 1997):
+    """Anti-join without a broadcast OR a driver set: parts with NO
+    lineitem shipped during the given calendar year. The lineitem scan
+    is pruned to the ship-year window and collapses per block to its
+    DISTINCT partkeys (one int64 row each); part rows carry
+    (key, name, brand). ONE partkey-salted exchange co-locates each
+    part with every evidence row for its key, and the partition emits
+    the part rows whose key drew none — NOT-EXISTS resolved locally,
+    nothing unbounded on the driver, both sides streamed. Returns
+    (p_partkey, p_name, p_brand)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    lo, hi = _dt.datetime(year, 1, 1), _dt.datetime(year + 1, 1, 1)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        agg = _arrow_group_aggs(
+            {"pk": t["l_partkey"]}, {"n": ("count", None)}, t.num_rows
+        )
+        n = agg.num_rows
+        return pa.table(
+            {
+                "pk": agg["pk"].cast(pa.int64()),
+                "p_name": pa.array([""] * n, pa.string()),
+                "p_brand": pa.array([""] * n, pa.string()),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_partkey"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def proj_part(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pk": t["p_partkey"].cast(pa.int64()),
+                "p_name": t["p_name"].cast(pa.string()),
+                "p_brand": t["p_brand"].cast(pa.string()),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    part = rd.read_parquet(
+        table_path(sf_dir, "part"), columns=["p_partkey", "p_name", "p_brand"]
+    ).map_batches(proj_part, batch_format="pyarrow", batch_size=65536)
+
+    def antijoin(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        if len(p) == 0:
+            return pd.DataFrame(
+                {
+                    "p_partkey": pd.Series([], dtype="int64"),
+                    "p_name": pd.Series([], dtype=object),
+                    "p_brand": pd.Series([], dtype=object),
+                }
+            )
+        seen = g.loc[g["side"] == 1, "pk"].to_numpy(dtype=np.int64)
+        keep = p[~np.isin(p["pk"].to_numpy(dtype=np.int64), seen)]
+        return pd.DataFrame(
+            {
+                "p_partkey": keep["pk"].to_numpy(dtype=np.int64),
+                "p_name": keep["p_name"].to_numpy(dtype=object),
+                "p_brand": keep["p_brand"].to_numpy(dtype=object),
+            }
+        )
+
+    return salted_groupby_arrow(
+        part.union(li),
+        lambda t: t["pk"].to_numpy(zero_copy_only=False),
+        antijoin,
+    )

@@ -2056,3 +2056,128 @@ def test_loyal_customers_division_boundary(ray_session, tmp_path):
     assert out.iloc[0]["n_quarters"] == 3
     assert out.iloc[0]["n_orders"] == 3
     assert out.iloc[0]["total_cents"] == 3000
+
+
+def test_late_order_priority_threshold(ray_session, tmp_path):
+    """Q4 late rule is STRICTLY more than 60 whole days: +60 days is on
+    time, +61 is late; the max-collapse means one late line suffices
+    and extra on-time lines don't double-count; the date window
+    excludes an otherwise-late 1995 order."""
+    from open_parse_ray.stages.relational import late_order_priority_counts
+
+    _write_orders(
+        tmp_path,
+        o_orderkey=np.arange(1, 5, dtype=np.int64),
+        o_orderdate=[
+            pd.Timestamp("1996-08-01"),  # +60 exactly -> on time
+            pd.Timestamp("1996-08-01"),  # +61 -> late
+            pd.Timestamp("1996-08-01"),  # two lines, one late -> 1 order
+            pd.Timestamp("1995-08-01"),  # outside window, late line
+        ],
+        o_orderpriority=["1-URGENT", "1-URGENT", "2-HIGH", "1-URGENT"],
+    )
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1, 2, 3, 3, 4],
+        l_shipdate=[
+            pd.Timestamp("1996-08-01") + pd.Timedelta(days=60),
+            pd.Timestamp("1996-08-01") + pd.Timedelta(days=61),
+            pd.Timestamp("1996-08-02"),
+            pd.Timestamp("1996-08-01") + pd.Timedelta(days=200),
+            pd.Timestamp("1995-08-01") + pd.Timedelta(days=200),
+        ],
+    )
+    out = _df(late_order_priority_counts(str(tmp_path))).set_index(
+        "o_orderpriority"
+    )
+    assert out["n_late_orders"].to_dict() == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_sole_delay_suppliers_rules(ray_session, tmp_path):
+    """Q21 gate: a wait needs (multi-supplier order) AND (exactly one
+    late supplier) AND (status 'F'). Order 1 qualifies for supplier 1;
+    order 2 has two late suppliers -> nobody; order 3 is single-supplier
+    -> nobody; order 4 would qualify but is status 'O'."""
+    from open_parse_ray.stages.relational import sole_delay_suppliers
+
+    _write_orders(
+        tmp_path,
+        o_orderkey=np.arange(1, 5, dtype=np.int64),
+        o_orderstatus=["F", "F", "F", "O"],
+        o_orderdate=[pd.Timestamp("1996-01-01")] * 4,
+    )
+    late = pd.Timestamp("1996-01-01") + pd.Timedelta(days=100)
+    ok = pd.Timestamp("1996-01-10")
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1, 1, 2, 2, 3, 4, 4],
+        l_suppkey=[1, 2, 1, 2, 1, 1, 2],
+        l_shipdate=[late, ok, late, late, late, late, ok],
+    )
+    pd.DataFrame(
+        {
+            "s_suppkey": np.array([1, 2], dtype=np.int64),
+            "s_name": ["S1", "S2"],
+            "s_nationkey": np.array([0, 0], dtype=np.int32),
+            "s_acctbal": [0.0, 0.0],
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    out = _df(sole_delay_suppliers(str(tmp_path)))
+    assert out["s_suppkey"].tolist() == [1]
+    assert out["s_name"].tolist() == ["S1"]
+    assert out["n_orders_sole_late"].tolist() == [1]
+
+
+def test_user_modal_event_tie_rule(ray_session, tmp_path):
+    """Ties go to the lexicographically smallest event_type (user 1 has
+    2x'b' and 2x'a' -> 'a'); a strict majority wins regardless of
+    order (user 2)."""
+    from open_parse_ray.stages.relational import user_modal_event
+
+    rows = [
+        (1, pd.Timestamp("2024-01-01"), 1, "b", 1.0, ""),
+        (2, pd.Timestamp("2024-01-02"), 1, "b", 1.0, ""),
+        (3, pd.Timestamp("2024-01-03"), 1, "a", 1.0, ""),
+        (4, pd.Timestamp("2024-01-04"), 1, "a", 1.0, ""),
+        (5, pd.Timestamp("2024-01-01"), 2, "c", 1.0, ""),
+        (6, pd.Timestamp("2024-01-02"), 2, "c", 1.0, ""),
+        (7, pd.Timestamp("2024-01-03"), 2, "a", 1.0, ""),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    out = _df(user_modal_event(str(tmp_path))).set_index("user_id")
+    assert out.loc[1, "event_type"] == "a"
+    assert out.loc[1, "n_events"] == 2
+    assert out.loc[2, "event_type"] == "c"
+    assert out.loc[2, "n_events"] == 2
+
+
+def test_parts_never_shipped_window_boundary(ray_session, tmp_path):
+    """Half-open 1997 window: a Dec-31-1996 shipment and a Jan-1-1998
+    shipment both leave their part 'never shipped in 1997'; a
+    Jan-1-1997 00:00 shipment (inclusive lower bound) disqualifies."""
+    from open_parse_ray.stages.relational import parts_never_shipped
+
+    pd.DataFrame(
+        {
+            "p_partkey": np.array([1, 2, 3], dtype=np.int64),
+            "p_name": ["pa", "pb", "pc"],
+            "p_brand": ["B1", "B2", "B3"],
+            "p_type": ["T"] * 3,
+            "p_size": np.array([1, 1, 1], dtype=np.int32),
+            "p_retailprice": [1.0] * 3,
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    _write_lineitem(
+        tmp_path,
+        l_partkey=[1, 2, 3],
+        l_shipdate=[
+            pd.Timestamp("1996-12-31 23:59:59"),
+            pd.Timestamp("1997-01-01 00:00:00"),
+            pd.Timestamp("1998-01-01 00:00:00"),
+        ],
+    )
+    out = _df(parts_never_shipped(str(tmp_path))).sort_values("p_partkey")
+    assert out["p_partkey"].tolist() == [1, 3]
+    assert out["p_name"].tolist() == ["pa", "pc"]

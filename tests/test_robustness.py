@@ -368,6 +368,17 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import loyal_customers
 
     checks.append((loyal_customers, ["c_custkey"]))
+    from open_parse_ray.stages.relational import (
+        late_order_priority_counts,
+        parts_never_shipped,
+        sole_delay_suppliers,
+        user_modal_event,
+    )
+
+    checks.append((late_order_priority_counts, ["o_orderpriority"]))
+    checks.append((sole_delay_suppliers, ["s_suppkey"]))
+    checks.append((user_modal_event, ["user_id"]))
+    checks.append((parts_never_shipped, ["p_partkey"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
