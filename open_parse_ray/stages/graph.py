@@ -1158,19 +1158,23 @@ def recommend_parts_topk(
     cutoff, so results stay exact. Returns
     (c_custkey, rank, part, score), ties broken (score DESC, part ASC).
 
-    Four slim exchanges, payloads never wider than three int64s:
+    THREE slim exchanges, payloads never wider than three int64s (the
+    round-4 fusion: lineitem used to cross twice — once for ownership,
+    once for pair counts — and ownership dedupe/truncation each had
+    their own exchange; all of that now rides two salts):
     (1) orderkey-salted tagged union co-locates lineitem's distinct
-        (order, part) rows with orders' (order, cust) to build raw
-        (cust, part) ownership rows;
-    (2) (cust, part)-salted dedupe makes ownership DISTINCT (a part
-        bought in many orders must score once);
-    (3) part-salted score join meets ownership with the directed
-        co-purchase count table (built by the copurchase pair-count
-        shape) and emits per-partition pre-aggregated (cust, candidate,
-        partial score) rows;
-    (4) cust-salted finish sums scores, anti-filters candidates the
-        customer already owns (ownership rows ride the same exchange),
-        and ranks with one vectorized sort + cumcount."""
+        (order, part) rows with orders' (order, cust) ONCE and emits
+        both partition-deduped (cust, part) ownership rows AND
+        mirror-directed co-purchase count partials (q, p, n);
+    (2) part(q)-salted exchange finishes the directed counts (all of
+        q's partials co-locate), truncates each q's neighborhood to
+        its strongest neighbor_cap partners, makes ownership globally
+        DISTINCT (every (cust, part=q) duplicate lands here), scores
+        own x neighbors with composite-key partial sums, and forwards
+        the deduped ownership rows for the anti-filter;
+    (3) cust-salted finish sums scores, anti-filters candidates the
+        customer already owns, and ranks with one vectorized sort +
+        cumcount."""
     import ray.data as rd
 
     from open_parse_ray.sources.tables import table_path
@@ -1206,154 +1210,100 @@ def recommend_parts_topk(
         orders.map_batches(tag_orders, batch_format="pandas", batch_size=65536)
     )
 
-    def build_cp(part: pd.DataFrame) -> pd.DataFrame:
-        cust = part[part["side"] == 1][["okey", "val"]].rename(
+    def own_and_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        """One okey partition → partition-deduped ownership rows
+        (side 0: q=part, a=cust) PLUS mirror-directed pair-count
+        partials (side 1: q, a=neighbor, b=count). Pairing runs over
+        per-order DISTINCT parts via the bounded-chunk triangle
+        enumerator; mirroring at the partial level is what lets the
+        next exchange finish sums per direction with one composite."""
+        l_side = part[part["side"] == 0]
+        o_side = part[part["side"] == 1][["okey", "val"]].rename(
             columns={"val": "cust"}
         )
-        parts_ = part[part["side"] == 0][["okey", "val"]].rename(
-            columns={"val": "part"}
+        key = np.unique(
+            l_side["okey"].to_numpy(dtype=np.int64) * _OKEY_BASE
+            + l_side["val"].to_numpy(dtype=np.int64)
         )
-        out = parts_.merge(cust, on="okey")[["cust", "part"]].drop_duplicates()
-        return out.astype("int64")
-
-    cp_raw = salted_groupby(tagged, lambda b: b["okey"], build_cp, num_parts=num_parts)
-
-    # --- (2) global DISTINCT ownership
-    def dedupe(part: pd.DataFrame) -> pd.DataFrame:
-        return part.drop_duplicates(["cust", "part"])
-
-    cp = salted_groupby(
-        cp_raw,
-        lambda b: (b["cust"] * _OKEY_BASE + b["part"]),
-        dedupe,
-        num_parts=num_parts,
-    ).materialize()
-
-    # --- directed co-purchase counts (q -> candidate p with count n)
-    def order_pair_counts(part: pd.DataFrame) -> pd.DataFrame:
-        o = part["l_orderkey"].to_numpy(dtype=np.int64)
-        p = part["l_partkey"].to_numpy(dtype=np.int64)
-        key = np.unique(o * _OKEY_BASE + p)
         o, p = key // _OKEY_BASE, key % _OKEY_BASE
+        own = (
+            pd.DataFrame({"okey": o, "part": p})
+            .merge(o_side, on="okey")[["cust", "part"]]
+            .drop_duplicates()
+        )
         starts, sizes = _group_layout(o)
         chunks = []
         for lf, rt in _grouped_pairs(starts, sizes):
             chunks.append(p[lf] * _OKEY_BASE + p[rt])
         if chunks:
             uniq, cnt = np.unique(np.concatenate(chunks), return_counts=True)
+            pa, pb = uniq // _OKEY_BASE, uniq % _OKEY_BASE
+            cnt = cnt.astype(np.int64)
         else:
-            uniq = cnt = np.array([], dtype=np.int64)
+            pa = pb = cnt = np.array([], dtype=np.int64)
+        n_own, n_pr = len(own), len(pa)
         return pd.DataFrame(
             {
-                "pa": uniq // _OKEY_BASE,
-                "pb": uniq % _OKEY_BASE,
-                "n": cnt.astype(np.int64),
-            }
-        ).astype("int64")
-
-    pair_partials = salted_groupby(
-        li, lambda b: b["l_orderkey"], order_pair_counts, num_parts=num_parts
-    )
-
-    def finish_and_mirror(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby(["pa", "pb"], as_index=False).agg(n=("n", "sum"))
-        return pd.DataFrame(
-            {
-                "q": np.concatenate(
-                    [g["pa"].to_numpy(np.int64), g["pb"].to_numpy(np.int64)]
+                "q": np.concatenate([own["part"].to_numpy(np.int64), pa, pb]),
+                "a": np.concatenate([own["cust"].to_numpy(np.int64), pb, pa]),
+                "b": np.concatenate([np.full(n_own, -1, dtype=np.int64), cnt, cnt]),
+                "side": np.concatenate(
+                    [
+                        np.zeros(n_own, dtype=np.int64),
+                        np.ones(2 * n_pr, dtype=np.int64),
+                    ]
                 ),
-                "p": np.concatenate(
-                    [g["pb"].to_numpy(np.int64), g["pa"].to_numpy(np.int64)]
-                ),
-                "n": np.tile(g["n"].to_numpy(np.int64), 2),
             }
         )
 
-    co_full = salted_groupby(
-        pair_partials,
-        lambda b: (b["pa"] * _OKEY_BASE + b["pb"]),
-        finish_and_mirror,
-        num_parts=num_parts,
+    mixed = salted_groupby(
+        tagged, lambda b: b["okey"], own_and_pairs, num_parts=num_parts
     )
 
-    # truncate each part's neighborhood to its strongest neighbor_cap
-    # co-purchase partners (q-salted: all of q's directed rows co-locate)
-    def truncate(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(["q", "n", "p"], ascending=[True, False, True])
-        r = part.groupby("q").cumcount().to_numpy(dtype=np.int64)
-        return part[r < neighbor_cap]
-
-    co = salted_groupby(co_full, lambda b: b["q"], truncate, num_parts=num_parts)
-
-    # --- (3) score join on q = owned part
-    def tag_cp_q(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "q": b["part"].astype("int64"),
-                "a": b["cust"].astype("int64"),
-                "b": np.full(len(b), -1, dtype=np.int64),
-                "side": np.int64(0),
-            }
-        )
-
-    def tag_co(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "q": b["q"].astype("int64"),
-                "a": b["p"].astype("int64"),
-                "b": b["n"].astype("int64"),
-                "side": np.int64(1),
-            }
-        )
-
-    score_in = cp.map_batches(tag_cp_q, batch_format="pandas", batch_size=65536).union(
-        co.map_batches(tag_co, batch_format="pandas", batch_size=65536)
-    )
-
+    # --- (2) q-salted: finish counts, truncate, dedupe ownership, score
     def score_partial(part: pd.DataFrame) -> pd.DataFrame:
-        own = part[part["side"] == 0]
+        own = part[part["side"] == 0][["q", "a"]].drop_duplicates()
         cn = part[part["side"] == 1]
-        j = own[["q", "a"]].rename(columns={"a": "cust"}).merge(
-            cn[["q", "a", "b"]].rename(columns={"a": "p", "b": "n"}), on="q"
-        )
-        # composite-key partial sum (the _arrow_group_aggs idiom)
-        key = j["cust"].to_numpy(np.int64) * _OKEY_BASE + j["p"].to_numpy(np.int64)
+        key = cn["q"].to_numpy(np.int64) * _OKEY_BASE + cn["a"].to_numpy(np.int64)
         uniq, inv = np.unique(key, return_inverse=True)
         s = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(s, inv, j["n"].to_numpy(np.int64))
+        np.add.at(s, inv, cn["b"].to_numpy(np.int64))
+        q, p = uniq // _OKEY_BASE, uniq % _OKEY_BASE
+        # truncate per q to the strongest neighbor_cap (n DESC, p ASC):
+        # one lexsort + run-relative index, no Python loop
+        order = np.lexsort((p, -s, q))
+        q, p, s = q[order], p[order], s[order]
+        run = np.ones(len(q), dtype=bool)
+        run[1:] = q[1:] != q[:-1]
+        idx = np.arange(len(q), dtype=np.int64)
+        base = np.maximum.accumulate(np.where(run, idx, 0))
+        keep = (idx - base) < neighbor_cap
+        nbrs = pd.DataFrame({"q": q[keep], "p": p[keep], "n": s[keep]})
+        ownr = own.rename(columns={"a": "cust"})
+        j = ownr.merge(nbrs, on="q")
+        key2 = j["cust"].to_numpy(np.int64) * _OKEY_BASE + j["p"].to_numpy(np.int64)
+        uq, inv2 = np.unique(key2, return_inverse=True)
+        sc = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(sc, inv2, j["n"].to_numpy(np.int64))
+        n_sc, n_own = len(uq), len(ownr)
         return pd.DataFrame(
-            {"cust": uniq // _OKEY_BASE, "p": uniq % _OKEY_BASE, "score": s}
+            {
+                "cust": np.concatenate(
+                    [uq // _OKEY_BASE, ownr["cust"].to_numpy(np.int64)]
+                ),
+                "p": np.concatenate([uq % _OKEY_BASE, ownr["q"].to_numpy(np.int64)]),
+                "score": np.concatenate([sc, np.full(n_own, -1, dtype=np.int64)]),
+                "side": np.concatenate(
+                    [np.zeros(n_sc, dtype=np.int64), np.ones(n_own, dtype=np.int64)]
+                ),
+            }
         )
 
-    scores = salted_groupby(
-        score_in, lambda b: b["q"], score_partial, num_parts=num_parts
+    final_in = salted_groupby(
+        mixed, lambda b: b["q"], score_partial, num_parts=num_parts
     )
 
-    # --- (4) cust-salted finish: sum, anti-filter owned, rank
-    def tag_scores(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "cust": b["cust"].astype("int64"),
-                "p": b["p"].astype("int64"),
-                "score": b["score"].astype("int64"),
-                "side": np.int64(0),
-            }
-        )
-
-    def tag_cp_cust(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "cust": b["cust"].astype("int64"),
-                "p": b["part"].astype("int64"),
-                "score": np.full(len(b), -1, dtype=np.int64),
-                "side": np.int64(1),
-            }
-        )
-
-    final_in = scores.map_batches(
-        tag_scores, batch_format="pandas", batch_size=65536
-    ).union(cp.map_batches(tag_cp_cust, batch_format="pandas", batch_size=65536))
-
+    # --- (3) cust-salted finish: sum, anti-filter owned, rank
     def finish(part: pd.DataFrame) -> pd.DataFrame:
         sc = part[part["side"] == 0]
         key = sc["cust"].to_numpy(np.int64) * _OKEY_BASE + sc["p"].to_numpy(
