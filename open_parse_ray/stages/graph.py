@@ -1067,12 +1067,14 @@ def related_parts_topk(sf_dir: str, k: int = 3, num_parts: int = 32):
     copurchase_lift_pairs thresholds the pair set; this ranks it per
     item. Returns (part, rank, other, n_ab).
 
-    Scale shape: per-order distinct pair counts (one order-salted
-    exchange, the copurchase_edges invariant), pair-salted partial-sum
-    finish, then each pair emits its TWO directed rows and a
-    part-salted exchange ranks within each part via one vectorized
-    sort + cumcount (the top_orders_per_customer shape — hot parts
-    never hit map_groups)."""
+    Scale shape: per-order distinct pair counts mirrored to BOTH
+    directions at the partial level (one order-salted exchange, the
+    copurchase_edges invariant), then a part-salted exchange finishes
+    the sums (all of a part's directed partials co-locate) and ranks
+    within each part via one vectorized sort + cumcount (the
+    top_orders_per_customer shape — hot parts never hit map_groups).
+    TWO exchanges total; the standalone pair-salted finish was fused
+    into the ranking exchange in round 4."""
     import ray.data as rd
 
     from open_parse_ray.sources.tables import table_path
@@ -1093,52 +1095,46 @@ def related_parts_topk(sf_dir: str, k: int = 3, num_parts: int = 32):
             chunks.append(p[lf] * _OKEY_BASE + p[rt])
         if chunks:
             uniq, cnt = np.unique(np.concatenate(chunks), return_counts=True)
+            pa, pb = uniq // _OKEY_BASE, uniq % _OKEY_BASE
+            cnt = cnt.astype(np.int64)
         else:
-            uniq = cnt = np.array([], dtype=np.int64)
+            pa = pb = cnt = np.array([], dtype=np.int64)
+        # mirror at the partial level: the next (part-salted) exchange
+        # sees every directed partial for a part and finishes the sums
         return pd.DataFrame(
             {
-                "pa": uniq // _OKEY_BASE,
-                "pb": uniq % _OKEY_BASE,
-                "n_ab": cnt.astype(np.int64),
+                "part": np.concatenate([pa, pb]),
+                "other": np.concatenate([pb, pa]),
+                "n_ab": np.tile(cnt, 2),
             }
-        ).astype("int64")
+        )
 
-    pair_partials = salted_groupby(
+    directed_partials = salted_groupby(
         ds, lambda b: b["l_orderkey"], order_pair_counts, num_parts=num_parts
     )
 
-    def finish_and_mirror(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby(["pa", "pb"], as_index=False).agg(n_ab=("n_ab", "sum"))
+    def finish_topk(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["part"].to_numpy(np.int64) * _OKEY_BASE + g["other"].to_numpy(
+            np.int64
+        )
+        uniq, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, g["n_ab"].to_numpy(np.int64))
+        part, other = uniq // _OKEY_BASE, uniq % _OKEY_BASE
+        order = np.lexsort((other, -s, part))
+        part, other, s = part[order], other[order], s[order]
+        run = np.ones(len(part), dtype=bool)
+        run[1:] = part[1:] != part[:-1]
+        idx = np.arange(len(part), dtype=np.int64)
+        rank = idx - np.maximum.accumulate(np.where(run, idx, 0)) + 1
+        m = rank <= k
         return pd.DataFrame(
-            {
-                "part": np.concatenate(
-                    [g["pa"].to_numpy(np.int64), g["pb"].to_numpy(np.int64)]
-                ),
-                "other": np.concatenate(
-                    [g["pb"].to_numpy(np.int64), g["pa"].to_numpy(np.int64)]
-                ),
-                "n_ab": np.tile(g["n_ab"].to_numpy(np.int64), 2),
-            }
+            {"part": part[m], "rank": rank[m], "other": other[m], "n_ab": s[m]}
         )
 
-    directed = salted_groupby(
-        pair_partials,
-        lambda b: (b["pa"] * _OKEY_BASE + b["pb"]),
-        finish_and_mirror,
-        num_parts=num_parts,
+    return salted_groupby(
+        directed_partials, lambda b: b["part"], finish_topk, num_parts=num_parts
     )
-
-    def topk(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(
-            ["part", "n_ab", "other"], ascending=[True, False, True]
-        )
-        part = part.assign(
-            rank=part.groupby("part").cumcount().to_numpy(dtype=np.int64) + 1
-        )
-        part = part[part["rank"] <= k]
-        return part[["part", "rank", "other", "n_ab"]].astype("int64")
-
-    return salted_groupby(directed, lambda b: b["part"], topk, num_parts=num_parts)
 
 
 def recommend_parts_topk(
