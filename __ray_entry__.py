@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_delay_suppliers": relational.sole_delay_suppliers,
         "user_modal_event": relational.user_modal_event,
         "parts_never_shipped": relational.parts_never_shipped,
+        "customer_order_recency": relational.customer_order_recency,
     }
 
 
@@ -2685,5 +2686,20 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l.l_partkey = p.p_partkey
                   AND l.l_shipdate >= TIMESTAMP '1997-01-01'
                   AND l.l_shipdate < TIMESTAMP '1998-01-01')
+        """,
+        # LEFT OUTER with defaults: every customer keeps a row;
+        # no-recent-order customers carry (0, -1)
+        "customer_order_recency": """
+            SELECT c.c_custkey,
+                   CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+                   CAST(coalesce(o.d, -1) AS BIGINT) AS last_order_day
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey, count(*) AS n,
+                       max(CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                           // 86400) AS d
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+                GROUP BY 1) o
+            ON o.o_custkey = c.c_custkey
         """,
     }

@@ -231,6 +231,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "sole_delay_suppliers",
         "user_modal_event",
         "parts_never_shipped",
+        "customer_order_recency",
     ]
 
     timings: dict[str, float] = {}

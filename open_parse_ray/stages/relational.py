@@ -4287,3 +4287,88 @@ def parts_never_shipped(sf_dir: str, year: int = 1997):
         lambda t: t["pk"].to_numpy(zero_copy_only=False),
         antijoin,
     )
+
+
+def customer_order_recency(sf_dir: str):
+    """LEFT OUTER join with defaults, resolved in one exchange: every
+    customer with their order count and most recent order day since
+    2000-01-01 — customers with no recent order keep (0, -1) instead of
+    dropping (the outer branch is the point; compare
+    parts_never_shipped, which keeps ONLY that branch). Orders collapse
+    per block to (custkey, count, max_day) Arrow partials behind a
+    scan-pushed date filter; the customer side ships just its key; the
+    custkey-salted partition finishes the sums and null-extends
+    locally. Returns (c_custkey, n_orders, last_order_day)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    since = _dt.datetime(2000, 1, 1)
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        agg = _arrow_group_aggs(
+            {"ck": t["o_custkey"]},
+            {"n": ("count", None), "d": ("max", day)},
+            t.num_rows,
+        )
+        return agg.append_column(
+            "side", pa.array(np.ones(agg.num_rows, dtype=np.int64))
+        )
+
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") >= since,
+    ).map_batches(o_partial, batch_format="pyarrow", batch_size=65536)
+
+    def proj_cust(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "ck": t["c_custkey"].cast(pa.int64()),
+                "n": pa.array(np.zeros(n, dtype=np.int64)),
+                "d": pa.array(np.full(n, -1, dtype=np.int64)),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    cust = rd.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey"]
+    ).map_batches(proj_cust, batch_format="pyarrow", batch_size=65536)
+
+    def extend(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == 0]
+        if len(c) == 0:
+            return pd.DataFrame(
+                {
+                    "c_custkey": pd.Series([], dtype="int64"),
+                    "n_orders": pd.Series([], dtype="int64"),
+                    "last_order_day": pd.Series([], dtype="int64"),
+                }
+            )
+        o = g[g["side"] == 1]
+        fin = o.groupby("ck").agg(n=("n", "sum"), d=("d", "max"))
+        j = c.set_index("ck")[[]].join(fin, how="left")
+        return pd.DataFrame(
+            {
+                "c_custkey": j.index.to_numpy(dtype=np.int64),
+                "n_orders": j["n"].fillna(0).to_numpy(dtype=np.int64),
+                "last_order_day": j["d"].fillna(-1).to_numpy(dtype=np.int64),
+            }
+        )
+
+    return salted_groupby_arrow(
+        cust.union(orders),
+        lambda t: t["ck"].to_numpy(zero_copy_only=False),
+        extend,
+    )

@@ -2181,3 +2181,40 @@ def test_parts_never_shipped_window_boundary(ray_session, tmp_path):
     out = _df(parts_never_shipped(str(tmp_path))).sort_values("p_partkey")
     assert out["p_partkey"].tolist() == [1, 3]
     assert out["p_name"].tolist() == ["pa", "pc"]
+
+
+def test_customer_order_recency_outer_defaults(ray_session, tmp_path):
+    """LEFT OUTER semantics: customer 2 has no order since 2000-01-01
+    (one older order must not count) and keeps a (0, -1) row; customer
+    1's last_order_day is the MAX over two in-window orders; the
+    inclusive lower bound admits a 2000-01-01 00:00 order (customer 3)."""
+    from open_parse_ray.stages.relational import customer_order_recency
+
+    pd.DataFrame(
+        {
+            "c_custkey": np.array([1, 2, 3], dtype=np.int64),
+            "c_name": ["a", "b", "c"],
+            "c_nationkey": np.zeros(3, dtype=np.int32),
+            "c_acctbal": [0.0] * 3,
+            "c_mktsegment": ["BUILDING"] * 3,
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    _write_orders(
+        tmp_path,
+        o_orderkey=np.arange(1, 5, dtype=np.int64),
+        o_custkey=[1, 1, 2, 3],
+        o_orderdate=[
+            pd.Timestamp("2000-03-01"),
+            pd.Timestamp("2000-06-01"),
+            pd.Timestamp("1999-12-31 23:59:59"),
+            pd.Timestamp("2000-01-01 00:00:00"),
+        ],
+    )
+    out = _df(customer_order_recency(str(tmp_path))).set_index("c_custkey")
+    assert out.loc[1, "n_orders"] == 2
+    assert out.loc[1, "last_order_day"] == (
+        pd.Timestamp("2000-06-01") - pd.Timestamp("1970-01-01")
+    ).days
+    assert out.loc[2, "n_orders"] == 0
+    assert out.loc[2, "last_order_day"] == -1
+    assert out.loc[3, "n_orders"] == 1

@@ -379,6 +379,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     checks.append((sole_delay_suppliers, ["s_suppkey"]))
     checks.append((user_modal_event, ["user_id"]))
     checks.append((parts_never_shipped, ["p_partkey"]))
+    from open_parse_ray.stages.relational import customer_order_recency
+
+    checks.append((customer_order_recency, ["c_custkey"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
@@ -515,6 +518,8 @@ def test_salted_ops_under_extreme_skew(ray_session, tmp_path):
         "small_qty_order_revenue",
         "shipping_priority_top10",
         "promo_revenue_share",
+        "late_order_priority_counts",
+        "user_modal_event",
     ]:
         got = queries[name](sf).to_pandas()
         want = con.sql(oracles[name]).df()
