@@ -477,6 +477,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_modal_event": relational.user_modal_event,
         "parts_never_shipped": relational.parts_never_shipped,
         "customer_order_recency": relational.customer_order_recency,
+        "market_share": relational.market_share,
+        "pareto_frontier_parts": relational.pareto_frontier_parts,
+        "dominant_part_suppliers": relational.dominant_part_suppliers,
+        "scd2_history": incremental.scd2_history,
     }
 
 
@@ -2701,5 +2705,84 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_orderdate >= TIMESTAMP '2000-01-01'
                 GROUP BY 1) o
             ON o.o_custkey = c.c_custkey
+        """,
+        "market_share": """
+            WITH s AS (
+              SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                     CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT) AS rev,
+                     n2.n_name AS supp_nation
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              JOIN part ON p_partkey = l_partkey
+              WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+                AND o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1998-01-01'
+            )
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN supp_nation = 'NATION_19'
+                            THEN rev ELSE 0 END) AS BIGINT)
+                       AS nation_rev_cents,
+                   CAST(sum(rev) AS BIGINT) AS total_rev_cents
+            FROM s GROUP BY o_year
+        """,
+        "pareto_frontier_parts": """
+            WITH p AS (
+              SELECT p_partkey,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                     CAST(p_size AS BIGINT) AS p_size
+              FROM part
+            )
+            SELECT p_partkey, price_cents, p_size FROM p b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p a
+              WHERE a.price_cents <= b.price_cents AND a.p_size >= b.p_size
+                AND (a.price_cents < b.price_cents OR a.p_size > b.p_size))
+        """,
+        "dominant_part_suppliers": """
+            WITH q AS (
+              SELECT l_partkey pk, l_suppkey sk,
+                     CAST(sum(l_quantity) AS BIGINT) AS qs
+              FROM lineitem GROUP BY 1, 2
+            ),
+            p AS (SELECT pk, sum(qs) AS qp, count(*) AS nsupp
+                  FROM q GROUP BY pk),
+            w AS (SELECT q.sk, count(*) AS n
+                  FROM q JOIN p USING (pk)
+                  WHERE p.nsupp >= 2 AND 100 * q.qs > 15 * p.qp
+                  GROUP BY q.sk)
+            SELECT CAST(w.sk AS BIGINT) AS s_suppkey, s.s_name,
+                   CAST(n AS BIGINT) AS n_dominant_parts
+            FROM w JOIN supplier s ON s.s_suppkey = w.sk
+        """,
+        "scd2_history": """
+            WITH ch AS (
+              SELECT doc_id, 0 AS seq, 1 AS op, md5(text) AS fp
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 1, 1, md5(text || ' rev1')
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id, 2, 0, ''
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id, 3, 1, md5(text || ' rev2')
+              FROM documents WHERE doc_id % 35 = 0
+            ),
+            w AS (
+              SELECT doc_id, seq, op, fp,
+                     coalesce(lead(seq) OVER (PARTITION BY doc_id
+                                              ORDER BY seq), -1) AS valid_to
+              FROM ch
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, fp,
+                   CAST(seq AS BIGINT) AS valid_from,
+                   CAST(valid_to AS BIGINT) AS valid_to
+            FROM w WHERE op = 1
         """,
     }

@@ -232,6 +232,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "user_modal_event",
         "parts_never_shipped",
         "customer_order_recency",
+        "market_share",
+        "pareto_frontier_parts",
+        "dominant_part_suppliers",
+        "scd2_history",
     ]
 
     timings: dict[str, float] = {}

@@ -94,6 +94,42 @@ def snapshot_diff(sf_dir: str):
     )
 
 
+def _changelog_rows(b: pd.DataFrame) -> pd.DataFrame:
+    """The shared deterministic changelog synth (one (doc_id, seq, op,
+    fp) row per change event; op 1 = upsert, 0 = delete) — consumed by
+    BOTH apply_changelog and scd2_history, so the two operators' oracles
+    describe the same stream by construction (the curation_job sharing
+    rule: job and query must not drift)."""
+    ids = b["doc_id"].to_numpy(dtype=np.int64)
+    texts = b["text"]
+    rows = {"doc_id": [], "seq": [], "op": [], "fp": []}
+
+    def emit(d, seq, op, fp):
+        rows["doc_id"].append(d)
+        rows["seq"].append(seq)
+        rows["op"].append(op)
+        rows["fp"].append(fp)
+
+    for i, d in enumerate(ids):
+        d = int(d)
+        t = texts.iloc[i]
+        emit(d, 0, 1, hashlib.md5(t.encode()).hexdigest())
+        if d % 5 == 0:
+            emit(d, 1, 1, hashlib.md5((t + " rev1").encode()).hexdigest())
+        if d % 7 == 0:
+            emit(d, 2, 0, "")
+        if d % 35 == 0:
+            emit(d, 3, 1, hashlib.md5((t + " rev2").encode()).hexdigest())
+    return pd.DataFrame(
+        {
+            "doc_id": np.asarray(rows["doc_id"], dtype=np.int64),
+            "seq": np.asarray(rows["seq"], dtype=np.int64),
+            "op": np.asarray(rows["op"], dtype=np.int64),
+            "fp": rows["fp"],
+        }
+    )
+
+
 def apply_changelog(sf_dir: str):
     """CDC merge — apply an upsert/delete changelog to a base corpus
     with LAST-WRITER-WINS by sequence number, the primitive behind
@@ -117,38 +153,8 @@ def apply_changelog(sf_dir: str):
     from open_parse_ray.stages.analysis import read_documents
     from open_parse_ray.stages.dedup import salted_groupby
 
-    def tagged_rows(b: pd.DataFrame) -> pd.DataFrame:
-        ids = b["doc_id"].to_numpy(dtype=np.int64)
-        texts = b["text"]
-        rows = {"doc_id": [], "seq": [], "op": [], "fp": []}
-
-        def emit(d, seq, op, fp):
-            rows["doc_id"].append(d)
-            rows["seq"].append(seq)
-            rows["op"].append(op)
-            rows["fp"].append(fp)
-
-        for i, d in enumerate(ids):
-            d = int(d)
-            t = texts.iloc[i]
-            emit(d, 0, 1, hashlib.md5(t.encode()).hexdigest())
-            if d % 5 == 0:
-                emit(d, 1, 1, hashlib.md5((t + " rev1").encode()).hexdigest())
-            if d % 7 == 0:
-                emit(d, 2, 0, "")
-            if d % 35 == 0:
-                emit(d, 3, 1, hashlib.md5((t + " rev2").encode()).hexdigest())
-        return pd.DataFrame(
-            {
-                "doc_id": np.asarray(rows["doc_id"], dtype=np.int64),
-                "seq": np.asarray(rows["seq"], dtype=np.int64),
-                "op": np.asarray(rows["op"], dtype=np.int64),
-                "fp": rows["fp"],
-            }
-        )
-
     tagged = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
-        tagged_rows, batch_format="pandas", batch_size=8192
+        _changelog_rows, batch_format="pandas", batch_size=8192
     )
 
     def merge(part: pd.DataFrame) -> pd.DataFrame:
@@ -162,4 +168,64 @@ def apply_changelog(sf_dir: str):
         tagged,
         lambda b: pd.util.hash_pandas_object(b["doc_id"], index=False).astype("int64"),
         merge,
+    )
+
+
+def scd2_history(sf_dir: str):
+    """Slowly-changing-dimension TYPE 2 history build — turn the CDC
+    changelog into validity intervals: one row per upsert version with
+    (valid_from, valid_to) sequence bounds, valid_to = -1 for the
+    version still current (deletes emit no row themselves but CLOSE the
+    previous version's interval — op-kind-blind lead(seq) semantics).
+    apply_changelog answers "what is the state now"; this materializes
+    "what was true when", the point-in-time reproducibility record a
+    training-data pipeline needs to rebuild any past corpus snapshot.
+
+    Scale shape: identical to apply_changelog — the changelog derives
+    from the SAME shared synth (_changelog_rows), text never crosses
+    the exchange (only fixed-width (doc_id, seq, op, fp) rows, salted
+    on hash(doc_id)), and the per-partition kernel is one vectorized
+    lexsort + shift per partition (a doc's whole history is
+    co-located, so next-change lookup is a local shift). Returns
+    (doc_id, fp, valid_from, valid_to)."""
+    from open_parse_ray.stages.analysis import read_documents
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    tagged = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _changelog_rows, batch_format="pandas", batch_size=8192
+    )
+
+    def intervals(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "fp": pd.Series([], dtype=object),
+                    "valid_from": pd.Series([], dtype="int64"),
+                    "valid_to": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        seq = part["seq"].to_numpy(dtype=np.int64)
+        order = np.lexsort((seq, ids))
+        ids, seq = ids[order], seq[order]
+        op = part["op"].to_numpy(dtype=np.int64)[order]
+        fp = part["fp"].to_numpy(dtype=object)[order]
+        nxt = np.full(len(ids), -1, dtype=np.int64)
+        same = ids[:-1] == ids[1:]
+        nxt[:-1][same] = seq[1:][same]
+        keep = op == 1
+        return pd.DataFrame(
+            {
+                "doc_id": ids[keep],
+                "fp": fp[keep],
+                "valid_from": seq[keep],
+                "valid_to": nxt[keep],
+            }
+        )
+
+    return salted_groupby(
+        tagged,
+        lambda b: pd.util.hash_pandas_object(b["doc_id"], index=False).astype("int64"),
+        intervals,
     )

@@ -4372,3 +4372,369 @@ def customer_order_recency(sf_dir: str):
         lambda t: t["ck"].to_numpy(zero_copy_only=False),
         extend,
     )
+
+
+def market_share(
+    sf_dir: str,
+    region: str = "AMERICA",
+    nation: str = "NATION_19",
+    p_type: str = "ECONOMY",
+):
+    """National market share (the TPC-H Q8 shape): within one region's
+    customers and one part type, the share of order-year revenue that
+    was supplied by one nation — emitted as the two integer sums
+    (nation_rev_cents, total_rev_cents) per year rather than the float
+    ratio so the value hash is exact (compare promo_revenue_share).
+
+    Plan — the densest star join in the suite (7 tables) resolved with
+    two broadcasts and two exchanges, none of which ship a dimension:
+    the part-type predicate collapses to a partkey bit array
+    (np.packbits; 10^9 parts ≈ 125 MB — the Q14 idiom) and
+    supplier→nationkey to a dense suppkey-indexed int8 array (the Q7
+    idiom), so lineitem resolves both at scan speed with zero joins.
+    Exchange 1 (orderkey salt) joins the filtered lineitem partials
+    with date-windowed orders (which carry custkey + order year) and
+    RE-aggregates to (custkey, year, supp_nk) before anything else
+    moves; exchange 2 (custkey salt) resolves the customer's nation,
+    gates on the region via the 25-entry nation→region closure dict,
+    and collapses to the bounded (year, supp_nk) grid. The final
+    combine folds supp_nk into the numerator/denominator pair. Returns
+    (o_year, nation_rev_cents, total_rev_cents)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby, salted_groupby_arrow
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+
+    nat = pd.read_parquet(table_path(sf_dir, "nation"))
+    nk_region = dict(
+        zip(nat["n_nationkey"].astype(int), nat["n_regionkey"].astype(int))
+    )
+    reg = pd.read_parquet(table_path(sf_dir, "region"))
+    rk = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    target_nk = int(nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0])
+
+    part = pd.read_parquet(table_path(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    flags = np.zeros(int(pk.max()) + 1, dtype=np.uint8)
+    flags[pk[(part["p_type"] == p_type).to_numpy()]] = 1
+    bits_ref = ray.put(np.packbits(flags))
+
+    supp = pd.read_parquet(
+        table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    s_nk = np.full(int(sk.max()) + 1, -1, dtype=np.int8)
+    s_nk[sk] = supp["s_nationkey"].to_numpy(dtype=np.int8)
+    snk_ref = ray.put(s_nk)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        m = ray.get(snk_ref)
+        pkey = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((bits[pkey >> 3] >> (7 - (pkey & 7))) & 1).astype(bool)
+        skey = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        agg = _arrow_group_aggs(
+            {"okey": okey, "supp_nk": m[skey].astype(np.int64)},
+            {"rev": ("sum", _cents(price * (1 - disc)))},
+            int(keep.sum()),
+        )
+        n = agg.num_rows
+        return agg.append_column(
+            "side", pa.array(np.ones(n, dtype=np.int64))
+        ).append_column("o_year", pa.array(np.zeros(n, dtype=np.int64)))
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        year = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "supp_nk": t["o_custkey"].cast(pa.int64()),
+                "rev": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "o_year": pa.array(year),
+            }
+        )
+
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
+
+    def join1(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        ck = dict(zip(o["okey"].to_numpy(), o["supp_nk"].to_numpy()))
+        yr = dict(zip(o["okey"].to_numpy(), o["o_year"].to_numpy()))
+        cust = l["okey"].map(ck)
+        inside = cust.notna().to_numpy()
+        out = pd.DataFrame(
+            {
+                "custkey": cust.to_numpy(dtype=np.float64)[inside].astype(np.int64),
+                "o_year": l["okey"].map(yr).to_numpy(dtype=np.float64)[inside].astype(np.int64),
+                "supp_nk": l["supp_nk"].to_numpy(dtype=np.int64)[inside],
+                "rev": l["rev"].to_numpy(dtype=np.int64)[inside],
+            }
+        )
+        out = out.groupby(["custkey", "o_year", "supp_nk"], as_index=False)[
+            "rev"
+        ].sum()
+        out["side"] = np.int64(1)
+        return out
+
+    stage1 = salted_groupby_arrow(
+        orders.union(li),
+        lambda t: t["okey"].to_numpy(zero_copy_only=False),
+        join1,
+    )
+
+    def proj_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "custkey": b["c_custkey"].to_numpy(dtype=np.int64),
+                "o_year": np.zeros(len(b), dtype=np.int64),
+                "supp_nk": b["c_nationkey"].to_numpy(dtype=np.int64),
+                "rev": np.zeros(len(b), dtype=np.int64),
+                "side": np.zeros(len(b), dtype=np.int64),
+            }
+        )
+
+    cust = rd.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    ).map_batches(proj_cust, batch_format="pandas", batch_size=65536)
+
+    def join2(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == 0]
+        r = g[g["side"] == 1]
+        in_region = frozenset(
+            int(k)
+            for k, nk in zip(c["custkey"].to_numpy(), c["supp_nk"].to_numpy())
+            if nk_region[int(nk)] == rk
+        )
+        keep = r["custkey"].isin(in_region).to_numpy()
+        out = pd.DataFrame(
+            {
+                "o_year": r["o_year"].to_numpy(dtype=np.int64)[keep],
+                "supp_nk": r["supp_nk"].to_numpy(dtype=np.int64)[keep],
+                "rev": r["rev"].to_numpy(dtype=np.int64)[keep],
+            }
+        )
+        return out.groupby(["o_year", "supp_nk"], as_index=False)["rev"].sum()
+
+    partials = salted_groupby(
+        cust.union(stage1), lambda b: b["custkey"], join2
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "o_year": pd.Series([], dtype="int64"),
+                    "nation_rev_cents": pd.Series([], dtype="int64"),
+                    "total_rev_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        b = b.copy()
+        b["num"] = np.where(
+            b["supp_nk"].to_numpy() == target_nk, b["rev"].to_numpy(), 0
+        )
+        out = b.groupby("o_year", as_index=False).agg(
+            nation_rev_cents=("num", "sum"), total_rev_cents=("rev", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "o_year": out["o_year"].to_numpy(dtype=np.int64),
+                "nation_rev_cents": out["nation_rev_cents"].to_numpy(dtype=np.int64),
+                "total_rev_cents": out["total_rev_cents"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def _skyline_kernel(pkey: np.ndarray, price: np.ndarray, size: np.ndarray):
+    """Vectorized 2-D skyline (minimize price, maximize size). A row
+    survives iff its size equals the max size within its own price
+    group AND strictly exceeds the max size over all strictly lower
+    prices (a lower-price row with EQUAL size dominates — strict in
+    price, ≥ in size; exact (price, size) duplicates dominate neither
+    way and all survive). Composition-safe: skyline(concat(local
+    skylines)) == skyline(all rows), because any dominator of a
+    discarded row either survives its own block's skyline or is itself
+    dominated transitively by a survivor."""
+    uq, inv = np.unique(price, return_inverse=True)
+    permax = np.full(len(uq), np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(permax, inv, size)
+    lower = np.empty(len(uq), dtype=np.int64)
+    lower[0] = np.iinfo(np.int64).min
+    if len(uq) > 1:
+        np.maximum.accumulate(permax[:-1], out=lower[1:])
+    keep = (size == permax[inv]) & (size > lower[inv])
+    return pkey[keep], price[keep], size[keep]
+
+
+def pareto_frontier_parts(sf_dir: str):
+    """Distributed SKYLINE of the part table on (minimize retail price,
+    maximize size) — the non-dominated frontier, the multi-objective
+    ranking primitive (cheapest part at every size tier). Plan: each
+    block collapses to its LOCAL skyline (bounded by the block's
+    distinct-size count — p_size has a small domain, so a local
+    frontier is ≤ |size domain| rows no matter the block size); the
+    union of local frontiers is tiny and one final pass re-runs the
+    identical kernel, which is exact because skyline composition is
+    closed under concatenation (see _skyline_kernel). Zero shuffles —
+    the classic partition-then-merge skyline plan. Returns
+    (p_partkey, price_cents, p_size)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def local(t: pa.Table) -> pa.Table:
+        pkey = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(t["p_retailprice"].to_numpy(zero_copy_only=False))
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k, p, s = _skyline_kernel(pkey, price, size)
+        return pa.table(
+            {
+                "p_partkey": pa.array(k),
+                "price_cents": pa.array(p),
+                "p_size": pa.array(s),
+            }
+        )
+
+    partials = rd.read_parquet(
+        table_path(sf_dir, "part"),
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    ).map_batches(local, batch_format="pyarrow", batch_size=65536)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "p_partkey": pd.Series([], dtype="int64"),
+                    "price_cents": pd.Series([], dtype="int64"),
+                    "p_size": pd.Series([], dtype="int64"),
+                }
+            )
+        k, p, s = _skyline_kernel(
+            b["p_partkey"].to_numpy(dtype=np.int64),
+            b["price_cents"].to_numpy(dtype=np.int64),
+            b["p_size"].to_numpy(dtype=np.int64),
+        )
+        return pd.DataFrame({"p_partkey": k, "price_cents": p, "p_size": s})
+
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def dominant_part_suppliers(sf_dir: str, share_pct: int = 15):
+    """Dominant-supplier audit (the TPC-H Q20 correlated-aggregate
+    family, compare small_qty_order_revenue): for every supplier, the
+    number of CONTESTED parts (≥ 2 distinct suppliers ship it) where
+    this supplier alone shipped strictly more than ``share_pct``% of
+    the part's total quantity (15% default — with ~10 suppliers per
+    part on this corpus the uniform share is ~10%, so 15% marks a
+    genuinely over-weighted supplier; 50% is empty at every scale).
+    The correlated per-part total NEVER becomes a join: lineitem
+    collapses per block to (partkey, suppkey, qty) Arrow partials,
+    and inside the partkey-salted partition a part's total, its
+    distinct-supplier count and each supplier's share are all
+    partition-local, so the share test is the integer cross-multiply
+    100*q_sp > share_pct*q_p. Only bounded (suppkey, count) partials
+    leave the exchange; winner names attach via an isin-filtered
+    streaming supplier scan (the Q10 idiom — supplier never
+    shuffles). Returns (s_suppkey, s_name, n_dominant_parts)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _arrow_group_aggs(
+            {"pk": t["l_partkey"], "sk": t["l_suppkey"]},
+            {"qs": ("sum", qty)},
+            t.num_rows,
+        )
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def dominate(g: pd.DataFrame) -> pd.DataFrame:
+        q = g.groupby(["pk", "sk"], as_index=False)["qs"].sum()
+        p = q.groupby("pk").agg(qp=("qs", "sum"), nsupp=("sk", "size"))
+        qp = q["pk"].map(p["qp"]).to_numpy(dtype=np.int64)
+        nsupp = q["pk"].map(p["nsupp"]).to_numpy(dtype=np.int64)
+        win = (nsupp >= 2) & (
+            100 * q["qs"].to_numpy(dtype=np.int64) > share_pct * qp
+        )
+        out = q[win].groupby("sk", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "sk": out["sk"].to_numpy(dtype=np.int64),
+                "n": out["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = salted_groupby_arrow(
+        li, lambda t: t["pk"].to_numpy(zero_copy_only=False), dominate
+    )
+    tot = _combine_partials(partials, ["sk"], {"n": "sum"}).to_pandas()
+    if len(tot) == 0:
+        tot = pd.DataFrame({"sk": pd.Series([], dtype="int64"),
+                            "n": pd.Series([], dtype="int64")})
+    winners = np.sort(tot["sk"].to_numpy(dtype=np.int64))
+    n_of = dict(zip(tot["sk"].to_numpy(), tot["n"].to_numpy()))
+    win_ref = ray.put(winners)
+
+    def pick(t: pa.Table) -> pa.Table:
+        w = ray.get(win_ref)
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(sk, w)))
+
+    supp = (
+        rd.read_parquet(
+            table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_name"]
+        )
+        .map_batches(pick, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "s_suppkey": supp["s_suppkey"].to_numpy(dtype=np.int64),
+                "s_name": supp["s_name"].to_numpy(dtype=object),
+                "n_dominant_parts": supp["s_suppkey"]
+                .map(n_of)
+                .to_numpy(dtype=np.int64),
+            }
+        )
+    )

@@ -2218,3 +2218,163 @@ def test_customer_order_recency_outer_defaults(ray_session, tmp_path):
     assert out.loc[2, "n_orders"] == 0
     assert out.loc[2, "last_order_day"] == -1
     assert out.loc[3, "n_orders"] == 1
+
+
+def test_market_share_hand_case(ray_session, tmp_path):
+    """Q8 semantics: only the region's customers, only the part type,
+    only the order-date window count toward the denominator; the
+    numerator is the target SUPPLIER nation's slice (the supplier
+    nation need not be in the customer region)."""
+    from open_parse_ray.stages.relational import market_share
+
+    pd.DataFrame(
+        {"r_regionkey": np.array([0, 1], dtype=np.int32),
+         "r_name": ["AMERICA", "OTHER"]}
+    ).to_parquet(tmp_path / "region.parquet")
+    pd.DataFrame(
+        {
+            "n_nationkey": np.array([0, 1, 2], dtype=np.int32),
+            "n_name": ["NA0", "NA1", "NA2"],
+            "n_regionkey": np.array([0, 0, 1], dtype=np.int32),
+        }
+    ).to_parquet(tmp_path / "nation.parquet")
+    pd.DataFrame(
+        {
+            "s_suppkey": [1, 2],
+            "s_name": ["s1", "s2"],
+            "s_nationkey": np.array([0, 1], dtype=np.int32),
+            "s_acctbal": [0.0, 0.0],
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2],
+            "c_name": ["c1", "c2"],
+            "c_nationkey": np.array([0, 2], dtype=np.int32),
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["BUILDING"] * 2,
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2],
+            "p_name": ["p1", "p2"],
+            "p_brand": ["B"] * 2,
+            "p_type": ["ECONOMY", "PROMO"],
+            "p_size": np.array([1, 1], dtype=np.int32),
+            "p_retailprice": [1.0, 1.0],
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    _write_orders(
+        tmp_path,
+        o_orderkey=np.array([1, 2, 3], dtype=np.int64),
+        o_custkey=[1, 1, 2],
+        o_orderdate=[
+            pd.Timestamp("1996-06-01"),
+            pd.Timestamp("1998-06-01"),  # out of window
+            pd.Timestamp("1996-06-01"),  # customer outside region
+        ],
+    )
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1, 1, 1, 2, 3],
+        l_partkey=[1, 1, 2, 1, 1],
+        l_suppkey=[1, 2, 1, 1, 1],
+        l_extendedprice=[100.0, 50.0, 70.0, 70.0, 70.0],
+    )
+    out = _df(market_share(str(tmp_path), nation="NA0"))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["o_year"] == 1996
+    assert row["nation_rev_cents"] == 10000
+    assert row["total_rev_cents"] == 15000
+
+
+def test_pareto_frontier_hand_case(ray_session, tmp_path):
+    """Skyline tie semantics: exact (price, size) duplicates both
+    survive; equal size at a higher price is dominated (strict in
+    price, >= in size); smaller size at the same price is dominated;
+    a bigger size always survives regardless of price."""
+    from open_parse_ray.stages.relational import pareto_frontier_parts
+
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4, 5, 6],
+            "p_name": "p",
+            "p_brand": "B",
+            "p_type": "STANDARD",
+            "p_size": np.array([5, 5, 5, 6, 3, 4], dtype=np.int32),
+            "p_retailprice": [9.0, 9.0, 10.0, 10.0, 8.0, 9.5],
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    out = _df(pareto_frontier_parts(str(tmp_path)))
+    assert sorted(out["p_partkey"].tolist()) == [1, 2, 4, 5]
+
+
+def test_dominant_part_suppliers_threshold(ray_session, tmp_path):
+    """Share test is the STRICT integer cross-multiply 100*q > 15*total
+    (a supplier at exactly 15% is out); single-supplier parts are
+    excluded however large the share."""
+    from open_parse_ray.stages.relational import dominant_part_suppliers
+
+    pd.DataFrame(
+        {
+            "s_suppkey": [1, 2, 3],
+            "s_name": ["s1", "s2", "s3"],
+            "s_nationkey": np.array([0, 0, 0], dtype=np.int32),
+            "s_acctbal": [0.0] * 3,
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1] * 5,
+        l_partkey=[1, 1, 2, 3, 3],
+        l_suppkey=[1, 2, 2, 1, 3],
+        l_quantity=[15.0, 85.0, 50.0, 16.0, 84.0],
+    )
+    out = _df(dominant_part_suppliers(str(tmp_path))).set_index("s_suppkey")
+    # part 1: s1 at exactly 15% -> out; s2 at 85% -> in
+    # part 2: single supplier -> excluded entirely
+    # part 3: s1 at 16% -> in; s3 at 84% -> in
+    assert out.loc[1, "n_dominant_parts"] == 1
+    assert out.loc[2, "n_dominant_parts"] == 1
+    assert out.loc[3, "n_dominant_parts"] == 1
+    assert out.loc[1, "s_name"] == "s1"
+    assert len(out) == 3
+
+
+def test_scd2_history_hand_case(ray_session, tmp_path):
+    """Validity intervals per changelog path: base-only docs stay open
+    from seq 0; an upsert closes the previous version at ITS seq; a
+    delete closes the interval without emitting a row; a post-delete
+    upsert reopens (resurrection). Current rows (valid_to == -1) must
+    equal apply_changelog's merged state exactly — the two operators
+    describe the same stream by construction."""
+    from open_parse_ray.stages.incremental import apply_changelog, scd2_history
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([3, 5, 7, 35], dtype=np.int64),
+            "text": ["t3", "t5", "t7", "t35"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": np.array([2, 2, 2, 3], dtype=np.int64),
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = _df(scd2_history(str(tmp_path))).sort_values(
+        ["doc_id", "valid_from"]
+    ).reset_index(drop=True)
+    ivals = list(
+        zip(out["doc_id"].tolist(), out["valid_from"].tolist(), out["valid_to"].tolist())
+    )
+    assert ivals == [
+        (3, 0, -1),           # base only, still current
+        (5, 0, 1), (5, 1, -1),  # rev1 closes base, stays current
+        (7, 0, 2),            # delete closes base; nothing current
+        (35, 0, 1), (35, 1, 2), (35, 3, -1),  # resurrection reopens
+    ]
+    assert out.loc[2, "fp"] == hashlib.md5(b"t5 rev1").hexdigest()
+    cur = out[out["valid_to"] == -1][["doc_id", "fp"]].reset_index(drop=True)
+    ac = _df(apply_changelog(str(tmp_path))).sort_values("doc_id").reset_index(drop=True)
+    assert cur.equals(ac)

@@ -382,6 +382,18 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import customer_order_recency
 
     checks.append((customer_order_recency, ["c_custkey"]))
+    from open_parse_ray.stages.relational import (
+        dominant_part_suppliers,
+        market_share,
+        pareto_frontier_parts,
+    )
+
+    checks.append((market_share, ["o_year"]))
+    checks.append((pareto_frontier_parts, ["p_partkey"]))
+    checks.append((dominant_part_suppliers, ["s_suppkey"]))
+    from open_parse_ray.stages.incremental import scd2_history
+
+    checks.append((scd2_history, ["doc_id", "valid_from"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
