@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_frontier_parts": relational.pareto_frontier_parts,
         "dominant_part_suppliers": relational.dominant_part_suppliers,
         "scd2_history": incremental.scd2_history,
+        "events_type_hits": graph.events_type_hits,
     }
 
 
@@ -2127,6 +2128,7 @@ def oracle_sql() -> dict[str, str]:
         # PageRank iterations unroll into materialized CTE pairs over
         # the same pure-integer fixed-point spec as the Ray operator
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
+        "events_type_hits": graph.events_type_hits_oracle_sql(),
         # one-row data card: every statistic from ONE fused pass
         "corpus_report": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

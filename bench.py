@@ -236,6 +236,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "pareto_frontier_parts",
         "dominant_part_suppliers",
         "scd2_history",
+        "events_type_hits",
     ]
 
     timings: dict[str, float] = {}

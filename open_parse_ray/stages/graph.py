@@ -1733,3 +1733,240 @@ def copurchase_components(
             {"part": present.astype(np.int64), "component": lbl[present]}
         )
     )
+
+
+HITS_SCALE = 10**6
+
+
+def _hits_local(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    n_nodes: int,
+    n_iter: int,
+    scale: int,
+):
+    """Integer fixed-point HITS — the max-normalized member of the
+    iterate family (pagerank = sum-combine, components = min-combine,
+    kcore = peel, BFS/Bellman-Ford = relax; HITS alternates two vectors
+    with a NORMALIZE step, which is where float HITS loses
+    determinism). Spec: a' = Σ_src w·h over in-edges, then
+    a = (a'·scale) // max(a', 1); symmetric for h over out-edges.
+    Pure integers, order-free sums → bit-identical at any parallelism.
+    Overflow: a' ≤ in_weight·scale; asserted < 2^62."""
+    h = np.full(n_nodes, scale, dtype=np.int64)
+    a = np.full(n_nodes, scale, dtype=np.int64)
+    win = np.zeros(n_nodes, dtype=np.int64)
+    np.add.at(win, dst, w)
+    wout = np.zeros(n_nodes, dtype=np.int64)
+    np.add.at(wout, src, w)
+    assert int(max(win.max(initial=0), wout.max(initial=0))) * scale < 2**62
+    for _ in range(n_iter):
+        ap = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(ap, dst, w * h[src])
+        a = (ap * scale) // max(int(ap.max(initial=0)), 1)
+        hp = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(hp, src, w * a[dst])
+        h = (hp * scale) // max(int(hp.max(initial=0)), 1)
+    return h, a
+
+
+def hits(
+    edges,
+    n_nodes: int,
+    n_iter: int = 10,
+    scale: int = HITS_SCALE,
+    max_driver_edges: int = 1_000_000,
+    force_distributed: bool = False,
+):
+    """HITS hubs/authorities over an edge Dataset (src, dst, w), node
+    ids dense in [0, n_nodes). Returns (node, hub_fp, auth_fp). Same
+    threshold-switch shape as :func:`pagerank`: ≤ max_driver_edges runs
+    on the driver; larger graphs stream TWO edge scans per iteration
+    (a-step then h-step) with the opposite vector broadcast via
+    ray.put — the driver holds only node-sized arrays and the two
+    normalization scalars, never edges. Both paths share the integer
+    spec above and are equality-gated bit-for-bit."""
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.ranking import _fold
+    from open_parse_ray.stages.relational import _combine_partials
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= max_driver_edges and not force_distributed:
+        df = edges.to_pandas()
+        h, a = _hits_local(
+            df["src"].to_numpy(dtype=np.int64),
+            df["dst"].to_numpy(dtype=np.int64),
+            df["w"].to_numpy(dtype=np.int64),
+            n_nodes,
+            n_iter,
+            scale,
+        )
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "node": np.arange(n_nodes, dtype=np.int64),
+                    "hub_fp": h,
+                    "auth_fp": a,
+                }
+            )
+        )
+
+    def _collect_vec(partials) -> np.ndarray:
+        got = _combine_partials(
+            _fold(partials, ["node"], {"s": "sum"}), ["node"], {"s": "sum"}
+        ).to_pandas()
+        vec = np.zeros(n_nodes, dtype=np.int64)
+        vec[got["node"].to_numpy(dtype=np.int64)] = got["s"].to_numpy(dtype=np.int64)
+        return vec
+
+    def _sweep(vec_ref, gather_from: str, emit_to: str):
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            v = ray.get(vec_ref)
+            s = b["src"].to_numpy(dtype=np.int64)
+            d = b["dst"].to_numpy(dtype=np.int64)
+            ww = b["w"].to_numpy(dtype=np.int64)
+            gather = s if gather_from == "src" else d
+            emit = d if emit_to == "dst" else s
+            acc = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(acc, emit, ww * v[gather])
+            nz = np.nonzero(acc)[0]
+            return pd.DataFrame({"node": nz.astype(np.int64), "s": acc[nz]})
+
+        return _collect_vec(
+            edges.map_batches(partial, batch_format="pandas", batch_size=65536)
+        )
+
+    h = np.full(n_nodes, scale, dtype=np.int64)
+    for _ in range(n_iter):
+        ap = _sweep(ray.put(h), "src", "dst")
+        a = (ap * scale) // max(int(ap.max(initial=0)), 1)
+        hp = _sweep(ray.put(a), "dst", "src")
+        h = (hp * scale) // max(int(hp.max(initial=0)), 1)
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {"node": np.arange(n_nodes, dtype=np.int64), "hub_fp": h, "auth_fp": a}
+        )
+    )
+
+
+def events_type_hits(sf_dir: str, n_iter: int = 10, **kw):
+    """Corpus query: HITS hubs/authorities of event types over the
+    per-user transition graph — "which types lead into the hot types"
+    (hub) vs "which types get led into" (authority), the directed
+    complement to events_type_pagerank on the SAME edge table. Node
+    set = all distinct event types (isolated types keep score 0 after
+    the first normalize — no in/out evidence). Returns
+    (event_type, hub_fp, auth_fp), bit-equal to the unrolled DuckDB
+    oracle."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.relational import _combine_partials
+
+    edges_t = transition_edges(sf_dir).materialize()
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type"])
+
+    def type_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].unique(), "one": np.int64(1)})
+
+    types = sorted(
+        _combine_partials(
+            ds.map_batches(type_partial, batch_format="pandas", batch_size=65536),
+            ["event_type"],
+            {"one": "sum"},
+        )
+        .to_pandas()["event_type"]
+        .tolist()
+    )
+    tid = {t: i for i, t in enumerate(types)}
+
+    def to_ids(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": b["src_t"].map(tid).to_numpy(dtype=np.int64),
+                "dst": b["dst_t"].map(tid).to_numpy(dtype=np.int64),
+                "w": b["w"].astype("int64"),
+            }
+        )
+
+    scores = hits(
+        edges_t.map_batches(to_ids, batch_format="pandas", batch_size=65536),
+        n_nodes=len(types),
+        n_iter=n_iter,
+        **kw,
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "event_type": [types[i] for i in scores["node"]],
+            "hub_fp": scores["hub_fp"].astype("int64"),
+            "auth_fp": scores["auth_fp"].astype("int64"),
+        }
+    ).sort_values("event_type").reset_index(drop=True)
+    return rd.from_pandas(out)
+
+
+def events_type_hits_oracle_sql(n_iter: int = 10, scale: int = HITS_SCALE) -> str:
+    """Unrolled-CTE DuckDB mirror of events_type_hits: per iteration an
+    (a-sum, a-max, a-norm, h-sum, h-max, h-norm) CTE block with the
+    same integer // arithmetic. MATERIALIZED throughout (plain CTEs
+    inline exponentially — the pagerank lesson)."""
+    parts = [
+        f"""
+        WITH seq AS (
+          SELECT user_id, event_type AS src_t,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS dst_t
+          FROM events
+        ),
+        e AS MATERIALIZED (
+          SELECT src_t, dst_t, CAST(count(*) AS BIGINT) AS w
+          FROM seq WHERE dst_t IS NOT NULL GROUP BY src_t, dst_t
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+        h0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+        ap{k} AS MATERIALIZED (
+          SELECT n.node, coalesce(s.s, 0) AS v
+          FROM nodes n LEFT JOIN (
+            SELECT ed.dst_t AS node, sum(ed.w * h.v) AS s
+            FROM e ed JOIN h{k - 1} h ON h.node = ed.src_t
+            GROUP BY ed.dst_t) s ON s.node = n.node
+        ),
+        a{k} AS MATERIALIZED (
+          SELECT node,
+                 (v * {scale}) // greatest((SELECT max(v) FROM ap{k}), 1) AS v
+          FROM ap{k}
+        ),
+        hp{k} AS MATERIALIZED (
+          SELECT n.node, coalesce(s.s, 0) AS v
+          FROM nodes n LEFT JOIN (
+            SELECT ed.src_t AS node, sum(ed.w * a.v) AS s
+            FROM e ed JOIN a{k} a ON a.node = ed.dst_t
+            GROUP BY ed.src_t) s ON s.node = n.node
+        ),
+        h{k} AS MATERIALIZED (
+          SELECT node,
+                 (v * {scale}) // greatest((SELECT max(v) FROM hp{k}), 1) AS v
+          FROM hp{k}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT n.node AS event_type,
+               CAST(h.v AS BIGINT) AS hub_fp,
+               CAST(a.v AS BIGINT) AS auth_fp
+        FROM nodes n
+        JOIN h{n_iter} h ON h.node = n.node
+        JOIN a{n_iter} a ON a.node = n.node
+        ORDER BY event_type"""
+    )
+    return "".join(parts)

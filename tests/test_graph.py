@@ -450,3 +450,75 @@ def test_copurchase_kcore_cascade_and_fixpoint(ray_session, tmp_path):
     out3 = copurchase_kcore(str(tmp_path), k=4, rounds=8)
     assert out3.count() == 0
     assert [f.name for f in out3.schema().base_schema] == ["part", "core_deg"]
+
+
+def test_hits_star_structure(ray_session):
+    """Star graph (leaves → center): leaves are perfect hubs (all tie
+    at scale, zero authority), the center is the perfect authority
+    (scale, zero hub) — the defining HITS separation that pagerank
+    alone cannot express."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.graph import HITS_SCALE, hits
+
+    n = 20
+    star = pd.DataFrame({"src": np.arange(1, n), "dst": 0, "w": 1}).astype("int64")
+    out = hits(rd.from_pandas(star), n_nodes=n).to_pandas().set_index("node")
+    assert out.loc[0, "auth_fp"] == HITS_SCALE
+    assert out.loc[0, "hub_fp"] == 0
+    leaves = out.drop(index=0)
+    assert (leaves["hub_fp"] == HITS_SCALE).all()
+    assert (leaves["auth_fp"] == 0).all()
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_hits_driver_equals_distributed(ray_session, seed):
+    import ray.data as rd
+
+    from open_parse_ray.stages.graph import hits
+
+    rng = np.random.default_rng(seed)
+    n = 150
+    edges = _rand_edges(rng, n, 1500)
+    a = (
+        hits(rd.from_pandas(edges).repartition(7), n_nodes=n)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    b = (
+        hits(rd.from_pandas(edges).repartition(3), n_nodes=n, force_distributed=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_events_type_hits_matches_duckdb_oracle(ray_session):
+    import duckdb
+
+    from open_parse_ray.stages.graph import (
+        events_type_hits,
+        events_type_hits_oracle_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = events_type_hits(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(events_type_hits_oracle_sql()).df().astype(
+        {"hub_fp": "int64", "auth_fp": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_events_type_hits_distributed_path_identical(ray_session):
+    from open_parse_ray.stages.graph import events_type_hits
+
+    sf = "/root/testdata/sf0.001"
+    a = events_type_hits(sf).to_pandas()
+    b = events_type_hits(sf, max_driver_edges=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)

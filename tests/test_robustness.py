@@ -394,6 +394,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.incremental import scd2_history
 
     checks.append((scd2_history, ["doc_id", "valid_from"]))
+    from open_parse_ray.stages.graph import events_type_hits
+
+    checks.append((events_type_hits, ["event_type"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
