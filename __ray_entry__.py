@@ -482,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_part_suppliers": relational.dominant_part_suppliers,
         "scd2_history": incremental.scd2_history,
         "events_type_hits": graph.events_type_hits,
+        "rank_fusion_docs": ranking.rank_fusion_docs,
     }
 
 
@@ -2786,5 +2787,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(seq AS BIGINT) AS valid_from,
                    CAST(valid_to AS BIGINT) AS valid_to
             FROM w WHERE op = 1
+        """,
+        "rank_fusion_docs": r"""
+            WITH t AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                          AS BIGINT) AS rank_chars,
+                     CAST(row_number() OVER (ORDER BY n_tokens, doc_id)
+                          AS BIGINT) AS rank_tokens
+              FROM t
+            )
+            SELECT doc_id, rank_chars, rank_tokens,
+                   rank_chars + rank_tokens AS borda,
+                   CAST(row_number() OVER (
+                     ORDER BY rank_chars + rank_tokens, doc_id
+                   ) AS BIGINT) AS fused_rank
+            FROM r
         """,
     }

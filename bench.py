@@ -237,6 +237,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "dominant_part_suppliers",
         "scd2_history",
         "events_type_hits",
+        "rank_fusion_docs",
     ]
 
     timings: dict[str, float] = {}

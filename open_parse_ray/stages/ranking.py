@@ -435,3 +435,124 @@ def epoch_shuffle(sf_dir: str, epoch: int = 1, num_parts: int = 64):
         return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"), "pos": pos})
 
     return ranked.map_batches(finalize, batch_format="pandas", batch_size=65536)
+
+
+def rank_fusion_docs(sf_dir: str, num_parts: int = 32):
+    """Borda-count RANK FUSION — combine two exact global rankings of
+    the corpus (by n_chars and by whitespace token count, each
+    tie-broken by doc_id) into a fused ordering: borda = rank_a +
+    rank_b, re-ranked by (borda, doc_id). The multi-signal selection
+    primitive (fuse length with quality, retrieval scores, etc.) built
+    ENTIRELY from the histogram range-partition ranker — integer ranks
+    make the fusion hash-exact where reciprocal-rank fusion's floats
+    could not be. Plan: two global_rank passes (each: driver-sized
+    histogram → range partition → offset scan), one doc-salted pivot
+    exchange to form borda, a third global_rank over borda, and one
+    final doc-salted attach. Every exchange ships fixed-width rows;
+    ranks never concentrate (range partition splits ties by id).
+    Returns (doc_id, rank_chars, rank_tokens, borda, fused_rank)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.analysis import read_documents, token_count_batch
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    chars_keyed = read_documents(sf_dir, columns=["doc_id", "n_chars"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "n_tokens": b["n_chars"].astype("int64")}
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    tok_keyed = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pandas", batch_size=8192
+    )
+
+    def tag(side):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].astype("int64"),
+                    "r": b["rank"].astype("int64"),
+                    "side": np.full(len(b), side, dtype=np.int64),
+                }
+            )
+
+        return f
+
+    ra = global_rank(chars_keyed, num_parts=num_parts).map_batches(
+        tag(0), batch_format="pandas", batch_size=65536
+    )
+    rb = global_rank(tok_keyed, num_parts=num_parts).map_batches(
+        tag(1), batch_format="pandas", batch_size=65536
+    )
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0].set_index("doc_id")["r"]
+        b = g[g["side"] == 1].set_index("doc_id")["r"]
+        ids = a.index.to_numpy(dtype=np.int64)
+        rc = a.to_numpy(dtype=np.int64)
+        rt = b.loc[a.index].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": ids, "rank_chars": rc, "rank_tokens": rt,
+             "borda": rc + rt}
+        )
+
+    joined = salted_groupby(
+        ra.union(rb), lambda b: b["doc_id"], pivot, num_parts=num_parts
+    ).materialize()
+
+    fused = global_rank(
+        joined.map_batches(
+            lambda b: pd.DataFrame(
+                {"doc_id": b["doc_id"].astype("int64"),
+                 "n_tokens": b["borda"].astype("int64")}
+            ),
+            batch_format="pandas",
+            batch_size=65536,
+        ),
+        num_parts=num_parts,
+    ).map_batches(tag(1), batch_format="pandas", batch_size=65536)
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        base = g[g["side"] == 0].set_index("doc_id")
+        fr = g[g["side"] == 1].set_index("doc_id")["a"]
+        return pd.DataFrame(
+            {
+                "doc_id": base.index.to_numpy(dtype=np.int64),
+                "rank_chars": base["a"].to_numpy(dtype=np.int64),
+                "rank_tokens": base["b"].to_numpy(dtype=np.int64),
+                "borda": base["c"].to_numpy(dtype=np.int64),
+                "fused_rank": fr.loc[base.index].to_numpy(dtype=np.int64),
+            }
+        )
+
+    def tag_joined(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "a": b["rank_chars"].astype("int64"),
+                "b": b["rank_tokens"].astype("int64"),
+                "c": b["borda"].astype("int64"),
+                "side": np.zeros(len(b), dtype=np.int64),
+            }
+        )
+
+    def tag_fused(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "a": b["r"].astype("int64"),
+                "b": np.zeros(len(b), dtype=np.int64),
+                "c": np.zeros(len(b), dtype=np.int64),
+                "side": np.ones(len(b), dtype=np.int64),
+            }
+        )
+
+    return salted_groupby(
+        joined.map_batches(tag_joined, batch_format="pandas", batch_size=65536)
+        .union(fused.map_batches(tag_fused, batch_format="pandas", batch_size=65536)),
+        lambda b: b["doc_id"],
+        attach,
+        num_parts=num_parts,
+    )

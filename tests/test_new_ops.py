@@ -2378,3 +2378,26 @@ def test_scd2_history_hand_case(ray_session, tmp_path):
     cur = out[out["valid_to"] == -1][["doc_id", "fp"]].reset_index(drop=True)
     ac = _df(apply_changelog(str(tmp_path))).sort_values("doc_id").reset_index(drop=True)
     assert cur.equals(ac)
+
+
+def test_rank_fusion_borda_ties(ray_session, tmp_path):
+    """Borda arithmetic and the (borda, doc_id) tie rule: opposite
+    rankings produce equal borda sums; the fused order then falls back
+    to doc_id."""
+    from open_parse_ray.stages.ranking import rank_fusion_docs
+
+    pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            # chars order: 3 < 2 < 1 ; token order: 1 < 2 < 3
+            "text": ["w " * 1, "w " * 2, "w " * 3],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": np.array([30, 20, 10], dtype=np.int64),
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = _df(rank_fusion_docs(str(tmp_path))).set_index("doc_id")
+    assert out.loc[1, "rank_chars"] == 3 and out.loc[1, "rank_tokens"] == 1
+    assert out.loc[3, "rank_chars"] == 1 and out.loc[3, "rank_tokens"] == 3
+    assert (out["borda"] == 4).all()          # perfectly opposed signals
+    assert out["fused_rank"].tolist() == [1, 2, 3]  # tie -> doc_id order

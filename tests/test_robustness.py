@@ -397,6 +397,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.graph import events_type_hits
 
     checks.append((events_type_hits, ["event_type"]))
+    from open_parse_ray.stages.ranking import rank_fusion_docs
+
+    checks.append((rank_fusion_docs, ["doc_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
