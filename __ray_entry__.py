@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": incremental.scd2_history,
         "events_type_hits": graph.events_type_hits,
         "rank_fusion_docs": ranking.rank_fusion_docs,
+        "greedy_cover_docs": analysis.greedy_cover_docs,
     }
 
 
@@ -2130,6 +2131,7 @@ def oracle_sql() -> dict[str, str]:
         # the same pure-integer fixed-point spec as the Ray operator
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
         "events_type_hits": graph.events_type_hits_oracle_sql(),
+        "greedy_cover_docs": analysis.greedy_cover_oracle_sql(),
         # one-row data card: every statistic from ONE fused pass
         "corpus_report": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

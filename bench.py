@@ -238,6 +238,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "scd2_history",
         "events_type_hits",
         "rank_fusion_docs",
+        "greedy_cover_docs",
     ]
 
     timings: dict[str, float] = {}

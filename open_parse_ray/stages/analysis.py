@@ -2016,3 +2016,152 @@ def distinctive_terms_by_lang(sf_dir: str, k: int = 10):
         lambda b: pd.util.hash_pandas_object(b["lang"], index=False).astype("int64"),
         rank_topk,
     )
+
+
+def _bigrams(t: str) -> set:
+    """Per-doc distinct word bigrams, whitespace tokenization — the
+    exact twin of the oracle's list_transform(a[i] || ' ' || a[i+1])."""
+    w = _WS_SPLIT.split(t.strip())
+    if len(w) < 2 or w == [""]:
+        return set()
+    return {w[i] + " " + w[i + 1] for i in range(len(w) - 1)}
+
+
+def greedy_cover_docs(sf_dir: str, k: int = 8):
+    """Greedy SET-COVER corpus selection — pick up to ``k`` documents
+    that maximize marginal coverage of the word-BIGRAM universe (the
+    classic (1-1/e) submodular-maximization greedy, the
+    coreset/data-selection primitive: "which k docs teach the most new
+    constructions"; bigrams, not unigrams, because this corpus's
+    unigram vocabulary saturates in one pick). Round r:
+    every block scores its docs' UNCOVERED-term counts against the
+    broadcast covered set and emits ONE max-composite row (the
+    largest_doc_by_group argmax idiom: gain·2^40 + (2^40-1-doc_id),
+    so ties take the smallest id); the winner's term set comes from a
+    doc_id-pushdown scan and extends the covered set. Zero exchanges —
+    k scans with a 1-row-per-block reduce each; the broadcast covered
+    set is bounded by k × max-terms-per-doc, independent of corpus
+    size. Docs with zero marginal gain are never selected (selection
+    stops early when coverage saturates). Returns
+    (round, doc_id, gain, covered_total)."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"]).materialize()
+
+    covered: frozenset = frozenset()
+    chosen: list = []
+    rows = []
+    for rnd in range(1, k + 1):
+        cov_ref = ray.put(covered)
+        sel_ref = ray.put(frozenset(chosen))
+
+        def score(b: pd.DataFrame) -> pd.DataFrame:
+            cov = ray.get(cov_ref)
+            sel = ray.get(sel_ref)
+            best = -1
+            for d, t in zip(b["doc_id"].to_numpy(dtype=np.int64), b["text"]):
+                d = int(d)
+                if d in sel:
+                    continue
+                gain = len(_bigrams(t) - cov)
+                if gain <= 0:
+                    continue
+                assert gain < (1 << 23) and 0 <= d < (1 << 40)
+                comp = (gain << 40) | ((1 << 40) - 1 - d)
+                if comp > best:
+                    best = comp
+            if best < 0:
+                return pd.DataFrame({"comp": pd.Series([], dtype="int64")})
+            return pd.DataFrame({"comp": np.asarray([best], dtype=np.int64)})
+
+        got = (
+            ds.map_batches(score, batch_format="pandas", batch_size=8192)
+            .to_pandas()
+        )
+        if len(got) == 0:
+            break
+        comp = int(got["comp"].max())
+        gain = comp >> 40
+        winner = (1 << 40) - 1 - (comp & ((1 << 40) - 1))
+        wtext = (
+            rd.read_parquet(
+                table_path(sf_dir, "documents"),
+                columns=["text"],
+                filter=pads.field("doc_id") == winner,
+            )
+            .to_pandas()["text"]
+            .iloc[0]
+        )
+        covered = covered | _bigrams(wtext)
+        chosen.append(winner)
+        rows.append((rnd, winner, gain, len(covered)))
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "round": np.asarray([r[0] for r in rows], dtype=np.int64),
+                "doc_id": np.asarray([r[1] for r in rows], dtype=np.int64),
+                "gain": np.asarray([r[2] for r in rows], dtype=np.int64),
+                "covered_total": np.asarray([r[3] for r in rows], dtype=np.int64),
+            }
+        )
+    )
+
+
+def greedy_cover_oracle_sql(k: int = 8) -> str:
+    """Unrolled-CTE DuckDB mirror of greedy_cover_docs: per round a
+    (score, pick, covered-union, selected-set) MATERIALIZED CTE block
+    over the same per-doc DISTINCT word-bigram table and the same
+    (gain DESC, doc_id) tie rule;
+    zero-gain docs drop out of the score CTE exactly as the kernel
+    skips them, so saturation stops both sides identically."""
+    parts = [
+        r"""
+        WITH arr AS MATERIALIZED (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+          FROM documents WHERE trim(text) <> ''
+        ),
+        w AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(a) - 1),
+                                       i -> a[i] || ' ' || a[i + 1])) AS term
+          FROM arr WHERE len(a) >= 2
+        ),
+        c0 AS MATERIALIZED (SELECT CAST(NULL AS VARCHAR) AS term WHERE 1 = 0),
+        picks0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+        s{r} AS MATERIALIZED (
+          SELECT doc_id, count(*) AS gain
+          FROM w
+          WHERE term NOT IN (SELECT term FROM c{r - 1})
+            AND doc_id NOT IN (SELECT doc_id FROM picks{r - 1})
+          GROUP BY doc_id
+        ),
+        p{r} AS MATERIALIZED (
+          SELECT doc_id, gain FROM s{r} ORDER BY gain DESC, doc_id LIMIT 1
+        ),
+        c{r} AS MATERIALIZED (
+          SELECT term FROM c{r - 1}
+          UNION
+          SELECT term FROM w WHERE doc_id IN (SELECT doc_id FROM p{r})
+        ),
+        picks{r} AS MATERIALIZED (
+          SELECT doc_id FROM picks{r - 1}
+          UNION ALL
+          SELECT doc_id FROM p{r}
+        )"""
+        )
+    selects = [
+        f"""SELECT CAST({r} AS BIGINT) AS round, CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(gain AS BIGINT) AS gain,
+               CAST((SELECT count(*) FROM c{r}) AS BIGINT) AS covered_total
+        FROM p{r}"""
+        for r in range(1, k + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)

@@ -2401,3 +2401,24 @@ def test_rank_fusion_borda_ties(ray_session, tmp_path):
     assert out.loc[3, "rank_chars"] == 1 and out.loc[3, "rank_tokens"] == 3
     assert (out["borda"] == 4).all()          # perfectly opposed signals
     assert out["fused_rank"].tolist() == [1, 2, 3]  # tie -> doc_id order
+
+
+def test_greedy_cover_tie_and_saturation(ray_session, tmp_path):
+    """Round-1 gain tie (two docs each covering 2 new bigrams) goes to
+    the smaller doc_id; a fully-covered doc is never selected; the loop
+    stops when no positive marginal gain remains (2 rows, not k)."""
+    from open_parse_ray.stages.analysis import greedy_cover_docs
+
+    pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": ["a b c", "a b", "b c d"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": np.array([5, 3, 5], dtype=np.int64),
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = _df(greedy_cover_docs(str(tmp_path), k=3))
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["gain"].tolist() == [2, 1]
+    assert out["covered_total"].tolist() == [2, 3]

@@ -400,6 +400,7 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.ranking import rank_fusion_docs
 
     checks.append((rank_fusion_docs, ["doc_id"]))
+    checks.append((analysis.greedy_cover_docs, ["round"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
