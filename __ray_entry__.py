@@ -484,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_hits": graph.events_type_hits,
         "rank_fusion_docs": ranking.rank_fusion_docs,
         "greedy_cover_docs": analysis.greedy_cover_docs,
+        "events_disorder_stats": relational.events_disorder_stats,
     }
 
 
@@ -2132,6 +2133,27 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
         "events_type_hits": graph.events_type_hits_oracle_sql(),
         "greedy_cover_docs": analysis.greedy_cover_oracle_sql(),
+        "events_disorder_stats": """
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            p AS (
+              SELECT a.user_id AS uid,
+                     count(*) FILTER (WHERE a.v > b.v) AS inv
+              FROM e a JOIN e b ON a.user_id = b.user_id
+                    AND (a.ts < b.ts
+                         OR (a.ts = b.ts AND a.event_id < b.event_id))
+              GROUP BY a.user_id
+            ),
+            n AS (SELECT user_id, count(*) AS n_events
+                  FROM e GROUP BY user_id)
+            SELECT n.user_id,
+                   CAST(n.n_events AS BIGINT) AS n_events,
+                   CAST(coalesce(p.inv, 0) AS BIGINT) AS inversions
+            FROM n LEFT JOIN p ON p.uid = n.user_id
+        """,
         # one-row data card: every statistic from ONE fused pass
         "corpus_report": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

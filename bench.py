@@ -239,6 +239,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_type_hits",
         "rank_fusion_docs",
         "greedy_cover_docs",
+        "events_disorder_stats",
     ]
 
     timings: dict[str, float] = {}

@@ -4738,3 +4738,84 @@ def dominant_part_suppliers(sf_dir: str, share_pct: int = 15):
             }
         )
     )
+
+
+def _inversions_chunked(v: np.ndarray, chunk: int = 1024) -> int:
+    """Exact inversion count of one sequence (pairs i<j with v[i]>v[j])
+    in O(n·chunk + (n/chunk)·K) without a per-row Python loop: chunk
+    triangles are counted with one c×c broadcast each, cross-chunk
+    pairs against all PRIOR chunks fold through a dense rank histogram
+    and its suffix sum (count-greater in O(K) per chunk). The Python
+    loop runs once per CHUNK, never per row — the blocked analog of
+    merge-sort counting, and the same histogram trick the distributed
+    quantile engine uses."""
+    n = len(v)
+    if n < 2:
+        return 0
+    uq, r = np.unique(v, return_inverse=True)
+    K = len(uq)
+    hist = np.zeros(K + 1, dtype=np.int64)
+    total = 0
+    for s in range(0, n, chunk):
+        rc = r[s : s + chunk]
+        # intra-chunk: strict upper triangle comparisons, one broadcast
+        total += int(np.triu(rc[:, None] > rc[None, :], k=1).sum())
+        # cross-chunk: prior elements with strictly larger rank
+        if s:
+            suffix = np.cumsum(hist[::-1])[::-1]
+            total += int(suffix[rc + 1].sum())
+        np.add.at(hist, rc, 1)
+    return total
+
+
+def events_disorder_stats(sf_dir: str):
+    """Per-user temporal DISORDER: the number of discordant pairs
+    (earlier event has strictly larger value) in the user's event
+    sequence ordered by (ts, event_id) — the Kendall-discordance
+    counting problem, the order-statistics family member the suite
+    lacked. The SQL mirror is the O(n²) self-join; the kernel is the
+    blocked histogram counter above (O(n·c + (n/c)·K) per user), so
+    a 10^9-event user costs ~10^12/c comparisons instead of 10^18
+    pairs. One user-salted exchange; values compare as integer cents
+    (rank-compressed per user, so the histogram is bounded by the
+    user's DISTINCT values). Returns (user_id, n_events, inversions)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def per_user(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "inversions": pd.Series([], dtype="int64"),
+                }
+            )
+        u = part["user_id"].to_numpy(dtype=np.int64)
+        ts = part["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = part["event_id"].to_numpy(dtype=np.int64)
+        v = _cents(part["value"])
+        order = np.lexsort((eid, ts, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        out_u, out_n, out_i = [], [], []
+        for s, e in zip(starts, ends):
+            out_u.append(int(u[s]))
+            out_n.append(int(e - s))
+            out_i.append(_inversions_chunked(v[s:e]))
+        return pd.DataFrame(
+            {
+                "user_id": np.asarray(out_u, dtype=np.int64),
+                "n_events": np.asarray(out_n, dtype=np.int64),
+                "inversions": np.asarray(out_i, dtype=np.int64),
+            }
+        )
+
+    return salted_groupby(ds, lambda b: b["user_id"], per_user)

@@ -2422,3 +2422,55 @@ def test_greedy_cover_tie_and_saturation(ray_session, tmp_path):
     assert out["doc_id"].tolist() == [1, 3]
     assert out["gain"].tolist() == [2, 1]
     assert out["covered_total"].tolist() == [2, 3]
+
+
+def test_events_disorder_hand_case(ray_session, tmp_path):
+    """Known sequences: strictly increasing -> 0; strictly decreasing
+    of length 4 -> 6; equal values are concordant (no inversion); ts
+    ties break by event_id; single-event users emit (1, 0)."""
+    from open_parse_ray.stages.relational import events_disorder_stats
+
+    ts0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: values 4,3,2,1 -> 6 inversions
+    for i, v in enumerate([4.0, 3.0, 2.0, 1.0]):
+        rows.append((i, ts0 + pd.Timedelta(seconds=i), 1, "click", v))
+    # user 2: increasing -> 0
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append((10 + i, ts0 + pd.Timedelta(seconds=i), 2, "click", v))
+    # user 3: equal ts, event_id order decides: ids 20,21 values 5,1 -> 1
+    rows.append((20, ts0, 3, "click", 5.0))
+    rows.append((21, ts0, 3, "click", 1.0))
+    # user 4: all equal values -> 0
+    rows.append((30, ts0, 4, "click", 2.0))
+    rows.append((31, ts0 + pd.Timedelta(seconds=1), 4, "click", 2.0))
+    # user 5: single event
+    rows.append((40, ts0, 5, "click", 9.0))
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).assign(props="{}").to_parquet(tmp_path / "events.parquet")
+    out = _df(events_disorder_stats(str(tmp_path))).set_index("user_id")
+    assert out.loc[1, "inversions"] == 6
+    assert out.loc[2, "inversions"] == 0
+    assert out.loc[3, "inversions"] == 1
+    assert out.loc[4, "inversions"] == 0
+    assert out.loc[5, "n_events"] == 1 and out.loc[5, "inversions"] == 0
+
+
+def test_inversion_kernel_matches_brute_force():
+    """Chunked histogram counter == O(n^2) brute force over random
+    sequences at several chunk sizes and value domains (incl. chunk=1,
+    the pure-histogram path, and domains with heavy ties)."""
+    from open_parse_ray.stages.relational import _inversions_chunked
+
+    rng = np.random.default_rng(7)
+
+    def brute(v):
+        return int(np.triu(v[:, None] > v[None, :], k=1).sum())
+
+    for n in [0, 1, 2, 3, 17, 256, 1500]:
+        for dom in [2, 7, 500]:
+            v = rng.integers(-dom, dom, n).astype(np.int64)
+            want = brute(v)
+            for c in [1, 3, 64, 1024]:
+                assert _inversions_chunked(v, chunk=c) == want

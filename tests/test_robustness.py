@@ -401,6 +401,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
 
     checks.append((rank_fusion_docs, ["doc_id"]))
     checks.append((analysis.greedy_cover_docs, ["round"]))
+    from open_parse_ray.stages.relational import events_disorder_stats
+
+    checks.append((events_disorder_stats, ["user_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
