@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_fusion_docs": ranking.rank_fusion_docs,
         "greedy_cover_docs": analysis.greedy_cover_docs,
         "events_disorder_stats": relational.events_disorder_stats,
+        "events_drift_cusum": relational.events_drift_cusum,
     }
 
 
@@ -2133,6 +2134,49 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
         "events_type_hits": graph.events_type_hits_oracle_sql(),
         "greedy_cover_docs": analysis.greedy_cover_oracle_sql(),
+        "events_drift_cusum": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM c),
+            g AS (
+              SELECT t.event_type, gs.h
+              FROM (SELECT DISTINCT event_type FROM events) t,
+                   (SELECT unnest(generate_series((SELECT hmin FROM b),
+                                                  (SELECT hmax FROM b))) AS h) gs
+            ),
+            s AS (
+              SELECT g.event_type,
+                     row_number() OVER (PARTITION BY g.event_type
+                                        ORDER BY g.h) AS k,
+                     sum(coalesce(c.n, 0)) OVER (PARTITION BY g.event_type
+                                                 ORDER BY g.h) AS sk
+              FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+            ),
+            m AS (
+              SELECT event_type, max(k) AS nh, max(sk) AS tot
+              FROM s GROUP BY event_type
+            ),
+            d AS (
+              SELECT s.event_type, s.k,
+                     abs(m.nh * s.sk - s.k * m.tot) AS dev, m.nh, m.tot
+              FROM s JOIN m ON m.event_type = s.event_type
+            ),
+            r AS (
+              SELECT event_type, nh, tot, dev, k,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY dev DESC, k) AS rn
+              FROM d
+            )
+            SELECT event_type, CAST(nh AS BIGINT) AS n_hours,
+                   CAST(tot AS BIGINT) AS total_events,
+                   CAST(dev AS BIGINT) AS max_dev,
+                   CAST(k AS BIGINT) AS k_at_max
+            FROM r WHERE rn = 1
+        """,
         "events_disorder_stats": """
             WITH e AS (
               SELECT user_id, ts, event_id,

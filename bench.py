@@ -240,6 +240,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "rank_fusion_docs",
         "greedy_cover_docs",
         "events_disorder_stats",
+        "events_drift_cusum",
     ]
 
     timings: dict[str, float] = {}

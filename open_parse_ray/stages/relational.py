@@ -4819,3 +4819,78 @@ def events_disorder_stats(sf_dir: str):
         )
 
     return salted_groupby(ds, lambda b: b["user_id"], per_user)
+
+
+def events_drift_cusum(sf_dir: str):
+    """CUSUM drift detection per event type — the monitoring primitive
+    that flags WHEN a type's rate changed: over the corpus-wide hourly
+    grid [min hour, max hour] (zero-filled — silence is signal), the
+    cumulative-sum deviation D_k = H·S_k − k·T (n-times-scaled so it
+    stays integer; S_k = events in the first k hours, T = total,
+    H = grid length) peaks at the changepoint. Returns per type the
+    peak |D_k| and its grid offset (ties → smallest k). Shape: bounded
+    (type, hour) count partials → one combined block; the grid build,
+    cumsum and argmax are vectorized per type INSIDE the block (the
+    events_hourly_trend rebase rule: hours are grid offsets, so no
+    epoch-hour products). Returns (event_type, n_hours, total_events,
+    max_dev, k_at_max)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        out = pd.DataFrame({"event_type": b["event_type"], "h": h})
+        g = out.groupby(["event_type", "h"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "h": g["h"].astype("int64"),
+                "n": g["size"].astype("int64"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    combined = _combine_partials(partials, ["event_type", "h"], {"n": "sum"})
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "n_hours": pd.Series([], dtype="int64"),
+                    "total_events": pd.Series([], dtype="int64"),
+                    "max_dev": pd.Series([], dtype="int64"),
+                    "k_at_max": pd.Series([], dtype="int64"),
+                }
+            )
+        hmin = int(b["h"].min())
+        hmax = int(b["h"].max())
+        H = hmax - hmin + 1
+        types = np.sort(b["event_type"].unique())
+        rows = []
+        for t in types:
+            g = b[b["event_type"] == t]
+            grid = np.zeros(H, dtype=np.int64)
+            grid[g["h"].to_numpy(dtype=np.int64) - hmin] = g["n"].to_numpy(
+                dtype=np.int64
+            )
+            sk = np.cumsum(grid)
+            T = int(sk[-1])
+            k = np.arange(1, H + 1, dtype=np.int64)
+            dev = np.abs(H * sk - k * T)
+            i = int(np.argmax(dev))  # first max -> smallest k on ties
+            rows.append((t, H, T, int(dev[i]), i + 1))
+        return pd.DataFrame(
+            {
+                "event_type": [r[0] for r in rows],
+                "n_hours": np.asarray([r[1] for r in rows], dtype=np.int64),
+                "total_events": np.asarray([r[2] for r in rows], dtype=np.int64),
+                "max_dev": np.asarray([r[3] for r in rows], dtype=np.int64),
+                "k_at_max": np.asarray([r[4] for r in rows], dtype=np.int64),
+            }
+        )
+
+    return combined.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )

@@ -2474,3 +2474,33 @@ def test_inversion_kernel_matches_brute_force():
             want = brute(v)
             for c in [1, 3, 64, 1024]:
                 assert _inversions_chunked(v, chunk=c) == want
+
+
+def test_events_drift_cusum_step_series(ray_session, tmp_path):
+    """A clean step (3 quiet hours, then 3 busy hours) peaks |D_k| at
+    the step boundary k=3; a perfectly uniform type peaks at 0 deviation
+    with the tie resolving to k=1; zero-filled grid hours count."""
+    from open_parse_ray.stages.relational import events_drift_cusum
+
+    ts0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    # 'step': hours 0,1,2 -> 1 event each; hours 3,4,5 -> 3 events each
+    for h in range(6):
+        for _ in range(1 if h < 3 else 3):
+            rows.append((eid, ts0 + pd.Timedelta(hours=h, minutes=1), 1, "step", 1.0))
+            eid += 1
+    # 'flat': 2 events in every hour 0..5
+    for h in range(6):
+        for _ in range(2):
+            rows.append((eid, ts0 + pd.Timedelta(hours=h, minutes=2), 2, "flat", 1.0))
+            eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).assign(props="{}").to_parquet(tmp_path / "events.parquet")
+    out = _df(events_drift_cusum(str(tmp_path))).set_index("event_type")
+    # step: H=6, T=12; S_3=3 -> |6*3 - 3*12| = 18, the unique peak
+    assert out.loc["step", "k_at_max"] == 3
+    assert out.loc["step", "max_dev"] == 18
+    assert out.loc["flat", "max_dev"] == 0
+    assert out.loc["flat", "k_at_max"] == 1

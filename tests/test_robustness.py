@@ -404,6 +404,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import events_disorder_stats
 
     checks.append((events_disorder_stats, ["user_id"]))
+    from open_parse_ray.stages.relational import events_drift_cusum
+
+    checks.append((events_drift_cusum, ["event_type"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
