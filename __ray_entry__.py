@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_cover_docs": analysis.greedy_cover_docs,
         "events_disorder_stats": relational.events_disorder_stats,
         "events_drift_cusum": relational.events_drift_cusum,
+        "corpus_merkle": incremental.corpus_merkle,
     }
 
 
@@ -2134,6 +2135,29 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
         "events_type_hits": graph.events_type_hits_oracle_sql(),
         "greedy_cover_docs": analysis.greedy_cover_oracle_sql(),
+        "corpus_merkle": """
+            WITH f AS (
+              SELECT doc_id, md5(text) AS fp, doc_id // 64 AS b0
+              FROM documents
+            ),
+            l0 AS (
+              SELECT b0, md5(string_agg(fp, '' ORDER BY doc_id)) AS h,
+                     CAST(count(*) AS BIGINT) AS n FROM f GROUP BY b0
+            ),
+            l1 AS (
+              SELECT b0 // 64 AS b1, md5(string_agg(h, '' ORDER BY b0)) AS h,
+                     CAST(sum(n) AS BIGINT) AS n FROM l0 GROUP BY b1
+            ),
+            r AS (
+              SELECT md5(string_agg(h, '' ORDER BY b1)) AS h,
+                     CAST(sum(n) AS BIGINT) AS n FROM l1
+            )
+            SELECT CAST(0 AS BIGINT) AS level, CAST(b0 AS BIGINT) AS bucket,
+                   h, n AS n_docs
+            FROM l0
+            UNION ALL SELECT 1, CAST(b1 AS BIGINT), h, n FROM l1
+            UNION ALL SELECT 2, 0, h, n FROM r
+        """,
         "events_drift_cusum": """
             WITH c AS (
               SELECT event_type,

@@ -241,6 +241,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "greedy_cover_docs",
         "events_disorder_stats",
         "events_drift_cusum",
+        "corpus_merkle",
     ]
 
     timings: dict[str, float] = {}

@@ -2504,3 +2504,38 @@ def test_events_drift_cusum_step_series(ray_session, tmp_path):
     assert out.loc["step", "max_dev"] == 18
     assert out.loc["flat", "max_dev"] == 0
     assert out.loc["flat", "k_at_max"] == 1
+
+
+def test_corpus_merkle_perturbation_path(ray_session, tmp_path):
+    """Changing ONE document flips exactly its leaf bucket, that
+    bucket's level-1 parent, and the root — every other level-0 hash is
+    untouched (the O(changed-subtree) audit property)."""
+    import hashlib as _hl
+
+    from open_parse_ray.stages.incremental import corpus_merkle
+
+    def write(docs_text):
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(len(docs_text), dtype=np.int64) * 40,
+                "text": docs_text,
+                "lang": ["en"] * len(docs_text),
+                "source": ["s"] * len(docs_text),
+                "n_chars": np.array([len(t) for t in docs_text], dtype=np.int64),
+            }
+        ).to_parquet(tmp_path / "documents.parquet")
+
+    texts = [f"doc {i}" for i in range(8)]  # ids 0..280 -> buckets 0..4
+    write(texts)
+    a = _df(corpus_merkle(str(tmp_path))).set_index(["level", "bucket"])
+    texts2 = list(texts)
+    texts2[5] = "doc 5 CHANGED"  # id 200 -> bucket 3
+    write(texts2)
+    b = _df(corpus_merkle(str(tmp_path))).set_index(["level", "bucket"])
+    changed = [(lv, bk) for (lv, bk) in a.index if a.loc[(lv, bk), "h"] != b.loc[(lv, bk), "h"]]
+    assert sorted(changed) == [(0, 3), (1, 0), (2, 0)]
+    # leaf hash is the md5 of concatenated doc fps in id order
+    # (bucket 3 = ids 192..255 -> docs 200 and 240, in that order)
+    fp5 = _hl.md5("doc 5 CHANGED".encode()).hexdigest()
+    fp6 = _hl.md5("doc 6".encode()).hexdigest()
+    assert b.loc[(0, 3), "h"] == _hl.md5((fp5 + fp6).encode()).hexdigest()

@@ -407,6 +407,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import events_drift_cusum
 
     checks.append((events_drift_cusum, ["event_type"]))
+    from open_parse_ray.stages.incremental import corpus_merkle
+
+    checks.append((corpus_merkle, ["level", "bucket"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
