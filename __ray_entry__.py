@@ -285,6 +285,14 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca_coords(sf_dir)
 
 
+def _q_bucketed_join_orders(sf_dir: str):
+    """orders x customer over hash-bucketed STORAGE (zero query-time
+    shuffle; equality-gated bitwise against the salted-exchange join)."""
+    from open_parse_ray.sources.bucketed import bucketed_join_orders
+
+    return bucketed_join_orders(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the FIRST 50 entries (the driver's recording window)
     are all oracle-backed, and ROTATED each round so every oracle-backed
@@ -487,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_disorder_stats": relational.events_disorder_stats,
         "events_drift_cusum": relational.events_drift_cusum,
         "corpus_merkle": incremental.corpus_merkle,
+        "bucketed_join_orders": _q_bucketed_join_orders,
     }
 
 
@@ -2135,6 +2144,11 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
         "events_type_hits": graph.events_type_hits_oracle_sql(),
         "greedy_cover_docs": analysis.greedy_cover_oracle_sql(),
+        "bucketed_join_orders": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_nationkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
         "corpus_merkle": """
             WITH f AS (
               SELECT doc_id, md5(text) AS fp, doc_id // 64 AS b0

@@ -242,6 +242,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_disorder_stats",
         "events_drift_cusum",
         "corpus_merkle",
+        "bucketed_join_orders",
     ]
 
     timings: dict[str, float] = {}

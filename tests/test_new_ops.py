@@ -2539,3 +2539,91 @@ def test_corpus_merkle_perturbation_path(ray_session, tmp_path):
     fp5 = _hl.md5("doc 5 CHANGED".encode()).hexdigest()
     fp6 = _hl.md5("doc 6".encode()).hexdigest()
     assert b.loc[(0, 3), "h"] == _hl.md5((fp5 + fp6).encode()).hexdigest()
+
+
+def test_bucketed_layout_and_join(ray_session, tmp_path):
+    """The bucketed-storage contract: (1) every row lands in the bucket
+    bucket_of assigns (the co-location guarantee both sides rely on),
+    (2) re-staging is idempotent (content-addressed filenames — a
+    retried write converges on the identical file set), (3) the
+    shuffle-free bucketed join is bitwise-equal to the salted-exchange
+    join on the same input."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from open_parse_ray.sources.bucketed import (
+        bucket_of,
+        bucketed_join_orders,
+        write_bucketed,
+    )
+    from open_parse_ray.stages.relational import orders_customer_join
+
+    n = 500
+    rng = np.random.default_rng(3)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": rng.integers(0, 60, n),
+            "o_orderstatus": "O",
+            "o_totalprice": rng.uniform(1, 9, n).round(2),
+            "o_orderdate": pd.Timestamp("1996-01-01"),
+            "o_orderpriority": "1-URGENT",
+        }
+    )
+    orders.to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "c_custkey": np.arange(60, dtype=np.int64),
+            "c_name": "c",
+            "c_nationkey": np.arange(60, dtype=np.int32) % 7,
+            "c_acctbal": 0.0,
+            "c_mktsegment": "BUILDING",
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+
+    # (1) routing: stage manually and check every file's keys
+    out = str(tmp_path / "bucketed_orders")
+    write_bucketed(
+        rd.from_pandas(orders[["o_orderkey", "o_custkey"]]).repartition(5),
+        out, "o_custkey", n_buckets=8,
+    )
+    seen = 0
+    for b in range(8):
+        d = os.path.join(out, f"bucket={b}")
+        for f in sorted(os.listdir(d)):
+            t = pq.read_table(os.path.join(d, f)).to_pandas()
+            seen += len(t)
+            assert (bucket_of(t["o_custkey"].to_numpy(np.int64), 8) == b).all()
+    assert seen == n
+
+    # (2) idempotence: a second write adds no files and changes none
+    def snapshot():
+        return {
+            (b, f): os.path.getsize(os.path.join(out, f"bucket={b}", f))
+            for b in range(8)
+            for f in os.listdir(os.path.join(out, f"bucket={b}"))
+        }
+
+    before = snapshot()
+    write_bucketed(
+        rd.from_pandas(orders[["o_orderkey", "o_custkey"]]).repartition(5),
+        out, "o_custkey", n_buckets=8,
+    )
+    assert snapshot() == before
+
+    # (3) join equality vs the exchange path
+    a = (
+        bucketed_join_orders(str(tmp_path), n_buckets=8)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    b = (
+        orders_customer_join(str(tmp_path))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)

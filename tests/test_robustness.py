@@ -410,6 +410,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.incremental import corpus_merkle
 
     checks.append((corpus_merkle, ["level", "bucket"]))
+    from open_parse_ray.sources.bucketed import bucketed_join_orders
+
+    checks.append((bucketed_join_orders, ["o_orderkey"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
