@@ -878,7 +878,13 @@ def copurchase_lift_pairs(
         table_path(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
     )
 
-    def order_pair_counts(part: pd.DataFrame) -> pd.DataFrame:
+    def fused_partial(part: pd.DataFrame) -> pd.DataFrame:
+        # ONE order-salted pass emits BOTH partial kinds from one
+        # distinct-pair layout (the pair rows and the part-frequency /
+        # order-count rows previously cost two identical exchanges and
+        # two np.unique passes over the same lineitem scan): freq rows
+        # are tagged pa = -1 (pb = part, n_ab = count) and the exact
+        # order count rides as pa = -1, pb = -1.
         o = part["l_orderkey"].to_numpy(dtype=np.int64)
         p = part["l_partkey"].to_numpy(dtype=np.int64)
         key = np.unique(o * _OKEY_BASE + p)
@@ -891,34 +897,39 @@ def copurchase_lift_pairs(
             uniq, cnt = np.unique(np.concatenate(chunks), return_counts=True)
         else:
             uniq = cnt = np.array([], dtype=np.int64)
+        pk, c = np.unique(p, return_counts=True)
+        n_orders = len(starts)
         return pd.DataFrame(
             {
-                "pa": uniq // _OKEY_BASE,
-                "pb": uniq % _OKEY_BASE,
-                "n_ab": cnt.astype(np.int64),
+                "pa": np.concatenate(
+                    [uniq // _OKEY_BASE, np.full(len(pk) + 1, -1, dtype=np.int64)]
+                ),
+                "pb": np.concatenate([uniq % _OKEY_BASE, pk, [-1]]),
+                "n_ab": np.concatenate([cnt, c, [n_orders]]),
             }
         ).astype("int64")
 
-    def part_freq_partial(part: pd.DataFrame) -> pd.DataFrame:
-        o = part["l_orderkey"].to_numpy(dtype=np.int64)
-        p = part["l_partkey"].to_numpy(dtype=np.int64)
-        key = np.unique(o * _OKEY_BASE + p)
-        pk, c = np.unique(key % _OKEY_BASE, return_counts=True)
-        n_orders = len(np.unique(key // _OKEY_BASE))
+    tagged = salted_groupby(
+        ds, lambda b: b["l_orderkey"], fused_partial, num_parts=num_parts
+    ).materialize()
+
+    def take_freq(b: pd.DataFrame) -> pd.DataFrame:
+        f = b[b["pa"] == -1]
         return pd.DataFrame(
             {
-                "part": np.concatenate([pk, [-1]]),
-                "c": np.concatenate([c, [n_orders]]),
+                "part": f["pb"].to_numpy(dtype=np.int64),
+                "c": f["n_ab"].to_numpy(dtype=np.int64),
             }
-        ).astype("int64")
+        )
 
-    pair_partials = salted_groupby(
-        ds, lambda b: b["l_orderkey"], order_pair_counts, num_parts=num_parts
+    def take_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["pa"] >= 0]
+
+    pair_partials = tagged.map_batches(
+        take_pairs, batch_format="pandas", batch_size=65536
     )
     freq = _combine_partials(
-        salted_groupby(
-            ds, lambda b: b["l_orderkey"], part_freq_partial, num_parts=num_parts
-        ),
+        tagged.map_batches(take_freq, batch_format="pandas", batch_size=65536),
         ["part"],
         {"c": "sum"},
     ).to_pandas()
