@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_drift_cusum": relational.events_drift_cusum,
         "corpus_merkle": incremental.corpus_merkle,
         "bucketed_join_orders": _q_bucketed_join_orders,
+        "label_centroid_sums": similarity.label_centroid_sums,
     }
 
 
@@ -2144,6 +2145,26 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
         "events_type_hits": graph.events_type_hits_oracle_sql(),
         "greedy_cover_docs": analysis.greedy_cover_oracle_sql(),
+        "label_centroid_sums": """
+            WITH x AS (
+              SELECT label, generate_subscripts(embedding, 1) AS dim,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v
+              FROM embeddings
+            ),
+            s AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(dim - 1 AS BIGINT) AS dim,
+                     CAST(sum(CAST(CASE WHEN v * 1000000 >= 0
+                                        THEN floor(v * 1000000 + 0.5)
+                                        ELSE ceil(v * 1000000 - 0.5)
+                                   END AS BIGINT)) AS BIGINT) AS sum_fp
+              FROM x GROUP BY 1, 2
+            )
+            SELECT * FROM s
+            UNION ALL
+            SELECT CAST(label AS BIGINT), -1, CAST(count(*) AS BIGINT)
+            FROM embeddings GROUP BY 1
+        """,
         "bucketed_join_orders": """
             SELECT o.o_orderkey, o.o_custkey, c.c_nationkey,
                    CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents

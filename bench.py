@@ -243,6 +243,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_drift_cusum",
         "corpus_merkle",
         "bucketed_join_orders",
+        "label_centroid_sums",
     ]
 
     timings: dict[str, float] = {}

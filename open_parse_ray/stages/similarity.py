@@ -1004,3 +1004,55 @@ def semdedup_keep(
         lambda b: pd.util.hash_pandas_object(b["vec_id"], index=False).astype("int64"),
         join,
     )
+
+
+def label_centroid_sums(sf_dir: str, scale: int = 10**6):
+    """Exact per-label centroid PARTIALS over the list<float> embedding
+    column — (label, dim, sum_fp) fixed-point int64 sums plus a
+    (label, -1, count) row per label, the mergeable form every
+    embedding-space rollup (class means, SemDeDup centroids, drift
+    monitors) folds from. Emitting SUMS not means keeps the value hash
+    float-free (the promo_revenue_share rule); the fixed-point map is
+    round-half-away on float64(v)·scale, identical to the SQL mirror.
+    Shape: each block stacks its vectors into one (n, d) matrix and
+    np.add.at's into a (labels, d) grid — bounded (|labels| × d)
+    partials, zero exchanges. Returns (label, dim, sum_fp)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.relational import _combine_partials
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "embeddings"), columns=["label", "embedding"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "dim": pd.Series([], dtype="int64"),
+                    "sum_fp": pd.Series([], dtype="int64"),
+                }
+            )
+        emb = np.stack(b["embedding"].to_numpy()).astype(np.float64) * scale
+        fp = np.where(emb >= 0, np.floor(emb + 0.5), np.ceil(emb - 0.5)).astype(
+            np.int64
+        )
+        labels = b["label"].to_numpy(dtype=np.int64)
+        uq, inv = np.unique(labels, return_inverse=True)
+        d = fp.shape[1]
+        acc = np.zeros((len(uq), d), dtype=np.int64)
+        np.add.at(acc, inv, fp)
+        cnt = np.bincount(inv, minlength=len(uq)).astype(np.int64)
+        lab = np.repeat(uq, d)
+        dim = np.tile(np.arange(d, dtype=np.int64), len(uq))
+        return pd.DataFrame(
+            {
+                "label": np.concatenate([lab, uq]),
+                "dim": np.concatenate([dim, np.full(len(uq), -1, dtype=np.int64)]),
+                "sum_fp": np.concatenate([acc.ravel(), cnt]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+    return _combine_partials(partials, ["label", "dim"], {"sum_fp": "sum"})

