@@ -4725,8 +4725,13 @@ def dominant_part_suppliers(sf_dir: str, share_pct: int = 15):
         )
         .map_batches(pick, batch_format="pyarrow", batch_size=65536)
         .to_pandas()
-        .sort_values("s_suppkey")
     )
+    if len(supp) == 0:
+        supp = pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "s_name": pd.Series([], dtype=object)}
+        )
+    supp = supp.sort_values("s_suppkey")
     return rd.from_pandas(
         pd.DataFrame(
             {

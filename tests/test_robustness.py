@@ -500,7 +500,7 @@ def test_salted_ops_under_extreme_skew(ray_session, tmp_path):
         {
             "l_orderkey": okey,
             "l_partkey": pk,
-            "l_suppkey": np.int64(1),
+            "l_suppkey": rng.integers(1, 11, n_li),
             "l_linenumber": np.arange(n_li, dtype=np.int32),
             "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
             "l_extendedprice": np.round(rng.uniform(10, 2000, n_li), 2),
@@ -521,7 +521,11 @@ def test_salted_ops_under_extreme_skew(ray_session, tmp_path):
             "p_partkey": np.arange(1, 21, dtype=np.int64),
             "p_name": "p",
             "p_brand": ["Brand#13" if k % 3 == 1 else "Brand#1" for k in range(1, 21)],
-            "p_type": ["PROMO" if k % 4 == 0 else "STANDARD" for k in range(1, 21)],
+            "p_type": [
+                "PROMO" if k % 4 == 0
+                else ("ECONOMY" if k % 3 == 1 else "STANDARD")
+                for k in range(1, 21)
+            ],
             "p_size": 1,
             "p_retailprice": 1.0,
         }
@@ -536,13 +540,25 @@ def test_salted_ops_under_extreme_skew(ray_session, tmp_path):
         }
     ).to_parquet(tmp_path / "customer.parquet")
     pd.DataFrame(
-        {"n_nationkey": [0], "n_name": ["NATION_0"], "n_regionkey": [0]}
+        {"n_nationkey": [0], "n_name": ["NATION_19"], "n_regionkey": [0]}
     ).to_parquet(tmp_path / "nation.parquet")
+    pd.DataFrame(
+        {"r_regionkey": [0], "r_name": ["AMERICA"]}
+    ).to_parquet(tmp_path / "region.parquet")
+    pd.DataFrame(
+        {
+            "s_suppkey": np.arange(1, 11, dtype=np.int64),
+            "s_name": [f"s{i}" for i in range(1, 11)],
+            "s_nationkey": np.zeros(10, dtype=np.int32),
+            "s_acctbal": np.zeros(10),
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
 
     queries = E.queries()
     oracles = E.oracle_sql()
     con = duckdb.connect()
-    for t in ["events", "orders", "lineitem", "part", "customer", "nation"]:
+    for t in ["events", "orders", "lineitem", "part", "customer", "nation",
+              "region", "supplier"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     for name in [
@@ -554,6 +570,13 @@ def test_salted_ops_under_extreme_skew(ray_session, tmp_path):
         "promo_revenue_share",
         "late_order_priority_counts",
         "user_modal_event",
+        # third-continuation ops: the hot part (7, a third of all lines,
+        # type ECONOMY) hits the Q8 bitmap + the correlated >15% share;
+        # the hot customer (1, half the orders) hits Q8's second
+        # exchange; the single-type event stream hits the CUSUM grid
+        "market_share",
+        "dominant_part_suppliers",
+        "events_drift_cusum",
     ]:
         got = queries[name](sf).to_pandas()
         want = con.sql(oracles[name]).df()
@@ -566,3 +589,29 @@ def test_salted_ops_under_extreme_skew(ray_session, tmp_path):
             assert np.array_equal(
                 got[c].to_numpy(), want[c].to_numpy()
             ), f"{name}.{c}"
+
+    # events_disorder_stats under skew: the 30k-event hot user exercises
+    # the chunked inversion counter at depth (its O(n^2) SQL oracle is
+    # too slow at 9e8 pairs, so compare against the local kernel on the
+    # same totally-ordered sequence — the kernel itself is pinned by the
+    # brute-force property sweep at smaller n)
+    from open_parse_ray.stages.relational import (
+        _cents,
+        _inversions_chunked,
+        events_disorder_stats,
+    )
+
+    got = (
+        events_disorder_stats(sf)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ev = pd.read_parquet(tmp_path / "events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    for uid, g in ev.groupby("user_id"):
+        assert got.loc[uid, "n_events"] == len(g)
+        assert got.loc[uid, "inversions"] == _inversions_chunked(
+            _cents(g["value"])
+        ), uid
