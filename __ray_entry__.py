@@ -497,6 +497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_merkle": incremental.corpus_merkle,
         "bucketed_join_orders": _q_bucketed_join_orders,
         "label_centroid_sums": similarity.label_centroid_sums,
+        "stats_after_changelog": incremental.stats_after_changelog,
+        "events_periodicity": relational.events_periodicity,
     }
 
 
@@ -2145,6 +2147,48 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
         "events_type_hits": graph.events_type_hits_oracle_sql(),
         "greedy_cover_docs": analysis.greedy_cover_oracle_sql(),
+        "stats_after_changelog": """
+            WITH final AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 35 = 0 THEN text || ' rev2'
+                          WHEN doc_id % 5 = 0 AND doc_id % 7 <> 0
+                            THEN text || ' rev1'
+                          ELSE text END AS t
+              FROM documents
+              WHERE NOT (doc_id % 7 = 0 AND doc_id % 35 <> 0)
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(t)) AS BIGINT) AS total_chars
+            FROM final GROUP BY lang
+        """,
+        "events_periodicity": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM c),
+            lags AS (SELECT unnest([1, 24, 168]) AS lag),
+            d AS (
+              SELECT a.event_type, l.lag, sum(a.n * x.n) AS dot
+              FROM c a
+              JOIN lags l ON l.lag < (SELECT hmax - hmin + 1 FROM b)
+              JOIN c x ON x.event_type = a.event_type AND x.h = a.h + l.lag
+              GROUP BY 1, 2
+            ),
+            g AS (
+              SELECT t.event_type, l.lag
+              FROM (SELECT DISTINCT event_type FROM events) t
+              JOIN lags l ON l.lag < (SELECT hmax - hmin + 1 FROM b)
+            )
+            SELECT g.event_type, CAST(g.lag AS BIGINT) AS lag,
+                   CAST(coalesce(d.dot, 0) AS BIGINT) AS dot,
+                   CAST((SELECT hmax - hmin + 1 FROM b) - g.lag AS BIGINT)
+                       AS n_terms
+            FROM g LEFT JOIN d ON d.event_type = g.event_type
+                               AND d.lag = g.lag
+        """,
         "label_centroid_sums": """
             WITH x AS (
               SELECT label, generate_subscripts(embedding, 1) AS dim,

@@ -244,6 +244,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "corpus_merkle",
         "bucketed_join_orders",
         "label_centroid_sums",
+        "stats_after_changelog",
+        "events_periodicity",
     ]
 
     timings: dict[str, float] = {}

@@ -354,3 +354,60 @@ def corpus_merkle(sf_dir: str, fanout: int = 64):
         .union(level1.map_batches(tag(1), batch_format="pandas", batch_size=65536))
         .union(level2.map_batches(tag(2), batch_format="pandas", batch_size=65536))
     )
+
+
+def stats_after_changelog(sf_dir: str):
+    """Incremental VIEW MAINTENANCE — update the per-language corpus
+    aggregate (n_docs, total_chars) by folding the CDC changelog's
+    DELTAS into the base aggregate, never materializing the merged
+    corpus: the recurring-pipeline primitive that makes a 10^12-doc
+    monthly refresh cost O(changes), not O(corpus). Per block, BASE
+    partials count the current snapshot and DELTA partials derive from
+    the changelog rules alone (upsert: char diff, delete: −1 doc and
+    −chars; last-writer-wins resolved per doc in-block because the
+    synth changelog is keyed by the local doc); one bounded per-lang
+    combine folds base ⊕ delta. Equality-gated against recomputing
+    from the merged corpus (the IVM correctness statement) and
+    SQL-oracle-checked against the merged-corpus aggregate. Returns
+    (lang, n_docs, total_chars)."""
+    from open_parse_ray.stages.analysis import read_documents
+    from open_parse_ray.stages.relational import _combine_partials
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        chars = np.asarray([len(t) for t in b["text"]], dtype=np.int64)
+        lang = b["lang"].to_numpy(dtype=object)
+        # base aggregate partial
+        base = pd.DataFrame({"lang": lang, "dn": np.int64(1), "dc": chars})
+        # delta partial from the changelog rules (apply_changelog's
+        # last-writer-wins, resolved in closed form per doc)
+        d35 = ids % 35 == 0
+        d7 = (ids % 7 == 0) & ~d35
+        d5 = (ids % 5 == 0) & ~(ids % 7 == 0)
+        dn = np.zeros(len(ids), dtype=np.int64)
+        dc = np.zeros(len(ids), dtype=np.int64)
+        dn[d7] = -1
+        dc[d7] = -chars[d7]
+        dc[d5] = len(" rev1")
+        dc[d35] = len(" rev2")
+        delta = pd.DataFrame({"lang": lang, "dn": dn, "dc": dc})
+        both = pd.concat([base, delta], ignore_index=True)
+        return both.groupby("lang", as_index=False).agg(
+            dn=("dn", "sum"), dc=("dc", "sum")
+        )
+
+    partials = read_documents(
+        sf_dir, columns=["doc_id", "text", "lang"]
+    ).map_batches(partial, batch_format="pandas", batch_size=8192)
+    out = _combine_partials(partials, ["lang"], {"dn": "sum", "dc": "sum"})
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": b["lang"],
+                "n_docs": b["dn"].astype("int64"),
+                "total_chars": b["dc"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pandas", batch_size=None)

@@ -4899,3 +4899,72 @@ def events_drift_cusum(sf_dir: str):
     return combined.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+
+
+def events_periodicity(sf_dir: str, lags=(1, 24, 168)):
+    """Rhythm detection per event type — raw AUTOCORRELATION dot
+    products of the zero-filled hourly count series at fixed lags
+    (1 h adjacency, 24 h daily, 168 h weekly): dot_L = Σ c_t·c_{t+L},
+    a pure-integer periodicity signal (a strong daily rhythm shows as
+    dot_24 ≫ dot_1's baseline; the reader normalizes). Same bounded
+    (type, hour) partial grid as events_drift_cusum; the per-type dot
+    products are one vectorized slice-multiply each inside the single
+    combined block. Lags ≥ the grid length emit nothing (mirrored by
+    the oracle's join bound). Returns (event_type, lag, dot, n_terms)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        g = pd.DataFrame({"event_type": b["event_type"], "h": h}).groupby(
+            ["event_type", "h"], as_index=False
+        ).size()
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "h": g["h"].astype("int64"),
+                "n": g["size"].astype("int64"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    combined = _combine_partials(partials, ["event_type", "h"], {"n": "sum"})
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "lag": pd.Series([], dtype="int64"),
+                    "dot": pd.Series([], dtype="int64"),
+                    "n_terms": pd.Series([], dtype="int64"),
+                }
+            )
+        hmin, hmax = int(b["h"].min()), int(b["h"].max())
+        H = hmax - hmin + 1
+        rows = []
+        for t in np.sort(b["event_type"].unique()):
+            g = b[b["event_type"] == t]
+            grid = np.zeros(H, dtype=np.int64)
+            grid[g["h"].to_numpy(dtype=np.int64) - hmin] = g["n"].to_numpy(
+                dtype=np.int64
+            )
+            for L in lags:
+                if L >= H:
+                    continue
+                rows.append(
+                    (t, int(L), int(np.dot(grid[:-L], grid[L:])), H - int(L))
+                )
+        return pd.DataFrame(
+            {
+                "event_type": [r[0] for r in rows],
+                "lag": np.asarray([r[1] for r in rows], dtype=np.int64),
+                "dot": np.asarray([r[2] for r in rows], dtype=np.int64),
+                "n_terms": np.asarray([r[3] for r in rows], dtype=np.int64),
+            }
+        )
+
+    return combined.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )

@@ -2653,3 +2653,59 @@ def test_label_centroid_sums_hand_case(ray_session, tmp_path):
     # float32(5e-7)*1e6 rounds half-away to 1 on both sides
     assert out.loc[(2, 1), "sum_fp"] == out.loc[(2, 1), "sum_fp"]  # defined
     assert out.loc[(2, -1), "sum_fp"] == 1
+
+
+def test_stats_after_changelog_ivm_equality(ray_session, tmp_path):
+    """The IVM statement: base ⊕ delta == recompute over the merged
+    corpus (built here by applying the changelog rules directly)."""
+    from open_parse_ray.stages.incremental import stats_after_changelog
+
+    ids = np.arange(1, 80, dtype=np.int64)
+    texts = [f"text of doc {i} " + "w" * (i % 13) for i in ids]
+    langs = [["en", "de", "fr"][i % 3] for i in ids]
+    pd.DataFrame(
+        {"doc_id": ids, "text": texts, "lang": langs, "source": "s",
+         "n_chars": [len(t) for t in texts]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = _df(stats_after_changelog(str(tmp_path))).set_index("lang")
+
+    # recompute from the merged corpus, straight from the rules
+    rows = []
+    for i, t, lg in zip(ids, texts, langs):
+        i = int(i)
+        if i % 35 == 0:
+            rows.append((lg, t + " rev2"))
+        elif i % 7 == 0:
+            continue
+        elif i % 5 == 0:
+            rows.append((lg, t + " rev1"))
+        else:
+            rows.append((lg, t))
+    want = (
+        pd.DataFrame(rows, columns=["lang", "t"])
+        .groupby("lang")
+        .agg(n_docs=("t", "size"), total_chars=("t", lambda s: sum(len(x) for x in s)))
+    )
+    assert out["n_docs"].to_dict() == want["n_docs"].to_dict()
+    assert out["total_chars"].to_dict() == want["total_chars"].to_dict()
+
+
+def test_events_periodicity_daily_rhythm(ray_session, tmp_path):
+    """A strictly 24h-periodic signal (one event at hour 0 of each of
+    5 days) has dot_24 = 4 (perfect daily alignment) and dot_1 = 0;
+    lag 168 emits nothing (grid shorter than a week)."""
+    from open_parse_ray.stages.relational import events_periodicity
+
+    ts0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, ts0 + pd.Timedelta(days=i, minutes=5), 1, "daily", 1.0)
+        for i in range(5)
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).assign(props="{}").to_parquet(tmp_path / "events.parquet")
+    out = _df(events_periodicity(str(tmp_path))).set_index("lag")
+    assert out.loc[1, "dot"] == 0
+    assert out.loc[24, "dot"] == 4
+    assert 168 not in out.index  # grid is 97 hours
+    assert out.loc[24, "n_terms"] == 97 - 24

@@ -416,6 +416,12 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.similarity import label_centroid_sums
 
     checks.append((label_centroid_sums, ["label", "dim"]))
+    from open_parse_ray.stages.incremental import stats_after_changelog
+
+    checks.append((stats_after_changelog, ["lang"]))
+    from open_parse_ray.stages.relational import events_periodicity
+
+    checks.append((events_periodicity, ["event_type", "lag"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
