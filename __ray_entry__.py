@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_sums": similarity.label_centroid_sums,
         "stats_after_changelog": incremental.stats_after_changelog,
         "events_periodicity": relational.events_periodicity,
+        "domain_concentration": web.domain_concentration,
     }
 
 
@@ -2147,6 +2148,25 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
         "events_type_hits": graph.events_type_hits_oracle_sql(),
         "greedy_cover_docs": analysis.greedy_cover_oracle_sql(),
+        "domain_concentration": """
+            WITH d AS (
+              SELECT source || '.org' AS domain, sum(n_chars) AS chars
+              FROM documents GROUP BY source
+            ),
+            o AS (
+              SELECT domain, chars,
+                     sum(chars) OVER (ORDER BY chars DESC, domain) AS cum,
+                     row_number() OVER (ORDER BY chars DESC, domain) AS rn,
+                     (SELECT sum(chars) FROM d) AS tot
+              FROM d
+            ),
+            p AS (SELECT unnest([50, 80, 90]) AS pct)
+            SELECT CAST(p.pct AS BIGINT) AS pct,
+                   CAST(min(o.rn) AS BIGINT) AS n_domains,
+                   CAST(arg_min(o.cum, o.rn) AS BIGINT) AS covered_chars
+            FROM p JOIN o ON 100 * o.cum >= p.pct * o.tot
+            GROUP BY p.pct
+        """,
         "stats_after_changelog": """
             WITH final AS (
               SELECT doc_id, lang,

@@ -246,6 +246,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "label_centroid_sums",
         "stats_after_changelog",
         "events_periodicity",
+        "domain_concentration",
     ]
 
     timings: dict[str, float] = {}

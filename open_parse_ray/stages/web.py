@@ -375,3 +375,51 @@ def url_editdist_pairs(sf_dir: str, num_parts: int = 32):
         dedupe,
         num_parts=num_parts,
     )
+
+
+def domain_concentration(sf_dir: str, pcts=(50, 80, 90)):
+    """Corpus CONCENTRATION report — for each coverage level p, the
+    minimum number of registered domains (ordered chars DESC, domain
+    ASC) whose pages hold ≥ p% of all characters, plus the chars they
+    cover: the Pareto statistic that decides whether dedup/cap effort
+    goes to a handful of mega-domains or the long tail. Threshold is
+    the integer cross-multiply 100·cum ≥ p·total — no float shares.
+    Shape: the bounded per-domain char table (the url_domain_stats
+    two-phase aggregate) collapses to one block; sort + cumsum +
+    searchsorted per level are vectorized there. At 10^8-domain scale
+    the same report runs on the histogram-range-partition ranker
+    (global_rank over chars) instead of the single block — noted in
+    SCALE.md. Returns (pct, n_domains, covered_chars)."""
+    stats = url_domain_stats(sf_dir)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "pct": pd.Series([], dtype="int64"),
+                    "n_domains": pd.Series([], dtype="int64"),
+                    "covered_chars": pd.Series([], dtype="int64"),
+                }
+            )
+        g = b.groupby("domain", as_index=False)["total_chars"].sum()
+        order = np.lexsort(
+            (g["domain"].to_numpy(dtype=object), -g["total_chars"].to_numpy(np.int64))
+        )
+        chars = g["total_chars"].to_numpy(np.int64)[order]
+        cum = np.cumsum(chars)
+        tot = int(cum[-1])
+        rows = []
+        for p in pcts:
+            i = int(np.searchsorted(100 * cum, p * tot, side="left"))
+            rows.append((int(p), i + 1, int(cum[i])))
+        return pd.DataFrame(
+            {
+                "pct": np.asarray([r[0] for r in rows], dtype=np.int64),
+                "n_domains": np.asarray([r[1] for r in rows], dtype=np.int64),
+                "covered_chars": np.asarray([r[2] for r in rows], dtype=np.int64),
+            }
+        )
+
+    return stats.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )

@@ -76,7 +76,11 @@ def _detect_input_format(input_dir: str) -> str:
         os.path.join(input_dir, "*.warc.gz")
     ):
         return "warc"
-    raise FileNotFoundError(f"no parquet or warc files under {input_dir}")
+    if glob.glob(os.path.join(input_dir, "*.jsonl")) or glob.glob(
+        os.path.join(input_dir, "*.jsonl.gz")
+    ):
+        return "jsonl"
+    raise FileNotFoundError(f"no parquet, warc or jsonl files under {input_dir}")
 
 
 def _shard_inputs(
@@ -86,6 +90,11 @@ def _shard_inputs(
         files = sorted(
             glob.glob(os.path.join(input_dir, "*.warc"))
             + glob.glob(os.path.join(input_dir, "*.warc.gz"))
+        )
+    elif input_format == "jsonl":
+        files = sorted(
+            glob.glob(os.path.join(input_dir, "*.jsonl"))
+            + glob.glob(os.path.join(input_dir, "*.jsonl.gz"))
         )
     else:
         files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
@@ -148,6 +157,10 @@ def _run_shard(
             from open_parse_ray.sources.warc import read_pages_warc
 
             ds = read_pages_warc(files, columns=["url", "html"])
+        elif input_format == "jsonl":
+            from open_parse_ray.sources.jsonl import read_pages_jsonl
+
+            ds = read_pages_jsonl(files, columns=["url", "html"])
         else:
             ds = rd.read_parquet(files)
         out = extract(ds, pipeline=pipeline, output="docs", batch_size=batch_size)

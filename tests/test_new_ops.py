@@ -2709,3 +2709,24 @@ def test_events_periodicity_daily_rhythm(ray_session, tmp_path):
     assert out.loc[24, "dot"] == 4
     assert 168 not in out.index  # grid is 97 hours
     assert out.loc[24, "n_terms"] == 97 - 24
+
+
+def test_domain_concentration_boundary(ray_session, tmp_path):
+    """Exact-threshold boundary: with chars 50/30/20, p=50 is covered
+    by ONE domain (100*50 >= 50*100 exactly — >= not >); p=80 needs
+    two; domain-name ASC breaks char ties deterministically."""
+    from open_parse_ray.stages.web import domain_concentration
+
+    # url synth derives domain from `source`; three sources
+    rows = []
+    did = 0
+    for src, total, n in [("a", 50, 1), ("b", 30, 1), ("c", 20, 1)]:
+        rows.append((did, "x" * total, "en", src, total))
+        did += 1
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = _df(domain_concentration(str(tmp_path))).set_index("pct")
+    assert out.loc[50, "n_domains"] == 1 and out.loc[50, "covered_chars"] == 50
+    assert out.loc[80, "n_domains"] == 2 and out.loc[80, "covered_chars"] == 80
+    assert out.loc[90, "n_domains"] == 3

@@ -422,6 +422,7 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import events_periodicity
 
     checks.append((events_periodicity, ["event_type", "lag"]))
+    checks.append((web.domain_concentration, ["pct"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)

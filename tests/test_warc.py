@@ -261,3 +261,71 @@ def test_writer_rejects_header_injection_urls():
             response_record(bad, 1, b"x", "en")
         with pytest.raises(ValueError):
             conversion_record(bad, 1, "x", "en")
+
+
+def test_jsonl_export_is_byte_deterministic(ray_session, tmp_path):
+    import hashlib
+    import os
+
+    from open_parse_ray.sources.jsonl import export_pages_jsonl
+
+    digests = []
+    for run in ("a", "b"):
+        out = str(tmp_path / run)
+        export_pages_jsonl(0.001, out)
+        h = hashlib.md5()
+        for f in sorted(os.listdir(out)):
+            h.update(f.encode())
+            h.update(open(os.path.join(out, f), "rb").read())
+        digests.append(h.hexdigest())
+    assert digests[0] == digests[1]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_jsonl_source_pages_identical_to_parquet(ray_session, tmp_path, gz):
+    """The third container (JSONL) yields the SAME pages Dataset as the
+    Parquet and WARC sources — url, timestamp, html bytes, recomputed
+    text and lang all byte-identical."""
+    from open_parse_ray.sources.jsonl import export_pages_jsonl, read_pages_jsonl
+    from open_parse_ray.sources.pages import read_pages
+
+    out = str(tmp_path / ("gz" if gz else "plain"))
+    export_pages_jsonl(0.001, out, gz=gz)
+    got = read_pages_jsonl(out).to_pandas().sort_values("url").reset_index(drop=True)
+    want = read_pages(0.001).to_pandas().sort_values("url").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_jsonl_run_job_matches_parquet_job(ray_session, tmp_path):
+    """run_job over JSONL input shards produces the same extracted
+    partitions as over the Parquet corpus (the input_format seam end to
+    end, incl. auto-detection)."""
+    from open_parse_ray.sources.jsonl import export_pages_jsonl
+    from open_parse_ray.sources.pages import ensure_pages_parquet
+    from open_parse_ray.state import lineage
+
+    jdir = str(tmp_path / "jsonl_in")
+    export_pages_jsonl(0.001, jdir)
+    pdir = ensure_pages_parquet(0.001)
+
+    out_a = str(tmp_path / "out_parquet")
+    out_b = str(tmp_path / "out_jsonl")
+    lineage.run_job(pdir, out_a, pipeline="basic", shard_size=8)
+    lineage.run_job(jdir, out_b, pipeline="basic", shard_size=8)
+
+    import glob as _g
+
+    import pyarrow.parquet as pq
+
+    def all_docs(root):
+        files = sorted(_g.glob(root + "/part=*/**/*.parquet", recursive=True))
+        import pyarrow as pa
+
+        t = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+        return (
+            t[["url", "extracted_text", "status"]]
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(all_docs(out_a), all_docs(out_b))

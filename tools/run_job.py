@@ -50,9 +50,11 @@ def main() -> None:
         help="partition file format (json = the reference's parsed.json() analog)",
     )
     ap.add_argument(
-        "--input-format", default="auto", choices=["auto", "parquet", "warc"],
+        "--input-format", default="auto",
+        choices=["auto", "parquet", "warc", "jsonl"],
         help="input shard container (auto-detected from the input dir; "
-        "warc reads Common-Crawl-style .warc/.warc.gz shards)",
+        "warc reads Common-Crawl-style .warc/.warc.gz shards, jsonl "
+        "reads base64-html .jsonl/.jsonl.gz shards)",
     )
     args = ap.parse_args()
 
