@@ -81,6 +81,7 @@ def pagerank(
     one: int = ONE,
     max_driver_edges: int = 1_000_000,
     force_distributed: bool = False,
+    ckpt_dir: str | None = None,
 ):
     """Fixed-point PageRank over an edge Dataset (src:int64, dst:int64,
     w:int64), node ids dense in [0, n_nodes). Returns a Dataset
@@ -135,7 +136,27 @@ def pagerank(
     tp = (15 * (one // n_nodes)) // 100
     wout_ref = ray.put(wout)
 
-    for _ in range(n_iter):
+    # Iteration-level checkpointing for long iterate jobs: the rank
+    # vector (the ENTIRE loop state — everything else is recomputed
+    # from the edge Dataset) is saved atomically per iteration; a
+    # restart loads the highest complete iteration ≤ n_iter and
+    # continues, bit-identically (resume gate in test_graph.py). The
+    # extraction job checkpoints per PARTITION (state/lineage.py);
+    # iterate jobs checkpoint per ITERATION — same os.replace contract.
+    start = 0
+    if ckpt_dir is not None:
+        import os as _os
+
+        _os.makedirs(ckpt_dir, exist_ok=True)
+        for k in range(n_iter, 0, -1):
+            f = _os.path.join(ckpt_dir, f"rank_iter{k:04d}.npy")
+            if _os.path.exists(f):
+                rank = np.load(f)
+                assert rank.shape == (n_nodes,) and rank.dtype == np.int64
+                start = k
+                break
+
+    for _it in range(start, n_iter):
         rank_ref = ray.put(rank)
 
         def contrib_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -156,6 +177,13 @@ def pagerank(
         )
         dang = (85 * (int(rank[dangling].sum()) // n_nodes)) // 100
         rank = tp + dang + acc
+        if ckpt_dir is not None:
+            import os as _os
+
+            f = _os.path.join(ckpt_dir, f"rank_iter{_it + 1:04d}.npy")
+            tmp = f + f".tmp.{_os.getpid()}.npy"
+            np.save(tmp, rank)
+            _os.replace(tmp, f)
 
     return rd.from_pandas(
         pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64), "rank_fp": rank})

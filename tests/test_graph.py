@@ -522,3 +522,50 @@ def test_events_type_hits_distributed_path_identical(ray_session):
     a = events_type_hits(sf).to_pandas()
     b = events_type_hits(sf, max_driver_edges=0).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pagerank_checkpoint_resume_bitwise(ray_session, tmp_path):
+    """Iterate-job resumability: a run interrupted after 8 of 20
+    iterations (simulated by running n_iter=8 with a checkpoint dir)
+    resumes from the saved rank vector and finishes bit-identical to
+    the uninterrupted 20-iteration run; a fully-checkpointed re-run
+    loads the final vector and recomputes nothing new."""
+    import os
+
+    import ray.data as rd
+
+    from open_parse_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    n = 120
+    edges = _rand_edges(rng, n, 900)
+    ds = rd.from_pandas(edges).repartition(5)
+
+    want = (
+        pagerank(ds, n_nodes=n, n_iter=20, force_distributed=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    ck = str(tmp_path / "ck")
+    pagerank(ds, n_nodes=n, n_iter=8, force_distributed=True, ckpt_dir=ck).to_pandas()
+    assert os.path.exists(os.path.join(ck, "rank_iter0008.npy"))
+
+    got = (
+        pagerank(ds, n_nodes=n, n_iter=20, force_distributed=True, ckpt_dir=ck)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert os.path.exists(os.path.join(ck, "rank_iter0020.npy"))
+
+    # third call: everything checkpointed — still identical
+    again = (
+        pagerank(ds, n_nodes=n, n_iter=20, force_distributed=True, ckpt_dir=ck)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(again, want)
