@@ -285,6 +285,15 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca_coords(sf_dir)
 
 
+def _q_point_lookup_orders(sf_dir: str):
+    """Metadata-pruned point lookup over the key-clustered orders copy
+    (footer min/max stats as the index; ids derived by modulo, no
+    scan)."""
+    from open_parse_ray.sources.clustered import point_lookup_orders
+
+    return point_lookup_orders(sf_dir)
+
+
 def _q_bucketed_join_orders(sf_dir: str):
     """orders x customer over hash-bucketed STORAGE (zero query-time
     shuffle; equality-gated bitwise against the salted-exchange join)."""
@@ -500,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_after_changelog": incremental.stats_after_changelog,
         "events_periodicity": relational.events_periodicity,
         "domain_concentration": web.domain_concentration,
+        "point_lookup_orders": _q_point_lookup_orders,
     }
 
 
@@ -2148,6 +2158,11 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
         "events_type_hits": graph.events_type_hits_oracle_sql(),
         "greedy_cover_docs": analysis.greedy_cover_oracle_sql(),
+        "point_lookup_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_orderkey % 997 = 0
+        """,
         "domain_concentration": """
             WITH d AS (
               SELECT source || '.org' AS domain, sum(n_chars) AS chars

@@ -247,6 +247,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "stats_after_changelog",
         "events_periodicity",
         "domain_concentration",
+        "point_lookup_orders",
     ]
 
     timings: dict[str, float] = {}

@@ -2730,3 +2730,36 @@ def test_domain_concentration_boundary(ray_session, tmp_path):
     assert out.loc[50, "n_domains"] == 1 and out.loc[50, "covered_chars"] == 50
     assert out.loc[80, "n_domains"] == 2 and out.loc[80, "covered_chars"] == 80
     assert out.loc[90, "n_domains"] == 3
+
+
+def test_clustered_point_lookup_prunes_row_groups(ray_session, tmp_path):
+    """The clustered layout's footer stats ARE the index: 5 point keys
+    against a 25-row-group table read ≤5 groups (each id hits exactly
+    one disjoint range), and the looked-up rows equal a full-scan
+    filter."""
+    from open_parse_ray.sources.clustered import ensure_clustered_table, lookup_rows
+
+    n = 200_000
+    rng = np.random.default_rng(2)
+    perm = rng.permutation(n).astype(np.int64)  # deliberately unclustered
+    pd.DataFrame(
+        {
+            "o_orderkey": perm,
+            "o_custkey": (perm * 7) % 1000,
+            "o_orderstatus": "O",
+            "o_totalprice": (perm % 977).astype(np.float64),
+            "o_orderdate": pd.Timestamp("1996-01-01"),
+            "o_orderpriority": "1-URGENT",
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    path = ensure_clustered_table(str(tmp_path), "orders", "o_orderkey")
+    ids = np.array([3, 77_777, 123_456, 199_999, 50_000], dtype=np.int64)
+    t, ng, nt = lookup_rows(path, "o_orderkey", ids)
+    assert nt >= 20
+    assert ng <= len(ids)
+    got = t.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    assert got["o_orderkey"].tolist() == sorted(ids.tolist())
+    assert (got["o_custkey"].to_numpy() == (np.sort(ids) * 7) % 1000).all()
+    # missing keys read nothing extra and return empty
+    t2, ng2, _ = lookup_rows(path, "o_orderkey", np.array([10**9], dtype=np.int64))
+    assert t2.num_rows == 0 and ng2 == 0

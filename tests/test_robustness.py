@@ -423,6 +423,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
 
     checks.append((events_periodicity, ["event_type", "lag"]))
     checks.append((web.domain_concentration, ["pct"]))
+    from open_parse_ray.sources.clustered import point_lookup_orders
+
+    checks.append((point_lookup_orders, ["o_orderkey"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
