@@ -103,6 +103,23 @@ def _shard_inputs(
     return [files[i : i + shard_size] for i in range(0, len(files), shard_size)]
 
 
+def _shard_fp(files) -> str:
+    """Input-shard fingerprint: md5 over (abspath, size, mtime_ns) per
+    file — the same cheap stat-based identity the /tmp staging caches
+    key on. Recorded in every partition's lineage and REQUIRED to match
+    at resume: a partition whose input changed (recrawled file, or a
+    re-shard that shifted which files part i covers) is stale and must
+    re-run, not be skipped — without this check, resume-by-index
+    silently serves old output over new input."""
+    h = hashlib.md5()
+    for f in files:
+        st = os.stat(f)
+        h.update(
+            f"{os.path.abspath(f)}|{st.st_size}|{st.st_mtime_ns}\x00".encode()
+        )
+    return h.hexdigest()
+
+
 def _part_dir(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, f"part={part:05d}")
 
@@ -183,6 +200,7 @@ def _run_shard(
     lineage = {
         "part": part,
         "input_files": files,
+        "input_fp": _shard_fp(files),
         "n_docs": tbl.num_rows,
         "n_errors": n_err,
         "n_nodes": int(pa.compute.sum(tbl["n_nodes"]).as_py() or 0),
@@ -277,7 +295,21 @@ def run_job(
     with open(mpath, "w") as f:
         json.dump(manifest, f, indent=1)
 
-    done = set(done_parts(out_dir))
+    done = set()
+    invalidated = []
+    for i in done_parts(out_dir):
+        if i >= len(shards):
+            continue  # input shrank; orphan partitions are ignored
+        try:
+            with open(os.path.join(_part_dir(out_dir, i), "lineage.json")) as f:
+                rec = json.load(f)
+        except OSError:
+            invalidated.append(i)
+            continue
+        if rec.get("input_fp") == _shard_fp(shards[i]):
+            done.add(i)
+        else:
+            invalidated.append(i)
     pending = [i for i in range(len(shards)) if i not in done]
     completed: List[Dict] = []
     if fail_after_parts is not None:
@@ -307,6 +339,7 @@ def run_job(
     return {
         "n_parts": len(shards),
         "skipped": sorted(done),
+        "invalidated": sorted(invalidated),
         "ran": [c["part"] for c in completed],
         "lineage": completed,
     }

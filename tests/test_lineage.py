@@ -127,3 +127,49 @@ def test_run_job_warc_input_byte_identical_to_parquet(ray_session, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(merged(out_warc), merged(out_pq))
+
+
+def test_changed_input_invalidates_its_partition(ray_session, tmp_path):
+    """The staleness hole resume-by-index would have: after a completed
+    job, one input shard's CONTENT changes (a recrawl) — re-running the
+    job must re-run exactly that partition (input_fp mismatch) and skip
+    the rest, and the re-run output must reflect the new input."""
+    import glob as _g
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.sources.pages import ensure_pages_parquet
+    from open_parse_ray.state import lineage
+
+    src = ensure_pages_parquet(0.001)
+    indir = str(tmp_path / "in")
+    shutil.copytree(src, indir)
+    files = sorted(_g.glob(indir + "/*.parquet"))
+    assert len(files) >= 3
+
+    out = str(tmp_path / "out")
+    r1 = lineage.run_job(indir, out, pipeline="basic", shard_size=1)
+    assert r1["ran"] and not r1["skipped"]
+
+    # clean resume: nothing invalidated, nothing re-run
+    r2 = lineage.run_job(indir, out, pipeline="basic", shard_size=1)
+    assert r2["ran"] == [] and r2["invalidated"] == []
+    assert len(r2["skipped"]) == len(files)
+
+    # mutate shard 1's content (drop half its rows) — mtime/size change
+    t = pq.read_table(files[1])
+    pq.write_table(t.slice(0, t.num_rows // 2), files[1])
+
+    r3 = lineage.run_job(indir, out, pipeline="basic", shard_size=1)
+    assert r3["invalidated"] == [1]
+    assert r3["ran"] == [1]
+    assert 1 not in r3["skipped"] and len(r3["skipped"]) == len(files) - 1
+
+    # the re-run partition reflects the new (halved) input
+    import json as _json
+    import os
+
+    with open(os.path.join(out, "part=00001", "lineage.json")) as f:
+        rec = _json.load(f)
+    assert rec["n_docs"] == t.num_rows // 2
