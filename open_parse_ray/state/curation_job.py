@@ -84,10 +84,30 @@ def _run_keyed_shard(part: int, files: List[str], keyed_dir: str) -> Dict:
         curation_keyed_batch, batch_format="pandas", batch_size=8192
     ).write_parquet(tmp)
 
+    # an all-filtered shard (every doc failed the quality gates — WILL
+    # happen at corpus scale) writes ZERO parquet files; commit an
+    # explicit empty partition with the keyed schema instead of letting
+    # the metrics read crash on an empty directory
+    if not glob.glob(os.path.join(tmp, "*.parquet")):
+        import pandas as _pd
+
+        empty = curation_keyed_batch(
+            _pd.DataFrame({"doc_id": _pd.Series([], dtype="int64"),
+                           "text": _pd.Series([], dtype=object),
+                           "source": _pd.Series([], dtype=object)})
+        )
+        pq.write_table(
+            pa.Table.from_pandas(empty, preserve_index=False),
+            os.path.join(tmp, "empty.parquet"),
+        )
+
+    from open_parse_ray.state.lineage import _shard_fp
+
     tbl = pq.read_table(tmp)
     lineage = {
         "part": part,
         "input_files": files,
+        "input_fp": _shard_fp(files),
         "n_docs": tbl.num_rows,
         "content_hash": _keyed_hash(tbl),
         "wall_s": round(time.perf_counter() - t0, 3),
@@ -144,7 +164,29 @@ def run_curation_job(
             indent=1,
         )
 
-    done = set(_done_parts(keyed_dir))
+    # staleness check (the lineage.run_job contract): a committed keyed
+    # partition only counts as done if its recorded input fingerprint
+    # still matches; stale and orphan (index >= len(shards)) partitions
+    # are REMOVED so phase 2's committed-parts glob can never feed old
+    # rows into the global dedup/rank
+    from open_parse_ray.state.lineage import _shard_fp
+
+    done = set()
+    invalidated = []
+    for i in _done_parts(keyed_dir):
+        pdir = _part_dir(keyed_dir, i)
+        ok = False
+        if i < len(shards):
+            try:
+                with open(os.path.join(pdir, "lineage.json")) as f:
+                    ok = json.load(f).get("input_fp") == _shard_fp(shards[i])
+            except OSError:
+                ok = False
+        if ok:
+            done.add(i)
+        else:
+            invalidated.append(i)
+            shutil.rmtree(pdir, ignore_errors=True)
     pending = [i for i in range(len(shards)) if i not in done]
     completed: List[Dict] = []
     if fail_after_parts is not None:
@@ -210,6 +252,7 @@ def run_curation_job(
     return {
         "n_parts": len(shards),
         "skipped": sorted(done),
+        "invalidated": sorted(invalidated),
         "ran": [c["part"] for c in completed],
         "lineage": completed,
         "n_docs_keyed": n_docs_keyed,

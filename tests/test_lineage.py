@@ -173,3 +173,119 @@ def test_changed_input_invalidates_its_partition(ray_session, tmp_path):
     with open(os.path.join(out, "part=00001", "lineage.json")) as f:
         rec = _json.load(f)
     assert rec["n_docs"] == t.num_rows // 2
+
+
+def test_curation_job_changed_input_invalidates(ray_session, tmp_path):
+    """The curation job's phase-1 resume applies the same input-
+    fingerprint contract: a changed input shard re-runs exactly its
+    keyed partition, stale/orphan partitions never feed phase 2, and
+    the resumed final equals a from-scratch run over the new input."""
+    import glob as _g
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.state import curation_job
+
+    import os
+
+    indir = str(tmp_path / "docs_in")
+    os.makedirs(indir)
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)] + ["the", "and", "of", "to", "in"]
+    for f in range(3):
+        ids = np.arange(f * 100, f * 100 + 100, dtype=np.int64)
+        texts = [
+            ". ".join(
+                " ".join(rng.choice(vocab, 12)) for _ in range(8)
+            )
+            + "."
+            for _ in ids
+        ]
+        pd.DataFrame(
+            {
+                "doc_id": ids,
+                "text": texts,
+                "lang": "en",
+                "source": "s",
+                "n_chars": [len(t) for t in texts],
+            }
+        ).to_parquet(f"{indir}/docs_{f}.parquet")
+
+    out = str(tmp_path / "job")
+    r1 = curation_job.run_curation_job(indir, out, shard_size=1)
+    assert len(r1["ran"]) == 3
+
+    # clean resume: all skipped, nothing invalidated
+    r2 = curation_job.run_curation_job(indir, out, shard_size=1)
+    assert r2["ran"] == [] and r2["invalidated"] == []
+
+    # change shard 2's content
+    f2 = sorted(_g.glob(indir + "/*.parquet"))[2]
+    t = pq.read_table(f2)
+    pq.write_table(t.slice(0, 50), f2)
+    r3 = curation_job.run_curation_job(indir, out, shard_size=1)
+    assert r3["invalidated"] == [2] and r3["ran"] == [2]
+
+    # resumed final == from-scratch final over the new input
+    fresh = str(tmp_path / "fresh")
+    curation_job.run_curation_job(indir, fresh, shard_size=1)
+    a = curation_job.read_final(out).to_pandas()
+    b = curation_job.read_final(fresh).to_pandas()
+    assert a.equals(b)
+
+
+def test_curation_job_all_filtered_shard_commits_empty(ray_session, tmp_path):
+    """A shard whose every doc fails the quality gates (4-word-vocab
+    spam) must COMMIT an empty keyed partition — not crash the metrics
+    read or stall resume — and the job completes with a final output
+    from the surviving shards."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from open_parse_ray.state import curation_job
+
+    indir = str(tmp_path / "in")
+    os.makedirs(indir)
+    rng = np.random.default_rng(5)
+    # shard 0: spam (all filtered); shard 1: real-looking docs
+    pd.DataFrame(
+        {
+            "doc_id": np.arange(100, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(["alpha", "beta", "gamma", "delta"], 30))
+                for _ in range(100)
+            ],
+            "lang": "en",
+            "source": "s",
+            "n_chars": 100,
+        }
+    ).to_parquet(f"{indir}/a_spam.parquet")
+    vocab = [f"w{i}" for i in range(200)] + ["the", "and", "of"]
+    texts = [
+        ". ".join(" ".join(rng.choice(vocab, 12)) for _ in range(8)) + "."
+        for _ in range(100)
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, 1100, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(f"{indir}/b_real.parquet")
+
+    out = str(tmp_path / "job")
+    r = curation_job.run_curation_job(indir, out, shard_size=1)
+    assert sorted(r["ran"]) == [0, 1]
+    rec = {x["part"]: x for x in r["lineage"]}
+    assert rec[0]["n_docs"] == 0          # spam shard committed empty
+    assert rec[1]["n_docs"] > 0
+    final = curation_job.read_final(out).to_pandas()
+    assert len(final) > 0
+    assert (final["doc_id"] >= 1000).all()  # only the real shard survives
