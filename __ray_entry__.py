@@ -510,6 +510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_periodicity": relational.events_periodicity,
         "domain_concentration": web.domain_concentration,
         "point_lookup_orders": _q_point_lookup_orders,
+        "events_transition_matrix": graph.transition_edges,
+        "user_activity_histogram": relational.user_activity_histogram,
     }
 
 
@@ -2158,6 +2160,24 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pagerank": graph.events_type_pagerank_oracle_sql(),
         "events_type_hits": graph.events_type_hits_oracle_sql(),
         "greedy_cover_docs": analysis.greedy_cover_oracle_sql(),
+        "events_transition_matrix": """
+            WITH seq AS (
+              SELECT user_id, event_type AS src_t,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS dst_t
+              FROM events
+            )
+            SELECT src_t, dst_t, CAST(count(*) AS BIGINT) AS w
+            FROM seq WHERE dst_t IS NOT NULL GROUP BY src_t, dst_t
+        """,
+        "user_activity_histogram": """
+            WITH c AS (SELECT user_id, count(*) AS n FROM events
+                       GROUP BY user_id)
+            SELECT CAST(n AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM c GROUP BY n
+        """,
         "point_lookup_orders": """
             SELECT o_orderkey, o_custkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents

@@ -248,6 +248,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_periodicity",
         "domain_concentration",
         "point_lookup_orders",
+        "events_transition_matrix",
+        "user_activity_histogram",
     ]
 
     timings: dict[str, float] = {}

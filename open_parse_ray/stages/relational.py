@@ -4968,3 +4968,42 @@ def events_periodicity(sf_dir: str, lags=(1, 24, 168)):
     return combined.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+
+
+def user_activity_histogram(sf_dir: str):
+    """Distribution-of-activity report: how many users produced exactly
+    k events — the engagement-shape statistic (a heavy-tailed corpus
+    shows here first, and it is the input to the rate-cap decision the
+    same way domain_concentration feeds the domain cap). Two-phase:
+    per-block (user, count) Arrow partials finish in ONE user-salted
+    exchange (users disjoint across partitions ⇒ per-partition
+    histograms over final counts are exact) and collapse to the
+    bounded (n_events, n_users) grid. Returns (n_events, n_users)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _arrow_group_aggs(
+            {"user_id": t["user_id"]}, {"n": ("count", None)}, t.num_rows
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        per_user = g.groupby("user_id", as_index=False)["n"].sum()
+        vc = per_user["n"].value_counts()
+        return pd.DataFrame(
+            {
+                "n_events": vc.index.to_numpy(dtype=np.int64),
+                "n_users": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    out = salted_groupby_arrow(
+        partials, lambda t: t["user_id"].to_numpy(zero_copy_only=False), hist
+    )
+    return _combine_partials(out, ["n_events"], {"n_users": "sum"})

@@ -426,6 +426,12 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.sources.clustered import point_lookup_orders
 
     checks.append((point_lookup_orders, ["o_orderkey"]))
+    from open_parse_ray.stages.graph import transition_edges
+
+    checks.append((transition_edges, ["src_t", "dst_t"]))
+    from open_parse_ray.stages.relational import user_activity_histogram
+
+    checks.append((user_activity_histogram, ["n_events"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
