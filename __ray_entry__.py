@@ -512,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_lookup_orders": _q_point_lookup_orders,
         "events_transition_matrix": graph.transition_edges,
         "user_activity_histogram": relational.user_activity_histogram,
+        "weighted_priority_sample": analysis.weighted_priority_sample,
     }
 
 
@@ -2178,6 +2179,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM c GROUP BY n
         """,
+        # deterministic weighted priority sample: splitmix64 unrolled in
+        # HUGEINT mod-2^64 arithmetic, identical integer priority order
+        "weighted_priority_sample": analysis.weighted_priority_sample_oracle_sql(),
         "point_lookup_orders": """
             SELECT o_orderkey, o_custkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents

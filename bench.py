@@ -250,6 +250,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "point_lookup_orders",
         "events_transition_matrix",
         "user_activity_histogram",
+        "weighted_priority_sample",
     ]
 
     timings: dict[str, float] = {}

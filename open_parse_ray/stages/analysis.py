@@ -2165,3 +2165,115 @@ def greedy_cover_oracle_sql(k: int = 8) -> str:
     ]
     parts.append("\n" + "\nUNION ALL\n".join(selects))
     return "".join(parts)
+
+
+# splitmix64 constants — the shared priority-hash spec for
+# weighted_priority_sample; the SQL oracle mirrors these digit-for-digit
+# in HUGEINT arithmetic (multiplies split into 32-bit halves so every
+# intermediate fits int128).
+_SM_ADD = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+
+
+def _splitmix63(ids: np.ndarray) -> np.ndarray:
+    """splitmix64 of each id, top 63 bits (>> 1) as int64 — a full-period
+    mixer (every finalizer stage is a bijection on Z_2^64), so priorities
+    are uniform and collision-free per id. numpy uint64 arithmetic wraps
+    mod 2^64 by definition, which IS the spec."""
+    z = ids.astype(np.uint64) + np.uint64(_SM_ADD)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(_SM_M1)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM_M2)
+    z = z ^ (z >> np.uint64(31))
+    return (z >> np.uint64(1)).astype(np.int64)
+
+
+def weighted_priority_sample(sf_dir: str, k: int = 200):
+    """Deterministic WEIGHTED sampling without replacement (priority
+    sampling, the integer-exact cousin of A-ES reservoir sampling):
+    each doc gets priority = h63(doc_id) // w with w = n_chars + 1, and
+    the sample is the k globally smallest (priority, h63, doc_id)
+    triples — larger weights divide the uniform hash down, so heavy
+    docs win proportionally more often, with no RNG state and no
+    full sort: every block forwards only its LOCAL top-k (the global
+    top-k is a subset of the union of local top-ks), so k·n_blocks
+    fixed-width rows reach the single merge block regardless of corpus
+    size. Returns (doc_id, priority, w).
+
+    Reference pairing: the corpus-scale sampling family next to
+    sample_documents / stratified_sample (reference has no sampling;
+    this is the training-data mixture primitive)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "n_chars"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "priority": pd.Series([], dtype="int64"),
+                    "w": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        w = b["n_chars"].to_numpy(dtype=np.int64) + 1
+        h = _splitmix63(ids)
+        pr = h // w
+        order = np.lexsort((ids, h, pr))[:k]
+        return pd.DataFrame(
+            {"doc_id": ids[order], "priority": pr[order], "w": w[order]}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        h = _splitmix63(b["doc_id"].to_numpy(dtype=np.int64))
+        order = np.lexsort(
+            (b["doc_id"].to_numpy(), h, b["priority"].to_numpy())
+        )[:k]
+        return b.iloc[order].reset_index(drop=True)
+
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def _sql_mul64(a: str, c: int) -> str:
+    """(a * c) mod 2^64 over HUGEINT with the constant split into 32-bit
+    halves so no intermediate exceeds int128."""
+    lo, hi = c % 4294967296, c // 4294967296
+    m64 = "18446744073709551616"
+    return (
+        f"((({a}) * {lo}) % {m64}"
+        f" + ((({a}) * {hi}) % 4294967296) * 4294967296) % {m64}"
+    )
+
+
+def weighted_priority_sample_oracle_sql(k: int = 200) -> str:
+    """DuckDB mirror of weighted_priority_sample: splitmix64 unrolled in
+    HUGEINT mod-2^64 arithmetic (xor/shift-as-division are exact on
+    non-negative HUGEINT), then the identical integer priority order."""
+    m64 = "18446744073709551616"
+    s1 = _sql_mul64("xor(z, z // 1073741824)", _SM_M1)
+    s2 = _sql_mul64("xor(z, z // 134217728)", _SM_M2)
+    return f"""
+        WITH s0 AS (
+          SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS w,
+                 (CAST(doc_id AS HUGEINT) + {_SM_ADD}) % {m64} AS z
+          FROM documents
+        ),
+        s1 AS (SELECT doc_id, w, {s1} AS z FROM s0),
+        s2 AS (SELECT doc_id, w, {s2} AS z FROM s1),
+        s3 AS (SELECT doc_id, w,
+                      CAST(xor(z, z // 2147483648) // 2 AS BIGINT) AS h63
+               FROM s2)
+        SELECT doc_id, h63 // w AS priority, w
+        FROM s3
+        ORDER BY priority, h63, doc_id
+        LIMIT {k}
+    """

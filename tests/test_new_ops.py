@@ -2763,3 +2763,63 @@ def test_clustered_point_lookup_prunes_row_groups(ray_session, tmp_path):
     # missing keys read nothing extra and return empty
     t2, ng2, _ = lookup_rows(path, "o_orderkey", np.array([10**9], dtype=np.int64))
     assert t2.num_rows == 0 and ng2 == 0
+
+
+def test_weighted_priority_sample_brute_force(ray_session):
+    """The distributed local-top-k merge equals an INDEPENDENT
+    pure-Python-int brute force (splitmix64 reimplemented from the
+    published constants, not imported from the operator): k globally
+    smallest (h63 // (n_chars+1), h63, doc_id). Also pins the
+    weighting direction: the sampled docs' mean weight exceeds the
+    corpus mean (heavy docs win proportionally more often)."""
+    from open_parse_ray.stages.analysis import weighted_priority_sample
+
+    k = 50
+    got = _df(weighted_priority_sample(SF, k=k))
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    m = (1 << 64) - 1
+
+    def sm63(x: int) -> int:
+        z = (x + 0x9E3779B97F4A7C15) & m
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & m
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m
+        return (z ^ (z >> 31)) >> 1
+
+    rows = []
+    for d, nc in zip(docs["doc_id"], docs["n_chars"]):
+        h, w = sm63(int(d)), int(nc) + 1
+        rows.append((h // w, h, int(d), w))
+    rows.sort()
+    want = pd.DataFrame(
+        {
+            "doc_id": [r[2] for r in rows[:k]],
+            "priority": [r[0] for r in rows[:k]],
+            "w": [r[3] for r in rows[:k]],
+        }
+    )
+    assert _sorted(got).equals(_sorted(want))
+    assert got["w"].mean() > docs["n_chars"].add(1).mean()
+
+
+def test_weighted_priority_sample_weight_extremes(ray_session, tmp_path):
+    """Degenerate weights behave per spec: a doc with a HUGE weight has
+    priority ~0 and is always sampled; w = n_chars + 1 keeps empty docs
+    (n_chars=0) legal (divisor 1, never a crash)."""
+    from open_parse_ray.stages.analysis import weighted_priority_sample
+
+    n = 500
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [""] * n,
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": np.zeros(n, dtype=np.int64),
+        }
+    )
+    df.loc[7, "n_chars"] = np.int64(1) << 62  # whale doc
+    df.to_parquet(tmp_path / "documents.parquet")
+    got = _df(weighted_priority_sample(str(tmp_path), k=10))
+    assert 7 in set(got["doc_id"])
+    assert int(got.loc[got["doc_id"] == 7, "priority"].iloc[0]) == 0

@@ -432,6 +432,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import user_activity_histogram
 
     checks.append((user_activity_histogram, ["n_events"]))
+    from open_parse_ray.stages.analysis import weighted_priority_sample
+
+    checks.append((weighted_priority_sample, ["doc_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
