@@ -513,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_matrix": graph.transition_edges,
         "user_activity_histogram": relational.user_activity_histogram,
         "weighted_priority_sample": analysis.weighted_priority_sample,
+        "bloom_semijoin_orders": relational.bloom_semijoin_orders,
     }
 
 
@@ -2182,6 +2183,16 @@ def oracle_sql() -> dict[str, str]:
         # deterministic weighted priority sample: splitmix64 unrolled in
         # HUGEINT mod-2^64 arithmetic, identical integer priority order
         "weighted_priority_sample": analysis.weighted_priority_sample_oracle_sql(),
+        # Bloom-pruned semi-join: the filter only PRUNES (false positives
+        # are removed by the exact in-partition join), so the oracle is
+        # the plain join — exactness for any bitmap size is the point
+        "bloom_semijoin_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+        """,
         "point_lookup_orders": """
             SELECT o_orderkey, o_custkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents

@@ -251,6 +251,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_transition_matrix",
         "user_activity_histogram",
         "weighted_priority_sample",
+        "bloom_semijoin_orders",
     ]
 
     timings: dict[str, float] = {}

@@ -5007,3 +5007,164 @@ def user_activity_histogram(sf_dir: str):
         partials, lambda t: t["user_id"].to_numpy(zero_copy_only=False), hist
     )
     return _combine_partials(out, ["n_events"], {"n_users": "sum"})
+
+
+def _bloom_hashes(keys: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """k double-hashed bit positions per key (Kirsch–Mitzenmacher:
+    h_i = h1 + i·h2 mod m), both base hashes from the shared splitmix64
+    mixer so the filter is deterministic across runs, retries and
+    cluster sizes. Returns shape (k, n) int64 positions."""
+    from open_parse_ray.stages.analysis import _splitmix63
+
+    h1 = _splitmix63(keys).astype(np.uint64)
+    h2 = _splitmix63(keys ^ np.int64(0x5DEECE66D)).astype(np.uint64) | np.uint64(1)
+    i = np.arange(k_hashes, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_semijoin_orders(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    m_bits: int = 1 << 17,
+    k_hashes: int = 4,
+    use_bloom: bool = True,
+):
+    """Semi-join REDUCTION via a broadcast Bloom filter: orders placed by
+    ``segment`` customers, joined exactly. The qualifying-customer key
+    set is summarized as an m-bit Bloom bitmap (per-block OR partials,
+    folded once on the driver — n_blocks × m/8 bytes, never key rows),
+    broadcast via ray.put, and the orders scan drops every row that
+    fails the membership test BEFORE the join exchange — at a 20%
+    segment the exchange ships ~20% + ε of the fact table instead of
+    all of it, and unlike an exact key-set broadcast the bitmap is
+    FIXED-SIZE no matter how many keys qualify (10^9 qualifying
+    custkeys as an int64 set is 8 GB; the bitmap stays m/8 bytes).
+    False positives are removed by the exact in-partition hash join
+    against the real (filtered) customer side, so the result is exact
+    for ANY m — a tiny bitmap only costs extra shipped rows, never
+    correctness (gated). ``use_bloom=False`` broadcasts the exact key
+    set instead (the equality-gate twin). Returns
+    (o_orderkey, o_custkey, c_nationkey, price_cents)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_mktsegment"]
+    cust_ds = rd.read_parquet(table_path(sf_dir, "customer"), columns=cust_cols)
+
+    if use_bloom:
+        nbytes = m_bits // 8
+
+        def bloom_partial(t: pa.Table) -> pd.DataFrame:
+            seg = t["c_mktsegment"].to_numpy(zero_copy_only=False)
+            keys = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = keys[seg == segment]
+            bm = np.zeros(nbytes, dtype=np.uint8)
+            if len(keys):
+                pos = _bloom_hashes(keys, m_bits, k_hashes).ravel()
+                np.bitwise_or.at(
+                    bm, pos >> 3, (1 << (7 - (pos & 7))).astype(np.uint8)
+                )
+            return pd.DataFrame({"bm": [bm.tobytes()]})
+
+        parts = cust_ds.map_batches(
+            bloom_partial, batch_format="pyarrow", batch_size=65536
+        ).take_all()
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        for r in parts:  # n_blocks fixed-size bitmaps — driver-bounded
+            bm |= np.frombuffer(r["bm"], dtype=np.uint8)
+        probe_ref = ray.put(bm)
+
+        def survives(pk: np.ndarray) -> np.ndarray:
+            bits = ray.get(probe_ref)
+            pos = _bloom_hashes(pk, m_bits, k_hashes)
+            ok = np.ones(len(pk), dtype=bool)
+            for i in range(k_hashes):
+                p = pos[i]
+                ok &= ((bits[p >> 3] >> (7 - (p & 7))) & 1).astype(bool)
+            return ok
+
+    else:
+
+        def key_partial(t: pa.Table) -> pd.DataFrame:
+            seg = t["c_mktsegment"].to_numpy(zero_copy_only=False)
+            keys = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pd.DataFrame({"k": keys[seg == segment]})
+
+        want = np.sort(
+            cust_ds.map_batches(
+                key_partial, batch_format="pyarrow", batch_size=65536
+            )
+            .to_pandas()["k"]
+            .to_numpy(dtype=np.int64)
+        )
+        probe_ref = ray.put(want)
+
+        def survives(pk: np.ndarray) -> np.ndarray:
+            w = ray.get(probe_ref)
+            idx = np.searchsorted(w, pk)
+            idx[idx >= len(w)] = 0
+            return w[idx] == pk if len(w) else np.zeros(len(pk), dtype=bool)
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        pk = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = survives(pk)
+        n = int(ok.sum())
+        return pa.table(
+            {
+                "key": pa.array(pk[ok]),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "o_orderkey": pa.array(
+                    t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+                ),
+                "price_cents": pa.array(
+                    _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))[ok]
+                ),
+                "c_nationkey": pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
+
+    def proj_cust(t: pa.Table) -> pa.Table:
+        seg = t["c_mktsegment"].to_numpy(zero_copy_only=False)
+        m = seg == segment
+        n = int(m.sum())
+        fill = np.full(n, -1, dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(
+                    t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+                ),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "o_orderkey": pa.array(fill),
+                "price_cents": pa.array(fill),
+                "c_nationkey": pa.array(
+                    t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+                ),
+            }
+        )
+
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
+    cust = cust_ds.map_batches(proj_cust, batch_format="pyarrow", batch_size=65536)
+
+    def join(part: pd.DataFrame) -> pd.DataFrame:
+        left = part[part["side"] == 0][["key", "o_orderkey", "price_cents"]]
+        right = part[part["side"] == 1][["key", "c_nationkey"]]
+        out = left.merge(right, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "o_orderkey": out["o_orderkey"].astype("int64"),
+                "o_custkey": out["key"].astype("int64"),
+                "c_nationkey": out["c_nationkey"].astype("int64"),
+                "price_cents": out["price_cents"].astype("int64"),
+            }
+        )
+
+    both = orders.union(cust)
+    return salted_groupby_arrow(
+        both, lambda t: t["key"].to_numpy(zero_copy_only=False), join
+    )

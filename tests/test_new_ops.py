@@ -2823,3 +2823,53 @@ def test_weighted_priority_sample_weight_extremes(ray_session, tmp_path):
     got = _df(weighted_priority_sample(str(tmp_path), k=10))
     assert 7 in set(got["doc_id"])
     assert int(got.loc[got["doc_id"] == 7, "priority"].iloc[0]) == 0
+
+
+def test_bloom_semijoin_paths_and_fp_storm(ray_session):
+    """The Bloom-pruned join equals the exact-key-set twin bitwise, and
+    stays exact under a deliberately tiny bitmap (m=64 → nearly every
+    probe passes, the in-partition join must remove all false
+    positives). Oracle shape cross-checked against DuckDB."""
+    from open_parse_ray.stages.relational import bloom_semijoin_orders
+
+    a = _sorted(_df(bloom_semijoin_orders(SF)))
+    b = _sorted(_df(bloom_semijoin_orders(SF, use_bloom=False)))
+    c = _sorted(_df(bloom_semijoin_orders(SF, m_bits=64, k_hashes=2)))
+    assert a.equals(b) and c.equals(b)
+    o = _duck(
+        """SELECT o_orderkey, o_custkey,
+                  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+           FROM orders o JOIN customer c ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'""",
+        orders=f"{SF}/orders.parquet",
+        customer=f"{SF}/customer.parquet",
+    )
+    assert a.equals(_sorted(o))
+
+
+def test_bloom_semijoin_prunes(ray_session):
+    """The reduction is real: the survives() bitmap test rejects the
+    non-qualifying majority. Direct kernel check — build the filter the
+    operator builds, probe with custkeys of NON-segment customers, and
+    require the false-positive rate to be under 5% at the default
+    (m=2^17, k=4) sizing for this corpus."""
+    from open_parse_ray.stages.relational import _bloom_hashes
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    m_bits, k = 1 << 17, 4
+    good = cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(
+        dtype=np.int64
+    )
+    bad = cust.loc[cust["c_mktsegment"] != "BUILDING", "c_custkey"].to_numpy(
+        dtype=np.int64
+    )
+    bm = np.zeros(m_bits // 8, dtype=np.uint8)
+    pos = _bloom_hashes(good, m_bits, k).ravel()
+    np.bitwise_or.at(bm, pos >> 3, (1 << (7 - (pos & 7))).astype(np.uint8))
+    probe = _bloom_hashes(bad, m_bits, k)
+    ok = np.ones(len(bad), dtype=bool)
+    for i in range(k):
+        p = probe[i]
+        ok &= ((bm[p >> 3] >> (7 - (p & 7))) & 1).astype(bool)
+    assert ok.mean() < 0.05

@@ -435,6 +435,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.analysis import weighted_priority_sample
 
     checks.append((weighted_priority_sample, ["doc_id"]))
+    from open_parse_ray.stages.relational import bloom_semijoin_orders
+
+    checks.append((bloom_semijoin_orders, ["o_orderkey"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
