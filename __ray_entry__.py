@@ -51,6 +51,7 @@ from open_parse_ray.stages import (
     web,
 )
 from open_parse_ray.stages.similarity import default_query_vectors
+from open_parse_ray.sources.zorder import ZORDER_BOX_ORDERS_SQL as _ZORDER_BOX_SQL
 
 
 def entry() -> Any:
@@ -285,6 +286,15 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca_coords(sf_dir)
 
 
+def _q_zorder_box_orders(sf_dir: str):
+    """2-D box scan over the Z-order-clustered orders copy (per-column
+    footer stats pruning; box bounds derive from global column min/max,
+    mirrored by the oracle's subqueries)."""
+    from open_parse_ray.sources.zorder import zorder_box_orders
+
+    return zorder_box_orders(sf_dir)
+
+
 def _q_point_lookup_orders(sf_dir: str):
     """Metadata-pruned point lookup over the key-clustered orders copy
     (footer min/max stats as the index; ids derived by modulo, no
@@ -514,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_histogram": relational.user_activity_histogram,
         "weighted_priority_sample": analysis.weighted_priority_sample,
         "bloom_semijoin_orders": relational.bloom_semijoin_orders,
+        "zorder_box_orders": _q_zorder_box_orders,
     }
 
 
@@ -2193,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE c_mktsegment = 'BUILDING'
         """,
+        "zorder_box_orders": _ZORDER_BOX_SQL,
         "point_lookup_orders": """
             SELECT o_orderkey, o_custkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents

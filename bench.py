@@ -252,6 +252,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "user_activity_histogram",
         "weighted_priority_sample",
         "bloom_semijoin_orders",
+        "zorder_box_orders",
     ]
 
     timings: dict[str, float] = {}

@@ -2873,3 +2873,49 @@ def test_bloom_semijoin_prunes(ray_session):
         p = probe[i]
         ok &= ((bm[p >> 3] >> (7 - (p & 7))) & 1).astype(bool)
     assert ok.mean() < 0.05
+
+
+def test_zorder_box_scan_exact_and_prunes(ray_session, tmp_path):
+    """Z-order layout: (1) a box scan equals the brute-force filter
+    bitwise, for boxes crossing bucket boundaries and off-grid bounds;
+    (2) the layout PRUNES — a 1/16-area box reads far fewer row groups
+    than a single-column-sorted layout, whose stripes ignore the second
+    dimension; (3) an empty box reads zero groups."""
+    from open_parse_ray.sources.clustered import ensure_clustered_table
+    from open_parse_ray.sources.zorder import box_scan, ensure_zorder_table
+
+    n = 800_000
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1 << 20, n, dtype=np.int64)
+    y = rng.integers(0, 1 << 20, n, dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": x,
+            "o_orderstatus": "O",
+            "o_totalprice": y.astype(np.float64),
+            "o_orderdate": pd.Timestamp("1996-01-01"),
+            "o_orderpriority": "1-URGENT",
+        }
+    )
+    df.to_parquet(tmp_path / "orders.parquet")
+    zp = ensure_zorder_table(str(tmp_path), "orders", "o_custkey", "o_totalprice")
+    # quarter of each dimension → 1/16 of the area (kept inside one
+    # top-level quadrant: a box straddling the domain midpoint touches
+    # all four Morton quadrants — the curve's known worst case)
+    a_lo, a_hi = (1 << 20) * 1 // 16, (1 << 20) * 5 // 16
+    b_lo, b_hi = (1 << 20) * 1 // 16, (1 << 20) * 5 // 16
+    t, zr, zt = box_scan(zp, "o_custkey", a_lo, a_hi, "o_totalprice", b_lo, b_hi)
+    want = df[(x >= a_lo) & (x <= a_hi) & (y >= b_lo) & (y <= b_hi)]
+    got = t.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    assert got["o_orderkey"].tolist() == sorted(want["o_orderkey"].tolist())
+    # single-column clustering reads the full x-stripe (~1/4 of groups);
+    # the Morton layout localizes both dimensions
+    cp = ensure_clustered_table(str(tmp_path), "orders", "o_custkey")
+    _, cr, ct = box_scan(cp, "o_custkey", a_lo, a_hi, "o_totalprice", b_lo, b_hi)
+    assert zt == ct and zt >= 80
+    assert zr < cr, (zr, cr)
+    assert zr <= zt // 6  # ~1/16 area + perimeter, generous bound
+    # empty box → zero groups read
+    _, er, _ = box_scan(zp, "o_custkey", 1 << 21, 1 << 22, "o_totalprice", 0, 10)
+    assert er == 0

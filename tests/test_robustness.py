@@ -438,6 +438,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import bloom_semijoin_orders
 
     checks.append((bloom_semijoin_orders, ["o_orderkey"]))
+    from open_parse_ray.sources.zorder import zorder_box_orders
+
+    checks.append((zorder_box_orders, ["o_orderkey"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
