@@ -525,6 +525,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_priority_sample": analysis.weighted_priority_sample,
         "bloom_semijoin_orders": relational.bloom_semijoin_orders,
         "zorder_box_orders": _q_zorder_box_orders,
+        # pytest-pinned (MinHash is not SQL-expressible): brute-force
+        # pair-set equality + planted-contamination gates
+        "fuzzy_decontamination": dedup.fuzzy_decontamination,
     }
 
 

@@ -253,6 +253,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "weighted_priority_sample",
         "bloom_semijoin_orders",
         "zorder_box_orders",
+        "fuzzy_decontamination",
     ]
 
     timings: dict[str, float] = {}

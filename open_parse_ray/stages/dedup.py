@@ -2333,3 +2333,155 @@ def jaccard_selfjoin(
     return salted_groupby(
         prefix, lambda b: b["bucket"], bucket_verify, num_parts=num_parts
     )
+
+
+def _expand_ranges(lo: np.ndarray, hi: np.ndarray):
+    """Vectorized expansion of half-open index ranges: for each i with
+    hi[i] > lo[i], emit (i, lo[i]), (i, lo[i]+1), ..., (i, hi[i]-1).
+    Returns (row_idx, flat_pos) int64 arrays."""
+    counts = hi - lo
+    m = counts > 0
+    if not m.any():
+        e = np.array([], dtype=np.int64)
+        return e, e.copy()
+    rows = np.flatnonzero(m)
+    c = counts[rows]
+    row_idx = np.repeat(rows, c)
+    starts = np.repeat(lo[rows], c)
+    offs = np.arange(c.sum(), dtype=np.int64) - np.repeat(
+        np.cumsum(c) - c, c
+    )
+    return row_idx, starts + offs
+
+
+def fuzzy_decontamination(
+    sf_dir: str,
+    bench_mod: int = 97,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 3,
+    min_eq: int = 64,
+):
+    """FUZZY eval-set decontamination — the MinHash sibling of
+    decontamination_flags (which catches verbatim k-gram overlap only;
+    a paraphrased or lightly-edited benchmark leak slips past exact
+    shingles). Docs with doc_id % bench_mod == 0 are the held-out
+    "benchmark"; a training doc is flagged when it shares >= 1 LSH band
+    with some benchmark doc AND their signatures agree on >= min_eq of
+    num_perm components (integer threshold — est. Jaccard >= min_eq /
+    num_perm, no float compare). Docs with < shingle_k words carry no
+    shingles and are excluded from BOTH sides (mirrors the >= k words
+    rule in decontamination_flags). Returns
+    (doc_id, n_bench_matches, max_eq) for flagged training docs.
+
+    Scale shape: the benchmark side is bounded (a held-out slice), so
+    its (id, signature, band-bucket) index — 256 B + 128 B per bench
+    doc — is built by a distributed scan whose per-batch partials are
+    already filtered to the slice, assembled once, and BROADCAST via
+    ray.put with per-band SORTED bucket arrays. The training side
+    streams: each batch computes signatures, probes all 16 bands with
+    two searchsorteds each, verifies candidates with one vectorized
+    (pairs × perms) equality sum, and aggregates per train doc LOCALLY
+    (a doc lives in exactly one batch) — zero exchanges end to end.
+    Candidate count per batch is bounded by batch × bench collisions,
+    and a pathological all-match batch is still batch_size × |bench|
+    uint16 compares, never an O(corpus^2) blowup."""
+    import ray
+    import ray.data as rd
+
+    hasher = FastMinHasher(num_perm)
+    ds = rd.read_parquet(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def bench_sigs(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["doc_id"].to_numpy(dtype=np.int64) % bench_mod == 0) & (
+            b["text"].str.split().str.len() >= shingle_k
+        ).to_numpy()
+        sub = b[m]
+        return minhash_signatures(sub, hasher, shingle_k)
+
+    rows = ds.map_batches(
+        bench_sigs, batch_format="pandas", batch_size=4096
+    ).take_all()
+    if rows:
+        bench_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+        bench_mat = np.frombuffer(
+            b"".join(r["sig"] for r in rows), dtype=np.uint16
+        ).reshape(len(rows), num_perm)
+    else:
+        bench_ids = np.array([], dtype=np.int64)
+        bench_mat = np.zeros((0, num_perm), dtype=np.uint16)
+    bb = _band_buckets(bench_mat, bands) if len(bench_ids) else np.zeros(
+        (0, bands), dtype=np.int64
+    )
+    order = [np.argsort(bb[:, j], kind="stable") for j in range(bands)]
+    index_ref = ray.put(
+        (
+            bench_ids,
+            bench_mat,
+            [bb[order[j], j] for j in range(bands)],  # sorted buckets
+            order,
+        )
+    )
+
+    class Probe:
+        def __init__(self, ref):
+            self.ids, self.mat, self.sorted_b, self.order = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_bench_matches": pd.Series([], dtype="int64"),
+                    "max_eq": pd.Series([], dtype="int64"),
+                }
+            )
+            ids = b["doc_id"].to_numpy(dtype=np.int64)
+            m = (ids % bench_mod != 0) & (
+                b["text"].str.split().str.len() >= shingle_k
+            ).to_numpy()
+            sub = b[m]
+            if len(sub) == 0 or len(self.ids) == 0:
+                return empty
+            sig = minhash_signatures(sub, hasher, shingle_k)
+            mat = np.frombuffer(b"".join(sig["sig"]), dtype=np.uint16).reshape(
+                len(sig), num_perm
+            )
+            tb = _band_buckets(mat, bands)
+            tr_parts, bj_parts = [], []
+            for j in range(bands):
+                sb = self.sorted_b[j]
+                lo = np.searchsorted(sb, tb[:, j], side="left")
+                hi = np.searchsorted(sb, tb[:, j], side="right")
+                ti, pos = _expand_ranges(lo, hi)
+                if len(ti):
+                    tr_parts.append(ti)
+                    bj_parts.append(self.order[j][pos])
+            if not tr_parts:
+                return empty
+            ti = np.concatenate(tr_parts)
+            bj = np.concatenate(bj_parts)
+            comp = np.unique(ti * len(self.ids) + bj)
+            ti, bj = comp // len(self.ids), comp % len(self.ids)
+            eq = (mat[ti] == self.mat[bj]).sum(axis=1).astype(np.int64)
+            keep = eq >= min_eq
+            if not keep.any():
+                return empty
+            g = pd.DataFrame({"t": ti[keep], "eq": eq[keep]}).groupby(
+                "t", as_index=False
+            ).agg(n_bench_matches=("eq", "size"), max_eq=("eq", "max"))
+            tids = sig["doc_id"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "doc_id": tids[g["t"].to_numpy()],
+                    "n_bench_matches": g["n_bench_matches"].astype("int64"),
+                    "max_eq": g["max_eq"].astype("int64"),
+                }
+            )
+
+    return ds.map_batches(
+        Probe,
+        fn_constructor_args=(index_ref,),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )

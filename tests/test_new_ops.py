@@ -2919,3 +2919,71 @@ def test_zorder_box_scan_exact_and_prunes(ray_session, tmp_path):
     # empty box → zero groups read
     _, er, _ = box_scan(zp, "o_custkey", 1 << 21, 1 << 22, "o_totalprice", 0, 10)
     assert er == 0
+
+
+def test_fuzzy_decontamination_brute_force(ray_session):
+    """The zero-exchange broadcast-probe pipeline equals a local brute
+    force over ALL (train × bench) pairs: candidate iff >= 1 shared LSH
+    band, flagged iff >= min_eq equal signature components — exact
+    (n_bench_matches, max_eq) per flagged doc, and the corpus actually
+    exercises it (>= 1 flagged doc at sf0.001)."""
+    from open_parse_ray.stages.dedup import (
+        FastMinHasher,
+        _band_buckets,
+        fuzzy_decontamination,
+        minhash_signatures,
+    )
+
+    got = _df(fuzzy_decontamination(SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    h = FastMinHasher(128)
+    d = docs[docs["text"].str.split().str.len() >= 3]
+    sig = minhash_signatures(d, h, 3)
+    mat = np.frombuffer(b"".join(sig["sig"]), dtype=np.uint16).reshape(len(sig), 128)
+    ids = sig["doc_id"].to_numpy(np.int64)
+    bb = _band_buckets(mat, 16)
+    bidx = np.flatnonzero(ids % 97 == 0)
+    exp = {}
+    for t in np.flatnonzero(ids % 97 != 0):
+        cand = bidx[(bb[bidx] == bb[t]).any(axis=1)]
+        if len(cand) == 0:
+            continue
+        eq = (mat[cand] == mat[t]).sum(axis=1)
+        eq = eq[eq >= 64]
+        if len(eq):
+            exp[int(ids[t])] = (len(eq), int(eq.max()))
+    gm = {
+        int(r.doc_id): (int(r.n_bench_matches), int(r.max_eq))
+        for r in got.itertuples()
+    }
+    assert gm == exp
+    assert len(gm) >= 1  # the gate is non-vacuous on this corpus
+
+
+def test_fuzzy_decontamination_planted(ray_session, tmp_path):
+    """Planted leaks behave per spec: a light edit of a benchmark doc
+    (one word appended — exact k-gram decontamination already misses
+    heavier paraphrase) IS flagged with near-full signature agreement; an
+    unrelated doc is NOT; a doc under shingle_k words never crashes or
+    flags."""
+    from open_parse_ray.stages.dedup import fuzzy_decontamination
+
+    bench_text = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (0, bench_text),                       # benchmark (0 % 97 == 0)
+        (1, bench_text + " extra"),            # planted near-copy
+        (2, " ".join(f"other{i}" for i in range(60))),  # unrelated
+        (3, "tiny doc"),                       # < shingle_k words
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "s",
+            "n_chars": np.array([len(r[1]) for r in rows], dtype=np.int64),
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = _df(fuzzy_decontamination(str(tmp_path)))
+    assert set(got["doc_id"]) == {1}
+    assert int(got["max_eq"].iloc[0]) >= 100  # near-identical signatures

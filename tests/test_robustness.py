@@ -441,6 +441,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.sources.zorder import zorder_box_orders
 
     checks.append((zorder_box_orders, ["o_orderkey"]))
+    from open_parse_ray.stages.dedup import fuzzy_decontamination
+
+    checks.append((fuzzy_decontamination, ["doc_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
