@@ -52,6 +52,7 @@ from open_parse_ray.stages import (
 )
 from open_parse_ray.stages.similarity import default_query_vectors
 from open_parse_ray.sources.zorder import ZORDER_BOX_ORDERS_SQL as _ZORDER_BOX_SQL
+from open_parse_ray.sources.sorted_sink import SORTED_RANGE_DOCS_SQL as _SORTED_RANGE_SQL
 
 
 def entry() -> Any:
@@ -284,6 +285,15 @@ def _q_embedding_pca(sf_dir: str):
     from open_parse_ray.stages.clustering import embedding_pca_coords
 
     return embedding_pca_coords(sf_dir)
+
+
+def _q_sorted_range_docs(sf_dir: str):
+    """Range scan over the DISTRIBUTED-sorted layout (write_sorted:
+    histogram range partition, per-partition sort, pid-addressed files
+    + manifest; manifest and footer stats prune the scan)."""
+    from open_parse_ray.sources.sorted_sink import sorted_range_docs
+
+    return sorted_range_docs(sf_dir)
 
 
 def _q_zorder_box_orders(sf_dir: str):
@@ -528,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-pinned (MinHash is not SQL-expressible): brute-force
         # pair-set equality + planted-contamination gates
         "fuzzy_decontamination": dedup.fuzzy_decontamination,
+        "sorted_range_docs": _q_sorted_range_docs,
     }
 
 
@@ -2208,6 +2219,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
         """,
         "zorder_box_orders": _ZORDER_BOX_SQL,
+        "sorted_range_docs": _SORTED_RANGE_SQL,
         "point_lookup_orders": """
             SELECT o_orderkey, o_custkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents

@@ -254,6 +254,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "bloom_semijoin_orders",
         "zorder_box_orders",
         "fuzzy_decontamination",
+        "sorted_range_docs",
     ]
 
     timings: dict[str, float] = {}

@@ -2987,3 +2987,46 @@ def test_fuzzy_decontamination_planted(ray_session, tmp_path):
     got = _df(fuzzy_decontamination(str(tmp_path)))
     assert set(got["doc_id"]) == {1}
     assert int(got["max_eq"].iloc[0]) >= 100  # near-identical signatures
+
+
+def test_write_sorted_global_order_and_resume(ray_session, tmp_path):
+    """Distributed sorted write: (1) concatenating the pid-ordered part
+    files yields a strictly increasing (n_chars, doc_id) composite —
+    partition ranges are disjoint by construction; (2) the multiset of
+    rows equals the input exactly; (3) a re-run is idempotent (content-
+    addressed names, identical manifest — the resume contract); (4) a
+    manifest+footer-pruned range scan equals the brute filter and reads
+    a strict subset of row groups."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from open_parse_ray.sources.sorted_sink import range_scan_sorted, write_sorted
+
+    SFD = "/root/testdata/sf0.001"
+    out = str(tmp_path / "sorted")
+    cols = ["doc_id", "n_chars", "lang"]
+    man = write_sorted(rd.read_parquet(f"{SFD}/documents.parquet", columns=cols), out)
+    frames = [pq.read_table(p).to_pandas() for p in man["path"]]
+    cat = pd.concat(frames, ignore_index=True)
+    k = cat["n_chars"].to_numpy() * np.int64(2**40) + cat["doc_id"].to_numpy()
+    assert (np.diff(k) > 0).all()
+    src = pd.read_parquet(f"{SFD}/documents.parquet", columns=cols)
+    assert (
+        cat.sort_values("doc_id")
+        .reset_index(drop=True)
+        .equals(src.sort_values("doc_id").reset_index(drop=True))
+    )
+    man2 = write_sorted(
+        rd.read_parquet(f"{SFD}/documents.parquet", columns=cols), out
+    )
+    assert man.equals(man2)
+    lo = int(src["n_chars"].quantile(0.4))
+    hi = int(src["n_chars"].quantile(0.6))
+    t, nread, ntot = range_scan_sorted(out, lo, hi)
+    want = src[(src["n_chars"] >= lo) & (src["n_chars"] <= hi)]
+    got = t.to_pandas()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    assert 0 < nread < ntot
+    # empty range reads nothing
+    _, zr, _ = range_scan_sorted(out, int(src["n_chars"].max()) + 10, 10**9)
+    assert zr == 0

@@ -444,6 +444,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.dedup import fuzzy_decontamination
 
     checks.append((fuzzy_decontamination, ["doc_id"]))
+    from open_parse_ray.sources.sorted_sink import sorted_range_docs
+
+    checks.append((sorted_range_docs, ["doc_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
