@@ -287,6 +287,36 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca_coords(sf_dir)
 
 
+def _q_compacted_corpus_stats(sf_dir: str):
+    """Per-lang stats read from the COMPACTION JOB's materialized output
+    (resumable bucket-partitioned rewrite of base+changelog); the oracle
+    is the same closed-form merge stats_after_changelog uses — job
+    output must agree with the merge-on-read view."""
+    import hashlib
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from open_parse_ray.sources.tables import table_path
+    from open_parse_ray.state.compaction_job import read_compacted, run_compaction
+
+    src = table_path(sf_dir, "documents")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|compact_v1".encode()
+    ).hexdigest()[:16]
+    out = os.path.join("/tmp/opr_cache/compacted_v1", key)
+    run_compaction(sf_dir, out)  # resumable: no-op when complete
+    df = read_compacted(out)
+    g = df.groupby("lang", as_index=False).agg(
+        n_docs=("doc_id", "size"), total_chars=("n_chars", "sum")
+    )
+    g["n_docs"] = g["n_docs"].astype("int64")
+    g["total_chars"] = g["total_chars"].astype("int64")
+    return rd.from_pandas(g)
+
+
 def _q_sorted_range_docs(sf_dir: str):
     """Range scan over the DISTRIBUTED-sorted layout (write_sorted:
     histogram range partition, per-partition sort, pid-addressed files
@@ -539,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pair-set equality + planted-contamination gates
         "fuzzy_decontamination": dedup.fuzzy_decontamination,
         "sorted_range_docs": _q_sorted_range_docs,
+        "compacted_corpus_stats": _q_compacted_corpus_stats,
     }
 
 
@@ -2220,6 +2251,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_box_orders": _ZORDER_BOX_SQL,
         "sorted_range_docs": _SORTED_RANGE_SQL,
+        # the compaction job's output graded against the same closed-form
+        # merge the IVM view uses (job == view == SQL, three-way pin)
+        "compacted_corpus_stats": """
+            WITH final AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 35 = 0 THEN text || ' rev2'
+                          WHEN doc_id % 5 = 0 AND doc_id % 7 <> 0
+                            THEN text || ' rev1'
+                          ELSE text END AS t
+              FROM documents
+              WHERE NOT (doc_id % 7 = 0 AND doc_id % 35 <> 0)
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(t)) AS BIGINT) AS total_chars
+            FROM final GROUP BY lang
+        """,
         "point_lookup_orders": """
             SELECT o_orderkey, o_custkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents

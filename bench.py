@@ -255,6 +255,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "zorder_box_orders",
         "fuzzy_decontamination",
         "sorted_range_docs",
+        "compacted_corpus_stats",
     ]
 
     timings: dict[str, float] = {}

@@ -289,3 +289,99 @@ def test_curation_job_all_filtered_shard_commits_empty(ray_session, tmp_path):
     final = curation_job.read_final(out).to_pandas()
     assert len(final) > 0
     assert (final["doc_id"] >= 1000).all()  # only the real shard survives
+
+
+def test_compaction_job_kill_resume_and_staleness(ray_session, tmp_path):
+    """Compaction job resumability contract: (1) a run killed after 3
+    committed partitions resumes to a final state byte-identical to a
+    from-scratch run (per-partition content hashes equal); (2) a clean
+    re-run skips every partition; (3) job == query: the compacted
+    corpus' (doc_id, md5(text)) set equals apply_changelog's output."""
+    import hashlib
+    import json
+    import os
+
+    import pytest
+
+    from open_parse_ray.stages.incremental import apply_changelog
+    from open_parse_ray.state.compaction_job import (
+        read_compacted,
+        run_compaction,
+    )
+
+    SFD = "/root/testdata/sf0.001"
+    clean = str(tmp_path / "clean")
+    run_compaction(SFD, clean)
+
+    killed = str(tmp_path / "killed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_compaction(SFD, killed, fail_after_parts=3)
+    s = run_compaction(SFD, killed)  # resume
+    assert s["n_skipped"] == 3 and s["n_compacted"] == 13
+
+    def hashes(root):
+        out = {}
+        for p in sorted(os.listdir(root)):
+            if p.startswith("part="):
+                with open(os.path.join(root, p, "lineage.json")) as f:
+                    out[p] = json.load(f)["content_hash"]
+        return out
+
+    assert hashes(clean) == hashes(killed)
+    comp = read_compacted(clean)
+    fps_job = {
+        (int(d), hashlib.md5(t.encode()).hexdigest())
+        for d, t in zip(comp["doc_id"], comp["text"])
+    }
+    q = apply_changelog(SFD).to_pandas()
+    assert fps_job == {(int(d), f) for d, f in zip(q["doc_id"], q["fp"])}
+    s2 = run_compaction(SFD, clean)
+    assert s2["n_compacted"] == 0 and s2["n_skipped"] == s2["n_buckets"]
+
+
+def test_compaction_job_changed_input_invalidates(ray_session, tmp_path):
+    """A changed bucket input (extra content-addressed part file in one
+    bucket) invalidates EXACTLY that partition at resume, and the
+    resumed output equals a from-scratch run over the new input."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from open_parse_ray.sources.bucketed import bucket_of, ensure_bucketed_table
+    from open_parse_ray.state.compaction_job import read_compacted, run_compaction
+
+    SFD = "/root/testdata/sf0.001"
+    out = str(tmp_path / "out")
+    run_compaction(SFD, out)
+
+    # append one new doc to its routed bucket in the staged layout
+    broot = ensure_bucketed_table(
+        SFD, "documents", "doc_id", 16,
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    new_id = np.int64(10_000_019)  # prime, no changelog mods fire
+    b = int(bucket_of(np.array([new_id]), 16)[0])
+    t = pa.table(
+        {
+            "doc_id": pa.array([new_id], pa.int64()),
+            "text": pa.array(["brand new doc"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+            "source": pa.array(["synthetic"], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(broot, f"bucket={b}", "part-zzznew.parquet"))
+    try:
+        s = run_compaction(SFD, out)
+        assert s["n_compacted"] == 1 and s["n_skipped"] == 15
+        scratch = str(tmp_path / "scratch")
+        run_compaction(SFD, scratch)
+        a, c = read_compacted(out), read_compacted(scratch)
+        assert a.equals(c)
+        assert new_id in set(a["doc_id"])
+    finally:
+        os.remove(os.path.join(broot, f"bucket={b}", "part-zzznew.parquet"))
+        shutil.rmtree(out, ignore_errors=True)
