@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontamination": dedup.fuzzy_decontamination,
         "sorted_range_docs": _q_sorted_range_docs,
         "compacted_corpus_stats": _q_compacted_corpus_stats,
+        "orders_at_time_segment": relational.orders_at_time_segment,
     }
 
 
@@ -2251,6 +2252,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_box_orders": _ZORDER_BOX_SQL,
         "sorted_range_docs": _SORTED_RANGE_SQL,
+        # point-in-time (as-of) dimension join: history rebuilt by the
+        # oracle from the same min/max-derived version days
+        "orders_at_time_segment": relational.ORDERS_AT_TIME_SEGMENT_SQL,
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

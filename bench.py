@@ -256,6 +256,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "fuzzy_decontamination",
         "sorted_range_docs",
         "compacted_corpus_stats",
+        "orders_at_time_segment",
     ]
 
     timings: dict[str, float] = {}

@@ -5168,3 +5168,172 @@ def bloom_semijoin_orders(
     return salted_groupby_arrow(
         both, lambda t: t["key"].to_numpy(zero_copy_only=False), join
     )
+
+
+def orders_at_time_segment(sf_dir: str):
+    """POINT-IN-TIME (as-of) dimension join — the temporal-correctness
+    primitive behind reproducible training data: enrich every order
+    with the customer's market segment AS OF the order date, against a
+    slowly-changing dimension history. Ray Data has no as-of join; this
+    composes one from a custkey-salted tagged exchange (orders +
+    bounded per-customer version rows co-locate) and one vectorized
+    pd.merge_asof per partition — no window scan, no per-row loop.
+
+    The segment HISTORY derives deterministically from the customer
+    table so the SQL oracle can rebuild it: version 0 is c_mktsegment
+    from day -10^8; customers with c_custkey % 3 == 0 change to
+    'UPGRADED' at d1 = min_day + 40% of the corpus day range; those
+    with c_custkey % 9 == 0 change again to 'VIP' at d2 = min_day +
+    70% of the range (global min/max order days — footer-derivable,
+    min/max subqueries in SQL). Returns (o_orderkey, o_custkey,
+    order_day, segment, price_cents)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    # global day bounds from parquet footer stats — no data scan
+    md = pq.ParquetFile(table_path(sf_dir, "orders")).metadata
+    lo = hi = None
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            if c.path_in_schema == "o_orderdate":
+                smin = int(
+                    np.datetime64(c.statistics.min, "us")
+                    .astype("datetime64[D]")
+                    .astype(int)
+                )
+                smax = int(
+                    np.datetime64(c.statistics.max, "us")
+                    .astype("datetime64[D]")
+                    .astype(int)
+                )
+                lo = smin if lo is None else min(lo, smin)
+                hi = smax if hi is None else max(hi, smax)
+                break
+    d1 = lo + ((hi - lo) * 40) // 100
+    d2 = lo + ((hi - lo) * 70) // 100
+    # equal-day versions would make the as-of tie ambiguous on both sides
+    assert -(10**8) < d1 < d2, "degenerate date range"
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["o_custkey"].cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "day": pa.array(day),
+                "price_cents": pa.array(_cents(t["o_totalprice"].to_numpy())),
+                "seg": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def proj_hist(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg0 = t["c_mktsegment"].to_pylist()
+        keys, days, segs = [ck], [np.full(len(ck), -(10**8), dtype=np.int64)], [seg0]
+        m3 = ck % 3 == 0
+        keys.append(ck[m3])
+        days.append(np.full(int(m3.sum()), d1, dtype=np.int64))
+        segs.append(["UPGRADED"] * int(m3.sum()))
+        m9 = ck % 9 == 0
+        keys.append(ck[m9])
+        days.append(np.full(int(m9.sum()), d2, dtype=np.int64))
+        segs.append(["VIP"] * int(m9.sum()))
+        k = np.concatenate(keys)
+        n = len(k)
+        fill = np.full(n, -1, dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(k),
+                "side": pa.array(np.ones(n, dtype=np.int64)),
+                "o_orderkey": pa.array(fill),
+                "day": pa.array(np.concatenate(days)),
+                "price_cents": pa.array(fill),
+                "seg": pa.array(sum(segs, []), pa.string()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
+    hist = rd.read_parquet(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(proj_hist, batch_format="pyarrow", batch_size=65536)
+
+    def asof(part: pd.DataFrame) -> pd.DataFrame:
+        left = part[part["side"] == 0][
+            ["key", "o_orderkey", "day", "price_cents"]
+        ].sort_values("day", kind="stable")
+        right = part[part["side"] == 1][["key", "day", "seg"]].sort_values(
+            "day", kind="stable"
+        )
+        if len(left) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "o_custkey": pd.Series([], dtype="int64"),
+                    "order_day": pd.Series([], dtype="int64"),
+                    "segment": pd.Series([], dtype="object"),
+                    "price_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        out = pd.merge_asof(
+            left, right, on="day", by="key", direction="backward"
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": out["o_orderkey"].astype("int64"),
+                "o_custkey": out["key"].astype("int64"),
+                "order_day": out["day"].astype("int64"),
+                "segment": out["seg"],
+                "price_cents": out["price_cents"].astype("int64"),
+            }
+        )
+
+    both = orders.union(hist)
+    return salted_groupby_arrow(
+        both, lambda t: t["key"].to_numpy(zero_copy_only=False), asof
+    )
+
+
+ORDERS_AT_TIME_SEGMENT_SQL = """
+    WITH b AS (
+      SELECT min(datediff('day', DATE '1970-01-01', o_orderdate)) AS lo,
+             max(datediff('day', DATE '1970-01-01', o_orderdate)) AS hi
+      FROM orders
+    ),
+    bb AS (
+      SELECT lo + ((hi - lo) * 40) // 100 AS d1,
+             lo + ((hi - lo) * 70) // 100 AS d2
+      FROM b
+    ),
+    hist AS (
+      SELECT c_custkey, CAST(-100000000 AS BIGINT) AS vf, c_mktsegment AS seg
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, d1, 'UPGRADED' FROM customer, bb WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, d2, 'VIP' FROM customer, bb WHERE c_custkey % 9 = 0
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(datediff('day', DATE '1970-01-01', o.o_orderdate) AS BIGINT)
+             AS order_day,
+           arg_max(h.seg, h.vf) AS segment,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o
+    JOIN hist h ON h.c_custkey = o.o_custkey
+      AND h.vf <= datediff('day', DATE '1970-01-01', o.o_orderdate)
+    GROUP BY 1, 2, 3, 5
+"""

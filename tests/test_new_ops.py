@@ -3030,3 +3030,57 @@ def test_write_sorted_global_order_and_resume(ray_session, tmp_path):
     # empty range reads nothing
     _, zr, _ = range_scan_sorted(out, int(src["n_chars"].max()) + 10, 10**9)
     assert zr == 0
+
+
+def test_orders_at_time_segment_boundaries(ray_session, tmp_path):
+    """As-of join version-boundary semantics: an order ON the change day
+    takes the NEW version (vf <= day); one day earlier takes the prior
+    version; a %9 customer walks base → UPGRADED → VIP across its three
+    orders; a customer with no changes keeps the base segment
+    everywhere."""
+    from open_parse_ray.stages.relational import orders_at_time_segment
+
+    # date range [day0, day0+100] → d1 = +40, d2 = +70
+    day0 = pd.Timestamp("1995-01-01")
+    orders = []
+    oid = 0
+    for ck, offs in [(9, [0, 39, 40, 69, 70, 100]), (3, [39, 40]), (1, [40, 70])]:
+        for d in offs:
+            orders.append((oid, ck, day0 + pd.Timedelta(days=d)))
+            oid += 1
+    pd.DataFrame(
+        {
+            "o_orderkey": np.array([o[0] for o in orders], dtype=np.int64),
+            "o_custkey": np.array([o[1] for o in orders], dtype=np.int64),
+            "o_orderstatus": "O",
+            "o_totalprice": 100.0,
+            "o_orderdate": [o[2] for o in orders],
+            "o_orderpriority": "1-URGENT",
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "c_custkey": np.array([1, 3, 9], dtype=np.int64),
+            "c_name": "c",
+            "c_nationkey": np.int32(0),
+            "c_acctbal": 0.0,
+            "c_mktsegment": ["BUILDING", "MACHINERY", "FURNITURE"],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    got = (
+        _df(orders_at_time_segment(str(tmp_path)))
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert got["segment"].tolist() == [
+        "FURNITURE",   # ck 9, day 0: base
+        "FURNITURE",   # ck 9, day 39: one before d1
+        "UPGRADED",    # ck 9, day 40: ON d1 → new version
+        "UPGRADED",    # ck 9, day 69: one before d2
+        "VIP",         # ck 9, day 70: ON d2
+        "VIP",         # ck 9, day 100
+        "MACHINERY",   # ck 3, day 39
+        "UPGRADED",    # ck 3, day 40 (never VIP: 3 % 9 != 0)
+        "BUILDING",    # ck 1: no versions ever
+        "BUILDING",
+    ]

@@ -447,6 +447,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.sources.sorted_sink import sorted_range_docs
 
     checks.append((sorted_range_docs, ["doc_id"]))
+    from open_parse_ray.stages.relational import orders_at_time_segment
+
+    checks.append((orders_at_time_segment, ["o_orderkey"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
