@@ -287,6 +287,14 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca_coords(sf_dir)
 
 
+def _q_sketch_quantiles(sf_dir: str):
+    """One-pass mergeable quantile sketch (KLL/MRL compactors with a
+    tracked exact rank-error budget) over events.value cents."""
+    from open_parse_ray.stages.sketches import events_value_sketch_quantiles
+
+    return events_value_sketch_quantiles(sf_dir)
+
+
 def _q_compacted_corpus_stats(sf_dir: str):
     """Per-lang stats read from the COMPACTION JOB's materialized output
     (resumable bucket-partitioned rewrite of base+changelog); the oracle
@@ -571,6 +579,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_range_docs": _q_sorted_range_docs,
         "compacted_corpus_stats": _q_compacted_corpus_stats,
         "orders_at_time_segment": relational.orders_at_time_segment,
+        # pytest-pinned (approximate, self-certifying error budget):
+        # estimates are insertion-order-dependent by design, so this is
+        # deliberately OUTSIDE the block-invariance list (pca_fit rule)
+        "events_value_sketch_quantiles": _q_sketch_quantiles,
     }
 
 

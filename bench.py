@@ -257,6 +257,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "sorted_range_docs",
         "compacted_corpus_stats",
         "orders_at_time_segment",
+        "events_value_sketch_quantiles",
     ]
 
     timings: dict[str, float] = {}

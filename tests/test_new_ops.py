@@ -3084,3 +3084,75 @@ def test_orders_at_time_segment_boundaries(ray_session, tmp_path):
         "BUILDING",    # ck 1: no versions ever
         "BUILDING",
     ]
+
+
+def _sketch_rank_err(vals: np.ndarray, sk) -> int:
+    """Worst distance from each percentile's target rank to the
+    estimate's true rank interval (ties give an interval)."""
+    v = np.sort(vals)
+    n = len(v)
+    worst = 0
+    for p in (1, 5, 25, 50, 75, 95, 99):
+        est = sk.quantile(p)
+        target = 1 + (p * (n - 1)) // 100
+        hi = int(np.searchsorted(v, est, side="right"))
+        lo = int(np.searchsorted(v, est, side="left")) + 1
+        if not (lo <= target <= hi):
+            worst = max(worst, min(abs(hi - target), abs(lo - target)))
+    return worst
+
+
+def test_quantile_sketch_self_certified_bound(ray_session):
+    """The compactor sketch's carried err_budget is a VALID rank-error
+    bound on every distribution tried (uniform / sorted / reverse /
+    constant / heavy-tail), under blockwise insert + merge; the budget
+    itself stays ≪ n (k=256 → under 1%); serialization round-trips
+    bit-exactly."""
+    from open_parse_ray.stages.sketches import MergeQuantileSketch
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.integers(0, 10**9, 200_000),
+        np.arange(150_000),
+        np.arange(150_000)[::-1].copy(),
+        np.zeros(100_000, dtype=np.int64),
+        (1.0 / rng.pareto(1.2, 150_000) * 1e6).astype(np.int64),
+    ]
+    for vals in cases:
+        acc = MergeQuantileSketch(256)
+        for c in np.array_split(vals, max(1, len(vals) // 7000)):
+            s = MergeQuantileSketch(256)
+            s.insert(c)
+            acc.merge(s)
+        assert _sketch_rank_err(vals, acc) <= acc.err_budget
+        assert acc.err_budget <= len(vals) // 100
+    s = MergeQuantileSketch(64)
+    s.insert(rng.integers(0, 1000, 5000))
+    s2 = MergeQuantileSketch.from_bytes(s.to_bytes())
+    assert s2.n == s.n and s2.err_budget == s.err_budget
+    assert all((a == b).all() for a, b in zip(s.levels, s2.levels))
+
+
+def test_events_value_sketch_quantiles_corpus(ray_session):
+    """The distributed one-pass sketch over events.value self-certifies
+    on the real corpus: every estimate's true rank lies within
+    err_budget of its target, and the estimates agree with exact
+    percentiles to within budget ranks."""
+    from open_parse_ray.stages.relational import _cents
+    from open_parse_ray.stages.sketches import events_value_sketch_quantiles
+
+    got = _df(events_value_sketch_quantiles(SF))
+    vals = _cents(
+        pd.read_parquet(f"{SF}/events.parquet", columns=["value"])["value"]
+    )
+    v = np.sort(vals)
+    n = len(v)
+    assert (got["n"] == n).all()
+    budget = int(got["err_budget"].iloc[0])
+    assert 0 < budget <= max(1, n // 50)
+    for r in got.itertuples():
+        target = 1 + (int(r.p) * (n - 1)) // 100
+        hi = int(np.searchsorted(v, int(r.est_cents), side="right"))
+        lo = int(np.searchsorted(v, int(r.est_cents), side="left")) + 1
+        if not (lo <= target <= hi):
+            assert min(abs(hi - target), abs(lo - target)) <= budget
