@@ -611,6 +611,13 @@ def test_salted_ops_under_extreme_skew(ray_session, tmp_path):
         "market_share",
         "dominant_part_suppliers",
         "events_drift_cusum",
+        # round-4 continuation ops: customer 1 (half the orders, all
+        # BUILDING) drives the bloom filter to a near-full-pass bitmap
+        # and piles half the as-of-join facts into one partition; the
+        # custkey-heavy layout stresses zorder's bucketization
+        "bloom_semijoin_orders",
+        "orders_at_time_segment",
+        "zorder_box_orders",
     ]:
         got = queries[name](sf).to_pandas()
         want = con.sql(oracles[name]).df()
