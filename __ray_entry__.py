@@ -583,6 +583,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # estimates are insertion-order-dependent by design, so this is
         # deliberately OUTSIDE the block-invariance list (pca_fit rule)
         "events_value_sketch_quantiles": _q_sketch_quantiles,
+        "linestatus_priority_counts": relational.linestatus_priority_counts,
+        "event_type_overlap_matrix": relational.event_type_overlap_matrix,
+        "orders_priority_pivot": relational.orders_priority_pivot,
     }
 
 
@@ -2267,6 +2270,12 @@ def oracle_sql() -> dict[str, str]:
         # point-in-time (as-of) dimension join: history rebuilt by the
         # oracle from the same min/max-derived version days
         "orders_at_time_segment": relational.ORDERS_AT_TIME_SEGMENT_SQL,
+        # TPC-H Q12 shape (priority mix per shipping status)
+        "linestatus_priority_counts": relational.LINESTATUS_PRIORITY_COUNTS_SQL,
+        # exact audience overlap (theta-sketch intersection, exact)
+        "event_type_overlap_matrix": relational.EVENT_TYPE_OVERLAP_MATRIX_SQL,
+        # long→wide pivot over the bounded (year × priority) grid
+        "orders_priority_pivot": relational.ORDERS_PRIORITY_PIVOT_SQL,
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

@@ -258,6 +258,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "compacted_corpus_stats",
         "orders_at_time_segment",
         "events_value_sketch_quantiles",
+        "linestatus_priority_counts",
+        "event_type_overlap_matrix",
+        "orders_priority_pivot",
     ]
 
     timings: dict[str, float] = {}

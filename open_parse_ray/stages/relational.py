@@ -5337,3 +5337,290 @@ ORDERS_AT_TIME_SEGMENT_SQL = """
       AND h.vf <= datediff('day', DATE '1970-01-01', o.o_orderdate)
     GROUP BY 1, 2, 3, 5
 """
+
+
+def linestatus_priority_counts(sf_dir: str):
+    """Priority mix per shipping status (the TPC-H Q12 shape — Q12's
+    l_shipmode/receipt-window columns don't exist in this corpus, so the
+    grid key is (l_returnflag, l_linestatus) and the window is the ship
+    date): over lineitems shipped in [1996-01-01, 1998-01-01), how many
+    lines belong to high-priority orders ('1-URGENT'/'2-HIGH') vs the
+    rest. Reference analogy: the eval runner's aggregate reporting
+    (src/evals/run_evals.py) — here as a fact-dimension priority join.
+
+    Scale shape: the ONLY exchange is one orderkey-salted tagged pass.
+    lineitem collapses per block to (okey, rf, ls) count partials via
+    the Arrow-native kernel (bounded by distinct orders per block × the
+    6-cell grid) BEFORE the exchange; orders ships a 2-column
+    (okey, is_high) projection. Inside each partition the join is a
+    vectorized map + grid aggregate emitting at most the 6-cell grid per
+    partition; the final combine sums a tiny table. No order row is ever
+    replicated; no full-table groupby happens anywhere.
+    Returns (l_returnflag, l_linestatus, high_lines, low_lines)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        agg = _arrow_group_aggs(
+            {
+                "okey": t["l_orderkey"],
+                "rf": t["l_returnflag"],
+                "ls": t["l_linestatus"],
+            },
+            {"n": ("count", None)},
+            t.num_rows,
+        )
+        return agg.append_column(
+            "hi", pa.array(np.zeros(agg.num_rows, dtype=np.int64))
+        ).append_column("side", pa.array(np.ones(agg.num_rows, dtype=np.int64)))
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_linestatus", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        prio = t["o_orderpriority"]
+        is_hi = pc.is_in(
+            prio, value_set=pa.array(["1-URGENT", "2-HIGH"])
+        ).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "rf": pa.array([""] * n, pa.string()),
+                "ls": pa.array([""] * n, pa.string()),
+                "n": pa.array(np.zeros(n, dtype=np.int64)),
+                "hi": pa.array(is_hi.astype(np.int64)),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 1]
+        if len(l) == 0:
+            return pd.DataFrame(
+                {
+                    "l_returnflag": pd.Series(dtype="object"),
+                    "l_linestatus": pd.Series(dtype="object"),
+                    "high_lines": pd.Series(dtype="int64"),
+                    "low_lines": pd.Series(dtype="int64"),
+                }
+            )
+        o = g[g["side"] == 0]
+        hi_of = pd.Series(o["hi"].to_numpy(), index=o["okey"].to_numpy())
+        h = hi_of.reindex(l["okey"].to_numpy()).to_numpy()
+        # a lineitem's order is always present (FK — fk_audit pins it);
+        # reindex would yield NaN on a violation, which astype raises on
+        h = h.astype(np.int64)
+        n = l["n"].to_numpy()
+        t = pd.DataFrame(
+            {
+                "l_returnflag": l["rf"].to_numpy(),
+                "l_linestatus": l["ls"].to_numpy(),
+                "high_lines": n * h,
+                "low_lines": n * (1 - h),
+            }
+        )
+        return t.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            high_lines=("high_lines", "sum"), low_lines=("low_lines", "sum")
+        )
+
+    parts = salted_groupby_arrow(
+        li.union(orders), lambda t: t["okey"].to_numpy(zero_copy_only=False), finish
+    )
+    return _combine_partials(
+        parts,
+        ["l_returnflag", "l_linestatus"],
+        {"high_lines": "sum", "low_lines": "sum"},
+    )
+
+
+LINESTATUS_PRIORITY_COUNTS_SQL = """
+    SELECT l.l_returnflag, l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+"""
+
+
+def event_type_overlap_matrix(sf_dir: str):
+    """Exact audience-overlap matrix: for every unordered pair of event
+    types (diagonal included), how many distinct users emitted BOTH
+    types — the exact version of the theta-sketch set-intersection
+    report (and the diagonal reproduces distinct_users_by_type, a
+    cross-operator consistency anchor). The co-occurrence input to
+    funnel design and feature-overlap audits.
+
+    Scale shape: per block, (user, type) collapses to distinct pairs via
+    the Arrow-native kernel (bounded by users-in-block × T). ONE
+    user-salted exchange co-locates each user's type set; users are
+    disjoint across partitions, so the per-partition self-merge (each
+    user's ≤T types → ≤T(T+1)/2 pairs) yields EXACT pair-count partials,
+    and each partition emits at most the T(T+1)/2 grid. The final
+    combine sums a tiny table. Distinct users never ship twice; no
+    count-distinct shuffle happens anywhere.
+    Returns (type_a, type_b, n_users), type_a <= type_b."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    def uniq_pairs(t: pa.Table) -> pa.Table:
+        agg = _arrow_group_aggs(
+            {"user_id": t["user_id"], "event_type": t["event_type"]},
+            {"n": ("count", None)},
+            t.num_rows,
+        )
+        return agg.drop_columns(["n"])
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["user_id", "event_type"]
+    ).map_batches(uniq_pairs, batch_format="pyarrow", batch_size=65536)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        p = d.merge(d, on="user_id")
+        p = p[p["event_type_x"] <= p["event_type_y"]]
+        out = p.groupby(["event_type_x", "event_type_y"], as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        return out.rename(columns={"event_type_x": "type_a", "event_type_y": "type_b"})
+
+    parts = salted_groupby_arrow(
+        ds, lambda t: t["user_id"].to_numpy(zero_copy_only=False), finish
+    )
+    return _combine_partials(parts, ["type_a", "type_b"], {"n_users": "sum"})
+
+
+EVENT_TYPE_OVERLAP_MATRIX_SQL = """
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM d a
+    JOIN d b ON a.user_id = b.user_id AND a.event_type <= b.event_type
+    GROUP BY 1, 2
+"""
+
+
+def orders_priority_pivot(sf_dir: str):
+    """Pivot / wide-format aggregate: one row per order year with a
+    (count, revenue-cents) column PAIR per order priority class — the
+    long→wide reshape (SQL FILTER aggregates / pandas pivot_table) as a
+    first-class distributed operator. Reference analogy: the eval
+    runner's per-category report table (src/evals/run_evals.py).
+
+    Scale shape: the (year × 5-priority) grid is bounded, so per-block
+    Arrow partials collapse each block to ≤|grid| narrow rows, the tiny
+    combined table is summed once, and the pivot itself happens on the
+    already-combined single block — the reshape never touches a wide
+    row per input row and there is NO shuffle at all. Missing cells are
+    explicit zeros (the pivot contract). Returns
+    (o_year, n_urgent..n_low, cents_urgent..cents_low)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    classes = [
+        ("1-URGENT", "urgent"),
+        ("2-HIGH", "high"),
+        ("3-MEDIUM", "medium"),
+        ("4-NOT SPECIFIED", "notspec"),
+        ("5-LOW", "low"),
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        cents = _cents(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        return _arrow_group_aggs(
+            {"o_year": yr, "prio": t["o_orderpriority"]},
+            {"n": ("count", None), "cents": ("sum", cents)},
+            t.num_rows,
+        )
+
+    parts = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    combined = _combine_partials(
+        parts, ["o_year", "prio"], {"n": "sum", "cents": "sum"}
+    )
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_year": pd.Series(dtype="int64")}
+        for _, short in classes:
+            cols[f"n_{short}"] = pd.Series(dtype="int64")
+        for _, short in classes:
+            cols[f"cents_{short}"] = pd.Series(dtype="int64")
+        if len(b) == 0:
+            return pd.DataFrame(cols)
+        years = np.sort(b["o_year"].unique())
+        out = {"o_year": years.astype(np.int64)}
+        for prio, short in classes:
+            sub = b[b["prio"] == prio].set_index("o_year")
+            out[f"n_{short}"] = (
+                sub["n"].reindex(years).fillna(0).to_numpy().astype(np.int64)
+            )
+            out[f"cents_{short}"] = (
+                sub["cents"].reindex(years).fillna(0).to_numpy().astype(np.int64)
+            )
+        return pd.DataFrame(out)[list(cols)]
+
+    return combined.map_batches(widen, batch_format="pandas", batch_size=None)
+
+
+ORDERS_PRIORITY_PIVOT_SQL = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+               AS n_urgent,
+           CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)
+               AS n_high,
+           CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT)
+               AS n_medium,
+           CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+               AS BIGINT) AS n_notspec,
+           CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT)
+               AS n_low,
+           CAST(COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               FILTER (o_orderpriority = '1-URGENT'), 0) AS BIGINT)
+               AS cents_urgent,
+           CAST(COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               FILTER (o_orderpriority = '2-HIGH'), 0) AS BIGINT)
+               AS cents_high,
+           CAST(COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               FILTER (o_orderpriority = '3-MEDIUM'), 0) AS BIGINT)
+               AS cents_medium,
+           CAST(COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               FILTER (o_orderpriority = '4-NOT SPECIFIED'), 0) AS BIGINT)
+               AS cents_notspec,
+           CAST(COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               FILTER (o_orderpriority = '5-LOW'), 0) AS BIGINT)
+               AS cents_low
+    FROM orders GROUP BY 1
+"""

@@ -3226,3 +3226,94 @@ def test_hot_salted_groupby_equality_and_isolation(ray_session, tmp_path):
         .to_pandas().sort_values("user_id").reset_index(drop=True)
     )
     assert c1.equals(c2)
+
+
+def test_linestatus_priority_counts_hand_case(ray_session, tmp_path):
+    """High = URGENT/HIGH only; out-of-window ships never count; both
+    grid cells split high/low independently."""
+    from open_parse_ray.stages.relational import linestatus_priority_counts
+
+    _write_orders(
+        tmp_path, o_orderpriority=["1-URGENT", "5-LOW", "2-HIGH"]
+    )  # orderkeys 1, 2, 3
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1, 1, 2, 2, 3, 3],
+        l_returnflag=["A", "A", "A", "N", "N", "N"],
+        l_linestatus=["F", "F", "F", "O", "O", "O"],
+        l_shipdate=[
+            pd.Timestamp("1996-06-01"),
+            pd.Timestamp("1995-06-01"),  # before the window: dropped
+            pd.Timestamp("1996-06-01"),
+            pd.Timestamp("1997-12-31"),  # last in-window day
+            pd.Timestamp("1996-06-01"),
+            pd.Timestamp("1998-01-01"),  # first out-of-window day
+        ],
+    )
+    out = _df(linestatus_priority_counts(str(tmp_path))).set_index(
+        ["l_returnflag", "l_linestatus"]
+    )
+    assert out.loc[("A", "F"), "high_lines"] == 1  # ok1 in-window line
+    assert out.loc[("A", "F"), "low_lines"] == 1  # ok2 (5-LOW)
+    assert out.loc[("N", "O"), "high_lines"] == 1  # ok3 (2-HIGH), one in-window
+    assert out.loc[("N", "O"), "low_lines"] == 1  # ok2
+    assert len(out) == 2
+
+
+def test_event_type_overlap_matrix_hand_case(ray_session, tmp_path):
+    """Diagonal = distinct users per type; repeats of the same (user,
+    type) never double-count; disjoint type pairs are absent."""
+    from open_parse_ray.stages.relational import event_type_overlap_matrix
+
+    pd.DataFrame(
+        {
+            "event_id": range(7),
+            "ts": [pd.Timestamp("2024-01-01")] * 7,
+            # u1: {click, view}; u2: {click} (twice); u3: {view, purchase}
+            "user_id": [1, 1, 2, 2, 3, 3, 3],
+            "event_type": [
+                "click", "view", "click", "click", "view", "purchase", "view",
+            ],
+            "value": [0.0] * 7,
+            "props": ["{}"] * 7,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    out = (
+        _df(event_type_overlap_matrix(str(tmp_path)))
+        .set_index(["type_a", "type_b"])
+        .sort_index()
+    )
+    assert out.loc[("click", "click"), "n_users"] == 2
+    assert out.loc[("click", "view"), "n_users"] == 1
+    assert out.loc[("view", "view"), "n_users"] == 2
+    assert out.loc[("purchase", "purchase"), "n_users"] == 1
+    assert out.loc[("purchase", "view"), "n_users"] == 1
+    assert ("click", "purchase") not in out.index
+    assert len(out) == 5
+
+
+def test_orders_priority_pivot_hand_case(ray_session, tmp_path):
+    """Missing cells are explicit zeros; cents use round-half-away per
+    row; each year is one wide row."""
+    from open_parse_ray.stages.relational import orders_priority_pivot
+
+    _write_orders(
+        tmp_path,
+        o_orderpriority=["1-URGENT", "1-URGENT", "5-LOW", "3-MEDIUM"],
+        o_totalprice=[10.005, 1.0, 2.5, 3.0],
+        o_orderdate=[
+            pd.Timestamp("1996-03-01"),
+            pd.Timestamp("1996-09-01"),
+            pd.Timestamp("1996-01-01"),
+            pd.Timestamp("1997-01-01"),
+        ],
+    )
+    out = _df(orders_priority_pivot(str(tmp_path))).set_index("o_year")
+    assert out.loc[1996, "n_urgent"] == 2
+    # 10.005 * 100 = 1000.5 → half-away → 1001; + 100
+    assert out.loc[1996, "cents_urgent"] == 1101
+    assert out.loc[1996, "n_low"] == 1 and out.loc[1996, "cents_low"] == 250
+    assert out.loc[1996, "n_medium"] == 0 and out.loc[1996, "cents_medium"] == 0
+    assert out.loc[1997, "n_medium"] == 1 and out.loc[1997, "cents_medium"] == 300
+    assert out.loc[1997, "n_urgent"] == 0
+    assert len(out) == 2

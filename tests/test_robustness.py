@@ -450,6 +450,15 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import orders_at_time_segment
 
     checks.append((orders_at_time_segment, ["o_orderkey"]))
+    from open_parse_ray.stages.relational import linestatus_priority_counts
+
+    checks.append((linestatus_priority_counts, ["l_returnflag", "l_linestatus"]))
+    from open_parse_ray.stages.relational import event_type_overlap_matrix
+
+    checks.append((event_type_overlap_matrix, ["type_a", "type_b"]))
+    from open_parse_ray.stages.relational import orders_priority_pivot
+
+    checks.append((orders_priority_pivot, ["o_year"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
