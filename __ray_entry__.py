@@ -586,6 +586,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linestatus_priority_counts": relational.linestatus_priority_counts,
         "event_type_overlap_matrix": relational.event_type_overlap_matrix,
         "orders_priority_pivot": relational.orders_priority_pivot,
+        "important_parts_share": relational.important_parts_share,
+        "supplier_diversity": relational.supplier_diversity,
+        "orders_priority_unpivot": relational.orders_priority_unpivot,
     }
 
 
@@ -2276,6 +2279,13 @@ def oracle_sql() -> dict[str, str]:
         "event_type_overlap_matrix": relational.EVENT_TYPE_OVERLAP_MATRIX_SQL,
         # long→wide pivot over the bounded (year × priority) grid
         "orders_priority_pivot": relational.ORDERS_PRIORITY_PIVOT_SQL,
+        # Q11 shape: HAVING sum > f * global sum (threshold is the
+        # integer floor-division form on both sides)
+        "important_parts_share": relational.IMPORTANT_PARTS_SHARE_SQL,
+        # Q16 shape: distinct-count per group with exclusion broadcast
+        "supplier_diversity": relational.SUPPLIER_DIVERSITY_SQL,
+        # wide-to-long UNPIVOT (inverse of the pivot, explicit zeros)
+        "orders_priority_unpivot": relational.ORDERS_PRIORITY_UNPIVOT_SQL,
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

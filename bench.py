@@ -261,6 +261,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "linestatus_priority_counts",
         "event_type_overlap_matrix",
         "orders_priority_pivot",
+        "important_parts_share",
+        "supplier_diversity",
+        "orders_priority_unpivot",
     ]
 
     timings: dict[str, float] = {}

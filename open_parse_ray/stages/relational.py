@@ -5624,3 +5624,257 @@ ORDERS_PRIORITY_PIVOT_SQL = """
                AS cents_low
     FROM orders GROUP BY 1
 """
+
+
+def important_parts_share(sf_dir: str):
+    """TPC-H Q11 shape — filter groups by a GLOBAL aggregate: parts whose
+    total discounted revenue exceeds 1.5x the average per-part revenue
+    (i.e. whose share of GLOBAL revenue exceeds 1.5/n_parts). The
+    "HAVING sum(x) > f * (SELECT sum(x) FROM ...)" composition as a
+    distributed operator. Reference analogy: the eval runner's
+    aggregate reporting (src/evals/run_evals.py) — here a global-scalar
+    broadcast gate.
+
+    Scale shape: per-block Arrow partials collapse lineitem to
+    (partkey, cents) rows; ONE partkey-salted exchange finishes exact
+    per-part sums. That per-part table (bounded by part cardinality,
+    ~1/30 of lineitem rows) is materialized ONCE in the object store —
+    distributed blocks, never driver-resident; the driver folds only
+    per-block (local_cents, local_rows) pairs (<= #blocks rows) into the
+    global total and part count as arbitrary-precision Python ints. The
+    threshold is then a SINGLE int64 scalar closed over by the final
+    filter — the per-row test is cents >= (3*total)//(2*nparts) + 1,
+    which is exactly cents*2*nparts > 3*total without the int64 overflow
+    the product form would hit at 10^12-row scale.
+    Returns (p_partkey, revenue_cents) for passing parts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        return _arrow_group_aggs(
+            {"p_partkey": t["l_partkey"]},
+            {"revenue_cents": ("sum", _cents(price * (1 - disc)))},
+            t.num_rows,
+        )
+
+    parts = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("p_partkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        )
+
+    per_part = salted_groupby_arrow(
+        parts, lambda t: t["p_partkey"].to_numpy(zero_copy_only=False), finish
+    ).materialize()
+
+    def local_totals(t: pa.Table) -> pa.Table:
+        c = t["revenue_cents"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cents": pa.array([int(c.sum())], pa.int64()),
+                "rows": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    folded = per_part.map_batches(
+        local_totals, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    total = sum(int(r["cents"]) for r in folded)  # Python int — no overflow
+    nparts = sum(int(r["rows"]) for r in folded)
+    threshold = (3 * total) // (2 * nparts) + 1  # cents*2n > 3*total, exactly
+    assert threshold < 2**63
+
+    def keep(t: pa.Table) -> pa.Table:
+        c = t["revenue_cents"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(c >= threshold))
+
+    return per_part.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+IMPORTANT_PARTS_SHARE_SQL = """
+    WITH p AS (
+        SELECT l_partkey AS p_partkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem GROUP BY 1
+    ), g AS (
+        SELECT sum(revenue_cents) AS total, count(*) AS nparts FROM p
+    )
+    SELECT p.p_partkey, p.revenue_cents
+    FROM p, g
+    WHERE p.revenue_cents >= (3 * g.total) // (2 * g.nparts) + 1
+"""
+
+
+def supplier_diversity(sf_dir: str):
+    """TPC-H Q16 shape — distinct-count per dimension group with an
+    exclusion broadcast: per part brand, how many DISTINCT suppliers
+    ever shipped it, excluding "complaint" suppliers (negative account
+    balance — the deterministic analog of Q16's comment-pattern set).
+
+    Scale shape: the exclusion set (np.isin against a broadcast sorted
+    array, bounded by supplier cardinality) and the partkey→brand-code
+    map (dense int8 array — brands are a ~25-value dictionary) are
+    ray.put broadcast once; per block, surviving rows collapse to
+    DISTINCT (brand_code, suppkey) pairs via the Arrow kernel, so at
+    most |brands|x|suppliers-in-block| narrow rows leave any block. ONE
+    exchange salted by the PAIR hash co-locates identical pairs, each
+    partition dedupes and emits (brand_code, n) partial counts — exact,
+    because pairs are globally unique to one partition — and the final
+    combine sums a <=|brands| table and decodes names. Supplier rows
+    never shuffle; no count-distinct groupby happens anywhere.
+    Returns (p_brand, n_suppliers)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    part_t = pq.read_table(
+        table_path(sf_dir, "part"), columns=["p_partkey", "p_brand"]
+    )
+    pk = part_t["p_partkey"].to_numpy(zero_copy_only=False)
+    brands = sorted(set(part_t["p_brand"].to_pylist()))
+    b_code = {b: i for i, b in enumerate(brands)}
+    code_of_pk = np.zeros(int(pk.max()) + 1, dtype=np.int16)
+    code_of_pk[pk] = np.array(
+        [b_code[b] for b in part_t["p_brand"].to_pylist()], dtype=np.int16
+    )
+    sup_t = pq.read_table(
+        table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_acctbal"]
+    )
+    bal = sup_t["s_acctbal"].to_numpy(zero_copy_only=False)
+    excluded = np.sort(
+        sup_t["s_suppkey"].to_numpy(zero_copy_only=False)[bal < 0]
+    )
+    code_ref, excl_ref = ray.put(code_of_pk), ray.put(excluded)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        codes = ray.get(code_ref)
+        excl = ray.get(excl_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(sk, excl)
+        sk = sk[keep]
+        bc = codes[t["l_partkey"].to_numpy(zero_copy_only=False)[keep]]
+        agg = _arrow_group_aggs(
+            {"bc": bc.astype(np.int64), "sk": sk},
+            {"n": ("count", None)},
+            len(sk),
+        )
+        return agg.drop_columns(["n"])
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"]
+    ).map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    def count_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["bc", "sk"])
+        return d.groupby("bc", as_index=False).agg(n_suppliers=("sk", "size"))
+
+    def pair_salt(t: pa.Table) -> np.ndarray:
+        return (
+            t["bc"].to_numpy(zero_copy_only=False) * 1_000_003
+            + t["sk"].to_numpy(zero_copy_only=False)
+        )
+
+    parts = salted_groupby_arrow(ds, pair_salt, count_partial)
+    combined = _combine_partials(parts, ["bc"], {"n_suppliers": "sum"})
+
+    def decode(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "p_brand": [brands[int(c)] for c in b["bc"]],
+                "n_suppliers": b["n_suppliers"].to_numpy().astype(np.int64),
+            }
+        )
+        return out
+
+    return combined.map_batches(decode, batch_format="pandas", batch_size=None)
+
+
+SUPPLIER_DIVERSITY_SQL = """
+    SELECT p.p_brand, CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+        AS n_suppliers
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1
+"""
+
+
+def orders_priority_unpivot(sf_dir: str):
+    """Wide→long UNPIVOT — the inverse reshape of orders_priority_pivot:
+    each (year, 5x(count,cents)-pair) wide row becomes 5 long
+    (o_year, prio, n, cents) rows, zero cells kept EXPLICIT (the grid
+    contract both directions). Completes the reshape pair as
+    first-class distributed operators.
+
+    Scale shape: the unpivot itself is a pure per-block reshape (numpy
+    repeat/tile — 5x the wide row count, no exchange, no state); it
+    composes onto the pivot's bounded-grid partials, so nothing here
+    ever exceeds the (years x 5) grid regardless of input size.
+    Returns (o_year, prio, n, cents) — the full explicit grid."""
+    classes = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    shorts = ["urgent", "high", "medium", "notspec", "low"]
+
+    wide = orders_priority_pivot(sf_dir)
+
+    def unpivot(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "o_year": pd.Series(dtype="int64"),
+                    "prio": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                    "cents": pd.Series(dtype="int64"),
+                }
+            )
+        years = b["o_year"].to_numpy()
+        k = len(classes)
+        return pd.DataFrame(
+            {
+                "o_year": np.repeat(years, k),
+                "prio": np.tile(np.array(classes, dtype=object), len(b)),
+                "n": np.column_stack(
+                    [b[f"n_{s}"].to_numpy() for s in shorts]
+                ).ravel(),
+                "cents": np.column_stack(
+                    [b[f"cents_{s}"].to_numpy() for s in shorts]
+                ).ravel(),
+            }
+        )
+
+    return wide.map_batches(unpivot, batch_format="pandas", batch_size=None)
+
+
+ORDERS_PRIORITY_UNPIVOT_SQL = """
+    WITH y AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS o_year
+        FROM orders
+    ), c(prio) AS (
+        VALUES ('1-URGENT'), ('2-HIGH'), ('3-MEDIUM'),
+               ('4-NOT SPECIFIED'), ('5-LOW')
+    ), a AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT y.o_year, c.prio,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(a.cents, 0) AS BIGINT) AS cents
+    FROM y CROSS JOIN c
+    LEFT JOIN a ON a.o_year = y.o_year AND a.prio = c.prio
+"""

@@ -3317,3 +3317,115 @@ def test_orders_priority_pivot_hand_case(ray_session, tmp_path):
     assert out.loc[1997, "n_medium"] == 1 and out.loc[1997, "cents_medium"] == 300
     assert out.loc[1997, "n_urgent"] == 0
     assert len(out) == 2
+
+
+def test_important_parts_share_threshold_boundary(ray_session, tmp_path):
+    """The gate is cents >= (3*total)//(2*nparts) + 1, i.e. strictly
+    above 1.5x average: a part EXACTLY at 1.5x average fails, epsilon
+    above passes."""
+    from open_parse_ray.stages.relational import important_parts_share
+
+    # four parts: cents 100, 100, 100, 300 -> total 600, avg 150,
+    # 1.5x avg = 225; threshold = 1800//8 + 1 = 226. Only part 4 (300).
+    _write_lineitem(
+        tmp_path,
+        l_partkey=[1, 2, 3, 4],
+        l_extendedprice=[1.0, 1.0, 1.0, 3.0],
+    )
+    out = _df(important_parts_share(str(tmp_path)))
+    assert out["p_partkey"].tolist() == [4]
+    assert out["revenue_cents"].tolist() == [300]
+
+    # exactly at 1.5x: parts 100, 100, 100, 100, 200 -> total 600,
+    # nparts 5, threshold = 1800//10 + 1 = 181; 200 passes. But make
+    # one EXACTLY equal to the 1.5x point: cents 100,100,150 ->
+    # total 350? use 100,100,100,100 (all equal): nobody passes.
+    for f in (tmp_path / "lineitem.parquet",):
+        f.unlink()
+    _write_lineitem(tmp_path, l_partkey=[1, 2, 3, 4])
+    out = _df(important_parts_share(str(tmp_path)))
+    assert len(out) == 0
+
+
+def test_important_parts_share_exact_at_threshold(ray_session, tmp_path):
+    """A part at EXACTLY 1.5x the average is excluded (strict >)."""
+    from open_parse_ray.stages.relational import important_parts_share
+
+    # parts cents: 60, 60, 60, 90, 90, 90 over 6 parts? avg=75,
+    # 1.5*avg=112.5 -> none. Construct exact: cents 50,50,50,50,100,
+    # total=300, nparts=5, avg=60, 1.5x=90 -> 100 passes, none at 90.
+    # Exact-at: cents 30,30,30,30,30,30,90,90 ... simplest: 2 parts
+    # (60, 90): total 150, nparts 2, 1.5x avg = 112.5 -> floor form
+    # (3*150)//(2*2)+1 = 113 -> 90 fails. 3 parts (10,20,90):
+    # total 120, 1.5x avg = 60; part at exactly 60: (10,50,60):
+    # total 120, nparts 3, threshold (360)//6+1 = 61 -> 60 FAILS.
+    _write_lineitem(
+        tmp_path,
+        l_partkey=[1, 2, 3],
+        l_extendedprice=[0.10, 0.50, 0.60],
+    )
+    out = _df(important_parts_share(str(tmp_path)))
+    assert len(out) == 0  # 60 == 1.5x avg exactly -> strict, excluded
+
+
+def test_supplier_diversity_exclusion_hand_case(ray_session, tmp_path):
+    """Distinct suppliers per brand; repeats don't double-count;
+    negative-balance suppliers are excluded everywhere."""
+    from open_parse_ray.stages.relational import supplier_diversity
+
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3],
+            "p_name": ["a", "b", "c"],
+            "p_brand": ["B1", "B1", "B2"],
+            "p_type": ["t"] * 3,
+            "p_size": np.array([1, 1, 1], dtype=np.int32),
+            "p_retailprice": [1.0] * 3,
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame(
+        {
+            "s_suppkey": [10, 11, 12],
+            "s_name": ["x", "y", "z"],
+            "s_nationkey": np.array([0, 0, 0], dtype=np.int32),
+            "s_acctbal": [5.0, -1.0, 5.0],  # 11 excluded
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    _write_lineitem(
+        tmp_path,
+        # B1 gets suppliers {10, 10, 11(excluded), 12}; B2 gets {11(ex)}
+        l_partkey=[1, 2, 1, 2, 3],
+        l_suppkey=[10, 10, 11, 12, 11],
+    )
+    out = _df(supplier_diversity(str(tmp_path))).set_index("p_brand")
+    assert out.loc["B1", "n_suppliers"] == 2  # 10 and 12
+    assert "B2" not in out.index  # only excluded supplier shipped it
+    assert len(out) == 1
+
+
+def test_orders_priority_unpivot_roundtrip(ray_session, tmp_path):
+    """Unpivot of the pivot equals the explicit long grid — zero cells
+    present, values identical to the narrow aggregation."""
+    from open_parse_ray.stages.relational import orders_priority_unpivot
+
+    _write_orders(
+        tmp_path,
+        o_orderpriority=["1-URGENT", "5-LOW", "3-MEDIUM"],
+        o_totalprice=[1.0, 2.5, 3.0],
+        o_orderdate=[
+            pd.Timestamp("1996-03-01"),
+            pd.Timestamp("1996-01-01"),
+            pd.Timestamp("1997-01-01"),
+        ],
+    )
+    out = _df(orders_priority_unpivot(str(tmp_path))).set_index(
+        ["o_year", "prio"]
+    )
+    assert len(out) == 10  # 2 years x 5 classes, zeros explicit
+    assert out.loc[(1996, "1-URGENT"), "n"] == 1
+    assert out.loc[(1996, "1-URGENT"), "cents"] == 100
+    assert out.loc[(1996, "5-LOW"), "cents"] == 250
+    assert out.loc[(1996, "3-MEDIUM"), "n"] == 0
+    assert out.loc[(1996, "3-MEDIUM"), "cents"] == 0
+    assert out.loc[(1997, "3-MEDIUM"), "cents"] == 300
+    assert out.loc[(1997, "2-HIGH"), "n"] == 0

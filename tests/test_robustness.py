@@ -459,6 +459,15 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import orders_priority_pivot
 
     checks.append((orders_priority_pivot, ["o_year"]))
+    from open_parse_ray.stages.relational import important_parts_share
+
+    checks.append((important_parts_share, ["p_partkey"]))
+    from open_parse_ray.stages.relational import supplier_diversity
+
+    checks.append((supplier_diversity, ["p_brand"]))
+    from open_parse_ray.stages.relational import orders_priority_unpivot
+
+    checks.append((orders_priority_unpivot, ["o_year", "prio"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
