@@ -426,9 +426,14 @@ class IngestionPipeline:
         self.transformations: List[ProcessingStep] = transformations or []
 
     def run(self, nodes: List[Node]) -> List[Node]:
-        nodes = sorted(nodes)
+        # key= is order-identical to the __lt__ comparison sort (both
+        # compare the same reading_order tuples; both stable) but fetches
+        # the cached property once per node instead of twice per pairwise
+        # comparison — measurable on the extraction hot path
+        key = lambda n: n.reading_order  # noqa: E731
+        nodes = sorted(nodes, key=key)
         for transform in self.transformations:
-            nodes = transform.process(sorted(nodes))
+            nodes = transform.process(sorted(nodes, key=key))
         return nodes
 
     def append_transform(self, transform: ProcessingStep) -> None:
