@@ -39,7 +39,7 @@ the other two paths.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Tuple, Optional
 
 import numpy as np
 import pandas as pd
@@ -330,7 +330,7 @@ def events_type_pagerank_oracle_sql(n_iter: int = 20, one: int = ONE) -> str:
 
 
 def pagerank_partitioned(
-    edges, n_nodes: int, n_iter: int = 20, one: int = ONE, num_parts: int = 32
+    edges, n_nodes: int, n_iter: int = 20, one: int = ONE, num_parts: Optional[int] = None
 ):
     """The 10^12-NODE PageRank shape: the rank table itself stays a
     Dataset — the driver never holds a rank vector, only two scalars
@@ -602,7 +602,7 @@ def _group_layout(sorted_keys: np.ndarray):
 def triangle_counts(
     edges,
     n_nodes: int,
-    num_parts: int = 32,
+    num_parts: Optional[int] = None,
     max_broadcast_edges: int = 5_000_000,
 ):
     """Exact distributed triangle / wedge / edge counts over an
@@ -803,7 +803,7 @@ def triangle_counts(
     )
 
 
-def copurchase_edges(sf_dir: str, num_parts: int = 32):
+def copurchase_edges(sf_dir: str, num_parts: Optional[int] = None):
     """DISTINCT part co-purchase edges (u < v: two parts appearing in
     the same order) from lineitem. Two salted exchanges: order-salted
     pair generation (every row of one order co-locates; per-order pair
@@ -875,7 +875,7 @@ def copurchase_lift_pairs(
     min_ab: int = 2,
     lift_num: int = 2,
     lift_den: int = 1,
-    num_parts: int = 32,
+    num_parts: Optional[int] = None,
 ):
     """Market-basket association mining over the co-purchase graph:
     every part pair co-occurring in >= min_ab orders whose LIFT
@@ -1005,7 +1005,7 @@ def copurchase_lift_pairs(
     )
 
 
-def copurchase_distances(sf_dir: str, max_hops: int = 4, num_parts: int = 32):
+def copurchase_distances(sf_dir: str, max_hops: int = 4, num_parts: Optional[int] = None):
     """Unweighted single-source shortest paths (BFS layers) over the
     part co-purchase graph, from the smallest part id that has an edge
     — the graph-traversal member of the pagerank/labelprop/triangle
@@ -1100,7 +1100,7 @@ def copurchase_distances(sf_dir: str, max_hops: int = 4, num_parts: int = 32):
     )
 
 
-def related_parts_topk(sf_dir: str, k: int = 3, num_parts: int = 32):
+def related_parts_topk(sf_dir: str, k: int = 3, num_parts: Optional[int] = None):
     """The item-to-item recommendation TABLE: for every part, its top-k
     co-purchased parts ranked by (co-order count DESC, part id ASC) —
     copurchase_lift_pairs thresholds the pair set; this ranks it per
@@ -1177,7 +1177,7 @@ def related_parts_topk(sf_dir: str, k: int = 3, num_parts: int = 32):
 
 
 def recommend_parts_topk(
-    sf_dir: str, k: int = 3, neighbor_cap: int = 16, num_parts: int = 32
+    sf_dir: str, k: int = 3, neighbor_cap: int = 16, num_parts: Optional[int] = None
 ):
     """User-level collaborative filtering ('customers who bought what
     you bought also bought...'): for every customer, the top-k parts
@@ -1374,7 +1374,7 @@ def recommend_parts_topk(
     return salted_groupby(final_in, lambda b: b["cust"], finish, num_parts=num_parts)
 
 
-def copurchase_cheapest_paths(sf_dir: str, n_rounds: int = 4, num_parts: int = 32):
+def copurchase_cheapest_paths(sf_dir: str, n_rounds: int = 4, num_parts: Optional[int] = None):
     """Weighted single-source shortest paths (Bellman-Ford, min-plus
     semiring) over the co-purchase graph: edge weight
     w = 1000 // co_count + 1 (stronger ties are cheaper), source = the
@@ -1515,7 +1515,7 @@ def copurchase_cheapest_paths(sf_dir: str, n_rounds: int = 4, num_parts: int = 3
     )
 
 
-def copurchase_kcore(sf_dir: str, k: int = 68, rounds: int = 8, num_parts: int = 32):
+def copurchase_kcore(sf_dir: str, k: int = 68, rounds: int = 8, num_parts: Optional[int] = None):
     """k-core decomposition slice of the part co-purchase graph:
     survivors of ``rounds`` peel iterations (drop every node whose
     degree among CURRENT survivors is < k), with each survivor's final
@@ -1622,7 +1622,7 @@ def copurchase_kcore(sf_dir: str, k: int = 68, rounds: int = 8, num_parts: int =
     )
 
 
-def copurchase_strong_edges(sf_dir: str, min_ab: int = 3, num_parts: int = 32):
+def copurchase_strong_edges(sf_dir: str, min_ab: int = 3, num_parts: Optional[int] = None):
     """DISTINCT strong co-purchase edges: part pairs appearing together
     in ≥ ``min_ab`` distinct orders (u < v). Same two-exchange shape as
     :func:`copurchase_edges`, but the order-salted stage emits per-
@@ -1677,7 +1677,7 @@ def copurchase_strong_edges(sf_dir: str, min_ab: int = 3, num_parts: int = 32):
 
 
 def copurchase_components(
-    sf_dir: str, min_ab: int = 3, rounds: int = 8, num_parts: int = 32
+    sf_dir: str, min_ab: int = 3, rounds: int = 8, num_parts: Optional[int] = None
 ):
     """Connected components of the STRONG co-purchase graph (edges =
     pairs co-purchased in ≥ ``min_ab`` distinct orders) by ``rounds``

@@ -34,6 +34,8 @@ a time); semantics pinned by the DuckDB row_number()/ntile() oracle.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 
@@ -113,12 +115,16 @@ def _boundaries(hist: pd.DataFrame, max_id: int, num_parts: int) -> np.ndarray:
     return np.asarray(sorted(set(cuts)), dtype=np.uint64)
 
 
-def global_rank(keyed, k: int = 4, num_parts: int = 32):
+def global_rank(keyed, k: int = 4, num_parts: Optional[int] = None):
     """Exact 1-based global rank + ntile(k) tier over a Dataset of
     (doc_id:int64, n_tokens:int64) pairs, total-ordered by
     (n_tokens, doc_id). Returns (doc_id, n_tokens, rank, tier)."""
     import ray
 
+    from open_parse_ray.stages.dedup import default_num_parts
+
+    if num_parts is None:
+        num_parts = default_num_parts()
     keyed = keyed.materialize()
 
     def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -228,7 +234,7 @@ def global_rank(keyed, k: int = 4, num_parts: int = 32):
     return ranked.map_batches(finalize, batch_format="pandas", batch_size=65536)
 
 
-def doc_tiers(sf_dir: str, k: int = 4, num_parts: int = 32):
+def doc_tiers(sf_dir: str, k: int = 4, num_parts: Optional[int] = None):
     """Length-quantile tier extraction over the documents corpus: exact
     global rank by (whitespace token count, doc_id) and ntile(k) tier.
     The short-doc tiers are what a quality-curriculum drops first.
@@ -437,7 +443,7 @@ def epoch_shuffle(sf_dir: str, epoch: int = 1, num_parts: int = 64):
     return ranked.map_batches(finalize, batch_format="pandas", batch_size=65536)
 
 
-def rank_fusion_docs(sf_dir: str, num_parts: int = 32):
+def rank_fusion_docs(sf_dir: str, num_parts: Optional[int] = None):
     """Borda-count RANK FUSION — combine two exact global rankings of
     the corpus (by n_chars and by whitespace token count, each
     tie-broken by doc_id) into a fused ordering: borda = rank_a +

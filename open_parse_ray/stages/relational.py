@@ -10,6 +10,8 @@ oracle) so float summation order can never flip the value hash.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 
@@ -1667,7 +1669,7 @@ def events_prior_window_counts(
     left_type: str = "purchase",
     right_type: str = "click",
     window_s: int = 600,
-    num_parts: int = 32,
+    num_parts: Optional[int] = None,
 ):
     """Bucketized INTERVAL (range) join with NO equi-key: for every
     ``left_type`` event, the exact count of ``right_type`` events — by
@@ -1956,7 +1958,7 @@ def events_session_ids(sf_dir: str, gap_minutes: int = 30):
     return salted_groupby(ds, lambda b: b["user_id"], assign)
 
 
-def fk_audit(sf_dir: str, num_parts: int = 32):
+def fk_audit(sf_dir: str, num_parts: Optional[int] = None):
     """Referential-integrity audit — the data-quality gate a pipeline
     runs before trusting a snapshot: for each FK relation, the exact
     number of child rows whose key has no parent. Relations covered:
@@ -2104,7 +2106,7 @@ def events_user_streaks(sf_dir: str):
 
 
 def events_max_concurrency(
-    sf_dir: str, duration_s: int = 300, bucket_s: int = 3600, num_parts: int = 32
+    sf_dir: str, duration_s: int = 300, bucket_s: int = 3600, num_parts: Optional[int] = None
 ):
     """Interval max-concurrency (the 'airport problem'): treating every
     event as an interval [ts, ts + duration), the maximum number
@@ -2313,7 +2315,7 @@ def events_grouping_sets(sf_dir: str):
     )
 
 
-def customer_rfm_segments(sf_dir: str, num_parts: int = 32):
+def customer_rfm_segments(sf_dir: str, num_parts: Optional[int] = None):
     """RFM segmentation — the classic customer-analytics operator: per
     customer, Recency (days between their last order and the corpus's
     last order), Frequency (order count) and Monetary (total cents),

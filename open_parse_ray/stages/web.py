@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from urllib.parse import parse_qsl, urlencode, urlsplit
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 
@@ -297,7 +299,7 @@ def _ed_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1 :]
 
 
-def url_editdist_pairs(sf_dir: str, num_parts: int = 32):
+def url_editdist_pairs(sf_dir: str, num_parts: Optional[int] = None):
     """Bounded edit-distance self-join over the DISTINCT canonical crawl
     URLs: every pair at Levenshtein distance exactly 1 (typosquats,
     off-by-one ids, near-miss paths — the URL analog of near-dup text).

@@ -3168,8 +3168,15 @@ def test_hot_salted_groupby_equality_and_isolation(ray_session, tmp_path):
     import ray.data as rd
 
     def per_user(part: pd.DataFrame) -> pd.DataFrame:
+        # integer cents per the repo's no-float-partials rule: the gate
+        # compares BITWISE across two different salt widths, and a float
+        # sum would be sensitive to intra-partition row order (a ulp
+        # difference is exactly what this gate must not depend on)
+        part = part.assign(
+            _c=np.round(part["value"].to_numpy() * 100).astype(np.int64)
+        )
         g = part.groupby("user_id", as_index=False).agg(
-            n=("event_id", "size"), v=("value", "sum")
+            n=("event_id", "size"), v=("_c", "sum")
         )
         g["n"] = g["n"].astype("int64")
         return g
