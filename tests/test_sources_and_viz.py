@@ -146,3 +146,29 @@ def test_weight_broadcast_to_object_store(ray_session, tmp_path):
     }
     got = ray.get(refs["minhash_params.npz"])
     assert len(got["a"]) == 128
+
+
+def test_explain_condense_stats():
+    """tools/explain.py's stats parser: one record per operator with
+    task/block/wall extraction and cached markers."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from explain import condense_stats
+
+    stats = (
+        "Operator 1 ReadParquet->SplitBlocks(64): 1 tasks executed, "
+        "64 blocks produced in 2.09s\n"
+        "* Remote wall time: 1.1ms min, 80ms max, 65.64ms total\n"
+        "\n"
+        "Operator 2 MapBatches(tag_li): 10 tasks executed, 10 blocks "
+        "produced in 0.99s\n"
+        "* Remote wall time: 2ms min, 30ms max, 142.91ms total\n"
+        "\n"
+        "Operator 3 ReadParquet->SplitBlocks(64): [execution cached]\n"
+    )
+    recs = condense_stats(stats)
+    assert [r["op"] for r in recs] == [1, 2, 3]
+    assert recs[0]["tasks"] == 1 and recs[0]["blocks"] == 64
+    assert recs[0]["wall"] == "65.64ms"
+    assert recs[1]["tasks"] == 10 and recs[1]["wall"] == "142.91ms"
+    assert recs[2].get("cached") is True and recs[2]["tasks"] is None
