@@ -589,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts_share": relational.important_parts_share,
         "supplier_diversity": relational.supplier_diversity,
         "orders_priority_unpivot": relational.orders_priority_unpivot,
+        "charset_decode_docs": web.charset_decode_docs,
     }
 
 
@@ -2286,6 +2287,9 @@ def oracle_sql() -> dict[str, str]:
         "supplier_diversity": relational.SUPPLIER_DIVERSITY_SQL,
         # wide-to-long UNPIVOT (inverse of the pivot, explicit zeros)
         "orders_priority_unpivot": relational.ORDERS_PRIORITY_UNPIVOT_SQL,
+        # byte-level charset sniff+decode: every detector branch is
+        # value-hashed per doc (md5 closed form, unicode_normalize trick)
+        "charset_decode_docs": web.CHARSET_DECODE_DOCS_SQL,
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

@@ -273,6 +273,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "important_parts_share",
         "supplier_diversity",
         "orders_priority_unpivot",
+        "charset_decode_docs",
     ]
 
     timings: dict[str, float] = {}

@@ -425,3 +425,69 @@ def domain_concentration(sf_dir: str, pcts=(50, 80, 90)):
     return stats.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+
+
+def charset_decode_docs(sf_dir: str):
+    """Charset detection + decode over crawl payloads — the byte-level
+    front door the reference never needed (open-parse ingests decoded
+    strings; a 10^12-page crawl arrives as bytes in a zoo of
+    encodings). Each document's text is deterministically framed as a
+    byte payload (doc_id % 6 → plain utf-8 / utf-8 BOM / utf-16
+    LE+BOM / utf-16 BE+BOM / ASCII meta-tag declaration / BOM-less
+    utf-16-le), then the REAL sniffing kernel
+    (functions/charset.py: BOM → meta prescan → zero-byte heuristic →
+    utf-8-replace fallback) recovers codec and text. The oracle
+    rebuilds the expectation in closed form: md5 of the text (the
+    meta-prefixed text for variant 4 — the declaration is content) and
+    the codec/path the detector must take per variant — so every
+    detector branch is value-hashed on every document, not spot-checked.
+
+    Scale shape: pure streaming map, zero exchanges; per-row decode is
+    inherent (same as every extraction kernel). Returns
+    (doc_id, charset, how, text_md5)."""
+    import hashlib
+
+    from open_parse_ray.functions.charset import decode_html_bytes, synth_encoded
+    from open_parse_ray.stages.analysis import read_documents
+
+    def decode(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        cs, how, md5s = [], [], []
+        for did, text in zip(ids, b["text"]):
+            payload = synth_encoded(text, int(did))
+            decoded, codec, path = decode_html_bytes(payload)
+            cs.append(codec)
+            how.append(path)
+            md5s.append(hashlib.md5(decoded.encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "charset": pd.Series(cs, dtype="object"),
+                "how": pd.Series(how, dtype="object"),
+                "text_md5": pd.Series(md5s, dtype="object"),
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        decode, batch_format="pandas", batch_size=1024
+    )
+
+
+CHARSET_DECODE_DOCS_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 6
+               WHEN 0 THEN 'utf-8'      WHEN 1 THEN 'utf-8-sig'
+               WHEN 2 THEN 'utf-16-le'  WHEN 3 THEN 'utf-16-be'
+               WHEN 4 THEN 'utf-8'      WHEN 5 THEN 'utf-16-le'
+           END AS charset,
+           CASE doc_id % 6
+               WHEN 0 THEN 'fallback'   WHEN 1 THEN 'bom'
+               WHEN 2 THEN 'bom'        WHEN 3 THEN 'bom'
+               WHEN 4 THEN 'meta'       WHEN 5 THEN 'heuristic'
+           END AS how,
+           CASE WHEN doc_id % 6 = 4
+                THEN md5('<meta charset="UTF-8">' || text)
+                ELSE md5(text)
+           END AS text_md5
+    FROM documents
+"""

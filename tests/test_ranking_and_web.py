@@ -528,3 +528,102 @@ def test_url_editdist_pairs_matches_bruteforce(ray_session):
     got = url_editdist_pairs(sf).to_pandas()
     assert set(zip(got["url_a"], got["url_b"])) == want
     assert len(want) > 100  # the corpus really has ED-1 structure
+
+
+def test_charset_sniff_hand_cases():
+    """Every detector branch: BOMs win, meta declaration honored,
+    zero-byte heuristic catches BOM-less UTF-16 both ways (including
+    CJK-heavy text where only ASCII bytes vote), fallback never
+    throws."""
+    from open_parse_ray.functions.charset import (
+        decode_html_bytes,
+        sniff_charset,
+    )
+
+    assert sniff_charset(b"\xef\xbb\xbfhi") == ("utf-8-sig", "bom")
+    assert sniff_charset(b"\xff\xfeh\x00") == ("utf-16-le", "bom")
+    assert sniff_charset(b"\xfe\xff\x00h") == ("utf-16-be", "bom")
+    assert sniff_charset(b'<meta charset="ISO-8859-1">caf\xe9') == (
+        "latin-1", "meta",
+    )
+    assert sniff_charset(b"<META CHARSET='utf-8'>x") == ("utf-8", "meta")
+    # unknown declared codec -> sniffing continues to fallback
+    assert sniff_charset(b'<meta charset="klingon">abc') == (
+        "utf-8", "fallback",
+    )
+    s = "hello world this is ascii text " * 8
+    assert sniff_charset(s.encode("utf-16-le")) == ("utf-16-le", "heuristic")
+    assert sniff_charset(s.encode("utf-16-be")) == ("utf-16-be", "heuristic")
+    # CJK-heavy: only spaces put zeros in the high byte, still detected
+    zh = "中文 文本 编码 检测 " * 16
+    assert sniff_charset(zh.encode("utf-16-le")) == ("utf-16-le", "heuristic")
+    # latin-1 declared, undecodable-as-utf-8 byte present: no throw
+    text, codec, how = decode_html_bytes(b'<meta charset="latin-1">caf\xe9')
+    assert codec == "latin-1" and text.endswith("café")
+    # mojibake fallback never throws
+    text, codec, how = decode_html_bytes(b"ok \xff\xff broken")
+    assert how == "fallback" and "�" in text
+    # a second U+FEFF after the BOM is content and survives
+    text, _, _ = decode_html_bytes(b"\xff\xfe" + "﻿x".encode("utf-16-le"))
+    assert text == "﻿x"
+
+
+def test_charset_synth_roundtrip_all_variants():
+    """synth_encoded -> decode_html_bytes recovers the exact text (with
+    the meta declaration as surviving content for variant 4) for every
+    variant, over all five corpus languages' character sets."""
+    from open_parse_ray.functions.charset import (
+        _META_PREFIX,
+        decode_html_bytes,
+        synth_encoded,
+    )
+
+    samples = [
+        "plain ascii words",
+        "umläute & décors — ligné",
+        "中文文本 编码 检测 正确",
+        "mixed 中文 and ascii ¿señal?",
+        "tabs\tand\nnewlines preserved",
+    ]
+    for text in samples:
+        for v in range(6):
+            decoded, codec, how = decode_html_bytes(synth_encoded(text, v))
+            want = _META_PREFIX + text if v == 4 else text
+            assert decoded == want, (v, text, decoded)
+            assert how == ["fallback", "bom", "bom", "bom", "meta",
+                           "heuristic"][v]
+
+
+def test_charset_hypothesis_roundtrip():
+    """Property: any text with at least one ASCII space and no leading
+    U+FEFF/NUL roundtrips bit-exactly through every synth variant (the
+    documented carve-outs: a content-leading BOM is indistinguishable
+    from framing, and zero-ASCII utf-16 needs frequency models)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from open_parse_ray.functions.charset import (
+        _META_PREFIX,
+        decode_html_bytes,
+        synth_encoded,
+    )
+
+    texts = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="﻿\x00"
+        ),
+        min_size=1,
+        max_size=200,
+    ).map(lambda s: s + " word")  # guarantee ASCII presence
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts)
+    def check(text):
+        if text.startswith("﻿"):
+            return
+        for v in range(6):
+            decoded, _, _ = decode_html_bytes(synth_encoded(text, v))
+            want = _META_PREFIX + text if v == 4 else text
+            assert decoded == want
+
+    check()

@@ -468,6 +468,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import orders_priority_unpivot
 
     checks.append((orders_priority_unpivot, ["o_year", "prio"]))
+    from open_parse_ray.stages.web import charset_decode_docs
+
+    checks.append((charset_decode_docs, ["doc_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
