@@ -590,6 +590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_diversity": relational.supplier_diversity,
         "orders_priority_unpivot": relational.orders_priority_unpivot,
         "charset_decode_docs": web.charset_decode_docs,
+        "nation_year_profit": relational.nation_year_profit,
+        "min_cost_supplier": relational.min_cost_supplier,
     }
 
 
@@ -2290,6 +2292,12 @@ def oracle_sql() -> dict[str, str]:
         # byte-level charset sniff+decode: every detector branch is
         # value-hashed per doc (md5 closed form, unicode_normalize trick)
         "charset_decode_docs": web.CHARSET_DECODE_DOCS_SQL,
+        # TPC-H Q9 shape (profit by supplier nation x order year,
+        # closed-form supply cost mirrored in SQL)
+        "nation_year_profit": relational.NATION_YEAR_PROFIT_SQL,
+        # TPC-H Q2 shape (correlated MIN over region-restricted
+        # suppliers, ties kept)
+        "min_cost_supplier": relational.MIN_COST_SUPPLIER_SQL,
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

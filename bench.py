@@ -274,6 +274,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "supplier_diversity",
         "orders_priority_unpivot",
         "charset_decode_docs",
+        "nation_year_profit",
+        "min_cost_supplier",
     ]
 
     timings: dict[str, float] = {}

@@ -5880,3 +5880,308 @@ ORDERS_PRIORITY_UNPIVOT_SQL = """
     FROM y CROSS JOIN c
     LEFT JOIN a ON a.o_year = y.o_year AND a.prio = c.prio
 """
+
+
+def nation_year_profit(sf_dir: str, name_token: str = "red"):
+    """Product-type profit by (supplier nation, order year) — the
+    TPC-H Q9 shape (reference-less corpus analog: the testdata schema
+    has no partsupp, so supply cost is the deterministic closed form
+    ``round(p_retailprice*100) // 2`` cents, mirrored verbatim in the
+    SQL oracle). Profit per line is
+    ``rev_cents − qty × cost_cents(partkey)`` with rev in integer cents
+    (the suite-wide _cents convention), so the value hash is exact.
+
+    Plan — a 5-table star resolved with two broadcasts and ONE
+    exchange: the part-name predicate AND the supply cost collapse to a
+    single dense partkey-indexed int64 array (cost, −1 = part not
+    matching; 10^9 parts ≈ 8 GB worst case — split to the Q14 bitmap +
+    a cost lookup only for matches if that ever matters), and
+    supplier→nationkey to the dense int8 array (the Q7 idiom), so
+    lineitem resolves part filter, cost and supplier nation at scan
+    speed. The one orderkey-salted exchange attaches the order YEAR to
+    the lineitem partials and re-aggregates to the bounded
+    (supp_nk, o_year) grid (≤ 25 × |years| rows per partition), so the
+    final combine is trivially small. Returns
+    (n_name, o_year, profit_cents) sorted by nation, year."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    nation = pd.read_parquet(table_path(sf_dir, "nation"))
+    nk_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    part = pd.read_parquet(
+        table_path(sf_dir, "part"), columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    cost = np.full(int(pk.max()) + 1, -1, dtype=np.int64)
+    match = np.fromiter(
+        (name_token in n for n in part["p_name"]), dtype=bool, count=len(part)
+    )
+    cost[pk[match]] = (
+        _cents(part["p_retailprice"]) // 2
+    )[match]
+    cost_ref = ray.put(cost)
+
+    supp = pd.read_parquet(
+        table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    s_nk = np.full(int(sk.max()) + 1, -1, dtype=np.int8)
+    s_nk[sk] = supp["s_nationkey"].to_numpy(dtype=np.int8)
+    snk_ref = ray.put(s_nk)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cost_ref)
+        m = ray.get(snk_ref)
+        pkey = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pc = c[pkey]
+        keep = pc >= 0
+        skey = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        qty = (
+            t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        )
+        amt = _cents(price * (1 - disc)) - qty * pc[keep]
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        agg = _arrow_group_aggs(
+            {"okey": okey, "supp_nk": m[skey].astype(np.int64)},
+            {"amt": ("sum", amt)},
+            int(keep.sum()),
+        )
+        n = agg.num_rows
+        return agg.append_column(
+            "side", pa.array(np.ones(n, dtype=np.int64))
+        ).append_column("o_year", pa.array(np.zeros(n, dtype=np.int64)))
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        year = (
+            t["o_orderdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "supp_nk": pa.array(np.zeros(n, dtype=np.int64)),
+                "amt": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "o_year": pa.array(year),
+            }
+        )
+
+    orders = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(proj_orders, batch_format="pyarrow", batch_size=65536)
+
+    def join1(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        yr = dict(zip(o["okey"].to_numpy(), o["o_year"].to_numpy()))
+        out = pd.DataFrame(
+            {
+                "supp_nk": l["supp_nk"].to_numpy(dtype=np.int64),
+                "o_year": l["okey"].map(yr).to_numpy(dtype=np.int64),
+                "amt": l["amt"].to_numpy(dtype=np.int64),
+            }
+        )
+        return out.groupby(["supp_nk", "o_year"], as_index=False)["amt"].sum()
+
+    partials = salted_groupby_arrow(
+        orders.union(li),
+        lambda t: t["okey"].to_numpy(zero_copy_only=False),
+        join1,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "n_name": pd.Series([], dtype=object),
+                    "o_year": pd.Series([], dtype="int64"),
+                    "profit_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        g = b.groupby(["supp_nk", "o_year"], as_index=False)["amt"].sum()
+        g = g.sort_values(["supp_nk", "o_year"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "n_name": [nk_name[int(k)] for k in g["supp_nk"]],
+                "o_year": g["o_year"].to_numpy(dtype=np.int64),
+                "profit_cents": g["amt"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+NATION_YEAR_PROFIT_SQL = """
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)
+                    - CAST(l_quantity AS BIGINT)
+                      * (CAST(round(p_retailprice * 100) AS BIGINT) // 2))
+                AS BIGINT) AS profit_cents
+    FROM lineitem, orders, part, supplier, nation
+    WHERE o_orderkey = l_orderkey AND p_partkey = l_partkey
+      AND s_suppkey = l_suppkey AND n_nationkey = s_nationkey
+      AND p_name LIKE '%red%'
+    GROUP BY 1, 2
+"""
+
+
+def min_cost_supplier(sf_dir: str, region: str = "EUROPE", max_size: int = 5):
+    """Minimum-cost supplier per part — the TPC-H Q2 shape (correlated
+    MIN subquery over a restricted supplier set), with supply cost
+    derived from the fact table (no partsupp in the schema): cost of a
+    (part, supplier) pair = total extendedprice cents that supplier
+    shipped of that part. For every part with ``p_size <= max_size``,
+    among the suppliers in ``region`` that shipped it, emit the
+    supplier(s) whose cost equals the per-part minimum — TIES KEPT on
+    both sides (the SQL keeps every row matching the correlated min).
+
+    Plan — zero dimension shuffles, ONE exchange: the part predicate is
+    a partkey bitmap (np.packbits, Q14 idiom), region membership a
+    dense suppkey uint8 mask, so lineitem filters both at scan speed
+    and collapses to (partkey, suppkey) cost partials per block. The
+    single partkey-salted exchange co-locates each part's pairs
+    (pairs-per-part ≤ |suppliers that ever shipped it| — bounded), so
+    exact pair sums, the per-part min, and the tie filter all happen in
+    one kernel with no second pass. Supplier attributes (name, acctbal,
+    nation) and the part's brand attach to WINNER rows only, from
+    dense-array broadcasts bounded by |suppliers| / |parts| (the Q7 /
+    Q19 idioms). Returns
+    (p_partkey, p_brand, s_name, s_acctbal_cents, n_name, cost_cents)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby_arrow
+
+    nation = pd.read_parquet(table_path(sf_dir, "nation"))
+    nk_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    nk_region = dict(
+        zip(nation["n_nationkey"].astype(int), nation["n_regionkey"].astype(int))
+    )
+    reg = pd.read_parquet(table_path(sf_dir, "region"))
+    rk = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+
+    supp = pd.read_parquet(table_path(sf_dir, "supplier"))
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    n_sk = int(sk.max()) + 1
+    in_region = np.zeros(n_sk, dtype=np.uint8)
+    s_nk_all = supp["s_nationkey"].to_numpy(dtype=np.int64)
+    reg_mask = np.fromiter(
+        (nk_region[int(nk)] == rk for nk in s_nk_all), dtype=bool, count=len(supp)
+    )
+    in_region[sk[reg_mask]] = 1
+    s_names = np.full(n_sk, "", dtype=object)
+    s_names[sk] = supp["s_name"].to_numpy(dtype=object)
+    s_bal = np.zeros(n_sk, dtype=np.int64)
+    s_bal[sk] = _cents(supp["s_acctbal"])
+    s_nk_arr = np.full(n_sk, -1, dtype=np.int64)
+    s_nk_arr[sk] = s_nk_all
+    region_ref = ray.put(in_region)
+    attrs_ref = ray.put((s_names, s_bal, s_nk_arr))
+
+    part = pd.read_parquet(
+        table_path(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    flags = np.zeros(int(pk.max()) + 1, dtype=np.uint8)
+    flags[pk[(part["p_size"] <= max_size).to_numpy()]] = 1
+    bits_ref = ray.put(np.packbits(flags))
+    brands = part["p_brand"].astype("category")
+    brand_names = list(brands.cat.categories)
+    bcode = np.full(int(pk.max()) + 1, -1, dtype=np.int8)
+    bcode[pk] = brands.cat.codes.to_numpy(dtype=np.int8)
+    brand_ref = ray.put(bcode)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        inr = ray.get(region_ref)
+        pkey = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        skey = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (
+            ((bits[pkey >> 3] >> (7 - (pkey & 7))) & 1).astype(bool)
+            & inr[skey].astype(bool)
+        )
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        return _arrow_group_aggs(
+            {"pkey": pkey[keep], "skey": skey[keep]},
+            {"cost": ("sum", _cents(price))},
+            int(keep.sum()),
+        )
+
+    li = rd.read_parquet(
+        table_path(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def pick_min(g: pd.DataFrame) -> pd.DataFrame:
+        bn = ray.get(brand_ref)
+        s_names_, s_bal_, s_nk_ = ray.get(attrs_ref)
+        agg = g.groupby(["pkey", "skey"], as_index=False)["cost"].sum()
+        pkv = agg["pkey"].to_numpy(dtype=np.int64)
+        skv = agg["skey"].to_numpy(dtype=np.int64)
+        cv = agg["cost"].to_numpy(dtype=np.int64)
+        order = np.lexsort((skv, cv, pkv))
+        pk_s, sk_s, c_s = pkv[order], skv[order], cv[order]
+        first = np.ones(len(pk_s), dtype=bool)
+        first[1:] = pk_s[1:] != pk_s[:-1]
+        gmin = c_s[first][np.cumsum(first) - 1]
+        keep = c_s == gmin
+        pk_w, sk_w, c_w = pk_s[keep], sk_s[keep], c_s[keep]
+        return pd.DataFrame(
+            {
+                "p_partkey": pk_w,
+                "p_brand": [brand_names[b] for b in bn[pk_w]],
+                "s_name": s_names_[sk_w],
+                "s_acctbal_cents": s_bal_[sk_w],
+                "n_name": [nk_name[int(k)] for k in s_nk_[sk_w]],
+                "cost_cents": c_w,
+            }
+        )
+
+    return salted_groupby_arrow(
+        li, lambda t: t["pkey"].to_numpy(zero_copy_only=False), pick_min
+    )
+
+
+MIN_COST_SUPPLIER_SQL = """
+    WITH cost AS (
+        SELECT l_partkey AS p, l_suppkey AS s,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cost_cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY 1, 2
+    )
+    SELECT p_partkey, p_brand, s_name,
+           CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+           n_name, cost_cents
+    FROM cost
+    JOIN part ON p_partkey = p
+    JOIN supplier ON s_suppkey = s
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size <= 5
+      AND cost_cents = (SELECT min(c2.cost_cents) FROM cost c2
+                        WHERE c2.p = cost.p)
+"""

@@ -3436,3 +3436,111 @@ def test_orders_priority_unpivot_roundtrip(ray_session, tmp_path):
     assert out.loc[(1996, "3-MEDIUM"), "cents"] == 0
     assert out.loc[(1997, "3-MEDIUM"), "cents"] == 300
     assert out.loc[(1997, "2-HIGH"), "n"] == 0
+
+
+def _write_nations_regions(path):
+    pd.DataFrame(
+        {
+            "n_nationkey": np.array([0, 1], dtype=np.int32),
+            "n_name": ["NATION_A", "NATION_B"],
+            "n_regionkey": np.array([0, 1], dtype=np.int32),
+        }
+    ).to_parquet(path / "nation.parquet")
+    pd.DataFrame(
+        {
+            "r_regionkey": np.array([0, 1], dtype=np.int32),
+            "r_name": ["EUROPE", "ELSEWHERE"],
+        }
+    ).to_parquet(path / "region.parquet")
+
+
+def test_nation_year_profit_hand_case(ray_session, tmp_path):
+    """Q9 semantics: the name predicate gates parts, profit subtracts
+    qty x closed-form cost, and rows group on (supplier nation, order
+    YEAR) — not ship year."""
+    from open_parse_ray.stages.relational import nation_year_profit
+
+    _write_nations_regions(tmp_path)
+    pd.DataFrame(
+        {
+            "s_suppkey": [10, 11],
+            "s_name": ["x", "y"],
+            "s_nationkey": np.array([0, 1], dtype=np.int32),
+            "s_acctbal": [5.0, 5.0],
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2],
+            "p_name": ["red widget", "blue bolt"],  # only part 1 matches
+            "p_brand": ["B1", "B2"],
+            "p_type": ["t", "t"],
+            "p_size": np.array([1, 1], dtype=np.int32),
+            # cost = round(20.00*100)//2 = 1000 cents
+            "p_retailprice": [20.0, 20.0],
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    _write_orders(
+        tmp_path,
+        o_orderkey=np.array([1, 2], dtype=np.int64),
+        o_orderdate=[pd.Timestamp("1996-06-01"), pd.Timestamp("1997-06-01")],
+    )
+    _write_lineitem(
+        tmp_path,
+        l_orderkey=[1, 1, 2],
+        l_partkey=[1, 2, 1],  # middle line is the non-matching part
+        l_suppkey=[10, 10, 11],
+        l_quantity=[2.0, 7.0, 3.0],
+        l_extendedprice=[100.0, 999.0, 50.0],
+        l_discount=[0.1, 0.0, 0.0],
+        # 1996 ship date on a 1997 ORDER: grouping must use order year
+        l_shipdate=[pd.Timestamp("1996-07-01")] * 3,
+    )
+    out = _df(nation_year_profit(str(tmp_path))).set_index(["n_name", "o_year"])
+    # line 1: round(100*0.9*100)=9000 - 2*1000 = 7000
+    assert out.loc[("NATION_A", 1996), "profit_cents"] == 7000
+    # line 3: 5000 - 3*1000 = 2000, grouped under ORDER year 1997
+    assert out.loc[("NATION_B", 1997), "profit_cents"] == 2000
+    assert len(out) == 2  # part 2's line never appears
+
+
+def test_min_cost_supplier_ties_region_and_size(ray_session, tmp_path):
+    """Q2 semantics: ties on the per-part min are all kept, a CHEAPER
+    out-of-region supplier cannot win (or set the min), and oversized
+    parts are excluded entirely."""
+    from open_parse_ray.stages.relational import min_cost_supplier
+
+    _write_nations_regions(tmp_path)
+    pd.DataFrame(
+        {
+            "s_suppkey": [10, 11, 12],
+            "s_name": ["in_a", "in_b", "out"],
+            "s_nationkey": np.array([0, 0, 1], dtype=np.int32),  # 12 not EUROPE
+            "s_acctbal": [7.5, -2.25, 1.0],
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2],
+            "p_name": ["a", "b"],
+            "p_brand": ["B1", "B2"],
+            "p_type": ["t", "t"],
+            "p_size": np.array([3, 9], dtype=np.int32),  # part 2 > max_size
+            "p_retailprice": [1.0, 1.0],
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    _write_lineitem(
+        tmp_path,
+        l_partkey=[1, 1, 1, 1, 2],
+        l_suppkey=[10, 10, 11, 12, 10],
+        # 10: 3+4=7; 11: 7 (tie); 12 (out of region): 1 — must not win
+        l_extendedprice=[3.0, 4.0, 7.0, 1.0, 2.0],
+    )
+    out = _df(min_cost_supplier(str(tmp_path), max_size=5)).sort_values(
+        "s_name"
+    )
+    assert list(out["s_name"]) == ["in_a", "in_b"]  # tie kept, 'out' absent
+    assert list(out["cost_cents"]) == [700, 700]
+    assert list(out["p_partkey"]) == [1, 1]  # part 2 oversized
+    assert list(out["s_acctbal_cents"]) == [750, -225]
+    assert set(out["n_name"]) == {"NATION_A"}

@@ -471,6 +471,12 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.web import charset_decode_docs
 
     checks.append((charset_decode_docs, ["doc_id"]))
+    from open_parse_ray.stages.relational import nation_year_profit
+
+    checks.append((nation_year_profit, ["n_name", "o_year"]))
+    from open_parse_ray.stages.relational import min_cost_supplier
+
+    checks.append((min_cost_supplier, ["p_partkey", "s_name"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
