@@ -592,6 +592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_decode_docs": web.charset_decode_docs,
         "nation_year_profit": relational.nation_year_profit,
         "min_cost_supplier": relational.min_cost_supplier,
+        "events_type_correlation_moments": relational.events_type_correlation_moments,
+        "robots_filter_docs": web.robots_filter_docs,
     }
 
 
@@ -2298,6 +2300,10 @@ def oracle_sql() -> dict[str, str]:
         # TPC-H Q2 shape (correlated MIN over region-restricted
         # suppliers, ties kept)
         "min_cost_supplier": relational.MIN_COST_SUPPLIER_SQL,
+        # pairwise integer moment matrix of hourly type-count series
+        "events_type_correlation_moments": relational.EVENTS_TYPE_CORRELATION_MOMENTS_SQL,
+        # RFC 9309 robots verdict per doc (closed-form rule synth)
+        "robots_filter_docs": web.ROBOTS_FILTER_DOCS_SQL,
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

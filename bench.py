@@ -276,6 +276,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "charset_decode_docs",
         "nation_year_profit",
         "min_cost_supplier",
+        "events_type_correlation_moments",
+        "robots_filter_docs",
     ]
 
     timings: dict[str, float] = {}

@@ -6185,3 +6185,110 @@ MIN_COST_SUPPLIER_SQL = """
       AND cost_cents = (SELECT min(c2.cost_cents) FROM cost c2
                         WHERE c2.p = cost.p)
 """
+
+
+def events_type_correlation_moments(sf_dir: str):
+    """Pairwise co-movement of event types — the exact INTEGER moment
+    matrix of the zero-filled hourly count series, from which Pearson
+    correlation derives: for every unordered type pair (a < b) the
+    grid length, the two sums, the cross dot Σ n_a(t)·n_b(t) and the
+    two sum-of-squares. Emitting the moments instead of the float
+    correlation keeps the value hash exact (the promo_revenue_share
+    rule: ship the integer numerator/denominator parts, let the reader
+    divide); corr = (H·dot − sa·sb) / √((H·sqa − sa²)(H·sqb − sb²)).
+
+    Shape: the same bounded (type, hour) count partial as
+    events_drift_cusum collapses every block before the single tiny
+    combine; zero cells contribute nothing to any moment, so neither
+    side materializes the grid — the Ray kernel computes dots with one
+    T×H matmul on the combined block, the oracle joins nonzero cells
+    on matching hours. Moments are int64-bounded by (max hourly
+    count)²·H. Returns (type_a, type_b, n_hours, sum_a, sum_b, dot_ab,
+    sumsq_a, sumsq_b)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(table_path(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["ts"].to_numpy().astype("datetime64[h]").astype(np.int64)
+        g = pd.DataFrame({"event_type": b["event_type"], "h": h}).groupby(
+            ["event_type", "h"], as_index=False
+        ).size()
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "h": g["h"].astype("int64"),
+                "n": g["size"].astype("int64"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    combined = _combine_partials(partials, ["event_type", "h"], {"n": "sum"})
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        cols = ["type_a", "type_b", "n_hours", "sum_a", "sum_b",
+                "dot_ab", "sumsq_a", "sumsq_b"]
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"type_a": pd.Series([], dtype=object),
+                 "type_b": pd.Series([], dtype=object)}
+                | {c: pd.Series([], dtype="int64") for c in cols[2:]}
+            )
+        hmin, hmax = int(b["h"].min()), int(b["h"].max())
+        H = hmax - hmin + 1
+        types = np.sort(b["event_type"].unique())
+        ti = {t: i for i, t in enumerate(types)}
+        G = np.zeros((len(types), H), dtype=np.int64)
+        G[
+            b["event_type"].map(ti).to_numpy(dtype=np.int64),
+            b["h"].to_numpy(dtype=np.int64) - hmin,
+        ] = b["n"].to_numpy(dtype=np.int64)
+        sums = G.sum(axis=1)
+        dots = G @ G.T
+        ia, ib = np.triu_indices(len(types), k=1)
+        return pd.DataFrame(
+            {
+                "type_a": types[ia],
+                "type_b": types[ib],
+                "n_hours": np.full(len(ia), H, dtype=np.int64),
+                "sum_a": sums[ia],
+                "sum_b": sums[ib],
+                "dot_ab": dots[ia, ib],
+                "sumsq_a": dots[ia, ia],
+                "sumsq_b": dots[ib, ib],
+            }
+        )
+
+    return combined.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+EVENTS_TYPE_CORRELATION_MOMENTS_SQL = """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT max(h) - min(h) + 1 AS H FROM c),
+    t AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n * n) AS BIGINT) AS sq
+      FROM c GROUP BY 1
+    ),
+    d AS (
+      SELECT a.event_type AS ta, x.event_type AS tb,
+             sum(a.n * x.n) AS dot
+      FROM c a JOIN c x ON x.h = a.h AND a.event_type < x.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+           CAST((SELECT H FROM b) AS BIGINT) AS n_hours,
+           ta.s AS sum_a, tb.s AS sum_b,
+           CAST(coalesce(d.dot, 0) AS BIGINT) AS dot_ab,
+           ta.sq AS sumsq_a, tb.sq AS sumsq_b
+    FROM t ta
+    JOIN t tb ON ta.event_type < tb.event_type
+    LEFT JOIN d ON d.ta = ta.event_type AND d.tb = tb.event_type
+"""

@@ -491,3 +491,87 @@ CHARSET_DECODE_DOCS_SQL = """
            END AS text_md5
     FROM documents
 """
+
+
+_ROBOTS_CACHE: dict = {}
+
+
+def _robots_matcher(source: str):
+    """Per-domain compiled matcher, cached per worker process (bounded
+    vocabulary: registered domains; capped like the token-hash caches).
+    In a real crawl the (domain → rules) table is fetched once and
+    broadcast via ray.put — here the robots.txt is the deterministic
+    synth_robots_txt closed form, parsed by the REAL parser so the
+    parsing/precedence path is exercised on every domain."""
+    from open_parse_ray.functions.robots import (
+        RobotsMatcher,
+        parse_robots,
+        synth_robots_txt,
+    )
+
+    m = _ROBOTS_CACHE.get(source)
+    if m is None:
+        if len(_ROBOTS_CACHE) > 65536:
+            _ROBOTS_CACHE.clear()
+        m = RobotsMatcher(parse_robots(synth_robots_txt(source)))
+        _ROBOTS_CACHE[source] = m
+    return m
+
+
+def robots_filter_docs(sf_dir: str):
+    """Crawl politeness gate — robots.txt verdict per document: each
+    doc's messy URL is canonicalized, its path matched against the
+    domain's robots rules (functions/robots.py: RFC 9309 group
+    selection, * / $ wildcards, longest-pattern-wins with Allow on
+    ties). The synthesized per-domain robots exercises all three
+    precedence tiers (wildcard 7 > allow 6 > prefix 5) plus a
+    specific-bot group and unknown directives that must be parsed
+    past; the oracle reproduces the verdict in closed form from
+    (doc_id, source). Returns (doc_id, domain, path, allowed 0/1).
+
+    Scale shape: pure streaming map, zero exchanges; the per-domain
+    matcher is built once per worker per domain (bounded cache)."""
+    from urllib.parse import urlsplit
+
+    from open_parse_ray.stages.analysis import read_documents
+
+    def verdict(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        doms, paths, ok = [], [], np.zeros(len(ids), dtype=np.int64)
+        for i, (did, src) in enumerate(zip(ids, b["source"])):
+            url = canonicalize_url(synth_messy_url(int(did), src))
+            path = urlsplit(url).path
+            doms.append(registered_domain(url))
+            paths.append(path)
+            ok[i] = 1 if _robots_matcher(src).allowed(path) else 0
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "domain": pd.Series(doms, dtype="object"),
+                "path": pd.Series(paths, dtype="object"),
+                "allowed": ok,
+            }
+        )
+
+    return read_documents(sf_dir, columns=["doc_id", "source"]).map_batches(
+        verdict, batch_format="pandas", batch_size=8192
+    )
+
+
+ROBOTS_FILTER_DOCS_SQL = """
+    WITH x AS (
+        SELECT doc_id, source,
+               CAST(doc_id % 50 AS VARCHAR) AS m,
+               CAST(strlen(source) % 10 AS VARCHAR) AS a,
+               CAST(strlen(source) % 10 AS VARCHAR)
+                   || CAST((strlen(source) % 10 + 1) % 10 AS VARCHAR) AS ab
+        FROM documents
+    )
+    SELECT doc_id, source || '.org' AS domain,
+           '/d/' || m AS path,
+           CAST(CASE WHEN m LIKE '%7' THEN 0        -- Disallow /d/*7$ (len 7)
+                     WHEN m = ab THEN 1             -- Allow /d/{a}{a+1} (len 6)
+                     WHEN starts_with(m, a) THEN 0  -- Disallow /d/{a} (len 5)
+                     ELSE 1 END AS BIGINT) AS allowed
+    FROM x
+"""

@@ -3544,3 +3544,45 @@ def test_min_cost_supplier_ties_region_and_size(ray_session, tmp_path):
     assert list(out["p_partkey"]) == [1, 1]  # part 2 oversized
     assert list(out["s_acctbal_cents"]) == [750, -225]
     assert set(out["n_name"]) == {"NATION_A"}
+
+
+def test_events_type_correlation_moments_hand_case(ray_session, tmp_path):
+    """Known 3-hour grids: A=[2,3,0], B=[0,1,2] (zero cells from the
+    corpus-wide [min,max] hour span) — every moment checked, the
+    derived Pearson sign is the expected negative, and a
+    never-co-occurring pair still appears with dot_ab=0."""
+    from open_parse_ray.stages.relational import (
+        events_type_correlation_moments,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    hr = pd.Timedelta(hours=1)
+    rows = []
+    eid = 0
+    for h, k in [(0, 2), (1, 3)]:       # A: hours 0,1
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, t0 + h * hr, 1, "A", 1.0, ""))
+    for h, k in [(1, 1), (2, 2)]:       # B: hours 1,2
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, t0 + h * hr, 1, "B", 1.0, ""))
+    eid += 1
+    rows.append((eid, t0, 1, "C", 1.0, ""))  # C: hour 0 only — never with B
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    out = _df(events_type_correlation_moments(str(tmp_path))).set_index(
+        ["type_a", "type_b"]
+    )
+    ab = out.loc[("A", "B")]
+    assert ab["n_hours"] == 3
+    assert ab["sum_a"] == 5 and ab["sum_b"] == 3
+    assert ab["dot_ab"] == 3          # 2*0 + 3*1 + 0*2
+    assert ab["sumsq_a"] == 13 and ab["sumsq_b"] == 5
+    # Pearson numerator H*dot - sa*sb = 9 - 15 < 0: anti-correlated
+    assert ab["n_hours"] * ab["dot_ab"] - ab["sum_a"] * ab["sum_b"] < 0
+    bc = out.loc[("B", "C")]
+    assert bc["dot_ab"] == 0          # disjoint hours still emit a row
+    assert len(out) == 3              # all unordered pairs of {A,B,C}

@@ -627,3 +627,66 @@ def test_charset_hypothesis_roundtrip():
             assert decoded == want
 
     check()
+
+
+def test_robots_parser_and_matcher_hand_cases():
+    """RFC 9309 semantics: group selection ignores the specific-bot
+    group, empty Disallow is a no-op, unknown directives are skipped,
+    wildcards anchor/float correctly, longest pattern wins, and a
+    literal-length tie goes to Allow."""
+    from open_parse_ray.functions.robots import (
+        RobotsMatcher,
+        parse_robots,
+        synth_robots_txt,
+    )
+
+    txt = synth_robots_txt("news")  # a = 4, allow /d/45, wildcard *7$
+    rules = parse_robots(txt)
+    # the FancyBot 'Disallow: /' and the empty Disallow must NOT be here
+    assert (False, "/") not in rules
+    assert all(p for _, p in rules)
+    m = RobotsMatcher(rules)
+    assert not m.allowed("/d/4")      # prefix disallow
+    assert not m.allowed("/d/41")     # prefix match on longer path
+    assert m.allowed("/d/45")         # allow (len 6) beats /d/4 (len 5)
+    assert not m.allowed("/d/47")     # wildcard (len 7) beats allow (6)
+    assert not m.allowed("/d/7")      # ends in 7
+    assert not m.allowed("/d/37")     # ends in 7, no prefix match
+    assert m.allowed("/d/3")          # no rule matches -> allowed
+    assert not m.allowed("/private/x")
+
+    # literal tie -> Allow wins
+    tie = RobotsMatcher([(False, "/d/1"), (True, "/d/2")])
+    assert not tie.allowed("/d/1") and tie.allowed("/d/2")
+    tie2 = RobotsMatcher([(False, "/a/b"), (True, "/a/*")])
+    # same length 4: Allow sorts first
+    assert tie2.allowed("/a/b")
+
+    # $ anchors: /d/1$ must not match /d/12
+    anch = RobotsMatcher([(False, "/d/1$")])
+    assert not anch.allowed("/d/1") and anch.allowed("/d/12")
+
+    # consecutive User-agent lines share a group; agent-specific group obeyed
+    multi = "User-agent: a\nUser-agent: *\nDisallow: /x\n"
+    assert parse_robots(multi) == [(False, "/x")]
+    only_bot = "User-agent: FancyBot\nDisallow: /\n"
+    assert parse_robots(only_bot) == []
+
+    # hostile input never throws
+    assert parse_robots("\x00garbage\nDisallow /no-colon\n::\n") == []
+
+
+def test_robots_filter_docs_blocked_fraction(ray_session):
+    """Corpus sanity: both verdicts occur, and every blocked path either
+    starts with the domain's disallowed digit or ends in 7."""
+    from open_parse_ray.stages.web import robots_filter_docs
+
+    out = robots_filter_docs("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500
+    assert set(out["allowed"].unique()) == {0, 1}
+    blocked = out[out["allowed"] == 0]
+    assert len(blocked) > 0
+    for _, r in blocked.iterrows():
+        m = r["path"].rsplit("/", 1)[1]
+        a = str(len(r["domain"].split(".")[0]) % 10)
+        assert m.endswith("7") or m.startswith(a)

@@ -477,6 +477,14 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import min_cost_supplier
 
     checks.append((min_cost_supplier, ["p_partkey", "s_name"]))
+    from open_parse_ray.stages.relational import (
+        events_type_correlation_moments,
+    )
+
+    checks.append((events_type_correlation_moments, ["type_a", "type_b"]))
+    from open_parse_ray.stages.web import robots_filter_docs
+
+    checks.append((robots_filter_docs, ["doc_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
