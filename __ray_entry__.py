@@ -159,6 +159,16 @@ def _q_bmp_thumbnails(sf_dir: str):
     return bmp_thumbnail_pipeline(sf_dir).drop_columns(["thumb_bmp"])
 
 
+def _q_image_dhash_dupes(sf_dir: str):
+    """Perceptual image dedup: real BMP decode -> 64-bit dHash ->
+    hash-salted grouping; pytest-pinned (exact equality vs local
+    brute force + planted-pair recovery) -- binary decode is not
+    SQL-expressible."""
+    from open_parse_ray.stages.multimodal import image_dhash_dupes
+
+    return image_dhash_dupes(sf_dir)
+
+
 def _q_wav_features(sf_dir: str):
     """Real (non-stubbed) audio path: PCM WAV decode → vectorized
     RMS/zero-crossing/duration features."""
@@ -469,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_training_corpus": _q_prepare_corpus,
         "extract_linked_nodes": _q_extract_linked,
         "bmp_thumbnails": _q_bmp_thumbnails,
+        "image_dhash_dupes": _q_image_dhash_dupes,
         "table_html_from_images": _q_table_html,
         "video_frames": _q_video_frames,
         "simhash_neardup": dedup.simhash_neardup_pairs,

@@ -171,6 +171,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "corpus_report",
         "multimodal_meta",
         "bmp_thumbnails",
+        "image_dhash_dupes",
         "wav_features",
         "video_frames",
         "table_structure_from_images",

@@ -666,3 +666,125 @@ def decode_meta_pipeline(sf_dir: str):
         concurrency=(1, 4),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (dHash)
+# ---------------------------------------------------------------------------
+
+
+def _dup_base_img(i: int) -> np.ndarray:
+    """Base image for the near-dup corpus: same size law as
+    make_payload, pixels capped at 239 so the planted +6 brightness
+    variant can never clip (clipping would break the luma-shift
+    invariance argument below)."""
+    rng = np.random.RandomState(i * 2654435761 % (2**31))
+    w, h = 8 + (i % 32), 8 + (i * 3 % 32)
+    return rng.randint(0, 240, size=(h, w, 3), dtype=np.uint8)
+
+
+def make_dup_bmp(i: int) -> bytes:
+    """Deterministic near-dup image corpus: ids with i % 7 == 3 are a
+    uniform +6 brightness shift of image i−1 (i−1 is always a base);
+    everything else is an independent random image. A REAL decodable
+    BMP either way."""
+    if i % 7 == 3:
+        return encode_bmp(_dup_base_img(i - 1) + np.uint8(6))
+    return encode_bmp(_dup_base_img(i))
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: integer luma → 9×8 nearest resize →
+    horizontal adjacent-pixel comparisons, MSB-first row-major.
+
+    Brightness invariance is EXACT, not approximate: a uniform +k on
+    all channels shifts luma by precisely k (the weights sum to 1000,
+    so (L·1000 + 1000k)//1000 = L + k), leaving every comparison bit
+    unchanged — which is why the planted +6 variants hash identically
+    while any structural edit flips bits."""
+    luma = (
+        299 * img[:, :, 0].astype(np.int64)
+        + 587 * img[:, :, 1].astype(np.int64)
+        + 114 * img[:, :, 2].astype(np.int64)
+    ) // 1000
+    g = resize_nearest(luma, 9, 8)
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def dup_image_table(sf_dir_or_n):
+    """(media_id, kind, payload) table over the near-dup image corpus."""
+    import ray.data as rd
+
+    if isinstance(sf_dir_or_n, int):
+        n = sf_dir_or_n
+    else:
+        from open_parse_ray.sources.pages import sf_from_dir
+
+        n = max(50, int(round(20_000 * sf_from_dir(sf_dir_or_n))))
+
+    def gen(batch) -> pa.Table:
+        ids = [int(v) for v in batch["id"]]
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(["bmp"] * len(ids), pa.string()),
+                pa.array([make_dup_bmp(i) for i in ids], pa.binary()),
+            ],
+            names=["media_id", "kind", "payload"],
+        )
+
+    return rd.range(n).map_batches(gen, batch_format="numpy", batch_size=512)
+
+
+def image_dhash_dupes(sf_dir: str):
+    """Perceptual image dedup — the multimodal twin of exact_dedup:
+    decode every image (real BMP decode), compute its 64-bit dHash
+    (difference hash: brightness-invariant by exact integer argument,
+    structural edits flip bits), group by hash, keep groups of ≥2.
+    Returns (dhash, n_imgs, rep_media_id = min id).
+
+    Scale shape: the decode+hash stage is a stateless TASK-pool map
+    (small batches — wide binary rows); only the 8-byte (dhash,
+    media_id) pairs enter the single hash-salted exchange, where
+    per-partition grouping is exact (a hash's rows are co-located by
+    construction). Images never move after decode. Gate: exact group
+    equality vs a local brute-force dHash pass + the planted-pair
+    recovery property (pytest; binary decode is not SQL-expressible,
+    so this is a pytest-pinned tail query)."""
+    import pandas as pd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for mid, payload in zip(t["media_id"], t["payload"]):
+            img = decode_bmp(payload.as_py())
+            ids.append(mid.as_py())
+            hs.append(dhash64(img))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(np.array(hs, dtype=np.uint64).view(np.int64)),
+            ],
+            names=["media_id", "dhash"],
+        )
+
+    pairs = dup_image_table(sf_dir).map_batches(
+        hash_partial, batch_format="pyarrow", batch_size=256, num_cpus=1
+    )
+
+    def group(g: "pd.DataFrame") -> "pd.DataFrame":
+        agg = g.groupby("dhash", as_index=False).agg(
+            n_imgs=("media_id", "size"), rep_media_id=("media_id", "min")
+        )
+        agg = agg[agg["n_imgs"] >= 2]
+        return pd.DataFrame(
+            {
+                "dhash": agg["dhash"].to_numpy(dtype=np.int64),
+                "n_imgs": agg["n_imgs"].to_numpy(dtype=np.int64),
+                "rep_media_id": agg["rep_media_id"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return salted_groupby(pairs, lambda b: b["dhash"], group)

@@ -485,6 +485,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.web import robots_filter_docs
 
     checks.append((robots_filter_docs, ["doc_id"]))
+    from open_parse_ray.stages.multimodal import image_dhash_dupes
+
+    checks.append((image_dhash_dupes, ["dhash"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)

@@ -1256,3 +1256,57 @@ def test_jaccard_selfjoin_matches_bruteforce_random(ray_session, tmp_path):
         fb.sort_values(key).reset_index(drop=True),
         bs.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_dhash_brightness_invariance_and_sensitivity():
+    """dHash kernel: a uniform +6 brightness shift is hash-identical
+    (exact integer luma argument), while structural edits flip bits."""
+    from open_parse_ray.stages.multimodal import dhash64
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 240, size=(20, 30, 3), dtype=np.uint8)
+    assert dhash64(img) == dhash64(img + np.uint8(6))
+    # horizontal gradient vs its mirror: every comparison bit flips
+    grad = np.tile(
+        np.linspace(10, 200, 30, dtype=np.uint8)[None, :, None], (20, 1, 3)
+    )
+    assert dhash64(grad) == (~dhash64(grad[:, ::-1]) & (2**64 - 1))
+    # single-region edit changes the hash
+    edited = img.copy()
+    edited[:10, :15] = 255
+    assert dhash64(edited) != dhash64(img)
+
+
+def test_image_dhash_dupes_matches_brute_force(ray_session):
+    """Distributed groups == a local brute-force dHash pass over the
+    same deterministic corpus, and every planted (base, +6-variant)
+    pair lands in one group."""
+    from collections import defaultdict
+
+    from open_parse_ray.stages.multimodal import (
+        decode_bmp,
+        dhash64,
+        image_dhash_dupes,
+        make_dup_bmp,
+    )
+
+    n = 200
+    local = defaultdict(list)
+    for i in range(n):
+        local[dhash64(decode_bmp(make_dup_bmp(i)))].append(i)
+    want = {
+        (h & (2**64 - 1)) - (2**64 if h >= 2**63 else 0): (len(v), min(v))
+        for h, v in local.items()
+        if len(v) >= 2
+    }
+    got = image_dhash_dupes(n).to_pandas()
+    got_map = {
+        int(r["dhash"]): (int(r["n_imgs"]), int(r["rep_media_id"]))
+        for _, r in got.iterrows()
+    }
+    assert got_map == want
+    planted = [i for i in range(n) if i % 7 == 3]
+    assert len(want) >= len(planted) > 0
+    for i in planted:  # base i-1 and variant i share a group
+        h = dhash64(decode_bmp(make_dup_bmp(i)))
+        assert i - 1 in local[h] and i in local[h]
