@@ -605,6 +605,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": relational.min_cost_supplier,
         "events_type_correlation_moments": relational.events_type_correlation_moments,
         "robots_filter_docs": web.robots_filter_docs,
+        "hll_user_registers": relational.hll_user_registers,
+        "extract_outlinks": web.extract_outlinks,
+        "outlink_host_counts": web.outlink_host_counts,
     }
 
 
@@ -2315,6 +2318,13 @@ def oracle_sql() -> dict[str, str]:
         "events_type_correlation_moments": relational.EVENTS_TYPE_CORRELATION_MOMENTS_SQL,
         # RFC 9309 robots verdict per doc (closed-form rule synth)
         "robots_filter_docs": web.ROBOTS_FILTER_DOCS_SQL,
+        # the HLL sketch's full register table value-hashed: avalanche
+        # hash unrolled in HUGEINT, rank via length(bin(rest))
+        "hll_user_registers": relational._hll_registers_sql(),
+        # RFC 3986 outlink extraction+resolution (closed-form link synth;
+        # the oracle never sees the HTML)
+        "extract_outlinks": web.EXTRACT_OUTLINKS_SQL,
+        "outlink_host_counts": web.OUTLINK_HOST_COUNTS_SQL,
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

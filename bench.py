@@ -279,6 +279,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "min_cost_supplier",
         "events_type_correlation_moments",
         "robots_filter_docs",
+        "hll_user_registers",
+        "extract_outlinks",
+        "outlink_host_counts",
     ]
 
     timings: dict[str, float] = {}

@@ -1502,17 +1502,41 @@ _HLL_P = 12  # 4096 registers, ~1.6% standard error
 _HLL_M = 1 << _HLL_P
 
 
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (0 → 0): six-step
+    binary shift ladder. Never float log2 — float64 rounds integers
+    within half an ulp of 2^k UP to 2^k (e.g. 2^63-1 → 2^63), which
+    overstates the bit length of hashes just below a power of two and
+    would desync the register table from its integer SQL oracle."""
+    x = x.astype(np.uint64, copy=True)
+    n = np.zeros(len(x), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = (x >> np.uint64(s)) != 0
+        n[m] += s
+        x[m] >>= np.uint64(s)
+    return n + (x != 0).astype(np.int64)
+
+
+def _avalanche64(ids: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (no golden-gamma add) of int64 ids → uint64.
+    Every stage is a bijection on Z_2^64, so distinct ids stay distinct.
+    Mirrored bit-for-bit by the HUGEINT arithmetic in
+    HLL_USER_REGISTERS_SQL."""
+    h = np.asarray(ids).astype(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
 def _hll_registers(hashes: np.ndarray) -> np.ndarray:
     """Vectorized register maxima for a batch of uint64 hashes."""
     idx = (hashes >> np.uint64(64 - _HLL_P)).astype(np.int64)
     rest = hashes << np.uint64(_HLL_P)  # remaining 52 bits at the top
-    # rank = leading zeros of `rest` + 1 (capped by the 52 usable bits)
+    # rank = leading zeros of `rest` + 1 (capped by the 52 usable bits;
+    # rest == 0 means all remaining bits were zero → the cap itself)
     lz = np.full(len(hashes), 64 - _HLL_P + 1, dtype=np.int64)
     nonzero = rest != 0
-    # float64 log2 is exact for leading-zero counting of the top bits
-    lz[nonzero] = 63 - np.floor(np.log2(rest[nonzero].astype(np.float64))).astype(
-        np.int64
-    ) + 1
+    lz[nonzero] = 64 - _bitlen_u64(rest[nonzero]) + 1
     regs = np.zeros(_HLL_M, dtype=np.int64)
     np.maximum.at(regs, idx, lz)
     return regs
@@ -1545,12 +1569,7 @@ def approx_distinct_users(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for et, g in b.groupby("event_type", sort=False):
-            # splitmix64-style avalanche of the int64 ids
-            h = g["user_id"].values.astype(np.uint64)
-            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            h = h ^ (h >> np.uint64(31))
-            regs = _hll_registers(h)
+            regs = _hll_registers(_avalanche64(g["user_id"].values))
             touched = np.nonzero(regs)[0]
             frames.append(
                 pd.DataFrame(
@@ -1584,6 +1603,86 @@ def approx_distinct_users(sf_dir: str):
     return merged.repartition(1).map_batches(
         estimate, batch_format="pandas", batch_size=None
     )
+
+
+def hll_user_registers(sf_dir: str):
+    """The HyperLogLog sketch itself as a value-hashed artifact: the
+    merged (event_type, reg_id, reg_max) register table that
+    approx_distinct_users estimates from. Registers are pure integers
+    (splitmix64 avalanche → top-12-bit index, leading-zero rank of the
+    remaining 52 bits) and the merge is an associative max, so the
+    distributed sketch is bit-identical to a sequential build at ANY
+    block structure — which makes the sketch EXACTLY SQL-oracle-able:
+    the oracle unrolls the avalanche in HUGEINT mod-2^64 arithmetic and
+    computes the rank with length(bin(rest)). This pins the sketch's
+    full state, not just a rows-count: a one-bit drift in hashing,
+    indexing or rank arithmetic flips the value hash. Exchange volume
+    is ≤ |types| × 4096 rows regardless of input size — the mergeable-
+    sketch contract that lets a 10^12-row count-distinct finish with a
+    KB-scale shuffle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_type", "user_id"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for et, g in b.groupby("event_type", sort=False):
+            regs = _hll_registers(_avalanche64(g["user_id"].values))
+            touched = np.nonzero(regs)[0]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": et,
+                        "reg_id": touched.astype(np.int64),
+                        "reg_max": regs[touched],
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"event_type": [], "reg_id": [], "reg_max": []}
+            ).astype({"event_type": "object", "reg_id": "int64", "reg_max": "int64"})
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return _combine_partials(partials, ["event_type", "reg_id"], {"reg_max": "max"})
+
+
+def _hll_registers_sql() -> str:
+    """DuckDB mirror of _avalanche64 + _hll_registers: xor/floor-division
+    shifts and 32-bit-split multiplies are exact on non-negative HUGEINT;
+    rank = 64 - bitlen(rest) + 1 with bitlen via length(bin(x)) (bin()
+    emits no leading zeros), capped at 53 when the low 52 bits vanish."""
+    from open_parse_ray.stages.analysis import _sql_mul64
+
+    m64 = "18446744073709551616"
+    s1 = _sql_mul64("xor(z, z // 1073741824)", 0xBF58476D1CE4E5B9)
+    s2 = _sql_mul64("xor(z, z // 134217728)", 0x94D049BB133111EB)
+    return f"""
+        WITH ids AS (
+          SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS z
+          FROM events
+        ),
+        h1 AS (SELECT event_type, {s1} AS z FROM ids),
+        h2 AS (SELECT event_type, {s2} AS z FROM h1),
+        h3 AS (SELECT event_type, xor(z, z // 2147483648) AS z FROM h2),
+        regs AS (
+          SELECT event_type,
+                 CAST(z // 4503599627370496 AS BIGINT) AS reg_id,
+                 (z * 4096) % {m64} AS rest
+          FROM h3
+        ),
+        ranks AS (
+          SELECT event_type, reg_id,
+                 CASE WHEN rest = 0 THEN 53
+                      ELSE 64 - length(bin(rest)) + 1 END AS rank
+          FROM regs
+        )
+        SELECT event_type, reg_id, CAST(max(rank) AS BIGINT) AS reg_max
+        FROM ranks GROUP BY event_type, reg_id
+    """
 
 
 def orders_topk_by_value(sf_dir: str, k: int = 20):

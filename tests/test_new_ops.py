@@ -3586,3 +3586,63 @@ def test_events_type_correlation_moments_hand_case(ray_session, tmp_path):
     bc = out.loc[("B", "C")]
     assert bc["dot_ab"] == 0          # disjoint hours still emit a row
     assert len(out) == 3              # all unordered pairs of {A,B,C}
+
+
+def test_bitlen_u64_exact_and_float_log2_regression():
+    """The six-step shift ladder must agree with Python int.bit_length
+    everywhere — including 2^63-1, where float64 log2 rounds UP to 63
+    (the bug the ladder replaces: a hash just below a power of two got
+    rank 1 instead of 2 and could leave a register looking untouched)."""
+    from open_parse_ray.stages.relational import _bitlen_u64
+
+    edge = [0, 1, 2, 3, (1 << 52) - 1, 1 << 52, (1 << 63) - 1, 1 << 63,
+            (1 << 64) - 1, (1 << 63) - 512, (1 << 40) - 1, 12345678901234567]
+    rng = np.random.default_rng(7)
+    rand = rng.integers(0, 1 << 63, size=500, dtype=np.int64).astype(np.uint64)
+    xs = np.concatenate([np.array(edge, dtype=np.uint64), rand])
+    got = _bitlen_u64(xs)
+    want = [int(x).bit_length() for x in xs.tolist()]
+    assert got.tolist() == want
+    # the regression itself: float path overstates 2^63-1
+    assert int(np.floor(np.log2(np.float64((1 << 63) - 1)))) == 63  # wrong
+    assert int((1 << 63) - 1).bit_length() - 1 == 62                # right
+
+
+def test_hll_user_registers_hand_case(ray_session, tmp_path):
+    """Known ids → registers computed independently with Python ints
+    (avalanche, top-12-bit index, leading-zero rank of the low 52 bits),
+    duplicates collapse under max, types keep separate sketches."""
+    from open_parse_ray.stages.relational import hll_user_registers
+
+    def py_reg(uid):
+        M = (1 << 64) - 1
+        h = uid & M
+        h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & M
+        h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & M
+        h = h ^ (h >> 31)
+        idx = h >> 52
+        rest = (h << 12) & M
+        rank = 53 if rest == 0 else 64 - rest.bit_length() + 1
+        return idx, rank
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for i, (uid, et) in enumerate(
+        [(7, "A"), (7, "A"), (8, "A"), (7, "B"), (999999, "B")]
+    ):
+        rows.append((i, t0, uid, et, 1.0, ""))
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+
+    out = _df(hll_user_registers(str(tmp_path)))
+    got = {
+        (r.event_type, int(r.reg_id)): int(r.reg_max)
+        for r in out.itertuples()
+    }
+    want = {}
+    for uid, et in [(7, "A"), (8, "A"), (7, "B"), (999999, "B")]:
+        idx, rank = py_reg(uid)
+        k = (et, idx)
+        want[k] = max(want.get(k, 0), rank)
+    assert got == want

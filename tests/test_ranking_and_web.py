@@ -690,3 +690,132 @@ def test_robots_filter_docs_blocked_fraction(ray_session):
         m = r["path"].rsplit("/", 1)[1]
         a = str(len(r["domain"].split(".")[0]) % 10)
         assert m.endswith("7") or m.startswith(a)
+
+
+def test_rfc3986_reference_resolution_vectors():
+    """The complete RFC 3986 §5.4.1 (normal) + §5.4.2 (abnormal)
+    reference-resolution examples against the canonical base — the
+    spec's own conformance suite, including the strict-parser case
+    ('http:g' stays 'http:g', not merged)."""
+    from open_parse_ray.functions.urlref import resolve_reference
+
+    base = "http://a/b/c/d;p?q"
+    cases = {
+        "g:h": "g:h", "g": "http://a/b/c/g", "./g": "http://a/b/c/g",
+        "g/": "http://a/b/c/g/", "/g": "http://a/g", "//g": "http://g",
+        "?y": "http://a/b/c/d;p?y", "g?y": "http://a/b/c/g?y",
+        "#s": "http://a/b/c/d;p?q#s", "g#s": "http://a/b/c/g#s",
+        "g?y#s": "http://a/b/c/g?y#s", ";x": "http://a/b/c/;x",
+        "g;x": "http://a/b/c/g;x", "g;x?y#s": "http://a/b/c/g;x?y#s",
+        "": "http://a/b/c/d;p?q", ".": "http://a/b/c/",
+        "./": "http://a/b/c/", "..": "http://a/b/", "../": "http://a/b/",
+        "../g": "http://a/b/g", "../..": "http://a/", "../../": "http://a/",
+        "../../g": "http://a/g",
+        "../../../g": "http://a/g", "../../../../g": "http://a/g",
+        "/./g": "http://a/g", "/../g": "http://a/g",
+        "g.": "http://a/b/c/g.", ".g": "http://a/b/c/.g",
+        "g..": "http://a/b/c/g..", "..g": "http://a/b/c/..g",
+        "./../g": "http://a/b/g", "./g/.": "http://a/b/c/g/",
+        "g/./h": "http://a/b/c/g/h", "g/../h": "http://a/b/c/h",
+        "g;x=1/./y": "http://a/b/c/g;x=1/y",
+        "g;x=1/../y": "http://a/b/c/y",
+        "g?y/./x": "http://a/b/c/g?y/./x",
+        "g?y/../x": "http://a/b/c/g?y/../x",
+        "g#s/./x": "http://a/b/c/g#s/./x",
+        "g#s/../x": "http://a/b/c/g#s/../x",
+        "http:g": "http:g",
+    }
+    for ref, want in cases.items():
+        assert resolve_reference(base, ref) == want, ref
+
+
+def test_rfc3986_hypothesis_vs_urljoin():
+    """Constrained fuzz agreement with urllib.parse.urljoin — the
+    stdlib's independent implementation of §5.2. Constraints carve out
+    urljoin's documented deviations from RFC strictness (it skips
+    remove_dot_segments on network-path refs, collapses empty path
+    segments, and inherits the base netloc for an empty authority), so
+    inside the common subset the two must agree exactly."""
+    from urllib.parse import urljoin
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from open_parse_ray.functions.urlref import resolve_reference
+
+    seg = st.sampled_from(["a", "b", "x1", "..", "."])
+    path = st.lists(seg, min_size=0, max_size=4).map(
+        lambda s: "/" + "/".join(s) if s else "/"
+    )
+    base = st.tuples(
+        st.sampled_from(["http", "https"]),
+        st.sampled_from(["h0.org", "h1.org"]),
+        path,
+        st.sampled_from(["", "?q=1"]),
+    ).map(lambda t: f"{t[0]}://{t[1]}{t[2]}{t[3]}")
+    rel = st.lists(seg, min_size=1, max_size=4).map("/".join)
+    ref = st.one_of(
+        st.just("https://z.com/p"),
+        st.just("//cdn.x/lib"),     # no dot segments (urljoin deviation)
+        path,                       # absolute path
+        rel,                        # relative path
+        st.sampled_from(["?r=0", "?r=9", "#f", "#f2", ""]),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(base, ref)
+    def check(b, r):
+        assert resolve_reference(b, r) == urljoin(b, r)
+
+    check()
+
+
+def test_remove_dot_segments_terminates_and_is_idempotent():
+    """The consuming loop must strictly advance on hostile input (the
+    fuzz-every-parser-loop rule) and its output must be a fixed point."""
+    import random
+
+    from open_parse_ray.functions.urlref import remove_dot_segments
+
+    rng = random.Random(3)
+    chars = "ab/.."
+    for _ in range(2000):
+        s = "".join(rng.choice(chars) for _ in range(rng.randint(0, 12)))
+        out = remove_dot_segments(s)
+        assert ".." not in out.split("/") and "." not in out.split("/")
+        assert remove_dot_segments(out) == out
+
+
+def test_extract_hrefs_hand_cases():
+    """Attribute syntax coverage: double/single/unquoted hrefs, tag-case
+    insensitivity, entity decoding, and the two skip rules (<a> without
+    href; href on non-anchor tags)."""
+    from open_parse_ray.functions.urlref import extract_hrefs, host_of
+
+    doc = (
+        '<a href="A">1</a><A HREF=\'B\'>2</A><a data-z="1" href=C>3</a>'
+        '<a name="n">skip</a><link href="/css"><area href="/map">'
+        '<a href="?q=1&amp;r=2">4</a><a\nhref = "D" >5</a>'
+    )
+    assert extract_hrefs(doc) == ["A", "B", "C", "?q=1&r=2", "D"]
+    assert host_of("https://User@CDN.Ex.org:8080/p?q#f") == "cdn.ex.org"
+    assert host_of("http://plain.org/") == "plain.org"
+
+
+def test_extract_outlinks_per_doc_shape(ray_session):
+    """Every doc emits exactly 6 http(s) outlinks (mailto filtered,
+    decoys skipped) with dense link_idx 0..5, and the dots variant
+    resolved away its ../ and /./ segments."""
+    from open_parse_ray.stages.web import extract_outlinks
+
+    out = extract_outlinks("/root/testdata/sf0.001").to_pandas()
+    per = out.groupby("doc_id")["link_idx"].agg(["count", "min", "max"])
+    assert (per["count"] == 6).all()
+    assert (per["min"] == 0).all() and (per["max"] == 5).all()
+    assert not out["url"].str.contains(r"\.\.", regex=True).any()
+    assert not out["url"].str.contains("/./", regex=False).any()
+    src10 = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "source"]
+    ).set_index("doc_id")["source"].loc[10]
+    d3 = out[(out["doc_id"] == 10) & (out["link_idx"] == 3)]["url"].iloc[0]
+    assert d3 == f"https://{src10}.org/a/3/up/2"  # 10%7=3, 10%4=2

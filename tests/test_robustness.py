@@ -488,6 +488,13 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.multimodal import image_dhash_dupes
 
     checks.append((image_dhash_dupes, ["dhash"]))
+    from open_parse_ray.stages.relational import hll_user_registers
+
+    checks.append((hll_user_registers, ["event_type", "reg_id"]))
+    from open_parse_ray.stages.web import extract_outlinks, outlink_host_counts
+
+    checks.append((extract_outlinks, ["doc_id", "link_idx"]))
+    checks.append((outlink_host_counts, ["host"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
