@@ -608,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_registers": relational.hll_user_registers,
         "extract_outlinks": web.extract_outlinks,
         "outlink_host_counts": web.outlink_host_counts,
+        "doc_ngram_novelty": analysis.doc_ngram_novelty,
     }
 
 
@@ -2325,6 +2326,8 @@ def oracle_sql() -> dict[str, str]:
         # the oracle never sees the HTML)
         "extract_outlinks": web.EXTRACT_OUTLINKS_SQL,
         "outlink_host_counts": web.OUTLINK_HOST_COUNTS_SQL,
+        # per-doc corpus-unique n-gram counts (memorization/novelty)
+        "doc_ngram_novelty": analysis.DOC_NGRAM_NOVELTY_SQL,
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

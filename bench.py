@@ -282,6 +282,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "hll_user_registers",
         "extract_outlinks",
         "outlink_host_counts",
+        "doc_ngram_novelty",
     ]
 
     timings: dict[str, float] = {}

@@ -2277,3 +2277,159 @@ def weighted_priority_sample_oracle_sql(k: int = 200) -> str:
         ORDER BY priority, h63, doc_id
         LIMIT {k}
     """
+
+
+_TRI_HASH_CACHE: dict = {}
+
+
+def _tri_hash128(s: str):
+    """(hi, lo) int64 pair from md5 of an n-gram string, memoized with a
+    bounded module cache (repeated n-grams across docs are the common
+    case — boilerplate lines dominate web corpora)."""
+    import hashlib
+
+    v = _TRI_HASH_CACHE.get(s)
+    if v is None:
+        d = hashlib.md5(s.encode()).digest()
+        v = (
+            int.from_bytes(d[:8], "big", signed=True),
+            int.from_bytes(d[8:], "big", signed=True),
+        )
+        if len(_TRI_HASH_CACHE) < 1_000_000:
+            _TRI_HASH_CACHE[s] = v
+    return v
+
+
+def doc_ngram_novelty(sf_dir: str, n: int = 3):
+    """Per-doc n-gram NOVELTY — the memorization/contamination metric:
+    for each document, how many of its distinct word n-grams appear in
+    NO other document (corpus df == 1) vs how many distinct n-grams it
+    has at all. High unique-fraction = novel text; low = boilerplate or
+    near-copies. Returns (doc_id, n_trigrams, n_unique) with a row for
+    every doc (short docs get 0/0).
+
+    Scale shape: one tokenize pass emits per-doc-distinct 16-byte
+    n-gram fingerprints PLUS one tagged per-doc total row (h1 = -1) —
+    the per-doc total is exact without a second scan because each doc
+    lives in exactly one input row. One fingerprint-salted exchange
+    computes df per n-gram inside its co-located partition and
+    collapses df==1 hits to per-doc partial counts (the n-gram table
+    never leaves its partition); one doc-salted exchange sums the two
+    tagged row kinds into the final pair. Text never shuffles; exchange
+    rows are 32 bytes. df is additive-free (computed whole inside one
+    partition), so skewed n-grams concentrate work but never split."""
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def tri_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids, h1s, h2s, tots = [], [], [], []
+        for did, t in zip(b["doc_id"].to_numpy(np.int64), b["text"]):
+            d = int(did)
+            t = t.strip()
+            tris = set()
+            if t:
+                w = _WS_SPLIT.split(t)
+                for i in range(len(w) - n + 1):
+                    tris.add(" ".join(w[i : i + n]))
+            for s in tris:
+                h1, h2 = _tri_hash128(s)
+                ids.append(d)
+                h1s.append(h1)
+                h2s.append(h2)
+                tots.append(0)
+            ids.append(d)  # tagged per-doc total row
+            h1s.append(-1)
+            h2s.append(-1)
+            tots.append(len(tris))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "h1": np.asarray(h1s, dtype=np.int64),
+                "h2": np.asarray(h2s, dtype=np.int64),
+                "tot": np.asarray(tots, dtype=np.int64),
+            }
+        )
+
+    rows = ds.map_batches(tri_rows, batch_format="pandas", batch_size=4096)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_tot = g["h1"].values == -1
+        out = [
+            pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].values[is_tot],
+                    "n_trigrams": g["tot"].values[is_tot],
+                    "n_unique": np.zeros(int(is_tot.sum()), dtype=np.int64),
+                }
+            )
+        ]
+        tri = g[~is_tot]
+        if len(tri):
+            df = tri.groupby(["h1", "h2"])["doc_id"].transform("size")
+            hit = tri[df.values == 1]
+            if len(hit):
+                u = hit.groupby("doc_id").size()
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": u.index.to_numpy(dtype=np.int64),
+                            "n_trigrams": np.zeros(len(u), dtype=np.int64),
+                            "n_unique": u.to_numpy(dtype=np.int64),
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True)
+
+    def salt1(b: pd.DataFrame) -> pd.Series:
+        h1 = b["h1"].values
+        # total rows (h1 == -1) route by doc_id so no partition drowns
+        mix = np.where(h1 == -1, _splitmix63(b["doc_id"].values), h1)
+        return pd.Series(np.abs(mix), index=b.index)
+
+    partials = salted_groupby(rows, salt1, per_part)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("doc_id", as_index=False).agg(
+            n_trigrams=("n_trigrams", "sum"), n_unique=("n_unique", "sum")
+        )
+        return f.astype(
+            {"doc_id": "int64", "n_trigrams": "int64", "n_unique": "int64"}
+        )
+
+    return salted_groupby(
+        partials, lambda b: pd.Series(
+            np.abs(_splitmix63(b["doc_id"].values)), index=b.index
+        ), finish
+    )
+
+
+DOC_NGRAM_NOVELTY_SQL = """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents WHERE trim(text) <> ''
+    ),
+    pos AS (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+      FROM w
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tri
+      FROM pos
+    ),
+    df AS (
+      SELECT tri, count(*) AS df FROM tri GROUP BY tri
+    ),
+    per AS (
+      SELECT t.doc_id,
+             count(*) AS n_trigrams,
+             sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM tri t JOIN df f USING (tri)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST(coalesce(p.n_unique, 0) AS BIGINT) AS n_unique
+    FROM documents d LEFT JOIN per p USING (doc_id)
+"""

@@ -3646,3 +3646,36 @@ def test_hll_user_registers_hand_case(ray_session, tmp_path):
         k = (et, idx)
         want[k] = max(want.get(k, 0), rank)
     assert got == want
+
+
+def test_doc_ngram_novelty_hand_case(ray_session, tmp_path):
+    """Tiny corpus with known trigram overlap: doc 0 and doc 1 share
+    exactly one trigram ('a b c'), doc 2 is too short for any trigram,
+    doc 3 is whitespace-only. Unique = distinct trigrams with corpus
+    df == 1; intra-doc repeats of a trigram count once."""
+    from open_parse_ray.stages.analysis import doc_ngram_novelty
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b c d",        # tris: 'a b c', 'b c d'
+                "x a b c a b c",  # tris: 'x a b','a b c','b c a','c a b'
+                "one two",        # no trigram
+                "   ",            # empty after strip
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [7, 13, 7, 3],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = (
+        _df(doc_ngram_novelty(str(tmp_path)))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]
+    assert out["n_trigrams"].tolist() == [2, 4, 0, 0]
+    # 'a b c' has df 2 → not unique for either doc
+    assert out["n_unique"].tolist() == [1, 3, 0, 0]

@@ -495,6 +495,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
 
     checks.append((extract_outlinks, ["doc_id", "link_idx"]))
     checks.append((outlink_host_counts, ["host"]))
+    from open_parse_ray.stages.analysis import doc_ngram_novelty
+
+    checks.append((doc_ngram_novelty, ["doc_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
