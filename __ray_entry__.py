@@ -169,6 +169,17 @@ def _q_image_dhash_dupes(sf_dir: str):
     return image_dhash_dupes(sf_dir)
 
 
+def _q_quality_logreg_scores(sf_dir: str):
+    """Distributed IRLS-trained quality classifier (labels = the
+    corpus' own Gopher gate) scoring every doc with an integer
+    fixed-point logit; pytest-pinned (bit-equality vs sequential
+    reference, batch-size invariance, accuracy >= 0.9) -- iterative
+    model training is not SQL-expressible."""
+    from open_parse_ray.stages.quality_model import quality_logreg_scores
+
+    return quality_logreg_scores(sf_dir)
+
+
 def _q_wav_features(sf_dir: str):
     """Real (non-stubbed) audio path: PCM WAV decode → vectorized
     RMS/zero-crossing/duration features."""
@@ -609,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_outlinks": web.extract_outlinks,
         "outlink_host_counts": web.outlink_host_counts,
         "doc_ngram_novelty": analysis.doc_ngram_novelty,
+        "quality_logreg_scores": _q_quality_logreg_scores,
     }
 
 

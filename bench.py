@@ -283,6 +283,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "extract_outlinks",
         "outlink_host_counts",
         "doc_ngram_novelty",
+        "quality_logreg_scores",
     ]
 
     timings: dict[str, float] = {}

@@ -175,3 +175,40 @@ def test_embedding_pca_coords_properties(ray_session):
     assert np.abs(v_emp - var).max() < 1e-12 * max(1.0, np.abs(var).max())
     # explained variance is sorted descending
     assert np.all(np.diff(var) <= 1e-15)
+
+
+def test_logreg_fit_matches_local_and_batch_invariant(ray_session):
+    """Distributed IRLS fit == sequential local reference bit-for-bit
+    (same per-row 2^24 quantization, Python-int totals, Newton step),
+    and bit-identical across batch sizes (int64 partial sums are
+    associative; the quantization is per ROW, never per batch)."""
+    import pandas as pd
+
+    from open_parse_ray.stages.quality_model import (
+        logreg_fit,
+        logreg_fit_local,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    w_d = logreg_fit(sf)
+    docs = pd.read_parquet(
+        sf + "/documents.parquet", columns=["doc_id", "text"]
+    )
+    w_l = logreg_fit_local(docs)
+    assert np.array_equal(w_d, w_l)
+    w_small = logreg_fit(sf, batch_size=256)
+    assert np.array_equal(w_d, w_small)
+
+
+def test_logreg_scores_accuracy_and_shape(ray_session):
+    """The distilled classifier must beat the majority class by a wide
+    margin on its own training labels (the Gopher gate) — ≥0.9 accuracy
+    on this corpus — and emit one integer-logit row per doc."""
+    from open_parse_ray.stages.quality_model import quality_logreg_scores
+
+    out = quality_logreg_scores("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500 and out["doc_id"].nunique() == 500
+    acc = float((out["pred"] == out["label"]).mean())
+    base = max(out["label"].mean(), 1 - out["label"].mean())
+    assert acc >= 0.9 and acc > base + 0.05
+    assert (out["pred"] == (out["logit_fp"] > 0).astype("int64")).all()

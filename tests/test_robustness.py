@@ -498,6 +498,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.analysis import doc_ngram_novelty
 
     checks.append((doc_ngram_novelty, ["doc_id"]))
+    from open_parse_ray.stages.quality_model import quality_logreg_scores
+
+    checks.append((quality_logreg_scores, ["doc_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
