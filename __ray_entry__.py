@@ -621,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlink_host_counts": web.outlink_host_counts,
         "doc_ngram_novelty": analysis.doc_ngram_novelty,
         "quality_logreg_scores": _q_quality_logreg_scores,
+        "table_profile_orders": relational.table_profile_orders,
     }
 
 
@@ -2340,6 +2341,9 @@ def oracle_sql() -> dict[str, str]:
         "outlink_host_counts": web.OUTLINK_HOST_COUNTS_SQL,
         # per-doc corpus-unique n-gram counts (memorization/novelty)
         "doc_ngram_novelty": analysis.DOC_NGRAM_NOVELTY_SQL,
+        # single-pass per-column data profile (nulls/min/max/exact
+        # distinct; canonical integer forms commute with min/max)
+        "table_profile_orders": relational.TABLE_PROFILE_ORDERS_SQL,
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

@@ -284,6 +284,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "outlink_host_counts",
         "doc_ngram_novelty",
         "quality_logreg_scores",
+        "table_profile_orders",
     ]
 
     timings: dict[str, float] = {}

@@ -6391,3 +6391,227 @@ EVENTS_TYPE_CORRELATION_MOMENTS_SQL = """
     JOIN t tb ON ta.event_type < tb.event_type
     LEFT JOIN d ON d.ta = ta.event_type AND d.tb = tb.event_type
 """
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "cents"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_canon(vals: pd.Series, kind: str):
+    """Canonical comparable form per column type: int64 for numerics
+    (cents for money, epoch-µs for timestamps — both monotone, so
+    min/max commute with the mapping), raw strings for varchars."""
+    if kind == "int":
+        return vals.to_numpy(dtype=np.int64), None
+    if kind == "cents":
+        return _cents(vals), None
+    if kind == "ts":
+        # unit-explicit epoch-µs regardless of the frame's datetime unit
+        return vals.to_numpy(dtype="datetime64[us]").astype(np.int64), None
+    return None, vals.astype(str)
+
+
+def table_profile_orders(sf_dir: str):
+    """Data-profiling pass over the orders table — the ingest-time
+    DATA CARD every warehouse job runs first: per column, row count,
+    null count, EXACT distinct count, and canonical min/max. One
+    streaming pass collapses each block to 6 stat-partial rows
+    (min/max/nulls fuse per batch); distinct counting ships per-block-
+    distinct 16-byte fingerprints through one column-salted exchange
+    where each value's rows co-locate, so per-partition distinct
+    counts sum exactly. Both partial streams share one tagged schema
+    and union into a single-block final combine — no joins. Numeric
+    min/max ride as int64 (cents / epoch-µs: monotone maps commute
+    with min), strings compare binary like DuckDB's default collation.
+    Returns (col, n_rows, n_nulls, n_distinct, min_s, max_s)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from open_parse_ray.stages.analysis import _splitmix63
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    names = [c for c, _ in _PROFILE_COLS]
+    ds = rd.read_parquet(table_path(sf_dir, "orders"), columns=names)
+
+    def _empty_tagged():
+        return pd.DataFrame(
+            {
+                "col": pd.Series([], dtype="object"),
+                "kind": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "nulls": pd.Series([], dtype="int64"),
+                "imin": pd.Series([], dtype="int64"),
+                "imax": pd.Series([], dtype="int64"),
+                "smin": pd.Series([], dtype="object"),
+                "smax": pd.Series([], dtype="object"),
+                "h1": pd.Series([], dtype="int64"),
+                "dcount": pd.Series([], dtype="int64"),
+            }
+        )
+
+    def stat_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return _empty_tagged()
+        rows = []
+        for col, kind in _PROFILE_COLS:
+            v = b[col]
+            nulls = int(v.isna().sum())
+            nn = v.dropna()
+            iv, sv = (
+                _profile_canon(nn, kind) if len(nn) else (None, None)
+            )
+            rows.append(
+                {
+                    "col": col,
+                    "kind": 0,
+                    "n": len(v),
+                    "nulls": nulls,
+                    "imin": int(iv.min()) if iv is not None else 0,
+                    "imax": int(iv.max()) if iv is not None else 0,
+                    "smin": sv.min() if sv is not None else "",
+                    "smax": sv.max() if sv is not None else "",
+                    "h1": -1,
+                    "dcount": 1 if len(nn) else 0,  # 1 = block had values
+                }
+            )
+        out = pd.DataFrame(rows)
+        return out.astype(
+            {"kind": "int64", "n": "int64", "nulls": "int64",
+             "imin": "int64", "imax": "int64", "h1": "int64",
+             "dcount": "int64"}
+        )
+
+    def distinct_rows(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return _empty_tagged()
+        frames = []
+        for ci, (col, kind) in enumerate(_PROFILE_COLS):
+            nn = b[col].dropna()
+            if not len(nn):
+                continue
+            iv, sv = _profile_canon(nn, kind)
+            canon = (
+                np.unique(iv).astype(str)
+                if iv is not None
+                else sv.unique()
+            )
+            h1 = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(f"{col}:{s}".encode()).digest()[:8],
+                        "big",
+                        signed=True,
+                    )
+                    for s in canon
+                ),
+                dtype=np.int64,
+                count=len(canon),
+            )
+            f = _empty_tagged().reindex(range(len(canon)))
+            f["col"] = col
+            f["kind"] = 1
+            f[["n", "nulls", "imin", "imax", "dcount"]] = 0
+            f[["smin", "smax"]] = ""
+            f["h1"] = h1
+            frames.append(f)
+        if not frames:
+            return _empty_tagged()
+        return pd.concat(frames, ignore_index=True).astype(
+            {"kind": "int64", "n": "int64", "nulls": "int64",
+             "imin": "int64", "imax": "int64", "h1": "int64",
+             "dcount": "int64"}
+        )
+
+    stats = ds.map_batches(stat_partial, batch_format="pandas", batch_size=65536)
+    drows = ds.map_batches(distinct_rows, batch_format="pandas", batch_size=65536)
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        # values co-locate by hash: per-partition distinct sums exactly
+        out = (
+            g.drop_duplicates(["col", "h1"])
+            .groupby("col", as_index=False)
+            .size()
+            .rename(columns={"size": "dcount"})
+        )
+        f = _empty_tagged().reindex(range(len(out)))
+        f["col"] = out["col"].to_numpy(dtype=object)
+        f["kind"] = 1
+        f[["n", "nulls", "imin", "imax", "h1"]] = 0
+        f[["smin", "smax"]] = ""
+        f["dcount"] = out["dcount"].to_numpy(dtype=np.int64)
+        return f.astype(
+            {"kind": "int64", "n": "int64", "nulls": "int64",
+             "imin": "int64", "imax": "int64", "h1": "int64",
+             "dcount": "int64"}
+        )
+
+    dpart = salted_groupby(
+        drows, lambda b: pd.Series(np.abs(b["h1"].values), index=b.index),
+        count_distinct,
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        kinds = dict(_PROFILE_COLS)
+        recs = []
+        for col, grp in g.groupby("col"):
+            s = grp[grp["kind"] == 0]
+            has = s[s["dcount"] == 1]  # stat blocks that saw values
+            kind = kinds[col]
+            if kind == "str":
+                mn = has["smin"].min() if len(has) else ""
+                mx = has["smax"].max() if len(has) else ""
+            else:
+                mn = str(int(has["imin"].min())) if len(has) else ""
+                mx = str(int(has["imax"].max())) if len(has) else ""
+            recs.append(
+                {
+                    "col": col,
+                    "n_rows": int(s["n"].sum()),
+                    "n_nulls": int(s["nulls"].sum()),
+                    "n_distinct": int(grp[grp["kind"] == 1]["dcount"].sum()),
+                    "min_s": mn,
+                    "max_s": mx,
+                }
+            )
+        return pd.DataFrame(recs).astype(
+            {"n_rows": "int64", "n_nulls": "int64", "n_distinct": "int64"}
+        )
+
+    return (
+        stats.union(dpart)
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+    )
+
+
+def _profile_sql_one(col: str, kind: str) -> str:
+    if kind == "int":
+        mn, mx = f"CAST(min({col}) AS VARCHAR)", f"CAST(max({col}) AS VARCHAR)"
+    elif kind == "cents":
+        mn = f"CAST(CAST(round(min({col}) * 100) AS BIGINT) AS VARCHAR)"
+        mx = f"CAST(CAST(round(max({col}) * 100) AS BIGINT) AS VARCHAR)"
+    elif kind == "ts":
+        mn = f"CAST(epoch_us(min({col})) AS VARCHAR)"
+        mx = f"CAST(epoch_us(max({col})) AS VARCHAR)"
+    else:
+        mn, mx = f"min({col})", f"max({col})"
+    return f"""
+        SELECT '{col}' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               {mn} AS min_s, {mx} AS max_s
+        FROM orders
+    """
+
+
+TABLE_PROFILE_ORDERS_SQL = " UNION ALL ".join(
+    _profile_sql_one(c, k) for c, k in _PROFILE_COLS
+)

@@ -3679,3 +3679,41 @@ def test_doc_ngram_novelty_hand_case(ray_session, tmp_path):
     assert out["n_trigrams"].tolist() == [2, 4, 0, 0]
     # 'a b c' has df 2 → not unique for either doc
     assert out["n_unique"].tolist() == [1, 3, 0, 0]
+
+
+def test_table_profile_orders_nulls_and_minmax(ray_session, tmp_path):
+    """Profile over a hand table WITH nulls (the corpus has none):
+    null counts per column, exact distinct EXCLUDES nulls (DuckDB
+    count(DISTINCT) semantics), cents/epoch-µs canonical min/max, and
+    binary string ordering ('Z' < 'a')."""
+    from open_parse_ray.stages.relational import table_profile_orders
+
+    t0 = pd.Timestamp("2020-01-02 03:04:05")
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": pd.array([7, None, 7, 9], dtype="Int64"),
+            "o_orderstatus": ["a", "Z", None, "a"],
+            "o_totalprice": [1.005, 2.0, 2.0, None],
+            "o_orderdate": [t0, None, t0, t0 + pd.Timedelta(days=1)],
+            "o_orderpriority": ["p", "p", "p", "p"],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    out = (
+        table_profile_orders(str(tmp_path))
+        .to_pandas()
+        .set_index("col")
+    )
+    assert out.loc["o_custkey", "n_nulls"] == 1
+    assert out.loc["o_custkey", "n_distinct"] == 2
+    assert out.loc["o_orderstatus", "min_s"] == "Z"  # binary collation
+    assert out.loc["o_orderstatus", "max_s"] == "a"
+    # float64(1.005)*100 = 100.4999... — rounds to 100 on BOTH sides
+    assert out.loc["o_totalprice", "min_s"] == "100"
+    assert out.loc["o_totalprice", "n_distinct"] == 2
+    assert out.loc["o_orderdate", "min_s"] == str(
+        t0.value // 1000
+    )
+    assert (out["n_rows"] == 4).all()
+    assert out.loc["o_orderpriority", "n_distinct"] == 1

@@ -501,6 +501,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.quality_model import quality_logreg_scores
 
     checks.append((quality_logreg_scores, ["doc_id"]))
+    from open_parse_ray.stages.relational import table_profile_orders
+
+    checks.append((table_profile_orders, ["col"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
