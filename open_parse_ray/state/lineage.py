@@ -80,7 +80,13 @@ def _detect_input_format(input_dir: str) -> str:
         os.path.join(input_dir, "*.jsonl.gz")
     ):
         return "jsonl"
-    raise FileNotFoundError(f"no parquet, warc or jsonl files under {input_dir}")
+    if glob.glob(os.path.join(input_dir, "*.csv")) or glob.glob(
+        os.path.join(input_dir, "*.csv.gz")
+    ):
+        return "csv"
+    raise FileNotFoundError(
+        f"no parquet, warc, jsonl or csv files under {input_dir}"
+    )
 
 
 def _shard_inputs(
@@ -95,6 +101,11 @@ def _shard_inputs(
         files = sorted(
             glob.glob(os.path.join(input_dir, "*.jsonl"))
             + glob.glob(os.path.join(input_dir, "*.jsonl.gz"))
+        )
+    elif input_format == "csv":
+        files = sorted(
+            glob.glob(os.path.join(input_dir, "*.csv"))
+            + glob.glob(os.path.join(input_dir, "*.csv.gz"))
         )
     else:
         files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
@@ -178,6 +189,10 @@ def _run_shard(
             from open_parse_ray.sources.jsonl import read_pages_jsonl
 
             ds = read_pages_jsonl(files, columns=["url", "html"])
+        elif input_format == "csv":
+            from open_parse_ray.sources.csvpages import read_pages_csv
+
+            ds = read_pages_csv(files, columns=["url", "html"])
         else:
             ds = rd.read_parquet(files)
         out = extract(ds, pipeline=pipeline, output="docs", batch_size=batch_size)

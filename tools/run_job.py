@@ -51,10 +51,11 @@ def main() -> None:
     )
     ap.add_argument(
         "--input-format", default="auto",
-        choices=["auto", "parquet", "warc", "jsonl"],
+        choices=["auto", "parquet", "warc", "jsonl", "csv"],
         help="input shard container (auto-detected from the input dir; "
         "warc reads Common-Crawl-style .warc/.warc.gz shards, jsonl "
-        "reads base64-html .jsonl/.jsonl.gz shards)",
+        "reads base64-html .jsonl/.jsonl.gz shards, csv reads RFC 4180 "
+        "base64-html .csv/.csv.gz shards)",
     )
     args = ap.parse_args()
 
