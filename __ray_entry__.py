@@ -622,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_novelty": analysis.doc_ngram_novelty,
         "quality_logreg_scores": _q_quality_logreg_scores,
         "table_profile_orders": relational.table_profile_orders,
+        "events_watermark_lateness": relational.events_watermark_lateness,
     }
 
 
@@ -2344,6 +2345,9 @@ def oracle_sql() -> dict[str, str]:
         # single-pass per-column data profile (nulls/min/max/exact
         # distinct; canonical integer forms commute with min/max)
         "table_profile_orders": relational.TABLE_PROFILE_ORDERS_SQL,
+        # streaming watermark/late-event accounting (distributed prefix
+        # max over the deterministic multi-queue arrival order)
+        "events_watermark_lateness": relational.events_watermark_lateness_sql(),
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

@@ -285,6 +285,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_ngram_novelty",
         "quality_logreg_scores",
         "table_profile_orders",
+        "events_watermark_lateness",
     ]
 
     timings: dict[str, float] = {}

@@ -6615,3 +6615,161 @@ def _profile_sql_one(col: str, kind: str) -> str:
 TABLE_PROFILE_ORDERS_SQL = " UNION ALL ".join(
     _profile_sql_one(c, k) for c, k in _PROFILE_COLS
 )
+
+
+def events_watermark_lateness(
+    sf_dir: str, delay_hours: int = 2, n_queues: int = 16
+):
+    """STREAMING-WINDOW semantics over a batch table — watermark/late-
+    event accounting, the stateful streaming operator a replay pipeline
+    needs: events ARRIVE in a deterministic multi-queue order (queue
+    q = event_id % n_queues drained queue-by-queue, each in id order —
+    the sharded-crawler replay model), the watermark is the running max
+    event-time of everything that arrived STRICTLY BEFORE, and an event
+    is LATE when its own time sits more than ``delay_hours`` behind the
+    watermark. Returns per (event_type, tumbling hour window):
+    (on_time, late) counts.
+
+    Scale shape: the watermark is a PREFIX MAX over arrival order —
+    computed distributed like every prefix scan here: arrival order is
+    range-partitioned into contiguous buckets (queue × id-range, width
+    from the parquet footer max, no data scan), pass 1 ships one
+    (bucket, max_ts) row per block, the driver folds the bounded bucket
+    table into exclusive prefix maxes, pass 2 co-locates each bucket,
+    resolves the local exclusive cummax against the broadcast bucket
+    prefix, and collapses straight to bounded (type, hour) partials —
+    per-event rows never leave their partition."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import default_num_parts, salted_groupby
+
+    delay_us = int(delay_hours) * 3_600_000_000
+    hour_us = 3_600_000_000
+    sentinel = np.iinfo(np.int64).min
+
+    md = pq.ParquetFile(table_path(sf_dir, "events")).metadata
+    mx_id = 0
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            if c.path_in_schema == "event_id":
+                mx_id = max(mx_id, int(c.statistics.max))
+    nsub = max(1, default_num_parts() // n_queues)
+    w = mx_id // nsub + 1
+    n_buckets = n_queues * nsub
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"), columns=["event_id", "ts", "event_type"]
+    )
+
+    def bucket_of(ids: np.ndarray) -> np.ndarray:
+        q = ids % n_queues
+        return q * nsub + np.minimum(ids // w, nsub - 1)
+
+    def max_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int64"),
+                 "mx": pd.Series([], dtype="int64")}
+            )
+        bk = bucket_of(b["event_id"].to_numpy(dtype=np.int64))
+        tus = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        mx = np.full(n_buckets, sentinel, dtype=np.int64)
+        np.maximum.at(mx, bk, tus)
+        touched = np.nonzero(mx != sentinel)[0]
+        return pd.DataFrame(
+            {"bucket": touched.astype(np.int64), "mx": mx[touched]}
+        )
+
+    bmax = (
+        _combine_partials(
+            ds.map_batches(max_partial, batch_format="pandas", batch_size=65536),
+            ["bucket"],
+            {"mx": "max"},
+        )
+        .to_pandas()
+        .set_index("bucket")["mx"]
+    )
+    pre = np.full(n_buckets, sentinel, dtype=np.int64)
+    cur = sentinel
+    for b in range(n_buckets):
+        pre[b] = cur
+        if b in bmax.index:
+            cur = max(cur, int(bmax.loc[b]))
+    pre_ref = ray.put(pre)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        prem = ray.get(pre_ref)
+        ids = g["event_id"].to_numpy(dtype=np.int64)
+        bk = bucket_of(ids)
+        tus = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        frames = []
+        for b in np.unique(bk):
+            m = bk == b
+            order = np.argsort(ids[m], kind="stable")  # ids unique
+            t = tus[m][order]
+            excl = np.concatenate(([sentinel], np.maximum.accumulate(t)[:-1]))
+            excl = np.maximum(excl, prem[b])
+            late = np.zeros(len(t), dtype=bool)
+            v = excl != sentinel  # avoid sentinel - delay int64 wrap
+            late[v] = t[v] < excl[v] - delay_us
+            f = pd.DataFrame(
+                {
+                    "event_type": g["event_type"].to_numpy(dtype=object)[m][order],
+                    "window_hour": t // hour_us,
+                    "on_time": (~late).astype(np.int64),
+                    "late": late.astype(np.int64),
+                }
+            )
+            frames.append(
+                f.groupby(["event_type", "window_hour"], as_index=False).agg(
+                    on_time=("on_time", "sum"), late=("late", "sum")
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype(
+            {"window_hour": "int64", "on_time": "int64", "late": "int64"}
+        )
+
+    partials = salted_groupby(
+        ds,
+        lambda b: pd.Series(
+            bucket_of(b["event_id"].to_numpy(dtype=np.int64)), index=b.index
+        ),
+        per_bucket,
+        num_parts=n_buckets,
+    )
+    return _combine_partials(
+        partials, ["event_type", "window_hour"],
+        {"on_time": "sum", "late": "sum"},
+    )
+
+
+def events_watermark_lateness_sql(
+    delay_hours: int = 2, n_queues: int = 16
+) -> str:
+    delay_us = int(delay_hours) * 3_600_000_000
+    return f"""
+        WITH wm AS (
+          SELECT event_type, epoch_us(ts) AS tus,
+                 max(ts) OVER (
+                   ORDER BY event_id % {n_queues}, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS pm
+          FROM events
+        ),
+        f AS (
+          SELECT event_type, tus // 3600000000 AS window_hour,
+                 CASE WHEN pm IS NOT NULL
+                           AND tus < epoch_us(pm) - {delay_us}
+                      THEN 1 ELSE 0 END AS late
+          FROM wm
+        )
+        SELECT event_type, CAST(window_hour AS BIGINT) AS window_hour,
+               CAST(sum(1 - late) AS BIGINT) AS on_time,
+               CAST(sum(late) AS BIGINT) AS late
+        FROM f GROUP BY event_type, window_hour
+    """

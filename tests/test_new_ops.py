@@ -3717,3 +3717,47 @@ def test_table_profile_orders_nulls_and_minmax(ray_session, tmp_path):
     )
     assert (out["n_rows"] == 4).all()
     assert out.loc["o_orderpriority", "n_distinct"] == 1
+
+
+def test_events_watermark_lateness_boundaries(ray_session, tmp_path):
+    """Hand stream over 2 queues (event_id % 16 ∈ {0, 1}): the global
+    first arrival is never late; an event exactly delay behind the
+    watermark is ON TIME (strict <); one microsecond more is late; a
+    later queue's early-time events are late against the watermark the
+    first queue advanced."""
+    from open_parse_ray.stages.relational import events_watermark_lateness
+
+    h = 3_600_000_000  # 1h in µs
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ts(us):
+        return t0 + pd.Timedelta(microseconds=us)
+
+    rows = [
+        # queue 0 (ids 0,16,32): times 10h, 11h, 12h — all on time
+        (0, ts(10 * h)), (16, ts(11 * h)), (32, ts(12 * h)),
+        # queue 1 (ids 1,17,33,49): watermark is now 12h
+        (1, ts(10 * h)),          # 12h-10h = 2h behind = delay → ON TIME
+        (17, ts(10 * h - 1)),     # 2h + 1µs behind → LATE
+        (33, ts(13 * h)),         # advances the watermark, on time
+        (49, ts(10 * h)),         # 3h behind the new 13h watermark → LATE
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": 1,
+            "event_type": "A",
+            "value": 1.0,
+            "props": "",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    out = _df(events_watermark_lateness(str(tmp_path), delay_hours=2))
+    agg = out.groupby("event_type")[["on_time", "late"]].sum()
+    assert int(agg.loc["A", "on_time"]) == 5
+    assert int(agg.loc["A", "late"]) == 2
+    # the 10h-1µs late event lands in the EPOCH hour just before t0+10h
+    base = t0.value // 1000  # epoch µs
+    w9 = out[out["window_hour"] == (base + 10 * h - 1) // h]
+    assert int(w9["late"].sum()) == 1

@@ -504,6 +504,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import table_profile_orders
 
     checks.append((table_profile_orders, ["col"]))
+    from open_parse_ray.stages.relational import events_watermark_lateness
+
+    checks.append((events_watermark_lateness, ["event_type", "window_hour"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
