@@ -623,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_logreg_scores": _q_quality_logreg_scores,
         "table_profile_orders": relational.table_profile_orders,
         "events_watermark_lateness": relational.events_watermark_lateness,
+        "anchor_text_index": web.anchor_text_index,
     }
 
 
@@ -2348,6 +2349,8 @@ def oracle_sql() -> dict[str, str]:
         # streaming watermark/late-event accounting (distributed prefix
         # max over the deterministic multi-queue arrival order)
         "events_watermark_lateness": relational.events_watermark_lateness_sql(),
+        # anchor-text index of the link graph (closed-form anchors)
+        "anchor_text_index": web.ANCHOR_TEXT_INDEX_SQL,
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

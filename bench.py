@@ -286,6 +286,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "quality_logreg_scores",
         "table_profile_orders",
         "events_watermark_lateness",
+        "anchor_text_index",
     ]
 
     timings: dict[str, float] = {}

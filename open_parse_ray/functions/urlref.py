@@ -150,3 +150,23 @@ def host_of(url: str) -> str:
     if not host.startswith("["):
         host = host.split(":", 1)[0]
     return host.lower()
+
+
+_A_FULL_RE = re.compile(r"<a\b([^>]*)>(.*?)</a\s*>", re.I | re.S)
+_TAG_STRIP_RE = re.compile(r"<[^>]*>")
+
+
+def extract_links(html_text: str) -> List[Tuple[str, str]]:
+    """(href, anchor_text) pairs of <a> tags in document order. Anchor
+    text is the tag's inner text with nested tags stripped, entities
+    decoded and whitespace normalized (the form an anchor-text index
+    stores). <a> tags without href are skipped, same as extract_hrefs."""
+    out: List[Tuple[str, str]] = []
+    for m in _A_FULL_RE.finditer(html_text):
+        hm = _HREF_RE.search(m.group(1))
+        if hm is None:
+            continue
+        raw = next(g for g in hm.groups() if g is not None)
+        text = _html.unescape(_TAG_STRIP_RE.sub(" ", m.group(2)))
+        out.append((_html.unescape(raw).strip(), " ".join(text.split())))
+    return out

@@ -577,6 +577,30 @@ ROBOTS_FILTER_DOCS_SQL = """
 """
 
 
+def _synth_page_base(d: int, src: str) -> str:
+    return f"https://{src}.org/a/{d % 7}/b/page{d % 50}.html"
+
+
+def _synth_page_html(d: int, src: str) -> str:
+    """Per-doc HTML fragment shared by extract_outlinks and
+    anchor_text_index: hrefs AND anchor texts are closed-form functions
+    of (doc_id, source), so both oracles derive the expected output
+    without seeing the HTML. Attribute syntax varies per link (double/
+    single/unquoted, tag case, extra attrs, inner markup, entities)."""
+    return (
+        f'<html><body>'
+        f'<a href="https://ext{d % 5}.com/x">ext site {d % 5} ref {d % 7}</a>\n'
+        f"<A HREF='//cdn.{src}.org/lib.js'>cdn <b>lib</b></A>\n"
+        f'<a data-k="v" href=/top/{d % 3}>top nav {d % 3}</a>\n'
+        f'<a href="../up/./{d % 4}">up {d % 4} from {d % 7}</a>\n'
+        f'<a href="?q={d % 9}&amp;r=2">query {d % 9}</a>\n'
+        f'<a href="#sec{d % 2}">frag {d % 2}</a>\n'
+        f'<a href="mailto:x@{src}.org">mail us</a>\n'
+        f'<a name="anchor">no link</a>\n'
+        f'<link href="/style.css"></body></html>'
+    )
+
+
 def extract_outlinks(sf_dir: str):
     """Crawl-frontier outlink extraction — the real pipeline a link
     graph is built from: per doc, synthesize an HTML fragment whose
@@ -609,18 +633,8 @@ def extract_outlinks(sf_dir: str):
             b["doc_id"].to_numpy(dtype=np.int64), b["source"]
         ):
             d = int(did)
-            base = f"https://{src}.org/a/{d % 7}/b/page{d % 50}.html"
-            html_doc = (
-                f'<html><body><a href="https://ext{d % 5}.com/x">abs</a>\n'
-                f"<A HREF='//cdn.{src}.org/lib.js'>proto-rel</A>\n"
-                f'<a data-k="v" href=/top/{d % 3}>abs-path</a>\n'
-                f'<a href="../up/./{d % 4}">dots</a>\n'
-                f'<a href="?q={d % 9}&amp;r=2">query</a>\n'
-                f'<a href="#sec{d % 2}">frag</a>\n'
-                f'<a href="mailto:x@{src}.org">mail</a>\n'
-                f'<a name="anchor">no-href</a>\n'
-                f'<link href="/style.css"></body></html>'
-            )
+            base = _synth_page_base(d, src)
+            html_doc = _synth_page_html(d, src)
             k = 0
             for href in extract_hrefs(html_doc):
                 u = resolve_reference(base, href)
@@ -723,5 +737,128 @@ OUTLINK_HOST_COUNTS_SQL = (
            END) AS host,
            CAST(count(*) AS BIGINT) AS n_links
     FROM links GROUP BY 1
+"""
+)
+
+
+def anchor_text_index(sf_dir: str):
+    """The anchor-text INDEX of the link graph — per resolved target
+    URL, how many pages link to it and the sorted distinct anchor
+    texts they used (the signal web search and anchor-conditioned
+    training data are built from). The kernel does the full real
+    pipeline: <a>-tag inner-text extraction (nested-markup strip,
+    entity decode, whitespace normalization — functions/urlref.
+    extract_links), RFC 3986 resolution, http(s) gate, then one
+    target-url-salted exchange where each URL's anchors co-locate and
+    collapse to (url, n_links, '|'-joined sorted distinct anchors).
+
+    Scale shape: anchor rows pre-dedupe per (url, anchor) inside the
+    batch before the exchange; at web scale hot URLs concentrate in
+    one partition (never split — counts stay exact) and the distinct
+    anchor set per URL is the small side (anchor vocabulary per page
+    is tiny)."""
+    from open_parse_ray.functions.urlref import extract_links, resolve_reference
+    from open_parse_ray.stages.analysis import read_documents
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        urls, anchors, counts = [], [], []
+        for did, src in zip(b["doc_id"].to_numpy(dtype=np.int64), b["source"]):
+            d = int(did)
+            base = _synth_page_base(d, src)
+            seen: dict = {}
+            for href, text in extract_links(_synth_page_html(d, src)):
+                u = resolve_reference(base, href)
+                if not (u.startswith("http://") or u.startswith("https://")):
+                    continue
+                key = (u, text)
+                seen[key] = seen.get(key, 0) + 1
+            for (u, text), c in seen.items():
+                urls.append(u)
+                anchors.append(text)
+                counts.append(c)
+        return pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "anchor": pd.Series(anchors, dtype="object"),
+                "c": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    link_rows = read_documents(
+        sf_dir, columns=["doc_id", "source"]
+    ).map_batches(rows, batch_format="pandas", batch_size=8192)
+
+    def per_url(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for u, grp in g.groupby("url", sort=False):
+            out.append(
+                {
+                    "url": u,
+                    "n_links": int(grp["c"].sum()),
+                    "anchors": "|".join(sorted(set(grp["anchor"]))),
+                }
+            )
+        f = pd.DataFrame(out)
+        return f.astype({"n_links": "int64"})
+
+    def salt(b: pd.DataFrame) -> pd.Series:
+        import hashlib
+
+        return pd.Series(
+            [
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+                >> 1
+                for u in b["url"]
+            ],
+            index=b.index,
+            dtype="int64",
+        )
+
+    return salted_groupby(link_rows, salt, per_url)
+
+
+ANCHOR_TEXT_INDEX_SQL = (
+    _OUTLINKS_UNION_SQL.replace(
+        "SELECT doc_id, CAST(0 AS BIGINT) AS link_idx,\n"
+        "               'https://ext' || m5 || '.com/x' AS url FROM v",
+        "SELECT doc_id, CAST(0 AS BIGINT) AS link_idx,\n"
+        "               'https://ext' || m5 || '.com/x' AS url,\n"
+        "               'ext site ' || m5 || ' ref ' || m7 AS anchor FROM v",
+    )
+    .replace(
+        "SELECT doc_id, 1, 'https://cdn.' || source || '.org/lib.js' FROM v",
+        "SELECT doc_id, 1, 'https://cdn.' || source || '.org/lib.js',"
+        " 'cdn lib' FROM v",
+    )
+    .replace(
+        "SELECT doc_id, 2, 'https://' || source || '.org/top/' || m3 FROM v",
+        "SELECT doc_id, 2, 'https://' || source || '.org/top/' || m3,"
+        " 'top nav ' || m3 FROM v",
+    )
+    .replace(
+        "SELECT doc_id, 3, 'https://' || source || '.org/a/' || m7\n"
+        "               || '/up/' || m4 FROM v",
+        "SELECT doc_id, 3, 'https://' || source || '.org/a/' || m7\n"
+        "               || '/up/' || m4, 'up ' || m4 || ' from ' || m7 FROM v",
+    )
+    .replace(
+        "SELECT doc_id, 4, 'https://' || source || '.org/a/' || m7\n"
+        "               || '/b/page' || m50 || '.html?q=' || m9 || '&r=2' FROM v",
+        "SELECT doc_id, 4, 'https://' || source || '.org/a/' || m7\n"
+        "               || '/b/page' || m50 || '.html?q=' || m9 || '&r=2',"
+        " 'query ' || m9 FROM v",
+    )
+    .replace(
+        "SELECT doc_id, 5, 'https://' || source || '.org/a/' || m7\n"
+        "               || '/b/page' || m50 || '.html#sec' || m2 FROM v",
+        "SELECT doc_id, 5, 'https://' || source || '.org/a/' || m7\n"
+        "               || '/b/page' || m50 || '.html#sec' || m2,"
+        " 'frag ' || m2 FROM v",
+    )
+    + """
+    SELECT url, CAST(count(*) AS BIGINT) AS n_links,
+           string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+    FROM links GROUP BY url
 """
 )

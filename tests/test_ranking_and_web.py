@@ -819,3 +819,46 @@ def test_extract_outlinks_per_doc_shape(ray_session):
     ).set_index("doc_id")["source"].loc[10]
     d3 = out[(out["doc_id"] == 10) & (out["link_idx"] == 3)]["url"].iloc[0]
     assert d3 == f"https://{src10}.org/a/3/up/2"  # 10%7=3, 10%4=2
+
+
+def test_extract_links_anchor_text_rules():
+    """Anchor-text extraction: nested markup stripped, entities decoded,
+    whitespace normalized, href-less anchors skipped, multiline inner
+    text handled."""
+    from open_parse_ray.functions.urlref import extract_links
+
+    doc = (
+        '<a href="u">hi <b>bold</b>&amp;x</a>'
+        '<a name="n">skip me</a>'
+        "<A HREF=v>two\n  words </A>"
+        '<a href="w"></a>'
+    )
+    assert extract_links(doc) == [
+        ("u", "hi bold &x"), ("v", "two words"), ("w", "")
+    ]
+
+
+def test_anchor_text_index_hand_case(ray_session, tmp_path):
+    """Two docs pointing at the same external target with different
+    anchors: the index row carries both anchors sorted and the link
+    count; a doc's repeated identical (url, anchor) would collapse in
+    the anchors set but still count in n_links."""
+    from open_parse_ray.stages.web import anchor_text_index
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 5],   # both m5 == 0 → same ext target
+            "text": ["x", "y"],
+            "lang": ["en", "en"],
+            "source": ["sa", "sb"],
+            "n_chars": [1, 1],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = anchor_text_index(str(tmp_path)).to_pandas().set_index("url")
+    ext = out.loc["https://ext0.com/x"]
+    assert int(ext["n_links"]) == 2
+    # doc 0: ref 0%7=0; doc 5: ref 5%7=5 — sorted distinct anchors
+    assert ext["anchors"] == "ext site 0 ref 0|ext site 0 ref 5"
+    cdn = out.loc["https://cdn.sa.org/lib.js"]
+    assert int(cdn["n_links"]) == 1 and cdn["anchors"] == "cdn lib"

@@ -507,6 +507,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import events_watermark_lateness
 
     checks.append((events_watermark_lateness, ["event_type", "window_hour"]))
+    from open_parse_ray.stages.web import anchor_text_index
+
+    checks.append((anchor_text_index, ["url"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
