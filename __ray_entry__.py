@@ -624,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile_orders": relational.table_profile_orders,
         "events_watermark_lateness": relational.events_watermark_lateness,
         "anchor_text_index": web.anchor_text_index,
+        "orders_trailing_revenue": relational.orders_trailing_revenue,
     }
 
 
@@ -2351,6 +2352,8 @@ def oracle_sql() -> dict[str, str]:
         "events_watermark_lateness": relational.events_watermark_lateness_sql(),
         # anchor-text index of the link graph (closed-form anchors)
         "anchor_text_index": web.ANCHOR_TEXT_INDEX_SQL,
+        # RANGE-frame trailing time window (closes over same-day peers)
+        "orders_trailing_revenue": relational.orders_trailing_revenue_sql(),
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

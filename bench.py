@@ -287,6 +287,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "table_profile_orders",
         "events_watermark_lateness",
         "anchor_text_index",
+        "orders_trailing_revenue",
     ]
 
     timings: dict[str, float] = {}

@@ -6773,3 +6773,89 @@ def events_watermark_lateness_sql(
                CAST(sum(late) AS BIGINT) AS late
         FROM f GROUP BY event_type, window_hour
     """
+
+
+def orders_trailing_revenue(sf_dir: str, window_days: int = 90):
+    """Per-customer RANGE-frame trailing window — the time-based twin
+    of events_user_rolling's ROWS frame: for every order, the customer's
+    revenue over [o_orderdate - window_days, o_orderdate] INCLUSIVE of
+    both ends and of same-day peers (exactly SQL's
+    RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT ROW frame, which
+    closes over peer rows — a ROWS frame would not). Returns
+    (o_orderkey, o_custkey, trailing_cents, n_in_window).
+
+    Scale shape: one salted exchange on hash(custkey) co-locates each
+    customer's orders; inside the partition the frame sum is two
+    searchsorted probes against the per-customer date-sorted integer
+    cumsum — lo = first day ≥ d - W (left), hi = last same-day peer
+    (right) — never a Python loop over window contents."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def add_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(dtype=np.int64),
+                "o_custkey": b["o_custkey"].to_numpy(dtype=np.int64),
+                "day": b["o_orderdate"]
+                .to_numpy(dtype="datetime64[D]")
+                .astype(np.int64),
+                "cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    rows = ds.map_batches(add_cents, batch_format="pandas", batch_size=65536)
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, grp in g.groupby("o_custkey", sort=False):
+            s = grp.sort_values(["day", "o_orderkey"], kind="stable")
+            days = s["day"].to_numpy()
+            cs = np.concatenate(([0], np.cumsum(s["cents"].to_numpy())))
+            lo = np.searchsorted(days, days - window_days, side="left")
+            hi = np.searchsorted(days, days, side="right")  # incl. peers
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "o_orderkey": s["o_orderkey"].to_numpy(),
+                        "o_custkey": s["o_custkey"].to_numpy(),
+                        "trailing_cents": cs[hi] - cs[lo],
+                        "n_in_window": (hi - lo).astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    from open_parse_ray.stages.analysis import _splitmix63
+
+    return salted_groupby(
+        rows,
+        lambda b: pd.Series(
+            np.abs(_splitmix63(b["o_custkey"].to_numpy(dtype=np.int64))),
+            index=b.index,
+        ),
+        per_cust,
+    )
+
+
+def orders_trailing_revenue_sql(window_days: int = 90) -> str:
+    return f"""
+        SELECT o_orderkey, o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL {window_days} DAYS PRECEDING
+                       AND CURRENT ROW
+               ) AS BIGINT) AS trailing_cents,
+               CAST(count(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL {window_days} DAYS PRECEDING
+                       AND CURRENT ROW
+               ) AS BIGINT) AS n_in_window
+        FROM orders
+    """

@@ -3761,3 +3761,43 @@ def test_events_watermark_lateness_boundaries(ray_session, tmp_path):
     base = t0.value // 1000  # epoch µs
     w9 = out[out["window_hour"] == (base + 10 * h - 1) // h]
     assert int(w9["late"].sum()) == 1
+
+
+def test_orders_trailing_revenue_range_frame_semantics(ray_session, tmp_path):
+    """RANGE-frame hand cases: the window is inclusive at BOTH ends
+    (d-90 exactly is in; d-91 is out) and closes over same-day peers —
+    two orders on one day each see BOTH (the ROWS-frame answer would
+    differ), mirroring SQL RANGE ... PRECEDING AND CURRENT ROW."""
+    from open_parse_ray.stages.relational import orders_trailing_revenue
+
+    d0 = pd.Timestamp("2023-01-01")
+
+    def day(k):
+        return d0 + pd.Timedelta(days=k)
+
+    rows = [
+        # cust 1: days 0, 90 (in window of each other), 180, 271
+        (1, 1, day(0), 10.0),
+        (2, 1, day(90), 5.0),    # 90 back reaches day 0 → includes both
+        (3, 1, day(180), 2.0),   # 180-90=90: day-90 order ON the edge → in
+        (6, 1, day(271), 4.0),   # 271-90=181 > 180 → nothing prior in range
+        # cust 2: same-day peers
+        (4, 2, day(10), 1.0),
+        (5, 2, day(10), 3.0),
+    ]
+    pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).assign(o_orderstatus="F", o_orderpriority="1-URGENT").to_parquet(
+        tmp_path / "orders.parquet"
+    )
+
+    out = _df(orders_trailing_revenue(str(tmp_path))).set_index("o_orderkey")
+    assert int(out.loc[1, "trailing_cents"]) == 1000
+    assert int(out.loc[2, "trailing_cents"]) == 1500  # day-0 still inside
+    assert int(out.loc[2, "n_in_window"]) == 2
+    assert int(out.loc[3, "trailing_cents"]) == 700   # day 90 in, day 0 out
+    assert int(out.loc[6, "trailing_cents"]) == 400   # exclusive beyond 90d
+    # same-day peers both see the full day total
+    assert int(out.loc[4, "trailing_cents"]) == 400
+    assert int(out.loc[5, "trailing_cents"]) == 400
+    assert int(out.loc[4, "n_in_window"]) == 2

@@ -510,6 +510,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.web import anchor_text_index
 
     checks.append((anchor_text_index, ["url"]))
+    from open_parse_ray.stages.relational import orders_trailing_revenue
+
+    checks.append((orders_trailing_revenue, ["o_orderkey"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
