@@ -146,8 +146,12 @@ def host_of(url: str) -> str:
     if not authority:
         return ""
     host = authority.rsplit("@", 1)[-1]
-    # IPv6 literals keep their brackets; otherwise strip the port
-    if not host.startswith("["):
+    if host.startswith("["):
+        # IPv6 literal: keep the brackets, strip any :port AFTER them
+        end = host.find("]")
+        if end != -1:
+            host = host[: end + 1]
+    else:
         host = host.split(":", 1)[0]
     return host.lower()
 

@@ -19,6 +19,13 @@ lone-CR record ends.
 Export mirrors the JSONL determinism contract: one shard per input
 block written by the task that holds it, content-addressed shard names
 (md5 of first url + row count), atomic os.replace, gzip mtime=0.
+
+Relation to sources/pages.read_pages_csv: that reader ingests ad-hoc
+Arrow-CSV drops (stored text column, pyarrow.csv parser) for format-
+invariance tests; THIS module is the byte-identity container (own
+RFC 4180 state machine, recomputed text, gzip shards, run_job
+auto-detection) that joins parquet/warc/jsonl in the all-containers-
+equal gate.
 """
 
 from __future__ import annotations
@@ -120,6 +127,19 @@ def _render_csv(records: List[List[str]], delimiter: str = ",") -> str:
     )
 
 
+def _encode_lang(lg, url: str) -> str:
+    """null lang → empty field. An empty-STRING lang would silently
+    round-trip to null (the reader maps '' → None), so reject it loudly
+    — the pages schema never emits '' and the container cannot encode
+    the distinction."""
+    if lg == "":
+        raise ValueError(
+            f"empty-string lang for {url!r}: not representable in the "
+            "CSV container (use null)"
+        )
+    return lg or ""
+
+
 def export_pages_csv(sf_or_dir, out_dir: str, gz: bool = True) -> str:
     """Write the pages corpus as RFC 4180 CSV shards. Returns out_dir."""
     from open_parse_ray.sources.pages import read_pages
@@ -140,7 +160,8 @@ def export_pages_csv(sf_or_dir, out_dir: str, gz: bool = True) -> str:
         recs = [list(_HEADER)]
         for u, ts, h, lg in zip(urls, tss, htmls, langs):
             recs.append(
-                [u, str(ts), base64.b64encode(h).decode("ascii"), lg or ""]
+                [u, str(ts), base64.b64encode(h).decode("ascii"),
+                 _encode_lang(lg, u)]
             )
         blob = _render_csv(recs).encode("utf-8")
         if gz:

@@ -73,9 +73,11 @@ def _fmatrix(b: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
 def _irls_partial_arrays(X: np.ndarray, y: np.ndarray, w: np.ndarray):
     """Exact int64 (n, gq[5], hq[5,5]) for one batch: per-row float64
     contributions quantized with round-half-even at 2^24, then summed
-    as int64. Asserted bounds keep both the rint (< 2^53 stays exact in
-    float64) and the batch sum (< 2^62) honest — a pathological doc
-    raises instead of silently overflowing."""
+    as int64. The PER-ROW bound is min(2^53, 2^62 / batch_rows): the
+    first term keeps rint exact in float64, the second guarantees the
+    int64 batch sum cannot wrap (checking the sum after the fact would
+    test the already-wrapped value) — a pathological doc raises instead
+    of silently overflowing."""
     z = np.zeros(len(X), dtype=np.float64)
     for j in range(_QM_DIM):  # fixed-order accumulation, batch-shape free
         z += X[:, j] * w[j]
@@ -83,13 +85,11 @@ def _irls_partial_arrays(X: np.ndarray, y: np.ndarray, w: np.ndarray):
     r = p * (1.0 - p)
     grow = (p - y)[:, None] * X * _QM_SCALE
     hrow = (r[:, None, None] * X[:, :, None] * X[:, None, :]) * _QM_SCALE
-    assert np.abs(grow).max(initial=0.0) < 2.0**53
-    assert np.abs(hrow).max(initial=0.0) < 2.0**53
+    lim = float(min(2**53, (2**62) // max(len(X), 1)))
+    assert np.abs(grow).max(initial=0.0) < lim
+    assert np.abs(hrow).max(initial=0.0) < lim
     gq = np.rint(grow).astype(np.int64).sum(axis=0)
     hq = np.rint(hrow).astype(np.int64).sum(axis=0)
-    assert len(X) == 0 or (
-        np.abs(gq).max() < 2**62 and np.abs(hq).max() < 2**62
-    )
     return np.int64(len(X)), gq, hq
 
 
@@ -104,20 +104,30 @@ def _newton_step(
     return w - np.linalg.solve(hmat, gvec)
 
 
-def logreg_fit(
-    sf_dir: str, iters: int = 6, lam: float = 1e-3, batch_size: int = 8192
-) -> np.ndarray:
-    """Fit the quality classifier; returns the (5,) float64 weight
-    vector, a pure function of the corpus. Features are computed ONCE
-    and materialized (the feature table is ~1% of the text bytes; Ray
-    spills blocks if it outgrows the store — still cheaper than
-    re-tokenizing the corpus every Newton iteration)."""
-    feats = (
+def _feats_dataset(sf_dir: str, batch_size: int):
+    """Features computed ONCE and materialized (the feature table is
+    ~1% of the text bytes; Ray spills blocks if it outgrows the store —
+    still cheaper than re-tokenizing the corpus every Newton pass)."""
+    return (
         _read_docs(sf_dir)
         .map_batches(_feature_frame, batch_format="pandas", batch_size=batch_size)
         .materialize()
     )
 
+
+def logreg_fit(
+    sf_dir: str, iters: int = 6, lam: float = 1e-3, batch_size: int = 8192
+) -> np.ndarray:
+    """Fit the quality classifier; returns the (5,) float64 weight
+    vector, a pure function of the corpus."""
+    return _fit_on_feats(
+        _feats_dataset(sf_dir, batch_size), iters, lam, batch_size
+    )
+
+
+def _fit_on_feats(
+    feats, iters: int, lam: float, batch_size: int
+) -> np.ndarray:
     w = np.zeros(_QM_DIM, dtype=np.float64)
     for _ in range(iters):
         import ray
@@ -187,15 +197,17 @@ def quality_logreg_scores(
     integer logit (round-half-even at 2^20) — integer output plus a
     fixed-order dot product make the scores exact under any block
     structure. pred = logit > 0; label is the Gopher gate (so the
-    driver's rows check doubles as a live confusion-matrix source)."""
+    driver's rows check doubles as a live confusion-matrix source).
+    Scoring reuses the feature table the fit just materialized — no
+    second tokenize pass over the corpus."""
     import ray
 
-    w = logreg_fit(sf_dir, iters=iters, lam=lam, batch_size=batch_size)
+    feats = _feats_dataset(sf_dir, batch_size)
+    w = _fit_on_feats(feats, iters, lam, batch_size)
     w_ref = ray.put(w)
 
-    def score(b: pd.DataFrame) -> pd.DataFrame:
+    def score(f: pd.DataFrame) -> pd.DataFrame:
         ww = ray.get(w_ref)
-        f = _feature_frame(b)
         z = np.zeros(len(f), dtype=np.float64)
         for j in range(_QM_DIM):
             z += f[f"f{j}"].to_numpy(dtype=np.float64) * ww[j]
@@ -209,6 +221,6 @@ def quality_logreg_scores(
             }
         )
 
-    return _read_docs(sf_dir).map_batches(
+    return feats.map_batches(
         score, batch_format="pandas", batch_size=batch_size
     )

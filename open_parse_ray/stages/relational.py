@@ -6452,6 +6452,7 @@ def table_profile_orders(sf_dir: str):
                 "smin": pd.Series([], dtype="object"),
                 "smax": pd.Series([], dtype="object"),
                 "h1": pd.Series([], dtype="int64"),
+                "h2": pd.Series([], dtype="int64"),
                 "dcount": pd.Series([], dtype="int64"),
             }
         )
@@ -6478,6 +6479,7 @@ def table_profile_orders(sf_dir: str):
                     "smin": sv.min() if sv is not None else "",
                     "smax": sv.max() if sv is not None else "",
                     "h1": -1,
+                    "h2": -1,
                     "dcount": 1 if len(nn) else 0,  # 1 = block had values
                 }
             )
@@ -6485,7 +6487,7 @@ def table_profile_orders(sf_dir: str):
         return out.astype(
             {"kind": "int64", "n": "int64", "nulls": "int64",
              "imin": "int64", "imax": "int64", "h1": "int64",
-             "dcount": "int64"}
+             "h2": "int64", "dcount": "int64"}
         )
 
     def distinct_rows(b: pd.DataFrame) -> pd.DataFrame:
@@ -6502,17 +6504,20 @@ def table_profile_orders(sf_dir: str):
                 if iv is not None
                 else sv.unique()
             )
+            # full 128-bit fingerprints: a 64-bit half WILL birthday-
+            # collide at 10^12-row scale and silently undercount
+            digs = [
+                hashlib.md5(f"{col}:{s}".encode()).digest() for s in canon
+            ]
             h1 = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.md5(f"{col}:{s}".encode()).digest()[:8],
-                        "big",
-                        signed=True,
-                    )
-                    for s in canon
-                ),
+                (int.from_bytes(d[:8], "big", signed=True) for d in digs),
                 dtype=np.int64,
-                count=len(canon),
+                count=len(digs),
+            )
+            h2 = np.fromiter(
+                (int.from_bytes(d[8:], "big", signed=True) for d in digs),
+                dtype=np.int64,
+                count=len(digs),
             )
             f = _empty_tagged().reindex(range(len(canon)))
             f["col"] = col
@@ -6520,13 +6525,14 @@ def table_profile_orders(sf_dir: str):
             f[["n", "nulls", "imin", "imax", "dcount"]] = 0
             f[["smin", "smax"]] = ""
             f["h1"] = h1
+            f["h2"] = h2
             frames.append(f)
         if not frames:
             return _empty_tagged()
         return pd.concat(frames, ignore_index=True).astype(
             {"kind": "int64", "n": "int64", "nulls": "int64",
              "imin": "int64", "imax": "int64", "h1": "int64",
-             "dcount": "int64"}
+             "h2": "int64", "dcount": "int64"}
         )
 
     stats = ds.map_batches(stat_partial, batch_format="pandas", batch_size=65536)
@@ -6535,7 +6541,7 @@ def table_profile_orders(sf_dir: str):
     def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
         # values co-locate by hash: per-partition distinct sums exactly
         out = (
-            g.drop_duplicates(["col", "h1"])
+            g.drop_duplicates(["col", "h1", "h2"])
             .groupby("col", as_index=False)
             .size()
             .rename(columns={"size": "dcount"})
@@ -6543,13 +6549,13 @@ def table_profile_orders(sf_dir: str):
         f = _empty_tagged().reindex(range(len(out)))
         f["col"] = out["col"].to_numpy(dtype=object)
         f["kind"] = 1
-        f[["n", "nulls", "imin", "imax", "h1"]] = 0
+        f[["n", "nulls", "imin", "imax", "h1", "h2"]] = 0
         f[["smin", "smax"]] = ""
         f["dcount"] = out["dcount"].to_numpy(dtype=np.int64)
         return f.astype(
             {"kind": "int64", "n": "int64", "nulls": "int64",
              "imin": "int64", "imax": "int64", "h1": "int64",
-             "dcount": "int64"}
+             "h2": "int64", "dcount": "int64"}
         )
 
     dpart = salted_groupby(
@@ -6564,12 +6570,14 @@ def table_profile_orders(sf_dir: str):
             s = grp[grp["kind"] == 0]
             has = s[s["dcount"] == 1]  # stat blocks that saw values
             kind = kinds[col]
+            # a column with NO values corpus-wide gets SQL-NULL min/max
+            # (matching min(col) over all NULLs), never ''
             if kind == "str":
-                mn = has["smin"].min() if len(has) else ""
-                mx = has["smax"].max() if len(has) else ""
+                mn = has["smin"].min() if len(has) else None
+                mx = has["smax"].max() if len(has) else None
             else:
-                mn = str(int(has["imin"].min())) if len(has) else ""
-                mx = str(int(has["imax"].max())) if len(has) else ""
+                mn = str(int(has["imin"].min())) if len(has) else None
+                mx = str(int(has["imax"].max())) if len(has) else None
             recs.append(
                 {
                     "col": col,

@@ -3801,3 +3801,67 @@ def test_orders_trailing_revenue_range_frame_semantics(ray_session, tmp_path):
     assert int(out.loc[4, "trailing_cents"]) == 400
     assert int(out.loc[5, "trailing_cents"]) == 400
     assert int(out.loc[4, "n_in_window"]) == 2
+
+
+def test_table_profile_all_null_column_is_sql_null(ray_session, tmp_path):
+    """A column that is NULL corpus-wide must profile to min_s/max_s =
+    NULL (SQL min over all NULLs), never '' — and n_distinct 0."""
+    from open_parse_ray.stages.relational import table_profile_orders
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": pd.array([None, None], dtype="Int64"),
+            "o_orderstatus": ["a", "b"],
+            "o_totalprice": [1.0, 2.0],
+            "o_orderdate": [pd.Timestamp("2020-01-01")] * 2,
+            "o_orderpriority": ["p", "p"],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    out = table_profile_orders(str(tmp_path)).to_pandas().set_index("col")
+    ck = out.loc["o_custkey"]
+    assert ck["n_nulls"] == 2 and ck["n_distinct"] == 0
+    assert ck["min_s"] is None or pd.isna(ck["min_s"])
+    assert ck["max_s"] is None or pd.isna(ck["max_s"])
+
+
+def test_irls_partial_overflow_guard_raises():
+    """A single pathological doc (one ~100k-char word → f2 ≈ 10^5) must
+    RAISE in the partial, not wrap the int64 batch sum: the per-row
+    bound is min(2^53, 2^62 / batch_rows) checked BEFORE summation."""
+    import pytest as _pt
+
+    from open_parse_ray.stages.quality_model import _irls_partial_arrays
+
+    X = np.array([[1.0, 0.0, 1.0e5, 0.0, 0.0]])
+    y = np.array([0.0])
+    w = np.zeros(5)
+    with _pt.raises(AssertionError):
+        _irls_partial_arrays(X, y, w)
+    # a sane row still passes and returns exact integers
+    n, gq, hq = _irls_partial_arrays(
+        np.array([[1.0, 0.5, -0.25, 0.0, 1.0]]), y, w
+    )
+    assert int(n) == 1 and gq.dtype == np.int64 and hq.shape == (5, 5)
+
+
+def test_host_of_ipv6_strips_port():
+    from open_parse_ray.functions.urlref import host_of
+
+    assert host_of("https://[2001:db8::1]:8080/x") == "[2001:db8::1]"
+    assert host_of("https://[2001:DB8::1]/x") == "[2001:db8::1]"
+
+
+def test_csv_writer_rejects_empty_string_lang():
+    """lang == '' is not representable in the CSV container (it would
+    silently round-trip to null); the writer's lang encoder must raise
+    loudly, and null must pass through as the empty field."""
+    import pytest as _pt
+
+    from open_parse_ray.sources.csvpages import _encode_lang
+
+    assert _encode_lang(None, "u") == ""
+    assert _encode_lang("en", "u") == "en"
+    with _pt.raises(ValueError, match="empty-string lang"):
+        _encode_lang("", "https://x/1")
