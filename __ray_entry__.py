@@ -625,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_lateness": relational.events_watermark_lateness,
         "anchor_text_index": web.anchor_text_index,
         "orders_trailing_revenue": relational.orders_trailing_revenue,
+        "frontier_next_urls": web.frontier_next_urls,
     }
 
 
@@ -2354,6 +2355,9 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_index": web.ANCHOR_TEXT_INDEX_SQL,
         # RANGE-frame trailing time window (closes over same-day peers)
         "orders_trailing_revenue": relational.orders_trailing_revenue_sql(),
+        # crawl-frontier selection: anti-join vs the crawled set +
+        # per-host top-k (closed-form crawledness of the /d/ link)
+        "frontier_next_urls": web.frontier_next_urls_sql(),
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

@@ -288,6 +288,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_watermark_lateness",
         "anchor_text_index",
         "orders_trailing_revenue",
+        "frontier_next_urls",
     ]
 
     timings: dict[str, float] = {}

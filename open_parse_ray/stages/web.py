@@ -595,6 +595,7 @@ def _synth_page_html(d: int, src: str) -> str:
         f'<a href="../up/./{d % 4}">up {d % 4} from {d % 7}</a>\n'
         f'<a href="?q={d % 9}&amp;r=2">query {d % 9}</a>\n'
         f'<a href="#sec{d % 2}">frag {d % 2}</a>\n'
+        f'<a href="/d/{(d + 3) % 50}">see doc {(d + 3) % 50}</a>\n'
         f'<a href="mailto:x@{src}.org">mail us</a>\n'
         f'<a name="anchor">no link</a>\n'
         f'<link href="/style.css"></body></html>'
@@ -616,9 +617,11 @@ def extract_outlinks(sf_dir: str):
     query/fragment inheritance), and an http(s)-only scheme gate. The
     oracle never sees the HTML — it derives every resolved URL in
     closed form, so a hash match proves extraction AND resolution are
-    exactly right on all six variants for every doc.
+    exactly right on all seven variants for every doc (the
+    seventh targets a same-host /d/ URL that MAY be crawled — the
+    frontier op's anti-join hinges on it).
 
-    Scale shape: pure streaming map, zero exchanges; output is ~6 rows
+    Scale shape: pure streaming map, zero exchanges; output is ~7 rows
     per page (the real Common Crawl ratio is ~50 links/page — still a
     bounded per-row fanout handled by flat-map semantics)."""
     from open_parse_ray.functions.urlref import (
@@ -657,7 +660,7 @@ def extract_outlinks(sf_dir: str):
     )
 
 
-# Closed-form mirror of the six emitted outlinks per doc. The dots
+# Closed-form mirror of the seven emitted outlinks per doc. The dots
 # variant '../up/./{m4}' resolves against base dir /a/{m7}/b/ to
 # /a/{m7}/up/{m4}; query inherits the base path; frag inherits path
 # (no query on the base).
@@ -670,7 +673,8 @@ _OUTLINKS_UNION_SQL = """
                CAST(doc_id % 3 AS VARCHAR)  AS m3,
                CAST(doc_id % 4 AS VARCHAR)  AS m4,
                CAST(doc_id % 9 AS VARCHAR)  AS m9,
-               CAST(doc_id % 2 AS VARCHAR)  AS m2
+               CAST(doc_id % 2 AS VARCHAR)  AS m2,
+               CAST((doc_id + 3) % 50 AS VARCHAR) AS md
         FROM documents
     ),
     links AS (
@@ -689,6 +693,8 @@ _OUTLINKS_UNION_SQL = """
         UNION ALL
         SELECT doc_id, 5, 'https://' || source || '.org/a/' || m7
                || '/b/page' || m50 || '.html#sec' || m2 FROM v
+        UNION ALL
+        SELECT doc_id, 6, 'https://' || source || '.org/d/' || md FROM v
     )
 """
 
@@ -856,9 +862,162 @@ ANCHOR_TEXT_INDEX_SQL = (
         "               || '/b/page' || m50 || '.html#sec' || m2,"
         " 'frag ' || m2 FROM v",
     )
+    .replace(
+        "SELECT doc_id, 6, 'https://' || source || '.org/d/' || md FROM v",
+        "SELECT doc_id, 6, 'https://' || source || '.org/d/' || md,"
+        " 'see doc ' || md FROM v",
+    )
     + """
     SELECT url, CAST(count(*) AS BIGINT) AS n_links,
            string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
     FROM links GROUP BY url
 """
 )
+
+
+def frontier_next_urls(sf_dir: str, per_host_k: int = 3):
+    """CLOSE THE CRAWL LOOP — the frontier selection step: outlinks
+    that are NOT already crawled (anti-join against the corpus' own
+    canonical URL set), aggregated per target URL, then the top-k per
+    host by (in-link count DESC, url ASC) — what a politeness-
+    partitioned fetcher queues next. Returns
+    (host, rank, url, n_links).
+
+    Scale shape: the crawled set is the SMALL side (one canonical URL
+    per page ≪ outlink rows) — broadcast once via ray.put as a
+    frozenset, probed per batch (the decontamination shape); surviving
+    outlinks collapse per (url) in a url-salted exchange, then one
+    host-salted exchange ranks inside each host partition. At true
+    crawl scale the crawled set outgrows a broadcast and the anti-join
+    becomes the bloom_semijoin shape (Bloom prune + exact in-partition
+    verify) — the probe stage is unchanged."""
+    import ray
+
+    from open_parse_ray.stages.analysis import read_documents
+    from open_parse_ray.stages.dedup import salted_groupby
+    from open_parse_ray.functions.urlref import host_of
+
+    # crawled set: every page's canonical URL (bounded: one per doc)
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"u": [canonicalize_url(u) for u in _messy_urls(b)]}
+        )
+
+    crawled = frozenset(
+        read_documents(sf_dir, columns=["doc_id", "source"])
+        .map_batches(canon, batch_format="pandas", batch_size=65536)
+        .to_pandas()["u"]
+    )
+    crawled_ref = ray.put(crawled)
+
+    links = extract_outlinks(sf_dir)
+
+    def survive(b: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(crawled_ref)
+        m = np.fromiter(
+            (u not in cs for u in b["url"]), dtype=bool, count=len(b)
+        )
+        out = b.loc[m, ["url"]].copy()
+        out["n_links"] = np.int64(1)
+        return out
+
+    probe = links.map_batches(survive, batch_format="pandas", batch_size=16384)
+
+    def count_urls(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("url", as_index=False).agg(n_links=("n_links", "sum"))
+        return f.astype({"n_links": "int64"})
+
+    import hashlib
+
+    per_url = salted_groupby(
+        probe,
+        lambda b: pd.Series(
+            [
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") >> 1
+                for u in b["url"]
+            ],
+            index=b.index,
+            dtype="int64",
+        ),
+        count_urls,
+    )
+
+    def add_host(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["host"] = pd.Series(
+            [host_of(u) for u in b["url"]], index=b.index, dtype="object"
+        )
+        return b
+
+    hosted = per_url.map_batches(add_host, batch_format="pandas", batch_size=16384)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for h, grp in g.groupby("host", sort=False):
+            s = grp.sort_values(
+                ["n_links", "url"], ascending=[False, True], kind="stable"
+            ).head(per_host_k)
+            s = s.assign(rank=np.arange(1, len(s) + 1, dtype=np.int64))
+            frames.append(s[["host", "rank", "url", "n_links"]])
+        return pd.concat(frames, ignore_index=True)
+
+    return salted_groupby(
+        hosted,
+        lambda b: pd.Series(
+            [
+                int.from_bytes(hashlib.md5(h.encode()).digest()[:8], "big") >> 1
+                for h in b["host"]
+            ],
+            index=b.index,
+            dtype="int64",
+        ),
+        topk,
+    )
+
+
+def frontier_next_urls_sql(per_host_k: int = 3) -> str:
+    """Oracle: the same union, minus URLs whose (source, md) pair is
+    actually crawled — /d/{md} on {source}.org is the canonical page of
+    any doc with doc_id%50 == md AND doc_id%3 <> 0 (docs with %3 == 0
+    canonicalize WITH a ?page= query, so the bare URL stays uncrawled);
+    only link variant 6 can ever hit the crawled set (the others live
+    on paths/hosts the corpus never crawls)."""
+    return (
+        _OUTLINKS_UNION_SQL
+        + f"""
+        , alive AS (
+          SELECT l.url FROM links l
+          WHERE NOT EXISTS (
+            SELECT 1 FROM documents d2, v v2
+            WHERE v2.doc_id = l.doc_id
+              AND l.link_idx = 6
+              AND d2.source = v2.source
+              AND CAST(d2.doc_id % 50 AS VARCHAR) = v2.md
+              AND d2.doc_id % 3 <> 0
+          )
+        ),
+        cnt AS (
+          SELECT url, CAST(count(*) AS BIGINT) AS n_links
+          FROM alive GROUP BY url
+        ),
+        ranked AS (
+          SELECT lower(CASE
+                   WHEN url LIKE 'https://%' THEN
+                     split_part(split_part(substr(url, 9), '/', 1), '#', 1)
+                   ELSE split_part(split_part(substr(url, 8), '/', 1), '#', 1)
+                 END) AS host,
+                 url, n_links,
+                 row_number() OVER (
+                   PARTITION BY CASE
+                     WHEN url LIKE 'https://%' THEN
+                       lower(split_part(split_part(substr(url, 9), '/', 1), '#', 1))
+                     ELSE lower(split_part(split_part(substr(url, 8), '/', 1), '#', 1))
+                   END
+                   ORDER BY n_links DESC, url
+                 ) AS rank
+          FROM cnt
+        )
+        SELECT host, CAST(rank AS BIGINT) AS rank, url, n_links
+        FROM ranked WHERE rank <= {per_host_k}
+    """
+    )

@@ -803,15 +803,15 @@ def test_extract_hrefs_hand_cases():
 
 
 def test_extract_outlinks_per_doc_shape(ray_session):
-    """Every doc emits exactly 6 http(s) outlinks (mailto filtered,
-    decoys skipped) with dense link_idx 0..5, and the dots variant
+    """Every doc emits exactly 7 http(s) outlinks (mailto filtered,
+    decoys skipped) with dense link_idx 0..6, and the dots variant
     resolved away its ../ and /./ segments."""
     from open_parse_ray.stages.web import extract_outlinks
 
     out = extract_outlinks("/root/testdata/sf0.001").to_pandas()
     per = out.groupby("doc_id")["link_idx"].agg(["count", "min", "max"])
-    assert (per["count"] == 6).all()
-    assert (per["min"] == 0).all() and (per["max"] == 5).all()
+    assert (per["count"] == 7).all()
+    assert (per["min"] == 0).all() and (per["max"] == 6).all()
     assert not out["url"].str.contains(r"\.\.", regex=True).any()
     assert not out["url"].str.contains("/./", regex=False).any()
     src10 = pd.read_parquet(
@@ -862,3 +862,38 @@ def test_anchor_text_index_hand_case(ray_session, tmp_path):
     assert ext["anchors"] == "ext site 0 ref 0|ext site 0 ref 5"
     cdn = out.loc["https://cdn.sa.org/lib.js"]
     assert int(cdn["n_links"]) == 1 and cdn["anchors"] == "cdn lib"
+
+
+def test_frontier_next_urls_anti_join_and_ranking(ray_session, tmp_path):
+    """Hand corpus: doc 0 (src 'sa') links /d/3; doc 3 exists with
+    doc_id%50==3 and doc_id%3==0 → its canonical carries ?page=, so the
+    BARE /d/3 is NOT crawled and stays on the frontier. doc 10's /d/13
+    target is crawled by doc 13 (13%3=1 → bare canonical) → excluded.
+    Ranking: within a host, higher in-link count wins, then url ASC."""
+    from open_parse_ray.stages.web import frontier_next_urls
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 3, 10, 13],
+            "text": ["x"] * 4,
+            "lang": ["en"] * 4,
+            "source": ["sa"] * 4,
+            "n_chars": [1] * 4,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    # large k: membership assertions must not be per-host-truncated
+    out = frontier_next_urls(str(tmp_path), per_host_k=100).to_pandas()
+    urls = set(out["url"])
+    # doc 0 → /d/3: doc 3's canonical is /d/3?page=3 (3%3==0) → bare
+    # /d/3 uncrawled → present
+    assert "https://sa.org/d/3" in urls
+    # doc 10 → /d/13: doc 13 (13%3==1) canonicalizes to the bare
+    # /d/13 → crawled → anti-joined away
+    assert "https://sa.org/d/13" not in urls
+    # per-host rank is dense from 1 and ordered by (n_links DESC, url)
+    for _, grp in out.groupby("host"):
+        g = grp.sort_values("rank")
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        pairs = list(zip(-g["n_links"].to_numpy(), g["url"]))
+        assert pairs == sorted(pairs)

@@ -513,6 +513,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import orders_trailing_revenue
 
     checks.append((orders_trailing_revenue, ["o_orderkey"]))
+    from open_parse_ray.stages.web import frontier_next_urls
+
+    checks.append((frontier_next_urls, ["host", "rank"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
