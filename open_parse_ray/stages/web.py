@@ -875,7 +875,9 @@ ANCHOR_TEXT_INDEX_SQL = (
 )
 
 
-def frontier_next_urls(sf_dir: str, per_host_k: int = 3):
+def frontier_next_urls(
+    sf_dir: str, per_host_k: int = 3, max_broadcast_urls: int = 5_000_000
+):
     """CLOSE THE CRAWL LOOP — the frontier selection step: outlinks
     that are NOT already crawled (anti-join against the corpus' own
     canonical URL set), aggregated per target URL, then the top-k per
@@ -883,64 +885,105 @@ def frontier_next_urls(sf_dir: str, per_host_k: int = 3):
     partitioned fetcher queues next. Returns
     (host, rank, url, n_links).
 
-    Scale shape: the crawled set is the SMALL side (one canonical URL
-    per page ≪ outlink rows) — broadcast once via ray.put as a
-    frozenset, probed per batch (the decontamination shape); surviving
-    outlinks collapse per (url) in a url-salted exchange, then one
-    host-salted exchange ranks inside each host partition. At true
-    crawl scale the crawled set outgrows a broadcast and the anti-join
-    becomes the bloom_semijoin shape (Bloom prune + exact in-partition
-    verify) — the probe stage is unchanged."""
+    Scale shape — the ``paragraph_dedup``/``semdedup_keep`` threshold
+    switch: the crawled set is one canonical URL per page, so it is
+    CORPUS-sized, not small. At or under ``max_broadcast_urls`` it is
+    read to the driver once and broadcast via ray.put (probed per
+    batch, the decontamination shape); past the threshold it never
+    materializes — crawled URLs ride as TAGGED rows through the same
+    url-salted exchange as the candidates, and a url whose partition
+    holds any crawled row is dropped in-partition (exact: co-location
+    by url). Both paths share the per-URL count and host-ranking
+    stages and a forced-distributed == broadcast equality gate. A
+    Bloom prefilter (bloom_semijoin shape) can prune the candidate
+    stream before the exchange; exactness never depends on it."""
+    import hashlib
+
     import ray
 
+    from open_parse_ray.functions.urlref import host_of
     from open_parse_ray.stages.analysis import read_documents
     from open_parse_ray.stages.dedup import salted_groupby
-    from open_parse_ray.functions.urlref import host_of
 
-    # crawled set: every page's canonical URL (bounded: one per doc)
     def canon(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"u": [canonicalize_url(u) for u in _messy_urls(b)]}
         )
 
-    crawled = frozenset(
-        read_documents(sf_dir, columns=["doc_id", "source"])
-        .map_batches(canon, batch_format="pandas", batch_size=65536)
-        .to_pandas()["u"]
-    )
-    crawled_ref = ray.put(crawled)
+    crawled_ds = read_documents(
+        sf_dir, columns=["doc_id", "source"]
+    ).map_batches(canon, batch_format="pandas", batch_size=65536)
 
     links = extract_outlinks(sf_dir)
 
-    def survive(b: pd.DataFrame) -> pd.DataFrame:
-        cs = ray.get(crawled_ref)
-        m = np.fromiter(
-            (u not in cs for u in b["url"]), dtype=bool, count=len(b)
-        )
-        out = b.loc[m, ["url"]].copy()
-        out["n_links"] = np.int64(1)
-        return out
+    def url_salt(col):
+        def f(b: pd.DataFrame) -> pd.Series:
+            return pd.Series(
+                [
+                    int.from_bytes(
+                        hashlib.md5(u.encode()).digest()[:8], "big"
+                    ) >> 1
+                    for u in b[col]
+                ],
+                index=b.index,
+                dtype="int64",
+            )
 
-    probe = links.map_batches(survive, batch_format="pandas", batch_size=16384)
+        return f
+
+    if crawled_ds.count() <= max_broadcast_urls:
+        crawled_ref = ray.put(frozenset(crawled_ds.to_pandas()["u"]))
+
+        def survive(b: pd.DataFrame) -> pd.DataFrame:
+            cs = ray.get(crawled_ref)
+            m = np.fromiter(
+                (u not in cs for u in b["url"]), dtype=bool, count=len(b)
+            )
+            out = b.loc[m, ["url"]].copy()
+            out["crawled"] = np.int64(0)
+            return out
+
+        tagged = links.map_batches(
+            survive, batch_format="pandas", batch_size=16384
+        )
+    else:
+        # distributed anti-join: crawled rows tagged 1 ride the SAME
+        # url-salted exchange; nothing ever materializes driver-side
+        def tag_candidates(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "url": b["url"].to_numpy(dtype=object),
+                    "crawled": np.zeros(len(b), dtype=np.int64),
+                }
+            )
+
+        def tag_crawled(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "url": b["u"].to_numpy(dtype=object),
+                    "crawled": np.ones(len(b), dtype=np.int64),
+                }
+            )
+
+        tagged = links.map_batches(
+            tag_candidates, batch_format="pandas", batch_size=16384
+        ).union(
+            crawled_ds.map_batches(
+                tag_crawled, batch_format="pandas", batch_size=16384
+            )
+        )
 
     def count_urls(g: pd.DataFrame) -> pd.DataFrame:
-        f = g.groupby("url", as_index=False).agg(n_links=("n_links", "sum"))
+        agg = g.groupby("url", as_index=False).agg(
+            n_links=("crawled", "size"), n_crawled=("crawled", "sum")
+        )
+        keep = agg[agg["n_crawled"] == 0]
+        f = keep[["url"]].copy()
+        # candidate rows only (crawled rows carry no link weight)
+        f["n_links"] = keep["n_links"].to_numpy(dtype=np.int64)
         return f.astype({"n_links": "int64"})
 
-    import hashlib
-
-    per_url = salted_groupby(
-        probe,
-        lambda b: pd.Series(
-            [
-                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") >> 1
-                for u in b["url"]
-            ],
-            index=b.index,
-            dtype="int64",
-        ),
-        count_urls,
-    )
+    per_url = salted_groupby(tagged, url_salt("url"), count_urls)
 
     def add_host(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -949,7 +992,9 @@ def frontier_next_urls(sf_dir: str, per_host_k: int = 3):
         )
         return b
 
-    hosted = per_url.map_batches(add_host, batch_format="pandas", batch_size=16384)
+    hosted = per_url.map_batches(
+        add_host, batch_format="pandas", batch_size=16384
+    )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -961,18 +1006,7 @@ def frontier_next_urls(sf_dir: str, per_host_k: int = 3):
             frames.append(s[["host", "rank", "url", "n_links"]])
         return pd.concat(frames, ignore_index=True)
 
-    return salted_groupby(
-        hosted,
-        lambda b: pd.Series(
-            [
-                int.from_bytes(hashlib.md5(h.encode()).digest()[:8], "big") >> 1
-                for h in b["host"]
-            ],
-            index=b.index,
-            dtype="int64",
-        ),
-        topk,
-    )
+    return salted_groupby(hosted, url_salt("host"), topk)
 
 
 def frontier_next_urls_sql(per_host_k: int = 3) -> str:

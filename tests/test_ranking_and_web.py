@@ -897,3 +897,26 @@ def test_frontier_next_urls_anti_join_and_ranking(ray_session, tmp_path):
         assert g["rank"].tolist() == list(range(1, len(g) + 1))
         pairs = list(zip(-g["n_links"].to_numpy(), g["url"]))
         assert pairs == sorted(pairs)
+
+
+def test_frontier_distributed_path_equals_broadcast(ray_session):
+    """The threshold switch (paragraph_dedup pattern): forcing the
+    distributed tagged anti-join (max_broadcast_urls=0) must produce
+    exactly the broadcast path's frame."""
+    from open_parse_ray.stages.web import frontier_next_urls
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        frontier_next_urls(sf)
+        .to_pandas()
+        .sort_values(["host", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        frontier_next_urls(sf, max_broadcast_urls=0)
+        .to_pandas()
+        .sort_values(["host", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
