@@ -747,6 +747,25 @@ OUTLINK_HOST_COUNTS_SQL = (
 )
 
 
+def _url_salt(col: str):
+    """Per-row md5[:8]>>1 salt over a string column — the shared salting
+    idiom for url/host exchanges in this module."""
+    import hashlib
+
+    def f(b: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+                >> 1
+                for u in b[col]
+            ],
+            index=b.index,
+            dtype="int64",
+        )
+
+    return f
+
+
 def anchor_text_index(sf_dir: str):
     """The anchor-text INDEX of the link graph — per resolved target
     URL, how many pages link to it and the sorted distinct anchor
@@ -808,20 +827,7 @@ def anchor_text_index(sf_dir: str):
         f = pd.DataFrame(out)
         return f.astype({"n_links": "int64"})
 
-    def salt(b: pd.DataFrame) -> pd.Series:
-        import hashlib
-
-        return pd.Series(
-            [
-                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
-                >> 1
-                for u in b["url"]
-            ],
-            index=b.index,
-            dtype="int64",
-        )
-
-    return salted_groupby(link_rows, salt, per_url)
+    return salted_groupby(link_rows, _url_salt("url"), per_url)
 
 
 ANCHOR_TEXT_INDEX_SQL = (
@@ -897,8 +903,6 @@ def frontier_next_urls(
     stages and a forced-distributed == broadcast equality gate. A
     Bloom prefilter (bloom_semijoin shape) can prune the candidate
     stream before the exchange; exactness never depends on it."""
-    import hashlib
-
     import ray
 
     from open_parse_ray.functions.urlref import host_of
@@ -916,22 +920,11 @@ def frontier_next_urls(
 
     links = extract_outlinks(sf_dir)
 
-    def url_salt(col):
-        def f(b: pd.DataFrame) -> pd.Series:
-            return pd.Series(
-                [
-                    int.from_bytes(
-                        hashlib.md5(u.encode()).digest()[:8], "big"
-                    ) >> 1
-                    for u in b[col]
-                ],
-                index=b.index,
-                dtype="int64",
-            )
-
-        return f
-
-    if crawled_ds.count() <= max_broadcast_urls:
+    # canon is a 1:1 map over documents, so the threshold decision only
+    # needs |documents| — a parquet-footer metadata count, never a
+    # corpus-sized synth+canonicalize pass
+    n_crawled = read_documents(sf_dir, columns=["doc_id"]).count()
+    if n_crawled <= max_broadcast_urls:
         crawled_ref = ray.put(frozenset(crawled_ds.to_pandas()["u"]))
 
         def survive(b: pd.DataFrame) -> pd.DataFrame:
@@ -977,13 +970,11 @@ def frontier_next_urls(
         agg = g.groupby("url", as_index=False).agg(
             n_links=("crawled", "size"), n_crawled=("crawled", "sum")
         )
+        # candidate rows only survive (crawled rows carry no weight)
         keep = agg[agg["n_crawled"] == 0]
-        f = keep[["url"]].copy()
-        # candidate rows only (crawled rows carry no link weight)
-        f["n_links"] = keep["n_links"].to_numpy(dtype=np.int64)
-        return f.astype({"n_links": "int64"})
+        return keep[["url", "n_links"]].reset_index(drop=True)
 
-    per_url = salted_groupby(tagged, url_salt("url"), count_urls)
+    per_url = salted_groupby(tagged, _url_salt("url"), count_urls)
 
     def add_host(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -1006,7 +997,7 @@ def frontier_next_urls(
             frames.append(s[["host", "rank", "url", "n_links"]])
         return pd.concat(frames, ignore_index=True)
 
-    return salted_groupby(hosted, url_salt("host"), topk)
+    return salted_groupby(hosted, _url_salt("host"), topk)
 
 
 def frontier_next_urls_sql(per_host_k: int = 3) -> str:
