@@ -180,6 +180,17 @@ def _q_quality_logreg_scores(sf_dir: str):
     return quality_logreg_scores(sf_dir)
 
 
+def _q_mmr_select_docs(sf_dir: str):
+    """Diversity-aware top-k (maximal marginal relevance) over the
+    embedding table in exact integer arithmetic; pytest-pinned
+    (bitwise equality vs sequential reference, batch-size invariance,
+    measured diversity win) -- greedy iterative selection is not
+    SQL-expressible."""
+    from open_parse_ray.stages.similarity import mmr_select_docs
+
+    return mmr_select_docs(sf_dir)
+
+
 def _q_wav_features(sf_dir: str):
     """Real (non-stubbed) audio path: PCM WAV decode → vectorized
     RMS/zero-crossing/duration features."""
@@ -626,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_index": web.anchor_text_index,
         "orders_trailing_revenue": relational.orders_trailing_revenue,
         "frontier_next_urls": web.frontier_next_urls,
+        "mmr_select_docs": _q_mmr_select_docs,
     }
 
 

@@ -289,6 +289,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "anchor_text_index",
         "orders_trailing_revenue",
         "frontier_next_urls",
+        "mmr_select_docs",
     ]
 
     timings: dict[str, float] = {}

@@ -1056,3 +1056,181 @@ def label_centroid_sums(sf_dir: str, scale: int = 10**6):
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
     return _combine_partials(partials, ["label", "dim"], {"sum_fp": "sum"})
+
+
+# --- MMR diverse selection ---------------------------------------------------
+
+_MMR_SCALE = 1 << 20
+
+
+def _mmr_norm_quant(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize (zero-norm rows -> unchanged) then quantize at 2^20
+    with round-half-even — the shared exactness base: all MMR dots are
+    then EXACT int64 products of these integers (|x| <= 2^20, 64 dims ->
+    |dot| <= 2^46, weighted score <= 2^49; no float enters a comparison
+    so the greedy argmax is bit-stable at any block structure)."""
+    n = np.sqrt((mat * mat).sum(axis=1))
+    n[n == 0] = 1.0
+    return np.rint(mat / n[:, None] * _MMR_SCALE).astype(np.int64)
+
+
+def _mmr_query_vec(sf_dir: str) -> np.ndarray:
+    """Corpus CENTROID as the query (the 'central topic' anchor): exact
+    int64 sums of the quantized-normalized rows, then one normalize+
+    quantize of the float mean — deterministic at any block structure
+    because the sums are integers."""
+    import pandas as pd
+
+    ds = _read_embs(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
+        q = _mmr_norm_quant(m)
+        return pd.DataFrame(
+            {"n": [np.int64(len(b))], "s": [q.sum(axis=0, dtype=np.int64).tobytes()]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=4096).to_pandas()
+    s = np.zeros(64, dtype=object)
+    for raw in parts["s"]:
+        s = s + np.frombuffer(raw, dtype=np.int64).astype(object)
+    mean = s.astype(np.float64) / (float(_MMR_SCALE) * int(parts["n"].sum()))
+    return _mmr_norm_quant(mean[None, :])[0]
+
+
+def mmr_select_docs(
+    sf_dir: str, k: int = 10, w_rel: int = 7, w_div: int = 3,
+    batch_size: int = 4096,
+):
+    """Maximal-marginal-relevance selection — the diversity-aware top-k
+    every retrieval/curation pipeline wants instead of plain nearest
+    neighbors: greedily pick argmax of
+    ``w_rel * <q, x> − w_div * max_{s∈selected} <s, x>``
+    (λ = w_rel/(w_rel+w_div) as an INTEGER weighting, inner products of
+    the normalized-quantized vectors, so every score is an exact int64
+    and ties break on vec_id). Returns (rank, vec_id, rel_dot, div_dot,
+    score) for k rounds.
+
+    Scale shape — the greedy_cover_docs loop: each round broadcasts
+    (query, selected matrix) via ray.put, every block reduces itself to
+    its LOCAL best (score DESC, vec_id ASC) so one round ships one row
+    per block; the driver folds block winners with the same tie rule.
+    k rounds = k streaming passes over a materialized table that never
+    leaves the object store. Gates: bitwise equality vs a sequential
+    local reference, batch-size invariance, and a measured diversity
+    win over plain relevance top-k (pytest-pinned; greedy iterative
+    selection is not SQL-expressible)."""
+    import pandas as pd
+    import ray
+
+    ds = _read_embs(sf_dir).materialize()
+    qv = _mmr_query_vec(sf_dir)
+
+    selected: list = []  # (vec_id, int-vector)
+    out = []
+    for rnd in range(k):
+        sel_ids = frozenset(v for v, _ in selected)
+        smat = (
+            np.stack([vec for _, vec in selected])
+            if selected
+            else np.zeros((0, 64), dtype=np.int64)
+        )
+        ref = ray.put((qv, sel_ids, smat))
+
+        def best(b: pd.DataFrame, *, _r=ref) -> pd.DataFrame:
+            q, sids, sm = ray.get(_r)
+            ids = b["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array(
+                [np.asarray(e, dtype=np.float64) for e in b["embedding"]]
+            )
+            x = _mmr_norm_quant(m)
+            rel = x @ q  # exact int64
+            div = x @ sm.T if len(sm) else None
+            dmax = div.max(axis=1) if div is not None and div.shape[1] else np.zeros(len(x), dtype=np.int64)
+            score = w_rel * rel - w_div * dmax
+            mask = ~np.isin(ids, np.fromiter(sids, dtype=np.int64, count=len(sids))) if sids else np.ones(len(ids), dtype=bool)
+            if not mask.any():
+                return pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype="int64"),
+                     "rel": pd.Series([], dtype="int64"),
+                     "dmax": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="int64"),
+                     "vec": pd.Series([], dtype="object")}
+                )
+            idx = np.flatnonzero(mask)
+            # local winner: score DESC, vec_id ASC
+            j = idx[np.lexsort((ids[idx], -score[idx]))[0]]
+            return pd.DataFrame(
+                {"vec_id": [int(ids[j])], "rel": [int(rel[j])],
+                 "dmax": [int(dmax[j])], "score": [int(score[j])],
+                 "vec": [x[j].tobytes()]}
+            )
+
+        cands = ds.map_batches(
+            best, batch_format="pandas", batch_size=batch_size
+        ).to_pandas()
+        if len(cands) == 0:
+            break
+        cands = cands.sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="stable"
+        ).iloc[0]
+        vec = np.frombuffer(cands["vec"], dtype=np.int64)
+        selected.append((int(cands["vec_id"]), vec))
+        out.append(
+            {
+                "rank": rnd + 1,
+                "vec_id": int(cands["vec_id"]),
+                "rel_dot": int(cands["rel"]),
+                "div_dot": int(cands["dmax"]),
+                "score": int(cands["score"]),
+            }
+        )
+    return pd.DataFrame(out).astype(
+        {"rank": "int64", "vec_id": "int64", "rel_dot": "int64",
+         "div_dot": "int64", "score": "int64"}
+    )
+
+
+def mmr_select_local(
+    embs: "pd.DataFrame", k: int = 10, w_rel: int = 7, w_div: int = 3
+):
+    """Sequential reference implementing the identical integer spec —
+    the bit-equality oracle for mmr_select_docs."""
+    import pandas as pd
+
+    ids = embs["vec_id"].to_numpy(dtype=np.int64)
+    m = np.array([np.asarray(e, dtype=np.float64) for e in embs["embedding"]])
+    x = _mmr_norm_quant(m)
+    s = x.sum(axis=0).astype(object)  # exact; mirrors the object fold
+    mean = s.astype(np.float64) / (float(_MMR_SCALE) * len(x))
+    q = _mmr_norm_quant(mean[None, :])[0]
+    selected: list = []
+    out = []
+    for rnd in range(k):
+        rel = x @ q
+        if selected:
+            dmax = (x @ np.stack(selected).T).max(axis=1)
+        else:
+            dmax = np.zeros(len(x), dtype=np.int64)
+        score = w_rel * rel - w_div * dmax
+        taken = {v for v, *_ in out}
+        order = np.lexsort((ids, -score))
+        j = next(i for i in order if int(ids[i]) not in taken)
+        selected.append(x[j])
+        out.append((int(ids[j]), int(rel[j]), int(dmax[j]), int(score[j])))
+    return pd.DataFrame(
+        [
+            {"rank": i + 1, "vec_id": v, "rel_dot": r, "div_dot": d,
+             "score": sc}
+            for i, (v, r, d, sc) in enumerate(out)
+        ]
+    ).astype(
+        {"rank": "int64", "vec_id": "int64", "rel_dot": "int64",
+         "div_dot": "int64", "score": "int64"}
+    )
+
+
+def _read_embs(sf_dir: str):
+    from open_parse_ray.stages.clustering import _read_embeddings
+
+    return _read_embeddings(sf_dir)

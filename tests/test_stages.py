@@ -1310,3 +1310,61 @@ def test_image_dhash_dupes_matches_brute_force(ray_session):
     for i in planted:  # base i-1 and variant i share a group
         h = dhash64(decode_bmp(make_dup_bmp(i)))
         assert i - 1 in local[h] and i in local[h]
+
+
+def test_mmr_select_matches_local_and_batch_invariant(ray_session):
+    """Distributed greedy MMR == sequential reference bit-for-bit (all
+    scores are exact int64 products of the normalized-quantized
+    vectors; ties break on vec_id), and identical across batch sizes
+    (each round folds per-block winners with the same tie rule)."""
+    import pandas as pd
+
+    from open_parse_ray.stages.similarity import (
+        mmr_select_docs,
+        mmr_select_local,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = mmr_select_docs(sf, k=10)
+    embs = pd.read_parquet(
+        sf + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pd.testing.assert_frame_equal(out, mmr_select_local(embs, k=10))
+    pd.testing.assert_frame_equal(out, mmr_select_docs(sf, k=10, batch_size=173))
+
+
+def test_mmr_selection_is_more_diverse_than_topk(ray_session):
+    """The point of MMR: the selected set's mean pairwise similarity
+    must be strictly below plain relevance top-k's on this corpus, with
+    the FIRST pick identical (round 0 is pure relevance)."""
+    import pandas as pd
+
+    from open_parse_ray.stages.similarity import (
+        _MMR_SCALE,
+        _mmr_norm_quant,
+        mmr_select_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = mmr_select_docs(sf, k=10)
+    embs = pd.read_parquet(
+        sf + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = embs["vec_id"].to_numpy(dtype=np.int64)
+    m = np.array([np.asarray(e, dtype=np.float64) for e in embs["embedding"]])
+    x = _mmr_norm_quant(m)
+    s = x.sum(axis=0).astype(object)
+    mean = s.astype(np.float64) / (float(_MMR_SCALE) * len(x))
+    q = _mmr_norm_quant(mean[None, :])[0]
+    rel = x @ q
+    topk = np.lexsort((ids, -rel))[:10]
+    assert out["vec_id"].iloc[0] == ids[topk[0]]  # first pick = top-1
+
+    def avg_pair(idx):
+        xs = x[idx].astype(np.float64) / _MMR_SCALE
+        d = xs @ xs.T
+        n = len(idx)
+        return (d.sum() - np.trace(d)) / (n * (n - 1))
+
+    mmr_idx = [int(np.flatnonzero(ids == v)[0]) for v in out["vec_id"]]
+    assert avg_pair(mmr_idx) < avg_pair(list(topk))
