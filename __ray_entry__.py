@@ -638,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_trailing_revenue": relational.orders_trailing_revenue,
         "frontier_next_urls": web.frontier_next_urls,
         "mmr_select_docs": _q_mmr_select_docs,
+        "events_stream_first_seen": relational.events_stream_first_seen,
     }
 
 
@@ -2370,6 +2371,9 @@ def oracle_sql() -> dict[str, str]:
         # crawl-frontier selection: anti-join vs the crawled set +
         # per-host top-k (closed-form crawledness of the /d/ link)
         "frontier_next_urls": web.frontier_next_urls_sql(),
+        # exactly-once ingest flag: first arrival per (user, type) under
+        # the replay arrival order (arg-min, no prefix scan)
+        "events_stream_first_seen": relational.events_stream_first_seen_sql(),
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

@@ -290,6 +290,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "orders_trailing_revenue",
         "frontier_next_urls",
         "mmr_select_docs",
+        "events_stream_first_seen",
     ]
 
     timings: dict[str, float] = {}

@@ -6867,3 +6867,73 @@ def orders_trailing_revenue_sql(window_days: int = 90) -> str:
                ) AS BIGINT) AS n_in_window
         FROM orders
     """
+
+
+def events_stream_first_seen(sf_dir: str, n_queues: int = 16):
+    """Exactly-once INGEST semantics over the replay stream — the
+    stream-dedup primitive: under the same deterministic multi-queue
+    arrival order as events_watermark_lateness (queue = event_id %
+    n_queues drained queue-by-queue), flag each event as the FIRST
+    arrival of its (user_id, event_type) pair or a duplicate. An
+    at-least-once delivery pipeline keys its idempotence store exactly
+    this way. Returns (event_id, user_id, event_type, is_first).
+
+    Scale shape: first-arrival is the ARG-MIN of the arrival key per
+    (user, type) — no prefix scan needed: one (user,type)-salted
+    exchange co-locates each pair, the flag is a vectorized min-compare
+    inside the partition, and the idempotence state never exists as a
+    table (it IS the group min)."""
+    import ray.data as rd
+
+    from open_parse_ray.stages.analysis import _splitmix63
+    from open_parse_ray.stages.dedup import salted_groupby
+
+    ds = rd.read_parquet(
+        table_path(sf_dir, "events"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["event_id"].to_numpy(dtype=np.int64)
+        # arrival key: (queue, id) packed — ids are < 2^40, queues < 2^8
+        ak = (ids % n_queues) * (1 << 40) + ids
+        key = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(dtype=np.int64),
+                "event_type": g["event_type"].to_numpy(dtype=object),
+            }
+        )
+        first_ak = (
+            pd.Series(ak)
+            .groupby([key["user_id"], key["event_type"]])
+            .transform("min")
+            .to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "event_id": ids,
+                "user_id": key["user_id"],
+                "event_type": key["event_type"],
+                "is_first": (ak == first_ak).astype(np.int64),
+            }
+        )
+
+    def salt(b: pd.DataFrame) -> pd.Series:
+        u = _splitmix63(b["user_id"].to_numpy(dtype=np.int64))
+        t = pd.util.hash_pandas_object(
+            b["event_type"], index=False
+        ).astype("int64")
+        return pd.Series(np.abs(u ^ t.to_numpy()), index=b.index)
+
+    return salted_groupby(ds, salt, per_pair)
+
+
+def events_stream_first_seen_sql(n_queues: int = 16) -> str:
+    return f"""
+        SELECT event_id, user_id, event_type,
+               CAST(CASE WHEN row_number() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY event_id % {n_queues}, event_id
+                    ) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_first
+        FROM events
+    """

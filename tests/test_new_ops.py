@@ -3865,3 +3865,39 @@ def test_csv_writer_rejects_empty_string_lang():
     assert _encode_lang("en", "u") == "en"
     with _pt.raises(ValueError, match="empty-string lang"):
         _encode_lang("", "https://x/1")
+
+
+def test_events_stream_first_seen_arrival_order(ray_session, tmp_path):
+    """The first arrival is decided by the REPLAY order (queue, id),
+    not timestamp: for a (user, type) pair with events in queues 1 and
+    0, the queue-0 event wins even with a LATER ts and a LARGER id."""
+    from open_parse_ray.stages.relational import events_stream_first_seen
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1 type A: id 17 (queue 1, earliest ts) vs id 32 (queue 0)
+        (17, t0, 1, "A"),
+        (32, t0 + pd.Timedelta(hours=5), 1, "A"),
+        # user 1 type B: single event
+        (33, t0, 1, "B"),
+        # user 2 type A: two events in the SAME queue → smaller id wins
+        (16, t0 + pd.Timedelta(hours=9), 2, "A"),
+        (48, t0, 2, "A"),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": 1.0,
+            "props": "",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    out = _df(events_stream_first_seen(str(tmp_path))).set_index("event_id")
+    assert int(out.loc[32, "is_first"]) == 1  # queue 0 beats queue 1
+    assert int(out.loc[17, "is_first"]) == 0
+    assert int(out.loc[33, "is_first"]) == 1
+    assert int(out.loc[16, "is_first"]) == 1  # same queue: smaller id
+    assert int(out.loc[48, "is_first"]) == 0

@@ -516,6 +516,9 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.web import frontier_next_urls
 
     checks.append((frontier_next_urls, ["host", "rank"]))
+    from open_parse_ray.stages.relational import events_stream_first_seen
+
+    checks.append((events_stream_first_seen, ["event_id"]))
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
