@@ -53,6 +53,9 @@ from open_parse_ray.stages import (
 from open_parse_ray.stages.similarity import default_query_vectors
 from open_parse_ray.sources.zorder import ZORDER_BOX_ORDERS_SQL as _ZORDER_BOX_SQL
 from open_parse_ray.sources.sorted_sink import SORTED_RANGE_DOCS_SQL as _SORTED_RANGE_SQL
+from open_parse_ray.sources.sorted_sink import (
+    MERGED_RUN_RANGE_DOCS_SQL as _MERGED_RUN_SQL,
+)
 
 
 def entry() -> Any:
@@ -178,6 +181,16 @@ def _q_quality_logreg_scores(sf_dir: str):
     from open_parse_ray.stages.quality_model import quality_logreg_scores
 
     return quality_logreg_scores(sf_dir)
+
+
+def _q_merged_run_range_docs(sf_dir: str):
+    """LSM-style compaction merge of two sorted runs (even/odd halves)
+    then a pruned range scan off the merged layout; the SQL oracle is a
+    plain filter over ALL documents, so a hash match proves the merge
+    lost, duplicated and misordered nothing."""
+    from open_parse_ray.sources.sorted_sink import merged_run_range_docs
+
+    return merged_run_range_docs(sf_dir)
 
 
 def _q_mmr_select_docs(sf_dir: str):
@@ -639,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_next_urls": web.frontier_next_urls,
         "mmr_select_docs": _q_mmr_select_docs,
         "events_stream_first_seen": relational.events_stream_first_seen,
+        "merged_run_range_docs": _q_merged_run_range_docs,
     }
 
 
@@ -2374,6 +2388,9 @@ def oracle_sql() -> dict[str, str]:
         # exactly-once ingest flag: first arrival per (user, type) under
         # the replay arrival order (arg-min, no prefix scan)
         "events_stream_first_seen": relational.events_stream_first_seen_sql(),
+        # compaction-merged sorted layout served through the same
+        # pruned range scan (oracle = plain filter over all docs)
+        "merged_run_range_docs": _MERGED_RUN_SQL,
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

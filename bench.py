@@ -291,6 +291,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "frontier_next_urls",
         "mmr_select_docs",
         "events_stream_first_seen",
+        "merged_run_range_docs",
     ]
 
     timings: dict[str, float] = {}

@@ -84,7 +84,7 @@ def write_sorted(
         {"cnt": "sum", "max_id": "max"},
     ).to_pandas()
     if len(hp) == 0:
-        return pd.DataFrame(
+        man = pd.DataFrame(
             {
                 "pid": pd.Series([], dtype="int64"),
                 "path": pd.Series([], dtype="object"),
@@ -94,6 +94,11 @@ def write_sorted(
                 "md5": pd.Series([], dtype="object"),
             }
         )
+        # commit the EXPLICIT empty manifest (the curation empty-
+        # partition rule): downstream readers and merge_sorted_runs
+        # must see "empty run", never "missing run"
+        man.to_parquet(os.path.join(out_dir, "_manifest.parquet"))
+        return man
     bounds = _boundaries(
         hp[["v", "cnt"]], int(hp["max_id"].max()), num_parts
     )
@@ -236,3 +241,197 @@ SORTED_RANGE_DOCS_SQL = """
     FROM documents, bb
     WHERE n_chars BETWEEN a AND c
 """
+
+
+def merge_sorted_runs(a_dir: str, b_dir: str, out_dir: str) -> pd.DataFrame:
+    """LSM-style COMPACTION MERGE of two write_sorted runs into one,
+    exploiting input sortedness instead of re-sorting: output partition
+    ranges are run A's partitions (the base run); the cut composites
+    come from a metadata-cheap pre-pass that reads only the LAST row
+    group of each A file (the file is sorted, so its last row is its
+    max key). Each output partition is one task that reads its A file
+    plus B's matching key range (manifest + footer pruned via
+    range_scan_sorted, then an exact composite filter against the cut
+    window) and produces the merged order with a searchsorted
+    interleave — O(n) per partition, no sort anywhere. Equal composites
+    (possible only if the runs share (n_chars, doc_id) pairs) place the
+    B row first. Files and the manifest use write_sorted's exact layout
+    (content-md5 names, atomic replace), so range_scan_sorted and
+    resume work on the merged output unchanged; re-running the merge is
+    idempotent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from open_parse_ray.stages.ranking import _composite
+
+    os.makedirs(out_dir, exist_ok=True)
+    man_a = _read_manifest(a_dir)
+    man_b = _read_manifest(b_dir)
+    if len(man_a) == 0:
+        a_dir, b_dir, man_a, man_b = b_dir, a_dir, man_b, man_a
+    if len(man_a) == 0:
+        man = man_b  # both empty
+        man.to_parquet(os.path.join(out_dir, "_manifest.parquet"))
+        return man
+
+    # cut composites: last row of each A file except the last file
+    cuts = []
+    for r in man_a.itertuples():
+        f = pq.ParquetFile(r.path)
+        t = f.read_row_group(f.metadata.num_row_groups - 1)
+        cuts.append(
+            int(
+                _composite(
+                    t["n_chars"].to_numpy(zero_copy_only=False)[-1:],
+                    t["doc_id"].to_numpy(zero_copy_only=False)[-1:],
+                )[0]
+            )
+        )
+    hi_sentinel = (1 << 63) - 1
+    specs = []
+    for i, r in enumerate(man_a.itertuples()):
+        specs.append(
+            {
+                "pid": int(r.pid),
+                "a_path": r.path,
+                "lo_c": -1 if i == 0 else cuts[i - 1],
+                "hi_c": hi_sentinel if i == len(man_a) - 1 else cuts[i],
+            }
+        )
+
+    b_has_rows = len(man_b) > 0
+    b_v_hi = int(man_b["v_hi"].max()) if b_has_rows else 0
+
+    def merge_part(spec: pd.DataFrame) -> pd.DataFrame:
+        row = spec.iloc[0]
+        ta = pq.read_table(row["a_path"]).to_pandas()
+        ca = _composite(
+            ta["n_chars"].to_numpy(dtype=np.int64),
+            ta["doc_id"].to_numpy(dtype=np.int64),
+        )
+        if b_has_rows:
+            lo_c, hi_c = int(row["lo_c"]), int(row["hi_c"])
+            v_lo = 0 if lo_c < 0 else lo_c >> 40
+            v_hi = b_v_hi if hi_c == hi_sentinel else hi_c >> 40
+            tb_arrow, _, _ = range_scan_sorted(b_dir, v_lo, v_hi)
+            tb = tb_arrow.to_pandas()
+            cb = _composite(
+                tb["n_chars"].to_numpy(dtype=np.int64),
+                tb["doc_id"].to_numpy(dtype=np.int64),
+            )
+            keep = (cb.astype(np.int64) > lo_c) & (cb.astype(np.int64) <= hi_c)
+            tb, cb = tb[keep].reset_index(drop=True), cb[keep]
+        else:
+            tb = ta.iloc[0:0]
+            cb = ca[:0]
+        # searchsorted interleave of two sorted runs — O(n), no sort
+        n = len(ta) + len(tb)
+        bpos = np.searchsorted(ca, cb, side="left") + np.arange(len(cb))
+        mask = np.ones(n, dtype=bool)
+        mask[bpos] = False
+        apos = np.flatnonzero(mask)
+        order = np.empty(n, dtype=np.int64)
+        order[apos] = np.arange(len(ta))
+        order[bpos] = len(ta) + np.arange(len(tb))
+        merged = (
+            pd.concat([ta, tb], ignore_index=True)
+            .iloc[order]
+            .reset_index(drop=True)
+        )
+
+        pid = int(row["pid"])
+        t = pa.Table.from_pandas(merged, preserve_index=False)
+        buf = pa.BufferOutputStream()
+        pq.write_table(t, buf, row_group_size=ROW_GROUP_SIZE)
+        data = buf.getvalue().to_pybytes()
+        digest = hashlib.md5(data).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{pid:05d}-{digest}.parquet")
+        if not os.path.exists(path):
+            tmp = path + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "pid": [np.int64(pid)],
+                "path": [path],
+                "n_rows": [np.int64(len(merged))],
+                "v_lo": [np.int64(merged["n_chars"].iloc[0])],
+                "v_hi": [np.int64(merged["n_chars"].iloc[-1])],
+                "md5": [digest],
+            }
+        )
+
+    manifest = (
+        rd.from_pandas(pd.DataFrame(specs))
+        .repartition(len(specs))
+        .map_batches(merge_part, batch_format="pandas", batch_size=1)
+        .to_pandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    manifest.to_parquet(os.path.join(out_dir, "_manifest.parquet"))
+    return manifest
+
+
+def _read_manifest(d: str) -> pd.DataFrame:
+    p = os.path.join(d, "_manifest.parquet")
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no _manifest.parquet under {d}")
+    return pd.read_parquet(p).sort_values("pid").reset_index(drop=True)
+
+
+def merged_run_range_docs(sf_dir: str):
+    """Corpus query exercising the compaction merge end to end: the
+    documents table is split into two halves (even / odd doc_id), each
+    written as its own sorted run, the runs are MERGED (never
+    re-sorted), and the same middle-quintile range scan as
+    sorted_range_docs is served from the merged layout — so the SQL
+    oracle is a plain filter over ALL documents and a hash match proves
+    the merge lost, duplicated and misordered nothing."""
+    import ray.data as rd
+
+    from open_parse_ray.sources.tables import table_path
+
+    src = table_path(sf_dir, "documents")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|merged_v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join("/tmp/opr_cache/merged_v1", key)
+    out_dir = os.path.join(base, "merged")
+    if not os.path.exists(os.path.join(out_dir, "_manifest.parquet")):
+        ds = rd.read_parquet(src, columns=["doc_id", "n_chars", "lang"])
+
+        def _half(par):
+            def f(b: pd.DataFrame) -> pd.DataFrame:
+                return b[b["doc_id"] % 2 == par]
+
+            return f
+
+        even = ds.map_batches(_half(0), batch_format="pandas", batch_size=65536)
+        odd = ds.map_batches(_half(1), batch_format="pandas", batch_size=65536)
+        write_sorted(even, os.path.join(base, "a"))
+        write_sorted(odd, os.path.join(base, "b"))
+        merge_sorted_runs(
+            os.path.join(base, "a"), os.path.join(base, "b"), out_dir
+        )
+    man = pd.read_parquet(os.path.join(out_dir, "_manifest.parquet"))
+    lo, hi = int(man["v_lo"].min()), int(man["v_hi"].max())
+    a = lo + ((hi - lo) * 40) // 100
+    b = lo + ((hi - lo) * 60) // 100
+    t, _, _ = range_scan_sorted(out_dir, a, b)
+    df = t.to_pandas()
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_chars": df["n_chars"].to_numpy(dtype=np.int64),
+                "lang": df["lang"],
+            }
+        )
+    )
+
+
+MERGED_RUN_RANGE_DOCS_SQL = SORTED_RANGE_DOCS_SQL

@@ -3901,3 +3901,91 @@ def test_events_stream_first_seen_arrival_order(ray_session, tmp_path):
     assert int(out.loc[33, "is_first"]) == 1
     assert int(out.loc[16, "is_first"]) == 1  # same queue: smaller id
     assert int(out.loc[48, "is_first"]) == 0
+
+
+def test_merge_sorted_runs_order_multiset_idempotent(ray_session, tmp_path):
+    """Compaction merge: strict global composite order over the
+    concatenated parts, exact multiset vs the two inputs, B rows ABOVE
+    run A's global max land in the last partition, and a re-run writes
+    byte-identical files (same content-md5 names, nothing replaced)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from open_parse_ray.sources.sorted_sink import (
+        _read_manifest,
+        merge_sorted_runs,
+        write_sorted,
+    )
+
+    rng = np.random.default_rng(11)
+    a = pd.DataFrame(
+        {
+            "doc_id": np.arange(0, 300, dtype=np.int64),
+            "n_chars": rng.integers(10, 200, 300).astype(np.int64),
+            "lang": ["en"] * 300,
+        }
+    )
+    b = pd.DataFrame(
+        {
+            # ids disjoint; includes values ABOVE a's max (500..520)
+            "doc_id": np.arange(1000, 1200, dtype=np.int64),
+            "n_chars": np.concatenate(
+                [rng.integers(10, 200, 180), rng.integers(500, 521, 20)]
+            ).astype(np.int64),
+            "lang": ["de"] * 200,
+        }
+    )
+    da, db, dm = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m")
+    write_sorted(rd.from_pandas(a), da, num_parts=5)
+    write_sorted(rd.from_pandas(b), db, num_parts=3)
+    man = merge_sorted_runs(da, db, dm)
+
+    allr = pd.concat(
+        [pq.read_table(p).to_pandas() for p in man["path"]], ignore_index=True
+    )
+    comp = (allr["n_chars"].to_numpy(np.uint64) << np.uint64(40)) | allr[
+        "doc_id"
+    ].to_numpy(np.uint64)
+    assert (np.diff(comp.astype(np.int64)) > 0).all()
+    both = pd.concat([a, b], ignore_index=True)
+    assert sorted(allr["doc_id"]) == sorted(both["doc_id"])
+    # overflow rows (n_chars >= 500) are all in the LAST pid's file
+    last = pq.read_table(man["path"].iloc[-1]).to_pandas()
+    assert (allr[allr["n_chars"] >= 500]["doc_id"].sort_values().tolist()
+            == last[last["n_chars"] >= 500]["doc_id"].sort_values().tolist())
+
+    files_before = sorted(os.listdir(dm))
+    merge_sorted_runs(da, db, dm)  # idempotent re-run
+    assert sorted(os.listdir(dm)) == files_before
+
+
+def test_merge_sorted_runs_empty_side(ray_session, tmp_path):
+    """Merging against an empty run degrades to the non-empty run's
+    content (order + multiset preserved)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from open_parse_ray.sources.sorted_sink import (
+        merge_sorted_runs,
+        write_sorted,
+    )
+
+    a = pd.DataFrame(
+        {
+            "doc_id": np.arange(50, dtype=np.int64),
+            "n_chars": np.arange(50, dtype=np.int64) * 3 + 7,
+            "lang": ["en"] * 50,
+        }
+    )
+    empty = a.iloc[0:0]
+    da, de, dm = str(tmp_path / "a"), str(tmp_path / "e"), str(tmp_path / "m")
+    write_sorted(rd.from_pandas(a), da, num_parts=4)
+    write_sorted(rd.from_pandas(empty), de, num_parts=4)
+    man = merge_sorted_runs(da, de, dm)
+    allr = pd.concat(
+        [pq.read_table(p).to_pandas() for p in man["path"]], ignore_index=True
+    )
+    assert sorted(allr["doc_id"]) == sorted(a["doc_id"])
+    assert (np.diff(allr["n_chars"].to_numpy()) > 0).all()
