@@ -84,19 +84,41 @@ def write_sorted(
         {"cnt": "sum", "max_id": "max"},
     ).to_pandas()
     if len(hp) == 0:
+        # commit the EXPLICIT empty run (the curation empty-partition
+        # rule): one schema-bearing 0-row part file + the manifest, so
+        # downstream readers see "empty run" (with a schema), never
+        # "missing run" — range_scan_sorted derives its empty-result
+        # schema from the first part file
+        import pyarrow as pa
+
+        base = keyed.schema().base_schema
+        if isinstance(base, pa.Schema):
+            t = base.empty_table()
+        else:  # PandasBlockSchema (names, types) from pandas blocks
+            t = pa.Table.from_pandas(
+                pd.DataFrame(
+                    {n: pd.Series(dtype=ty)
+                     for n, ty in zip(base.names, base.types)}
+                ),
+                preserve_index=False,
+            )
+        buf = pa.BufferOutputStream()
+        pq.write_table(t, buf, row_group_size=ROW_GROUP_SIZE)
+        data = buf.getvalue().to_pybytes()
+        digest = hashlib.md5(data).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-00000-{digest}.parquet")
+        if not os.path.exists(path):
+            tmp = path + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
         man = pd.DataFrame(
             {
-                "pid": pd.Series([], dtype="int64"),
-                "path": pd.Series([], dtype="object"),
-                "n_rows": pd.Series([], dtype="int64"),
-                "v_lo": pd.Series([], dtype="int64"),
-                "v_hi": pd.Series([], dtype="int64"),
-                "md5": pd.Series([], dtype="object"),
+                "pid": [np.int64(0)], "path": [path],
+                "n_rows": [np.int64(0)], "v_lo": [np.int64(0)],
+                "v_hi": [np.int64(-1)], "md5": [digest],
             }
         )
-        # commit the EXPLICIT empty manifest (the curation empty-
-        # partition rule): downstream readers and merge_sorted_runs
-        # must see "empty run", never "missing run"
         man.to_parquet(os.path.join(out_dir, "_manifest.parquet"))
         return man
     bounds = _boundaries(
@@ -154,22 +176,28 @@ def write_sorted(
 
 
 def range_scan_sorted(
-    out_dir: str, v_lo: int, v_hi: int
+    out_dir: str, v_lo: int, v_hi: int, count_total: bool = True
 ) -> Tuple["object", int, int]:
-    """Range scan over a write_sorted layout: manifest prunes FILES,
-    footer stats prune ROW GROUPS inside survivors, survivors filter
-    exactly. Returns (pyarrow.Table, n_groups_read, n_groups_total) with
-    group totals counted across all files."""
+    """Range scan over a write_sorted layout: manifest prunes FILES
+    (before any footer is opened), footer stats prune ROW GROUPS inside
+    survivors, survivors filter exactly. Returns (pyarrow.Table,
+    n_groups_read, n_groups_total); group totals require opening every
+    footer, so callers that only need the data (merge_sorted_runs)
+    pass count_total=False and get total = -1."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     man = pd.read_parquet(os.path.join(out_dir, "_manifest.parquet"))
-    total, read, tables = 0, 0, []
+    total, read, tables = (0 if count_total else -1), 0, []
     for r in man.itertuples():
+        pruned = r.n_rows == 0 or r.v_hi < v_lo or r.v_lo > v_hi
+        if pruned and not count_total:
+            continue
         f = pq.ParquetFile(r.path)
         md = f.metadata
-        total += md.num_row_groups
-        if r.v_hi < v_lo or r.v_lo > v_hi:
+        if count_total:
+            total += md.num_row_groups
+        if pruned:
             continue
         groups = []
         for g in range(md.num_row_groups):
@@ -265,19 +293,30 @@ def merge_sorted_runs(a_dir: str, b_dir: str, out_dir: str) -> pd.DataFrame:
 
     from open_parse_ray.stages.ranking import _composite
 
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
     man_a = _read_manifest(a_dir)
     man_b = _read_manifest(b_dir)
-    if len(man_a) == 0:
+    if int(man_a["n_rows"].sum()) == 0 and int(man_b["n_rows"].sum()) > 0:
         a_dir, b_dir, man_a, man_b = b_dir, a_dir, man_b, man_a
-    if len(man_a) == 0:
-        man = man_b  # both empty
+    live_a = man_a[man_a["n_rows"] > 0].reset_index(drop=True)
+    if len(live_a) == 0:
+        # both runs empty: propagate A's schema-bearing empty part
+        srcp = man_a["path"].iloc[0]
+        dstp = os.path.join(out_dir, os.path.basename(srcp))
+        if not os.path.exists(dstp):
+            shutil.copyfile(srcp, dstp)
+        man = man_a.copy()
+        man["path"] = [dstp]
         man.to_parquet(os.path.join(out_dir, "_manifest.parquet"))
         return man
 
-    # cut composites: last row of each A file except the last file
+    # cut composites (uint64): last row of each LIVE A file except the
+    # last — the final partition's upper bound is the +inf sentinel, so
+    # its tail row group is never read
     cuts = []
-    for r in man_a.itertuples():
+    for r in live_a.iloc[:-1].itertuples():
         f = pq.ParquetFile(r.path)
         t = f.read_row_group(f.metadata.num_row_groups - 1)
         cuts.append(
@@ -288,19 +327,20 @@ def merge_sorted_runs(a_dir: str, b_dir: str, out_dir: str) -> pd.DataFrame:
                 )[0]
             )
         )
-    hi_sentinel = (1 << 63) - 1
+    hi_sentinel = (1 << 64) - 1  # uint64 +inf — composites never wrap
     specs = []
-    for i, r in enumerate(man_a.itertuples()):
+    for i, r in enumerate(live_a.itertuples()):
         specs.append(
             {
+                # inclusive composite window [lo_c, hi_c], all uint64
                 "pid": int(r.pid),
                 "a_path": r.path,
-                "lo_c": -1 if i == 0 else cuts[i - 1],
-                "hi_c": hi_sentinel if i == len(man_a) - 1 else cuts[i],
+                "lo_c": 0 if i == 0 else cuts[i - 1] + 1,
+                "hi_c": hi_sentinel if i == len(live_a) - 1 else cuts[i],
             }
         )
 
-    b_has_rows = len(man_b) > 0
+    b_has_rows = int(man_b["n_rows"].sum()) > 0
     b_v_hi = int(man_b["v_hi"].max()) if b_has_rows else 0
 
     def merge_part(spec: pd.DataFrame) -> pd.DataFrame:
@@ -312,15 +352,19 @@ def merge_sorted_runs(a_dir: str, b_dir: str, out_dir: str) -> pd.DataFrame:
         )
         if b_has_rows:
             lo_c, hi_c = int(row["lo_c"]), int(row["hi_c"])
-            v_lo = 0 if lo_c < 0 else lo_c >> 40
+            v_lo = lo_c >> 40
             v_hi = b_v_hi if hi_c == hi_sentinel else hi_c >> 40
-            tb_arrow, _, _ = range_scan_sorted(b_dir, v_lo, v_hi)
+            tb_arrow, _, _ = range_scan_sorted(
+                b_dir, v_lo, v_hi, count_total=False
+            )
             tb = tb_arrow.to_pandas()
             cb = _composite(
                 tb["n_chars"].to_numpy(dtype=np.int64),
                 tb["doc_id"].to_numpy(dtype=np.int64),
             )
-            keep = (cb.astype(np.int64) > lo_c) & (cb.astype(np.int64) <= hi_c)
+            # pure-uint64 window test: int64 casts would sign-wrap
+            # composites with n_chars >= 2^23 and silently DROP rows
+            keep = (cb >= np.uint64(lo_c)) & (cb <= np.uint64(hi_c))
             tb, cb = tb[keep].reset_index(drop=True), cb[keep]
         else:
             tb = ta.iloc[0:0]
@@ -363,8 +407,13 @@ def merge_sorted_runs(a_dir: str, b_dir: str, out_dir: str) -> pd.DataFrame:
             }
         )
 
+    spec_df = pd.DataFrame(specs)
+    # lo_c/hi_c can exceed int64 (uint64 sentinel) — ship as strings,
+    # parse in-task (Arrow has no uint64-safe pandas round-trip here)
+    spec_df["lo_c"] = spec_df["lo_c"].map(str)
+    spec_df["hi_c"] = spec_df["hi_c"].map(str)
     manifest = (
-        rd.from_pandas(pd.DataFrame(specs))
+        rd.from_pandas(spec_df)
         .repartition(len(specs))
         .map_batches(merge_part, batch_format="pandas", batch_size=1)
         .to_pandas()

@@ -81,6 +81,10 @@ def _composite(value: np.ndarray, ids: np.ndarray) -> np.ndarray:
     i = np.asarray(ids, dtype=np.uint64)
     if i.size and int(i.max()) > _ID_MASK:
         raise ValueError("id exceeds 2^40; widen _ID_BITS")
+    if v.size and int(v.max()) >> (64 - _ID_BITS):
+        # v << 40 would wrap uint64 and silently corrupt every rank /
+        # partition boundary derived from the composite — raise instead
+        raise ValueError("value exceeds 2^24; composite would overflow")
     return (v << np.uint64(_ID_BITS)) | i
 
 

@@ -6895,7 +6895,11 @@ def events_stream_first_seen(sf_dir: str, n_queues: int = 16):
 
     def per_pair(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["event_id"].to_numpy(dtype=np.int64)
-        # arrival key: (queue, id) packed — ids are < 2^40, queues < 2^8
+        # arrival key: (queue, id) packed — enforce the 2^40 id bound
+        # (the _composite convention): overflow would leak id bits into
+        # the queue field and silently flip first-arrival flags
+        if len(ids) and int(ids.max()) >= 1 << 40:
+            raise ValueError("event_id exceeds 2^40; widen the packing")
         ak = (ids % n_queues) * (1 << 40) + ids
         key = pd.DataFrame(
             {

@@ -1074,23 +1074,49 @@ def _mmr_norm_quant(mat: np.ndarray) -> np.ndarray:
     return np.rint(mat / n[:, None] * _MMR_SCALE).astype(np.int64)
 
 
-def _mmr_query_vec(sf_dir: str) -> np.ndarray:
+def _mmr_quantized(sf_dir: str, batch_size: int):
+    """(vec_id, qvec-bytes) Dataset: the normalize+quantize pass runs
+    ONCE and materializes; the query-vector pass and every greedy round
+    read these int64 vectors instead of re-quantizing the floats."""
+    import pandas as pd
+
+    def quant(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "q": pd.Series([], dtype="object")}
+            )
+        m = np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
+        x = _mmr_norm_quant(m)
+        return pd.DataFrame(
+            {"vec_id": b["vec_id"].to_numpy(dtype=np.int64),
+             "q": [r.tobytes() for r in x]}
+        )
+
+    return (
+        _read_embs(sf_dir)
+        .map_batches(quant, batch_format="pandas", batch_size=batch_size)
+        .materialize()
+    )
+
+
+def _mmr_query_vec(qds, batch_size: int) -> np.ndarray:
     """Corpus CENTROID as the query (the 'central topic' anchor): exact
     int64 sums of the quantized-normalized rows, then one normalize+
     quantize of the float mean — deterministic at any block structure
     because the sums are integers."""
     import pandas as pd
 
-    ds = _read_embs(sf_dir)
-
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        m = np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
-        q = _mmr_norm_quant(m)
+        if len(b) == 0:
+            return pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="object")})
+        q = np.stack([np.frombuffer(r, dtype=np.int64) for r in b["q"]])
         return pd.DataFrame(
             {"n": [np.int64(len(b))], "s": [q.sum(axis=0, dtype=np.int64).tobytes()]}
         )
 
-    parts = ds.map_batches(partial, batch_format="pandas", batch_size=4096).to_pandas()
+    parts = qds.map_batches(partial, batch_format="pandas", batch_size=batch_size).to_pandas()
     s = np.zeros(64, dtype=object)
     for raw in parts["s"]:
         s = s + np.frombuffer(raw, dtype=np.int64).astype(object)
@@ -1123,8 +1149,8 @@ def mmr_select_docs(
     import pandas as pd
     import ray
 
-    ds = _read_embs(sf_dir).materialize()
-    qv = _mmr_query_vec(sf_dir)
+    ds = _mmr_quantized(sf_dir, batch_size)
+    qv = _mmr_query_vec(ds, batch_size)
 
     selected: list = []  # (vec_id, int-vector)
     out = []
@@ -1139,11 +1165,16 @@ def mmr_select_docs(
 
         def best(b: pd.DataFrame, *, _r=ref) -> pd.DataFrame:
             q, sids, sm = ray.get(_r)
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype="int64"),
+                     "rel": pd.Series([], dtype="int64"),
+                     "dmax": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="int64"),
+                     "vec": pd.Series([], dtype="object")}
+                )
             ids = b["vec_id"].to_numpy(dtype=np.int64)
-            m = np.array(
-                [np.asarray(e, dtype=np.float64) for e in b["embedding"]]
-            )
-            x = _mmr_norm_quant(m)
+            x = np.stack([np.frombuffer(r, dtype=np.int64) for r in b["q"]])
             rel = x @ q  # exact int64
             div = x @ sm.T if len(sm) else None
             dmax = div.max(axis=1) if div is not None and div.shape[1] else np.zeros(len(x), dtype=np.int64)

@@ -3989,3 +3989,62 @@ def test_merge_sorted_runs_empty_side(ray_session, tmp_path):
     )
     assert sorted(allr["doc_id"]) == sorted(a["doc_id"])
     assert (np.diff(allr["n_chars"].to_numpy()) > 0).all()
+
+
+def test_merge_sorted_runs_uint64_composites(ray_session, tmp_path):
+    """n_chars in [2^23, 2^24) puts composites above 2^63: the merge's
+    window test must stay uint64 (an int64 cast sign-wraps and silently
+    DROPS those B rows — the reviewed bug). Multiset + order must hold
+    with every row in that range."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from open_parse_ray.sources.sorted_sink import (
+        merge_sorted_runs,
+        write_sorted,
+    )
+
+    big = (1 << 23) + 5
+    a = pd.DataFrame(
+        {
+            "doc_id": np.arange(0, 40, dtype=np.int64),
+            "n_chars": np.int64(big) + np.arange(40, dtype=np.int64) * 2,
+            "lang": ["en"] * 40,
+        }
+    )
+    b = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, 140, dtype=np.int64),
+            "n_chars": np.int64(big) + 1 + np.arange(40, dtype=np.int64) * 2,
+            "lang": ["de"] * 40,
+        }
+    )
+    da, db, dm = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m")
+    write_sorted(rd.from_pandas(a), da, num_parts=4)
+    write_sorted(rd.from_pandas(b), db, num_parts=4)
+    man = merge_sorted_runs(da, db, dm)
+    allr = pd.concat(
+        [pq.read_table(p).to_pandas() for p in man["path"]], ignore_index=True
+    )
+    assert sorted(allr["doc_id"]) == sorted(
+        pd.concat([a, b])["doc_id"]
+    )  # nothing dropped
+    comp = (allr["n_chars"].to_numpy(np.uint64) << np.uint64(40)) | allr[
+        "doc_id"
+    ].to_numpy(np.uint64)
+    assert (np.diff(comp.astype(np.float64)) > 0).all() or (
+        comp[1:] > comp[:-1]
+    ).all()
+
+
+def test_composite_value_bound_raises():
+    """_composite must raise (never wrap) when the value exceeds 2^24 —
+    a wrapped composite silently corrupts every derived rank/boundary."""
+    import pytest as _pt
+
+    from open_parse_ray.stages.ranking import _composite
+
+    ok = _composite(np.array([(1 << 24) - 1]), np.array([7]))
+    assert int(ok[0]) == (((1 << 24) - 1) << 40) | 7
+    with _pt.raises(ValueError, match="value exceeds"):
+        _composite(np.array([1 << 24]), np.array([0]))

@@ -519,9 +519,10 @@ def test_round3_queries_block_structure_invariance(ray_session):
     from open_parse_ray.stages.relational import events_stream_first_seen
 
     checks.append((events_stream_first_seen, ["event_id"]))
-    from open_parse_ray.sources.sorted_sink import merged_run_range_docs
-
-    checks.append((merged_run_range_docs, ["doc_id"]))
+    # merged_run_range_docs is NOT listed: its /tmp layout cache makes a
+    # second invocation skip the merge, so the check would be vacuous —
+    # the merge's block-structure behavior is pinned by its dedicated
+    # gates in test_new_ops (fresh tmp_path runs)
 
     def norm(ds, keys):
         return ds.to_pandas().sort_values(keys).reset_index(drop=True)
