@@ -6821,24 +6821,33 @@ def orders_trailing_revenue(sf_dir: str, window_days: int = 90):
     rows = ds.map_batches(add_cents, batch_format="pandas", batch_size=65536)
 
     def per_cust(g: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, grp in g.groupby("o_custkey", sort=False):
-            s = grp.sort_values(["day", "o_orderkey"], kind="stable")
-            days = s["day"].to_numpy()
-            cs = np.concatenate(([0], np.cumsum(s["cents"].to_numpy())))
-            lo = np.searchsorted(days, days - window_days, side="left")
-            hi = np.searchsorted(days, days, side="right")  # incl. peers
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "o_orderkey": s["o_orderkey"].to_numpy(),
-                        "o_custkey": s["o_custkey"].to_numpy(),
-                        "trailing_cents": cs[hi] - cs[lo],
-                        "n_in_window": (hi - lo).astype(np.int64),
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
+        # loop-free across ALL customers in the partition: sort once by
+        # (custkey, day, orderkey), pack (custkey << 24 | day) so one
+        # global searchsorted pair resolves every per-customer window —
+        # other customers' keys fall outside [ck<<24, (ck+1)<<24) so the
+        # cumsum difference telescopes within the right customer only.
+        s = g.sort_values(
+            ["o_custkey", "day", "o_orderkey"], kind="stable"
+        ).reset_index(drop=True)
+        ck = s["o_custkey"].to_numpy(dtype=np.int64)
+        days = s["day"].to_numpy(dtype=np.int64)
+        assert days.size == 0 or (
+            0 <= days.min() and days.max() < 1 << 24 and ck.max() < 1 << 39
+        )
+        comp = (ck << 24) | days
+        cs = np.concatenate(([0], np.cumsum(s["cents"].to_numpy())))
+        # clamp at day 0: a negative (days - W) would corrupt the OR-pack
+        lo_day = np.maximum(days - window_days, 0)
+        lo = np.searchsorted(comp, (ck << 24) | lo_day, side="left")
+        hi = np.searchsorted(comp, comp, side="right")  # incl. peers
+        return pd.DataFrame(
+            {
+                "o_orderkey": s["o_orderkey"].to_numpy(),
+                "o_custkey": ck,
+                "trailing_cents": cs[hi] - cs[lo],
+                "n_in_window": (hi - lo).astype(np.int64),
+            }
+        )
 
     from open_parse_ray.stages.analysis import _splitmix63
 
