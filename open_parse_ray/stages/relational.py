@@ -6490,49 +6490,60 @@ def table_profile_orders(sf_dir: str):
              "h2": "int64", "dcount": "int64"}
         )
 
+    def _empty_distinct():
+        return pd.DataFrame(
+            {
+                "col": pd.Series([], dtype="object"),
+                "h1": pd.Series([], dtype="int64"),
+                "h2": pd.Series([], dtype="int64"),
+            }
+        )
+
     def distinct_rows(b: pd.DataFrame) -> pd.DataFrame:
+        # SLIM exchange schema (col, h1, h2): the wide tagged schema is
+        # only needed at the post-count union — shipping it per distinct
+        # value would triple the exchange bytes
         if len(b) == 0:
-            return _empty_tagged()
+            return _empty_distinct()
         frames = []
         for ci, (col, kind) in enumerate(_PROFILE_COLS):
             nn = b[col].dropna()
             if not len(nn):
                 continue
             iv, sv = _profile_canon(nn, kind)
-            canon = (
-                np.unique(iv).astype(str)
-                if iv is not None
-                else sv.unique()
+            if iv is not None:
+                # integer canon: the splitmix avalanche is a BIJECTION
+                # on 64 bits, so h1 alone is collision-FREE (stronger
+                # than any digest) and fully vectorized; h2 = 0
+                uniq = np.unique(iv)
+                h1 = _avalanche64(uniq).astype(np.int64)
+                h2 = np.zeros(len(uniq), dtype=np.int64)
+                canon = uniq
+            else:
+                # strings: full 128-bit md5 (a 64-bit half birthday-
+                # collides at 10^12 scale and silently undercounts)
+                canon = sv.unique()
+                digs = [
+                    hashlib.md5(f"{col}:{s}".encode()).digest()
+                    for s in canon
+                ]
+                h1 = np.fromiter(
+                    (int.from_bytes(d[:8], "big", signed=True) for d in digs),
+                    dtype=np.int64,
+                    count=len(digs),
+                )
+                h2 = np.fromiter(
+                    (int.from_bytes(d[8:], "big", signed=True) for d in digs),
+                    dtype=np.int64,
+                    count=len(digs),
+                )
+            frames.append(
+                pd.DataFrame({"col": col, "h1": h1, "h2": h2})
             )
-            # full 128-bit fingerprints: a 64-bit half WILL birthday-
-            # collide at 10^12-row scale and silently undercount
-            digs = [
-                hashlib.md5(f"{col}:{s}".encode()).digest() for s in canon
-            ]
-            h1 = np.fromiter(
-                (int.from_bytes(d[:8], "big", signed=True) for d in digs),
-                dtype=np.int64,
-                count=len(digs),
-            )
-            h2 = np.fromiter(
-                (int.from_bytes(d[8:], "big", signed=True) for d in digs),
-                dtype=np.int64,
-                count=len(digs),
-            )
-            f = _empty_tagged().reindex(range(len(canon)))
-            f["col"] = col
-            f["kind"] = 1
-            f[["n", "nulls", "imin", "imax", "dcount"]] = 0
-            f[["smin", "smax"]] = ""
-            f["h1"] = h1
-            f["h2"] = h2
-            frames.append(f)
         if not frames:
-            return _empty_tagged()
+            return _empty_distinct()
         return pd.concat(frames, ignore_index=True).astype(
-            {"kind": "int64", "n": "int64", "nulls": "int64",
-             "imin": "int64", "imax": "int64", "h1": "int64",
-             "h2": "int64", "dcount": "int64"}
+            {"h1": "int64", "h2": "int64"}
         )
 
     stats = ds.map_batches(stat_partial, batch_format="pandas", batch_size=65536)
