@@ -191,7 +191,8 @@ def export_pages_csv(sf_or_dir, out_dir: str, gz: bool = True) -> str:
 def pages_from_csv_bytes(data: bytes) -> List[dict]:
     """One .csv(.gz) shard → page dicts (url, warc_ts_us, html, lang).
     The header row names the columns (order-independent); a missing
-    header column or short record raises."""
+    header column or a record whose field count differs from the
+    header (short OR long) raises."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
     recs = parse_csv(data.decode("utf-8"))
@@ -201,8 +202,11 @@ def pages_from_csv_bytes(data: bytes) -> List[dict]:
     idx = {name: header.index(name) for name in _HEADER}
     rows: List[dict] = []
     for rec in recs[1:]:
-        if len(rec) < len(header):
-            raise ValueError(f"short record: {rec!r}")
+        if len(rec) != len(header):
+            # both directions: a LONG record means an unescaped
+            # delimiter upstream shifted fields — malformed even when
+            # the four named columns still parse
+            raise ValueError(f"record/header field-count mismatch: {rec!r}")
         rows.append(
             {
                 "url": rec[idx["url"]],

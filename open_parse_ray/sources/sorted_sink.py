@@ -302,7 +302,16 @@ def merge_sorted_runs(a_dir: str, b_dir: str, out_dir: str) -> pd.DataFrame:
         a_dir, b_dir, man_a, man_b = b_dir, a_dir, man_b, man_a
     live_a = man_a[man_a["n_rows"] > 0].reset_index(drop=True)
     if len(live_a) == 0:
-        # both runs empty: propagate A's schema-bearing empty part
+        # both runs empty: propagate A's schema-bearing empty part.
+        # A zero-LENGTH manifest means the run predates the
+        # schema-bearing-empty-part layout — refuse loudly rather than
+        # IndexError or silently assuming the new layout.
+        if len(man_a) == 0:
+            raise ValueError(
+                f"legacy empty run under {a_dir}: manifest has no rows "
+                "(no schema-bearing part file) — rewrite the run with "
+                "the current write_sorted before merging"
+            )
         srcp = man_a["path"].iloc[0]
         dstp = os.path.join(out_dir, os.path.basename(srcp))
         if not os.path.exists(dstp):

@@ -5844,7 +5844,10 @@ def supplier_diversity(sf_dir: str):
     pk = part_t["p_partkey"].to_numpy(zero_copy_only=False)
     brands = sorted(set(part_t["p_brand"].to_pylist()))
     b_code = {b: i for i, b in enumerate(brands)}
-    code_of_pk = np.zeros(int(pk.max()) + 1, dtype=np.int16)
+    # -1 sentinel (nation_year_profit idiom): a lineitem l_partkey
+    # absent from part (FK violation / gap id) must fail loudly, not
+    # silently count under brand code 0
+    code_of_pk = np.full(int(pk.max()) + 1, -1, dtype=np.int16)
     code_of_pk[pk] = np.array(
         [b_code[b] for b in part_t["p_brand"].to_pylist()], dtype=np.int16
     )
@@ -5864,6 +5867,10 @@ def supplier_diversity(sf_dir: str):
         keep = ~np.isin(sk, excl)
         sk = sk[keep]
         bc = codes[t["l_partkey"].to_numpy(zero_copy_only=False)[keep]]
+        if len(bc) and int(bc.min()) < 0:
+            raise ValueError(
+                "supplier_diversity: lineitem l_partkey absent from part"
+            )
         agg = _arrow_group_aggs(
             {"bc": bc.astype(np.int64), "sk": sk},
             {"n": ("count", None)},

@@ -4048,3 +4048,98 @@ def test_composite_value_bound_raises():
     assert int(ok[0]) == (((1 << 24) - 1) << 40) | 7
     with _pt.raises(ValueError, match="value exceeds"):
         _composite(np.array([1 << 24]), np.array([0]))
+
+
+def test_csv_record_length_mismatch_rejected():
+    """pages_from_csv_bytes rejects records whose field count differs
+    from the header in BOTH directions — a LONG record (unescaped
+    delimiter upstream) must not pass just because the four named
+    columns still parse (round-5 advice fix)."""
+    import base64
+
+    import pytest
+
+    from open_parse_ray.sources.csvpages import pages_from_csv_bytes
+
+    h64 = base64.b64encode(b"<p>x</p>").decode()
+    header = "url,warc_ts_us,html_b64,lang\n"
+    good = f"http://a/,1,{h64},en\n"
+    ok = pages_from_csv_bytes((header + good).encode())
+    assert len(ok) == 1 and ok[0]["url"] == "http://a/"
+    long_rec = f"http://a/,1,{h64},en,EXTRA\n"
+    with pytest.raises(ValueError, match="mismatch"):
+        pages_from_csv_bytes((header + long_rec).encode())
+    short_rec = f"http://a/,1,{h64}\n"
+    with pytest.raises(ValueError, match="mismatch"):
+        pages_from_csv_bytes((header + short_rec).encode())
+
+
+def test_merge_sorted_runs_legacy_empty_run_rejected(ray_session, tmp_path):
+    """A pre-layout empty run (manifest with ZERO rows, no
+    schema-bearing part file) must raise a clear error from
+    merge_sorted_runs, not IndexError (round-5 advice fix)."""
+    import pytest
+    import ray.data as rd
+
+    from open_parse_ray.sources.sorted_sink import (
+        merge_sorted_runs,
+        write_sorted,
+    )
+
+    legacy_a = tmp_path / "legacy_a"
+    legacy_a.mkdir()
+    pd.DataFrame(
+        {
+            "pid": pd.Series(dtype="int64"),
+            "path": pd.Series(dtype="object"),
+            "n_rows": pd.Series(dtype="int64"),
+            "v_lo": pd.Series(dtype="int64"),
+            "v_hi": pd.Series(dtype="int64"),
+            "md5": pd.Series(dtype="object"),
+        }
+    ).to_parquet(legacy_a / "_manifest.parquet")
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "n_chars": pd.Series(dtype="int64"),
+            "lang": pd.Series(dtype="object"),
+        }
+    )
+    db = str(tmp_path / "b")
+    write_sorted(rd.from_pandas(empty), db, num_parts=2)
+    with pytest.raises(ValueError, match="legacy empty run"):
+        merge_sorted_runs(str(legacy_a), db, str(tmp_path / "m"))
+
+
+def test_supplier_diversity_fk_violation_raises(ray_session, tmp_path):
+    """A lineitem l_partkey absent from part fails loudly (the -1
+    sentinel idiom) instead of silently counting under brand code 0
+    (round-5 advice fix)."""
+    import pytest
+    import ray.exceptions
+
+    from open_parse_ray.stages.relational import supplier_diversity
+
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 3],  # gap: partkey 2 exists in lineitem only
+            "p_name": ["a", "c"],
+            "p_brand": ["B1", "B2"],
+            "p_type": ["t"] * 2,
+            "p_size": np.array([1, 1], dtype=np.int32),
+            "p_retailprice": [1.0] * 2,
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame(
+        {
+            "s_suppkey": [10],
+            "s_name": ["x"],
+            "s_nationkey": np.array([0], dtype=np.int32),
+            "s_acctbal": [5.0],
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    _write_lineitem(tmp_path, l_partkey=[1, 2], l_suppkey=[10, 10])
+    with pytest.raises(
+        (ray.exceptions.RayTaskError, ValueError), match="absent from part"
+    ):
+        supplier_diversity(str(tmp_path)).materialize()

@@ -49,9 +49,12 @@ def main(argv):
     args = [a for a in argv if not a.startswith("--")]
     name = args[0]
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
-    repeat = 2 if "--repeat" not in " ".join(argv) else int(
-        argv[argv.index("--repeat") + 1]
-    )
+    repeat = 2
+    for i, a in enumerate(argv):
+        if a == "--repeat":
+            repeat = int(argv[i + 1])
+        elif a.startswith("--repeat="):
+            repeat = int(a.split("=", 1)[1])
 
     import ray
 
