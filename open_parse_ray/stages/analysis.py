@@ -2027,57 +2027,124 @@ def _bigrams(t: str) -> set:
     return {w[i] + " " + w[i + 1] for i in range(len(w) - 1)}
 
 
+def _bigram_hashes128(t: str):
+    """Per-doc distinct-bigram 128-bit fingerprints as two int64 arrays
+    (the table_profile lesson: a 64-bit half birthday-collides at
+    corpus scale, so gains could silently drift vs the string-exact SQL
+    oracle). Hash identity stands in for string identity everywhere
+    downstream — counts and set unions commute with the bijection up to
+    a 2^-128 collision."""
+    bs = _bigrams(t)
+    h1 = np.empty(len(bs), dtype=np.int64)
+    h2 = np.empty(len(bs), dtype=np.int64)
+    for i, s in enumerate(bs):
+        h1[i], h2[i] = _tri_hash128(s)
+    return h1, h2
+
+
+def _pair_member(h1, h2, cov1s, cov2s):
+    """Vectorized exact membership of (h1, h2) int64 PAIRS against a
+    covered set pre-sorted by lexsort((h2, h1)): one searchsorted pair
+    on the first halves resolves almost every query (runs of length 0
+    or 1 — h1 collisions inside the small covered set are ~never), and
+    the rare longer run falls back to a bounded inner searchsorted.
+    Never collapses the pair to 64 bits."""
+    n = len(h1)
+    member = np.zeros(n, dtype=bool)
+    if len(cov1s) == 0 or n == 0:
+        return member
+    lo = np.searchsorted(cov1s, h1, side="left")
+    hi = np.searchsorted(cov1s, h1, side="right")
+    one = (hi - lo) == 1
+    member[one] = cov2s[lo[one]] == h2[one]
+    for i in np.flatnonzero((hi - lo) > 1):
+        j = lo[i] + np.searchsorted(cov2s[lo[i] : hi[i]], h2[i])
+        member[i] = j < hi[i] and cov2s[j] == h2[i]
+    return member
+
+
 def greedy_cover_docs(sf_dir: str, k: int = 8):
     """Greedy SET-COVER corpus selection — pick up to ``k`` documents
     that maximize marginal coverage of the word-BIGRAM universe (the
     classic (1-1/e) submodular-maximization greedy, the
     coreset/data-selection primitive: "which k docs teach the most new
     constructions"; bigrams, not unigrams, because this corpus's
-    unigram vocabulary saturates in one pick). Round r:
-    every block scores its docs' UNCOVERED-term counts against the
-    broadcast covered set and emits ONE max-composite row (the
-    largest_doc_by_group argmax idiom: gain·2^40 + (2^40-1-doc_id),
-    so ties take the smallest id); the winner's term set comes from a
-    doc_id-pushdown scan and extends the covered set. Zero exchanges —
-    k scans with a 1-row-per-block reduce each; the broadcast covered
-    set is bounded by k × max-terms-per-doc, independent of corpus
-    size. Docs with zero marginal gain are never selected (selection
-    stops early when coverage saturates). Returns
-    (round, doc_id, gain, covered_total)."""
+    unigram vocabulary saturates in one pick).
+
+    Scale shape (the mmr_select_docs pattern): ONE tokenize pass builds
+    a materialized per-doc fingerprint table — (doc_id, nbig, two
+    16·nbig-byte blobs of distinct-bigram 128-bit hashes) — and every
+    round scores fingerprints, never text. Round r: every block
+    concatenates its blobs into flat arrays, counts covered hits
+    against the broadcast sorted covered set with one vectorized
+    searchsorted pass + np.add.reduceat per doc, and emits ONE
+    max-composite row (the largest_doc_by_group argmax idiom:
+    gain·2^40 + (2^40-1-doc_id), so ties take the smallest id); the
+    winner's term set comes from a doc_id-pushdown parquet scan of that
+    ONE doc and extends the covered set. Zero exchanges — k slim scans
+    with a 1-row-per-block reduce each; the broadcast covered set is
+    bounded by k × max-terms-per-doc, independent of corpus size; text
+    is never materialized and never re-tokenized. Docs with zero
+    marginal gain are never selected (selection stops early when
+    coverage saturates). Returns (round, doc_id, gain, covered_total)."""
     import pyarrow.dataset as pads
     import ray
     import ray.data as rd
 
-    ds = read_documents(sf_dir, columns=["doc_id", "text"]).materialize()
+    def fp_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        nbig = np.empty(len(ids), dtype=np.int64)
+        b1, b2 = [], []
+        for i, t in enumerate(b["text"]):
+            h1, h2 = _bigram_hashes128(t)
+            nbig[i] = len(h1)
+            b1.append(h1.tobytes())
+            b2.append(h2.tobytes())
+        return pd.DataFrame(
+            {"doc_id": ids, "nbig": nbig, "b1": b1, "b2": b2}
+        )
 
-    covered: frozenset = frozenset()
+    fp = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(fp_rows, batch_format="pandas", batch_size=4096)
+        .materialize()
+    )
+
+    cov1s = np.empty(0, dtype=np.int64)
+    cov2s = np.empty(0, dtype=np.int64)
     chosen: list = []
     rows = []
     for rnd in range(1, k + 1):
-        cov_ref = ray.put(covered)
-        sel_ref = ray.put(frozenset(chosen))
+        cov_ref = ray.put((cov1s, cov2s))
+        sel_ref = ray.put(np.asarray(sorted(chosen), dtype=np.int64))
 
         def score(b: pd.DataFrame) -> pd.DataFrame:
-            cov = ray.get(cov_ref)
+            c1, c2 = ray.get(cov_ref)
             sel = ray.get(sel_ref)
-            best = -1
-            for d, t in zip(b["doc_id"].to_numpy(dtype=np.int64), b["text"]):
-                d = int(d)
-                if d in sel:
-                    continue
-                gain = len(_bigrams(t) - cov)
-                if gain <= 0:
-                    continue
-                assert gain < (1 << 23) and 0 <= d < (1 << 40)
-                comp = (gain << 40) | ((1 << 40) - 1 - d)
-                if comp > best:
-                    best = comp
-            if best < 0:
+            ids = b["doc_id"].to_numpy(dtype=np.int64)
+            nbig = b["nbig"].to_numpy(dtype=np.int64)
+            keep = (nbig > 0) & ~np.isin(ids, sel)
+            if not keep.any():
                 return pd.DataFrame({"comp": pd.Series([], dtype="int64")})
-            return pd.DataFrame({"comp": np.asarray([best], dtype=np.int64)})
+            ids, nbig = ids[keep], nbig[keep]
+            blobs1, blobs2 = b["b1"].to_numpy()[keep], b["b2"].to_numpy()[keep]
+            h1 = np.frombuffer(b"".join(blobs1), dtype=np.int64)
+            h2 = np.frombuffer(b"".join(blobs2), dtype=np.int64)
+            offs = np.concatenate(([0], np.cumsum(nbig)[:-1]))
+            hit = _pair_member(h1, h2, c1, c2).astype(np.int64)
+            gain = nbig - np.add.reduceat(hit, offs)
+            pos = gain > 0
+            if not pos.any():
+                return pd.DataFrame({"comp": pd.Series([], dtype="int64")})
+            g, d = gain[pos], ids[pos]
+            assert int(g.max()) < (1 << 23) and 0 <= int(d.max()) < (1 << 40)
+            comp = (g << 40) | ((1 << 40) - 1 - d)
+            return pd.DataFrame(
+                {"comp": np.asarray([comp.max()], dtype=np.int64)}
+            )
 
         got = (
-            ds.map_batches(score, batch_format="pandas", batch_size=8192)
+            fp.map_batches(score, batch_format="pandas", batch_size=8192)
             .to_pandas()
         )
         if len(got) == 0:
@@ -2094,9 +2161,16 @@ def greedy_cover_docs(sf_dir: str, k: int = 8):
             .to_pandas()["text"]
             .iloc[0]
         )
-        covered = covered | _bigrams(wtext)
+        w1, w2 = _bigram_hashes128(wtext)
+        a1 = np.concatenate([cov1s, w1])
+        a2 = np.concatenate([cov2s, w2])
+        order = np.lexsort((a2, a1))
+        a1, a2 = a1[order], a2[order]
+        dup = np.zeros(len(a1), dtype=bool)
+        dup[1:] = (a1[1:] == a1[:-1]) & (a2[1:] == a2[:-1])
+        cov1s, cov2s = a1[~dup], a2[~dup]
         chosen.append(winner)
-        rows.append((rnd, winner, gain, len(covered)))
+        rows.append((rnd, winner, gain, len(cov1s)))
 
     return rd.from_pandas(
         pd.DataFrame(
