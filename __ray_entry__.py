@@ -408,75 +408,71 @@ def _q_bucketed_join_orders(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so the FIRST 50 entries (the driver's recording window)
     are all oracle-backed, and ROTATED each round so every oracle-backed
-    query gets driver-recorded in some round: round 4 promotes the 16
-    oracle-backed queries that had never been driver-recorded
-    (r3-verdict worklist #2), displacing 16 queries with three
-    consecutive rounds of green driver records (r1+r2+r3) into the
-    tail. Tail positions hold queries pinned by dedicated pytest gates
-    (property tests, exact roundtrips, unit goldens) and/or prior-round
-    driver records; tools/check_oracles.py verifies every oracle_sql()
-    entry regardless of position."""
+    query gets driver-recorded in some round: round 5 promotes the next
+    50 never-driver-recorded oracles (r4-verdict worklist #2 — the
+    round-4 relational/graph/events additions, bm25_topk through
+    customer_cohort_revenue), displacing the round-4 head (every entry
+    of which has a green CORRECTNESS_r04 row) into the tail. Tail
+    positions hold queries pinned by dedicated pytest gates (property
+    tests, exact roundtrips, unit goldens) and/or prior-round driver
+    records; tools/check_oracles.py verifies every oracle_sql() entry
+    regardless of position. 53 oracle-backed queries remain
+    never-recorded after this window — the r6 rotation promotes those
+    (order_value_quantiles_by_segment through merged_run_range_docs)."""
     return {
-        # -- PDF payload path (stdlib codec; SQL-oracle roundtrip) --
-        "pdf_extract_text": _q_pdf_extract_text,
-        # -- text analysis over documents --
-        "doc_stats_by_lang": analysis.doc_stats_by_lang,
-        "source_lang_matrix": analysis.source_lang_matrix,
-        "token_counts": analysis.token_counts,
-        "bpe_token_counts": analysis.bpe_token_counts,
-        "fingerprints": analysis.fingerprints,
-        "quality_scores": analysis.quality_scores,
-        "top_terms": analysis.top_terms,
-        "term_doc_freq": analysis.term_doc_freq,
-        "gopher_quality_flags": analysis.gopher_quality_flags,
-        "repetition_stats": analysis.repetition_stats,
-        "langid_preds": analysis.langid_preds,
-        "pack_offsets": _q_pack_offsets,
-        "split_assignments": analysis.split_assignments,
-        "source_capped_sample": analysis.source_capped_sample,
-        "tfidf_top_terms": analysis.tfidf_top_terms,
-        "pii_scan": pii.pii_scan,
-        "heavy_hitter_terms": analysis.heavy_hitter_terms,
-        "lang_mix_rebalance": analysis.lang_mix_rebalance,
-        "unicode_normalize": analysis.unicode_normalize_docs,
-        "doc_rollup_stats": analysis.doc_rollup_stats,
-        "mixture_manifest": analysis.mixture_manifest,
-        "corpus_report": analysis.corpus_report,
-        # -- C4/MassiveText line curation --
-        "c4_line_filter": lines.c4_line_filter,
-        "paragraph_dedup": lines.paragraph_dedup,
-        # -- distributed quantiles --
-        "ratio_quantiles_by_lang": quantiles.ratio_quantiles_by_lang,
-        "token_weighted_ratio_quantiles": quantiles.token_weighted_ratio_quantiles,
-        # -- tier extraction: distributed global rank + ntile --
-        "doc_tiers": ranking.doc_tiers,
-        "events_type_rank": ranking.grouped_rank_events,
-        "epoch_shuffle": ranking.epoch_shuffle,
-        "events_type_pagerank": graph.events_type_pagerank,
-        # -- web/URL operators --
-        "url_canonical_dedup": web.url_canonical_dedup,
-        "url_domain_stats": web.url_domain_stats,
-        "domain_quality_filter": web.domain_quality_filter,
-        # -- dedup family --
-        "exact_dedup": dedup.exact_dedup_groups,
-        "normalized_exact_dedup": dedup.normalized_exact_dedup,
-        "bloom_dup_groups": dedup.bloom_dup_groups,
-        "snapshot_diff": incremental.snapshot_diff,
-        "char_jaccard_pairs": dedup.char_jaccard_pairs,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "decontamination_flags": dedup.decontamination_flags,
-        "dup_span_flags": dedup.dup_span_flags,
-        # -- similarity search over embeddings --
-        "knn_topk": similarity.knn_brute_force,
-        "embedding_neardup": similarity.embedding_neardup_pairs,
-        # -- relational / windowed --
-        "revenue_by_returnflag": relational.revenue_by_returnflag,
-        "customers_by_region": relational.customers_by_region,
-        "orders_customer_join": relational.orders_customer_join,
-        "local_supplier_revenue": relational.local_supplier_revenue,
-        "events_user_rolling": relational.events_user_rolling,
-        # -- chains --
-        "prepare_curated_corpus": _q_prepare_curated,
+        # ---- HEAD (driver window, exactly 50, all oracle-backed):
+        # round-5 rotation promotes the next 50 never-driver-recorded
+        # oracles (r4-verdict worklist #2) ----
+        "bm25_topk": analysis.bm25_lite_topk,
+        "events_funnel": relational.events_funnel,
+        "events_sliding_distinct": relational.events_sliding_distinct,
+        "keep_best_dedup": dedup.keep_best_dedup,
+        "leakage_safe_splits": web.leakage_safe_splits,
+        "source_ngram_overlap": analysis.source_ngram_overlap,
+        "events_winsorized_stats": relational.events_winsorized_stats,
+        "user_retention_cohorts": relational.user_retention_cohorts,
+        "events_outlier_flags": relational.events_outlier_flags,
+        "events_hourly_top_users": relational.events_hourly_top_users,
+        "copurchase_triangles": graph.copurchase_triangles,
+        "events_prior_window_counts": relational.events_prior_window_counts,
+        "orders_returned_semijoin": relational.orders_returned_semijoin,
+        "apply_changelog": incremental.apply_changelog,
+        "events_robust_stats": relational.events_robust_stats,
+        "frequent_term_pairs": analysis.frequent_term_pairs,
+        "jaccard_selfjoin": dedup.jaccard_selfjoin,
+        "copurchase_lift_pairs": graph.copurchase_lift_pairs,
+        "url_editdist_pairs": web.url_editdist_pairs,
+        "events_session_ids": relational.events_session_ids,
+        "fk_audit": relational.fk_audit,
+        "events_user_streaks": relational.events_user_streaks,
+        "events_max_concurrency": relational.events_max_concurrency,
+        "copurchase_distances": graph.copurchase_distances,
+        "events_hourly_trend": relational.events_hourly_trend,
+        "related_parts_topk": graph.related_parts_topk,
+        "recommend_parts_topk": graph.recommend_parts_topk,
+        "events_grouping_sets": relational.events_grouping_sets,
+        "customer_rfm_segments": relational.customer_rfm_segments,
+        "copurchase_cheapest_paths": graph.copurchase_cheapest_paths,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "dormant_balance_report": relational.dormant_balance_report,
+        "large_volume_orders": relational.large_volume_orders,
+        "inverted_index": analysis.inverted_index,
+        "distinctive_terms_by_lang": analysis.distinctive_terms_by_lang,
+        "user_journeys": relational.user_journeys,
+        "events_gap_histogram": relational.events_gap_histogram,
+        "copurchase_kcore": graph.copurchase_kcore,
+        "shipping_priority_top10": relational.shipping_priority_top10,
+        "promo_revenue_share": relational.promo_revenue_share,
+        "small_qty_order_revenue": relational.small_qty_order_revenue,
+        "top_supplier_revenue": relational.top_supplier_revenue,
+        "nation_volume_shipping": relational.nation_volume_shipping,
+        "returned_item_top_customers": relational.returned_item_top_customers,
+        "order_fulfillment_span": relational.order_fulfillment_span,
+        "largest_doc_by_group": relational.largest_doc_by_group,
+        "forecast_revenue_change": relational.forecast_revenue_change,
+        "banded_brand_revenue": relational.banded_brand_revenue,
+        "copurchase_components": graph.copurchase_components,
+        "customer_cohort_revenue": relational.customer_cohort_revenue,
         # ---- tail: r1+r2+r3 triple-green driver records, rotated out
         # in round 4 to make window room for the never-recorded 16
         # (check_oracles still verifies each every run) ----
@@ -539,58 +535,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts_learned": _q_bpe_apply,
         "dup_span_excise": dedup.dup_span_excise,
-        # round-4 additions: oracle-backed, tail position
-        "bm25_topk": analysis.bm25_lite_topk,
-        "events_funnel": relational.events_funnel,
-        "events_sliding_distinct": relational.events_sliding_distinct,
-        "keep_best_dedup": dedup.keep_best_dedup,
-        "leakage_safe_splits": web.leakage_safe_splits,
-        "source_ngram_overlap": analysis.source_ngram_overlap,
-        "events_winsorized_stats": relational.events_winsorized_stats,
-        "user_retention_cohorts": relational.user_retention_cohorts,
-        "events_outlier_flags": relational.events_outlier_flags,
-        "events_hourly_top_users": relational.events_hourly_top_users,
-        "copurchase_triangles": graph.copurchase_triangles,
-        "events_prior_window_counts": relational.events_prior_window_counts,
-        "orders_returned_semijoin": relational.orders_returned_semijoin,
-        "apply_changelog": incremental.apply_changelog,
-        "events_robust_stats": relational.events_robust_stats,
-        "frequent_term_pairs": analysis.frequent_term_pairs,
-        "jaccard_selfjoin": dedup.jaccard_selfjoin,
+        # ---- tail: r1-r4 green driver records (head of rounds 1-4;
+        # every entry below has a green CORRECTNESS_r04 row), rotated
+        # out in round 5 to make window room for the never-recorded
+        # 50 above (check_oracles still verifies each every run) ----
+        # -- PDF payload path (stdlib codec; SQL-oracle roundtrip) --
+        "pdf_extract_text": _q_pdf_extract_text,
+        # -- text analysis over documents --
+        "doc_stats_by_lang": analysis.doc_stats_by_lang,
+        "source_lang_matrix": analysis.source_lang_matrix,
+        "token_counts": analysis.token_counts,
+        "bpe_token_counts": analysis.bpe_token_counts,
+        "fingerprints": analysis.fingerprints,
+        "quality_scores": analysis.quality_scores,
+        "top_terms": analysis.top_terms,
+        "term_doc_freq": analysis.term_doc_freq,
+        "gopher_quality_flags": analysis.gopher_quality_flags,
+        "repetition_stats": analysis.repetition_stats,
+        "langid_preds": analysis.langid_preds,
+        "pack_offsets": _q_pack_offsets,
+        "split_assignments": analysis.split_assignments,
+        "source_capped_sample": analysis.source_capped_sample,
+        "tfidf_top_terms": analysis.tfidf_top_terms,
+        "pii_scan": pii.pii_scan,
+        "heavy_hitter_terms": analysis.heavy_hitter_terms,
+        "lang_mix_rebalance": analysis.lang_mix_rebalance,
+        "unicode_normalize": analysis.unicode_normalize_docs,
+        "doc_rollup_stats": analysis.doc_rollup_stats,
+        "mixture_manifest": analysis.mixture_manifest,
+        "corpus_report": analysis.corpus_report,
+        # -- C4/MassiveText line curation --
+        "c4_line_filter": lines.c4_line_filter,
+        "paragraph_dedup": lines.paragraph_dedup,
+        # -- distributed quantiles --
+        "ratio_quantiles_by_lang": quantiles.ratio_quantiles_by_lang,
+        "token_weighted_ratio_quantiles": quantiles.token_weighted_ratio_quantiles,
+        # -- tier extraction: distributed global rank + ntile --
+        "doc_tiers": ranking.doc_tiers,
+        "events_type_rank": ranking.grouped_rank_events,
+        "epoch_shuffle": ranking.epoch_shuffle,
+        "events_type_pagerank": graph.events_type_pagerank,
+        # -- web/URL operators --
+        "url_canonical_dedup": web.url_canonical_dedup,
+        "url_domain_stats": web.url_domain_stats,
+        "domain_quality_filter": web.domain_quality_filter,
+        # -- dedup family --
+        "exact_dedup": dedup.exact_dedup_groups,
+        "normalized_exact_dedup": dedup.normalized_exact_dedup,
+        "bloom_dup_groups": dedup.bloom_dup_groups,
+        "snapshot_diff": incremental.snapshot_diff,
+        "char_jaccard_pairs": dedup.char_jaccard_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "decontamination_flags": dedup.decontamination_flags,
+        "dup_span_flags": dedup.dup_span_flags,
+        # -- similarity search over embeddings --
+        "knn_topk": similarity.knn_brute_force,
+        "embedding_neardup": similarity.embedding_neardup_pairs,
+        # -- relational / windowed --
+        "revenue_by_returnflag": relational.revenue_by_returnflag,
+        "customers_by_region": relational.customers_by_region,
+        "orders_customer_join": relational.orders_customer_join,
+        "local_supplier_revenue": relational.local_supplier_revenue,
+        "events_user_rolling": relational.events_user_rolling,
+        # -- chains --
+        "prepare_curated_corpus": _q_prepare_curated,
         "embedding_pca_coords": _q_embedding_pca,
-        "copurchase_lift_pairs": graph.copurchase_lift_pairs,
-        "url_editdist_pairs": web.url_editdist_pairs,
-        "events_session_ids": relational.events_session_ids,
-        "fk_audit": relational.fk_audit,
-        "events_user_streaks": relational.events_user_streaks,
-        "events_max_concurrency": relational.events_max_concurrency,
-        "copurchase_distances": graph.copurchase_distances,
-        "events_hourly_trend": relational.events_hourly_trend,
-        "related_parts_topk": graph.related_parts_topk,
-        "recommend_parts_topk": graph.recommend_parts_topk,
-        "events_grouping_sets": relational.events_grouping_sets,
-        "customer_rfm_segments": relational.customer_rfm_segments,
-        "copurchase_cheapest_paths": graph.copurchase_cheapest_paths,
-        "customer_order_distribution": relational.customer_order_distribution,
-        "dormant_balance_report": relational.dormant_balance_report,
-        "large_volume_orders": relational.large_volume_orders,
-        "inverted_index": analysis.inverted_index,
-        "distinctive_terms_by_lang": analysis.distinctive_terms_by_lang,
-        "user_journeys": relational.user_journeys,
-        "events_gap_histogram": relational.events_gap_histogram,
-        "copurchase_kcore": graph.copurchase_kcore,
-        "shipping_priority_top10": relational.shipping_priority_top10,
-        "promo_revenue_share": relational.promo_revenue_share,
-        "small_qty_order_revenue": relational.small_qty_order_revenue,
-        "top_supplier_revenue": relational.top_supplier_revenue,
-        "nation_volume_shipping": relational.nation_volume_shipping,
-        "returned_item_top_customers": relational.returned_item_top_customers,
-        "order_fulfillment_span": relational.order_fulfillment_span,
-        "largest_doc_by_group": relational.largest_doc_by_group,
-        "forecast_revenue_change": relational.forecast_revenue_change,
-        "banded_brand_revenue": relational.banded_brand_revenue,
-        "copurchase_components": graph.copurchase_components,
-        "customer_cohort_revenue": relational.customer_cohort_revenue,
         "order_value_quantiles_by_segment": quantiles.order_value_quantiles_by_segment,
         "loyal_customers": relational.loyal_customers,
         "late_order_priority_counts": relational.late_order_priority_counts,
