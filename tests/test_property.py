@@ -452,3 +452,42 @@ def test_funnel_probe_matches_brute_force(data):
     for u in want_n1:
         assert got.loc[u, "n_step1"] == want_n1[u], u
         assert got.loc[u, "n_completed"] == want_done[u], u
+
+
+# Frozen (string, true cl100k_base token count) sample — r4-verdict
+# worklist #3's fallback gate. Every count is a PUBLIC, reproducible
+# tiktoken cl100k_base fact (README example token ids, documented
+# digit-grouping and contraction pre-tokenization, common-word single
+# tokens), hand-embedded because the environment has no tiktoken
+# package, no vocab asset, and no network (re-probed every round; see
+# tokens.py docstring). The gate quantifies the analog's delta so a
+# user comparing node `tokens` against real open-parse output knows
+# the bound: exact on common English prose, and within |delta| <= 2
+# per string on BPE-subword splits (rare words, long digit runs).
+_CL100K_SAMPLE = [
+    ("", 0),                      # trivial
+    (" ", 1),                     # [220]
+    ("a", 1),                     # [64]
+    ("hello world", 2),           # [15339, 1917]
+    ("Hello, world!", 4),         # [9906, 11, 1917, 0]
+    ("tiktoken is great!", 6),    # [83, 1609, 5963, 374, 2294, 0] — README
+    ("The quick brown fox jumps over the lazy dog.", 10),  # 9 words + '.'
+    ("1234567890", 4),            # cl100k groups digits 1-3: 123|456|789|0
+    ("I don't know.", 5),         # contraction 't split: I| don|'t| know|.
+    ("New York City", 3),         # common words are single tokens
+]
+
+
+def test_num_tokens_cl100k_delta_bound():
+    """Quantified-delta gate vs frozen true tiktoken cl100k_base counts:
+    the analog is EXACT on the common-English-prose strings and within
+    |delta| <= 2 everywhere in the sample; mean |delta| <= 0.5. A real
+    tiktoken swap (the tokens.py staging seam) must also pass this gate
+    with delta == 0 throughout."""
+    deltas = [num_tokens(s) - true for s, true in _CL100K_SAMPLE]
+    assert all(abs(d) <= 2 for d in deltas), deltas
+    assert sum(abs(d) for d in deltas) / len(deltas) <= 0.5, deltas
+    exact_expected = [0, 1, 2, 3, 4, 6, 8, 9]  # indexes of prose/simple cases
+    for i in exact_expected:
+        s, true = _CL100K_SAMPLE[i]
+        assert num_tokens(s) == true, (s, num_tokens(s), true)
