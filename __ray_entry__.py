@@ -54,6 +54,7 @@ from open_parse_ray.stages.similarity import default_query_vectors
 from open_parse_ray.sources.zorder import ZORDER_BOX_ORDERS_SQL as _ZORDER_BOX_SQL
 from open_parse_ray.sources.sorted_sink import SORTED_RANGE_DOCS_SQL as _SORTED_RANGE_SQL
 from open_parse_ray.sources.sorted_sink import (
+    LSM_MERGED_RANGE_DOCS_SQL as _LSM_MERGED_SQL,
     MERGED_RUN_RANGE_DOCS_SQL as _MERGED_RUN_SQL,
 )
 
@@ -191,6 +192,17 @@ def _q_merged_run_range_docs(sf_dir: str):
     from open_parse_ray.sources.sorted_sink import merged_run_range_docs
 
     return merged_run_range_docs(sf_dir)
+
+
+def _q_lsm_merged_range_docs(sf_dir: str):
+    """Four sorted runs (doc_id % 4) merged in ONE k-way
+    merge_sorted_runs_k pass, then a pruned range scan off the merged
+    layout; the SQL oracle is a plain filter over ALL documents, so a
+    hash match proves the k-way merge lost, duplicated and misordered
+    nothing."""
+    from open_parse_ray.sources.sorted_sink import lsm_merged_range_docs
+
+    return lsm_merged_range_docs(sf_dir)
 
 
 def _q_mmr_select_docs(sf_dir: str):
@@ -662,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_select_docs": _q_mmr_select_docs,
         "events_stream_first_seen": relational.events_stream_first_seen,
         "merged_run_range_docs": _q_merged_run_range_docs,
+        "lsm_merged_range_docs": _q_lsm_merged_range_docs,
     }
 
 
@@ -2400,6 +2413,7 @@ def oracle_sql() -> dict[str, str]:
         # compaction-merged sorted layout served through the same
         # pruned range scan (oracle = plain filter over all docs)
         "merged_run_range_docs": _MERGED_RUN_SQL,
+        "lsm_merged_range_docs": _LSM_MERGED_SQL,
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

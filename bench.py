@@ -292,6 +292,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "mmr_select_docs",
         "events_stream_first_seen",
         "merged_run_range_docs",
+        "lsm_merged_range_docs",
     ]
 
     timings: dict[str, float] = {}

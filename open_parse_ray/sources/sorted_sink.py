@@ -493,3 +493,243 @@ def merged_run_range_docs(sf_dir: str):
 
 
 MERGED_RUN_RANGE_DOCS_SQL = SORTED_RANGE_DOCS_SQL
+
+
+def _commit_part(out_dir: str, pid: int, merged: pd.DataFrame) -> dict:
+    """Write one merged partition in write_sorted's exact layout
+    (content-md5 name, atomic replace, idempotent re-run) and return
+    its manifest row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.Table.from_pandas(merged, preserve_index=False)
+    buf = pa.BufferOutputStream()
+    pq.write_table(t, buf, row_group_size=ROW_GROUP_SIZE)
+    data = buf.getvalue().to_pybytes()
+    digest = hashlib.md5(data).hexdigest()[:16]
+    path = os.path.join(out_dir, f"part-{pid:05d}-{digest}.parquet")
+    if not os.path.exists(path):
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    return {
+        "pid": np.int64(pid),
+        "path": path,
+        "n_rows": np.int64(len(merged)),
+        "v_lo": np.int64(merged["n_chars"].iloc[0]),
+        "v_hi": np.int64(merged["n_chars"].iloc[-1]),
+        "md5": digest,
+    }
+
+
+def merge_sorted_runs_k(run_dirs, out_dir: str) -> pd.DataFrame:
+    """k-way LSM COMPACTION MERGE — the leveled/tiered generalization of
+    merge_sorted_runs (r4-verdict worklist #4). Produces the IDENTICAL
+    global row sequence to ``reduce(merge_sorted_runs, run_dirs)``
+    (iterated two-run merges; equality-gated), in one pass over the
+    data instead of k-1: on equal (n_chars, doc_id) composites a row
+    from a LATER run in ``run_dirs`` places first (merge2's B-first
+    rule applied left-to-right), and within a run input order is
+    preserved (every interleave is stable).
+
+    Scale shape: output partition ranges are the BASE run's partitions
+    (the run with the most rows — at an LSM level boundary that is the
+    big bottom run, so cut metadata is one row-group tail read per base
+    file); every other run contributes its manifest + footer-pruned
+    composite window (range_scan_sorted, then an exact pure-uint64
+    window filter — int64 would sign-wrap composites for n_chars >=
+    2^23). Each partition applies k-1 searchsorted interleaves in run
+    order — each IS merge2's kernel, so equality with the iterated
+    merge holds partition-locally, and windows are disjoint inclusive
+    composite ranges so equal-composite rows can never split across
+    partitions. O(data moved) total, no sort anywhere; files and
+    manifest use write_sorted's exact layout, so range_scan_sorted,
+    further merges and resume work unchanged and re-running is
+    idempotent."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from open_parse_ray.stages.ranking import _composite
+
+    import shutil
+
+    run_dirs = list(run_dirs)
+    if len(run_dirs) < 2:
+        raise ValueError("merge_sorted_runs_k needs >= 2 runs")
+    os.makedirs(out_dir, exist_ok=True)
+    mans = [_read_manifest(d) for d in run_dirs]
+    for d, m in zip(run_dirs, mans):
+        if len(m) == 0:
+            raise ValueError(
+                f"legacy empty run under {d}: manifest has no rows "
+                "(no schema-bearing part file) — rewrite the run with "
+                "the current write_sorted before merging"
+            )
+    totals = [int(m["n_rows"].sum()) for m in mans]
+    if sum(totals) == 0:
+        # all runs empty: propagate run 0's schema-bearing empty part
+        srcp = mans[0]["path"].iloc[0]
+        dstp = os.path.join(out_dir, os.path.basename(srcp))
+        if not os.path.exists(dstp):
+            shutil.copyfile(srcp, dstp)
+        man = mans[0].copy()
+        man["path"] = [dstp]
+        man.to_parquet(os.path.join(out_dir, "_manifest.parquet"))
+        return man
+
+    base_idx = int(np.argmax(totals))  # ties -> earliest run
+    live_base = mans[base_idx][mans[base_idx]["n_rows"] > 0].reset_index(
+        drop=True
+    )
+
+    cuts = []
+    for r in live_base.iloc[:-1].itertuples():
+        f = pq.ParquetFile(r.path)
+        t = f.read_row_group(f.metadata.num_row_groups - 1)
+        cuts.append(
+            int(
+                _composite(
+                    t["n_chars"].to_numpy(zero_copy_only=False)[-1:],
+                    t["doc_id"].to_numpy(zero_copy_only=False)[-1:],
+                )[0]
+            )
+        )
+    hi_sentinel = (1 << 64) - 1
+    specs = []
+    for i, r in enumerate(live_base.itertuples()):
+        specs.append(
+            {
+                "pid": int(r.pid),
+                "a_path": r.path,
+                "lo_c": 0 if i == 0 else cuts[i - 1] + 1,
+                "hi_c": hi_sentinel if i == len(live_base) - 1 else cuts[i],
+            }
+        )
+
+    others = [
+        (j, run_dirs[j], int(mans[j]["v_hi"].max()))
+        for j in range(len(run_dirs))
+        if j != base_idx and totals[j] > 0
+    ]
+
+    def merge_part(spec: pd.DataFrame) -> pd.DataFrame:
+        row = spec.iloc[0]
+        lo_c, hi_c = int(row["lo_c"]), int(row["hi_c"])
+        v_lo = lo_c >> 40
+
+        base_df = pq.read_table(row["a_path"]).to_pandas()
+        frags = []  # (run_idx, df, comp) in run order
+        for j, d, jv_hi in others:
+            v_hi = jv_hi if hi_c == hi_sentinel else hi_c >> 40
+            tb_arrow, _, _ = range_scan_sorted(d, v_lo, v_hi, count_total=False)
+            tb = tb_arrow.to_pandas()
+            cb = _composite(
+                tb["n_chars"].to_numpy(dtype=np.int64),
+                tb["doc_id"].to_numpy(dtype=np.int64),
+            )
+            keep = (cb >= np.uint64(lo_c)) & (cb <= np.uint64(hi_c))
+            frags.append((j, tb[keep].reset_index(drop=True), cb[keep]))
+        cbase = _composite(
+            base_df["n_chars"].to_numpy(dtype=np.int64),
+            base_df["doc_id"].to_numpy(dtype=np.int64),
+        )
+        frags.append((base_idx, base_df, cbase))
+        frags.sort(key=lambda x: x[0])
+
+        acc_df, acc_c = frags[0][1], frags[0][2]
+        for _, fd, fc in frags[1:]:
+            # merge2's kernel: the NEWER run's rows place first on ties
+            n = len(acc_df) + len(fd)
+            bpos = np.searchsorted(acc_c, fc, side="left") + np.arange(len(fc))
+            mask = np.ones(n, dtype=bool)
+            mask[bpos] = False
+            apos = np.flatnonzero(mask)
+            order = np.empty(n, dtype=np.int64)
+            order[apos] = np.arange(len(acc_df))
+            order[bpos] = len(acc_df) + np.arange(len(fd))
+            acc_df = (
+                pd.concat([acc_df, fd], ignore_index=True)
+                .iloc[order]
+                .reset_index(drop=True)
+            )
+            merged_c = np.empty(n, dtype=np.uint64)
+            merged_c[apos] = acc_c
+            merged_c[bpos] = fc
+            acc_c = merged_c
+
+        return pd.DataFrame([_commit_part(out_dir, int(row["pid"]), acc_df)])
+
+    spec_df = pd.DataFrame(specs)
+    spec_df["lo_c"] = spec_df["lo_c"].map(str)
+    spec_df["hi_c"] = spec_df["hi_c"].map(str)
+    manifest = (
+        rd.from_pandas(spec_df)
+        .repartition(len(specs))
+        .map_batches(merge_part, batch_format="pandas", batch_size=1)
+        .to_pandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    manifest.to_parquet(os.path.join(out_dir, "_manifest.parquet"))
+    return manifest
+
+
+def lsm_merged_range_docs(sf_dir: str):
+    """Corpus query exercising the k-WAY compaction end to end: the
+    documents table is split into FOUR runs (doc_id % 4), each written
+    as its own sorted run, all four merged in ONE merge_sorted_runs_k
+    pass, and the same middle-quintile range scan as sorted_range_docs
+    is served from the merged layout — the SQL oracle is a plain filter
+    over ALL documents, so a hash match proves the k-way merge lost,
+    duplicated and misordered nothing. NOT in the block-invariance
+    list (the /tmp cache would make that check vacuous — the
+    merged_run_range_docs rule); the fresh-path pytest gates pin the
+    merge itself."""
+    import ray.data as rd
+
+    from open_parse_ray.sources.tables import table_path
+
+    src = table_path(sf_dir, "documents")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|lsmk_v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join("/tmp/opr_cache/lsmk_v1", key)
+    out_dir = os.path.join(base, "merged")
+    if not os.path.exists(os.path.join(out_dir, "_manifest.parquet")):
+        ds = rd.read_parquet(src, columns=["doc_id", "n_chars", "lang"])
+
+        def _mod(par):
+            def f(b: pd.DataFrame) -> pd.DataFrame:
+                return b[b["doc_id"] % 4 == par]
+
+            return f
+
+        runs = []
+        for par in range(4):
+            d = os.path.join(base, f"r{par}")
+            write_sorted(
+                ds.map_batches(_mod(par), batch_format="pandas", batch_size=65536),
+                d,
+            )
+            runs.append(d)
+        merge_sorted_runs_k(runs, out_dir)
+    man = pd.read_parquet(os.path.join(out_dir, "_manifest.parquet"))
+    lo, hi = int(man["v_lo"].min()), int(man["v_hi"].max())
+    a = lo + ((hi - lo) * 40) // 100
+    b = lo + ((hi - lo) * 60) // 100
+    t, _, _ = range_scan_sorted(out_dir, a, b)
+    df = t.to_pandas()
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_chars": df["n_chars"].to_numpy(dtype=np.int64),
+                "lang": df["lang"],
+            }
+        )
+    )
+
+
+LSM_MERGED_RANGE_DOCS_SQL = SORTED_RANGE_DOCS_SQL

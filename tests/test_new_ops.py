@@ -4143,3 +4143,142 @@ def test_supplier_diversity_fk_violation_raises(ray_session, tmp_path):
         (ray.exceptions.RayTaskError, ValueError), match="absent from part"
     ):
         supplier_diversity(str(tmp_path)).materialize()
+
+
+def _read_run_rows(man):
+    import pyarrow.parquet as pq
+
+    live = man.sort_values("pid")
+    return pd.concat(
+        [pq.read_table(p).to_pandas() for p in live["path"]], ignore_index=True
+    )
+
+
+def test_merge_sorted_runs_k_equals_iterated_two_way(ray_session, tmp_path):
+    """The k-way merge's global row SEQUENCE (order included) is
+    identical to iterated two-run merges over the same runs, including
+    tie rows (equal (n_chars, doc_id) composites across runs) and an
+    empty run in the middle; and the k-way output is sorted with the
+    multiset of the union."""
+    import ray.data as rd
+
+    from open_parse_ray.sources.sorted_sink import (
+        merge_sorted_runs,
+        merge_sorted_runs_k,
+        write_sorted,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = []
+    for r in range(4):
+        n = [40, 25, 0, 33][r]
+        frames.append(
+            pd.DataFrame(
+                {
+                    # overlapping doc_id/n_chars across runs -> composite ties
+                    "doc_id": rng.randint(0, 30, n).astype(np.int64),
+                    "n_chars": rng.randint(0, 12, n).astype(np.int64),
+                    "lang": [f"r{r}"] * n,
+                }
+            )
+        )
+    dirs = []
+    for r, f in enumerate(frames):
+        d = str(tmp_path / f"run{r}")
+        write_sorted(rd.from_pandas(f), d, num_parts=3)
+        dirs.append(d)
+
+    man_k = merge_sorted_runs_k(dirs, str(tmp_path / "kway"))
+    rows_k = _read_run_rows(man_k)
+
+    cur = dirs[0]
+    for i, d in enumerate(dirs[1:], 1):
+        nxt = str(tmp_path / f"it{i}")
+        merge_sorted_runs(cur, d, nxt)
+        cur = nxt
+    rows_it = _read_run_rows(pd.read_parquet(f"{cur}/_manifest.parquet"))
+
+    pd.testing.assert_frame_equal(rows_k, rows_it)
+    comp = rows_k["n_chars"].to_numpy(np.uint64) * np.uint64(1 << 40) + rows_k[
+        "doc_id"
+    ].to_numpy(np.uint64)
+    assert (np.diff(comp.astype(object)) >= 0).all()
+    union = pd.concat(frames, ignore_index=True)
+    assert sorted(map(tuple, rows_k.values.tolist())) == sorted(
+        map(tuple, union.values.tolist())
+    )
+    # idempotent re-run
+    man_k2 = merge_sorted_runs_k(dirs, str(tmp_path / "kway"))
+    pd.testing.assert_frame_equal(man_k, man_k2)
+
+
+def test_merge_sorted_runs_k_tie_precedence_and_empty(ray_session, tmp_path):
+    """On an exact composite tie the LATER run's row places first
+    (merge2's B-first rule applied left-to-right); all-empty runs
+    propagate a schema-bearing empty part; a legacy zero-row manifest
+    raises."""
+    import pytest
+    import ray.data as rd
+
+    from open_parse_ray.sources.sorted_sink import (
+        merge_sorted_runs_k,
+        range_scan_sorted,
+        write_sorted,
+    )
+
+    dirs = []
+    for r in range(3):
+        d = str(tmp_path / f"t{r}")
+        write_sorted(
+            rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "doc_id": np.array([5], dtype=np.int64),
+                        "n_chars": np.array([9], dtype=np.int64),
+                        "lang": [f"r{r}"],
+                    }
+                )
+            ),
+            d,
+            num_parts=2,
+        )
+        dirs.append(d)
+    man = merge_sorted_runs_k(dirs, str(tmp_path / "tm"))
+    rows = _read_run_rows(man)
+    assert rows["lang"].tolist() == ["r2", "r1", "r0"]
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "n_chars": pd.Series(dtype="int64"),
+            "lang": pd.Series(dtype="object"),
+        }
+    )
+    edirs = []
+    for r in range(3):
+        d = str(tmp_path / f"e{r}")
+        write_sorted(rd.from_pandas(empty), d, num_parts=2)
+        edirs.append(d)
+    eman = merge_sorted_runs_k(edirs, str(tmp_path / "em"))
+    assert int(eman["n_rows"].sum()) == 0
+    t, _, _ = range_scan_sorted(str(tmp_path / "em"), 0, 100)
+    assert t.num_rows == 0 and set(t.schema.names) == {
+        "doc_id",
+        "n_chars",
+        "lang",
+    }
+
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    pd.DataFrame(
+        {
+            "pid": pd.Series(dtype="int64"),
+            "path": pd.Series(dtype="object"),
+            "n_rows": pd.Series(dtype="int64"),
+            "v_lo": pd.Series(dtype="int64"),
+            "v_hi": pd.Series(dtype="int64"),
+            "md5": pd.Series(dtype="object"),
+        }
+    ).to_parquet(legacy / "_manifest.parquet")
+    with pytest.raises(ValueError, match="legacy empty run"):
+        merge_sorted_runs_k([str(legacy), edirs[0]], str(tmp_path / "lm"))
