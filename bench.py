@@ -293,6 +293,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_stream_first_seen",
         "merged_run_range_docs",
         "lsm_merged_range_docs",
+        "dup_span_flags_cdc",
     ]
 
     timings: dict[str, float] = {}

@@ -1612,6 +1612,179 @@ def dup_span_flags(sf_dir: str, window: int = 16, stride: int = 8):
     return salted_groupby(both, lambda b: b["doc_id"], join)
 
 
+# content-defined anchor predicate: first hex char of md5(word) in
+# {'0','1'} — probability 2/16 = 1/8, so the expected window density
+# matches stride-8 exactly. Cached per distinct word (boilerplate
+# vocabulary recurs); the SQL oracle mirrors it verbatim as
+# substr(md5(word), 1, 1) IN ('0','1').
+_ANCHOR_CACHE: dict = {}
+_ANCHOR_CACHE_CAP = 1_000_000
+
+
+def _anchor_mask(words) -> np.ndarray:
+    cache = _ANCHOR_CACHE
+    get = cache.get
+    out = np.empty(len(words), dtype=bool)
+    for i, w in enumerate(words):
+        a = get(w)
+        if a is None:
+            if len(cache) >= _ANCHOR_CACHE_CAP:
+                cache.clear()
+            a = hashlib.md5(w.encode("utf-8")).hexdigest()[0] in "01"
+            cache[w] = a
+        out[i] = a
+    return out
+
+
+def dup_span_flags_cdc(sf_dir: str, window: int = 16):
+    """Cross-document duplicated-SPAN detection with CONTENT-DEFINED
+    window anchors — the alignment-invariant repair of dup_span_flags'
+    strided approximation (r4-verdict worklist #5): fixed-stride
+    windows hash at positions ≡ 0 mod stride WITHIN EACH DOC, so a
+    shared run whose offsets differ mod stride across two docs never
+    produces a common gram at ANY length (the characterization gate in
+    tests/test_new_ops.py measures that hole exactly). Here a window
+    starts wherever the WORD ITSELF says so (first md5 hex char of the
+    word in {'0','1'}, density 1/8 = stride-8's cost), so anchor
+    positions travel with the content: a run shared by two docs anchors
+    at the same run-relative offsets in both, regardless of where the
+    run sits in either doc. A shared run of length L is detected iff
+    its first L-(window-1) words contain an anchor — probability
+    1-(7/8)^(L-15) over random content, independent of alignment,
+    vs the strided kernel's hard 1/8 ceiling for cross-aligned dups.
+    Returns (doc_id, n_windows, n_dup_windows) for docs with >= window
+    words (n_windows = anchor count, may be 0).
+
+    Scale shape: identical to dup_span_flags — the exchange carries
+    (uint64 gram hash, doc_id) pairs (~n/8 per doc in expectation),
+    salted on the hash; shared grams collapse to per-doc duplicate
+    counts, which re-shuffle on doc_id to join the per-doc totals."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+
+    def window_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out_h, out_d = [], []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            words = t.split()
+            n = len(words)
+            if n < window:
+                continue
+            anchors = np.flatnonzero(_anchor_mask(words)[: n - window + 1])
+            if len(anchors) == 0:
+                continue
+            wh = _hash_words(words)
+            acc = np.zeros(len(anchors), dtype=np.uint64)
+            for j in range(window):
+                acc = acc * _SHINGLE_MIX + wh[anchors + j]
+            out_h.extend(acc.view(np.int64).tolist())
+            out_d.extend([int(doc_id)] * len(anchors))
+        return pd.DataFrame(
+            {
+                "h": pd.Series(out_h, dtype="int64"),
+                "doc_id": pd.Series(out_d, dtype="int64"),
+            }
+        )
+
+    def total_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids, totals = [], []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            words = t.split()
+            n = len(words)
+            if n >= window:
+                ids.append(int(doc_id))
+                totals.append(
+                    int(_anchor_mask(words)[: n - window + 1].sum())
+                )
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_windows": pd.Series(totals, dtype="int64"),
+            }
+        )
+
+    wrows = docs.map_batches(window_rows, batch_format="pandas", batch_size=4096)
+
+    def dup_counts(part: pd.DataFrame) -> pd.DataFrame:
+        nd = part.groupby("h")["doc_id"].transform("nunique")
+        dup = part[nd >= 2]
+        out = dup.groupby("doc_id", as_index=False).agg(n_dup=("h", "size"))
+        return out.astype({"doc_id": "int64", "n_dup": "int64"})
+
+    dups = salted_groupby(wrows, lambda b: b["h"], dup_counts)
+    totals = docs.map_batches(total_rows, batch_format="pandas", batch_size=4096)
+
+    def tag_tot(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_windows": b["n_windows"].astype("int64"),
+                "n_dup": np.int64(-1),
+            }
+        )
+
+    def tag_dup(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_windows": np.int64(-1),
+                "n_dup": b["n_dup"].astype("int64"),
+            }
+        )
+
+    both = totals.map_batches(tag_tot, batch_format="pandas").union(
+        dups.map_batches(tag_dup, batch_format="pandas")
+    )
+
+    def join(part: pd.DataFrame) -> pd.DataFrame:
+        tot = part[part["n_windows"] >= 0][["doc_id", "n_windows"]]
+        dup = (
+            part[part["n_dup"] >= 0]
+            .groupby("doc_id", as_index=False)["n_dup"]
+            .sum()
+        )
+        out = tot.merge(dup, on="doc_id", how="left")
+        out["n_dup_windows"] = out["n_dup"].fillna(0).astype("int64")
+        return out[["doc_id", "n_windows", "n_dup_windows"]]
+
+    return salted_groupby(both, lambda b: b["doc_id"], join)
+
+
+DUP_SPAN_FLAGS_CDC_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+')
+             END AS words
+      FROM documents
+    ), nn AS (
+      SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) >= 16
+    ), pos AS (
+      SELECT doc_id, words, unnest(range(1, n - 14)) AS i FROM nn
+    ), anch AS (
+      SELECT doc_id, words, i FROM pos
+      WHERE substr(md5(words[i]), 1, 1) IN ('0', '1')
+    ), g AS (
+      SELECT doc_id,
+             array_to_string(list_slice(words, i, i + 15), ' ') AS gram
+      FROM anch
+    ), shared AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ), cnt AS (
+      SELECT g.doc_id, count(*) AS n_windows,
+             sum(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      FROM g LEFT JOIN shared s ON g.gram = s.gram
+      GROUP BY g.doc_id
+    )
+    SELECT nn.doc_id,
+           CAST(coalesce(cnt.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(cnt.n_dup, 0) AS BIGINT) AS n_dup_windows
+    FROM nn LEFT JOIN cnt ON nn.doc_id = cnt.doc_id
+"""
+
+
 def decontamination_flags(sf_dir: str, bench_mod: int = 97, k: int = 5):
     """Eval-set decontamination (the any-overlap n-gram check training
     pipelines run against benchmark suites): docs with doc_id %

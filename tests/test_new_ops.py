@@ -4282,3 +4282,104 @@ def test_merge_sorted_runs_k_tie_precedence_and_empty(ray_session, tmp_path):
     ).to_parquet(legacy / "_manifest.parquet")
     with pytest.raises(ValueError, match="legacy empty run"):
         merge_sorted_runs_k([str(legacy), edirs[0]], str(tmp_path / "lm"))
+
+
+def _planted_span_corpus(tmp_path):
+    """Doc pairs sharing a planted duplicated word run of length L at
+    prefix offsets (aA, aB) for every (aA, aB) in {0..7}^2 and L in a
+    ladder of lengths; all filler words are globally unique, run words
+    are unique to the pair. Returns (dir, meta rows)."""
+    Ls = [8, 15, 16, 19, 23, 24, 40, 64]
+    ids, texts, meta = [], [], []
+    did = 0
+    for li, L in enumerate(Ls):
+        for aA in range(8):
+            for aB in range(8):
+                pid = li * 64 + aA * 8 + aB
+                run = [f"r{pid}w{k}" for k in range(L)]
+                for side, a in (("A", aA), ("B", aB)):
+                    words = (
+                        [f"f{did}p{j}" for j in range(a)]
+                        + run
+                        + [f"f{did}s{j}" for j in range(24)]
+                    )
+                    ids.append(did)
+                    texts.append(" ".join(words))
+                    did += 1
+                meta.append((pid, L, aA, aB, run))
+    pd.DataFrame(
+        {
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * len(ids),
+            "source": ["s"] * len(ids),
+            "n_chars": np.asarray([len(t) for t in texts], dtype=np.int64),
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path), meta
+
+
+def test_dup_span_flags_window_boundary_characterization(
+    ray_session, tmp_path
+):
+    """r4-verdict worklist #5: the strided (window=16, stride=8)
+    approximation's miss profile vs TRUE arbitrary-length substring
+    dedup, measured and pinned EXACTLY on a planted corpus (every
+    alignment pair mod 8 x lengths 8..64): a pair is detected iff the
+    two copies share their offset mod stride AND the run admits a full
+    aligned window (((-a) mod 8) + 16 <= L). Consequences asserted:
+    cross-aligned duplicates are missed at EVERY length (7/8 of random
+    alignments), and same-aligned runs shorter than 16 + offset-penalty
+    are missed; for L >= 23 the same-aligned side always detects. This
+    is the documented fidelity bound of the stride approximation; the
+    CDC variant below repairs the alignment hole at equal cost."""
+    from open_parse_ray.stages.dedup import dup_span_flags
+
+    d, meta = _planted_span_corpus(tmp_path)
+    out = _df(dup_span_flags(d)).set_index("doc_id")
+    det = out["n_dup_windows"] > 0
+    n_long, n_long_det = 0, 0
+    for pid, L, aA, aB, _run in meta:
+        expect = (aA % 8 == aB % 8) and ((-aA) % 8) + 16 <= L
+        got_a = bool(det.get(2 * pid, False))
+        got_b = bool(det.get(2 * pid + 1, False))
+        assert got_a == expect and got_b == expect, (pid, L, aA, aB)
+        if L == 64:
+            n_long += 1
+            n_long_det += int(got_a)
+    # headline miss rate: at L=64 (trivially caught by true substring
+    # dedup) the strided kernel detects exactly the 8/64 same-aligned
+    # combos — a hard 1/8 ceiling under random alignment
+    assert n_long == 64 and n_long_det == 8
+
+
+def test_dup_span_flags_cdc_alignment_invariant(ray_session, tmp_path):
+    """The content-defined-anchor variant detects a planted pair iff
+    the run's first L-15 words contain an anchor word (first md5 hex
+    char in {0,1}) — INDEPENDENT of either copy's alignment; measured
+    detection at L=64 covers every alignment combo (vs 1/8 above)."""
+    import hashlib as _hl
+
+    from open_parse_ray.stages.dedup import dup_span_flags_cdc
+
+    d, meta = _planted_span_corpus(tmp_path)
+    out = _df(dup_span_flags_cdc(d)).set_index("doc_id")
+    det = out["n_dup_windows"] > 0
+    n_long, n_long_det = 0, 0
+    for pid, L, aA, aB, run in meta:
+        if L < 16:
+            expect = False
+        else:
+            expect = any(
+                _hl.md5(w.encode()).hexdigest()[0] in "01"
+                for w in run[: L - 15]
+            )
+        got_a = bool(det.get(2 * pid, False))
+        got_b = bool(det.get(2 * pid + 1, False))
+        assert got_a == expect and got_b == expect, (pid, L, aA, aB)
+        if L == 64:
+            n_long += 1
+            n_long_det += int(got_a)
+    # at L=64 detection is content-gated only (49 chances at 1/8 each,
+    # ~99.9% per pair); on this deterministic corpus every pair anchors
+    assert n_long == 64 and n_long_det == 64
