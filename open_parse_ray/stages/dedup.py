@@ -2687,7 +2687,62 @@ def fuzzy_decontamination(
     )
 
 
-def hot_salted_groupby(ds, key_of, fn, num_parts: Optional[int] = None, hot_k: int = 8):
+def hot_keys_for_table(
+    sf_dir: str, table: str, col: str, hot_k: int = 8
+) -> np.ndarray:
+    """Top-``hot_k`` heaviest int64 key values of one raw-table column,
+    from a COLUMN-PRUNED distributed scan (per-block top-count
+    partials, merged once on the driver — the hot_salted_groupby
+    pre-pass, but reading only the key column instead of re-scanning a
+    derived exchange input). This is how operators whose exchange keys
+    come straight from a base table get skew isolation for the cost of
+    one narrow column read. The ranking is a heuristic placement choice
+    (a mis-ranked key costs balance only, never correctness)."""
+    import ray.data as rd
+
+    from open_parse_ray.sources.tables import table_path
+
+    cap = 4 * hot_k
+    if hot_k <= 0:
+        return np.array([], dtype=np.int64)
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"k": pd.Series([], dtype="int64"),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        vc = b[col].astype("int64").value_counts().iloc[:cap]
+        return pd.DataFrame(
+            {
+                "k": vc.index.to_numpy(dtype=np.int64),
+                "c": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(table_path(sf_dir, table), columns=[col])
+        .map_batches(count_partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+    )
+    if not len(parts):
+        return np.array([], dtype=np.int64)
+    top = (
+        parts.groupby("k", as_index=False)["c"].sum()
+        .sort_values(["c", "k"], ascending=[False, True])
+        .head(hot_k)
+    )
+    return np.sort(top["k"].to_numpy(dtype=np.int64))
+
+
+def hot_salted_groupby(
+    ds,
+    key_of,
+    fn,
+    num_parts: Optional[int] = None,
+    hot_k: int = 8,
+    hot_keys: Optional[np.ndarray] = None,
+):
     """Skew-ADAPTIVE variant of :func:`salted_groupby`: a cheap count
     pre-pass (per-block top-count partials, merged once — the
     Misra-Gries shape with exact per-block counts) finds the ``hot_k``
@@ -2708,40 +2763,51 @@ def hot_salted_groupby(ds, key_of, fn, num_parts: Optional[int] = None, hot_k: i
     never correctness, which is why the cheap sketch is enough.
 
     ``key_of(batch) -> int64 Series`` extracts the REAL key (pre-hash).
+
+    Pass ``hot_keys`` (sorted or not; deduped here) to SKIP the count
+    pre-pass — operators whose exchange key comes straight from a base
+    table get the hot set from :func:`hot_keys_for_table`'s
+    column-pruned scan instead of re-scanning (and re-computing) the
+    derived exchange input.
     """
     import ray
 
     if num_parts is None:
         num_parts = default_num_parts()
-    cap = 4 * hot_k
 
-    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return pd.DataFrame(
-                {"k": pd.Series([], dtype="int64"),
-                 "c": pd.Series([], dtype="int64")}
-            )
-        vc = key_of(b).value_counts().iloc[:cap]
-        return pd.DataFrame(
-            {
-                "k": vc.index.to_numpy(dtype=np.int64),
-                "c": vc.to_numpy(dtype=np.int64),
-            }
-        )
-
-    parts = (
-        ds.map_batches(count_partial, batch_format="pandas", batch_size=65536)
-        .to_pandas()
-    )
-    if len(parts):
-        top = (
-            parts.groupby("k", as_index=False)["c"].sum()
-            .sort_values(["c", "k"], ascending=[False, True])
-            .head(hot_k)
-        )
-        hot = np.sort(top["k"].to_numpy(dtype=np.int64))
+    if hot_keys is not None:
+        hot = np.unique(np.asarray(hot_keys, dtype=np.int64))
+        hot_k = len(hot)
     else:
-        hot = np.array([], dtype=np.int64)
+        cap = 4 * hot_k
+
+        def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {"k": pd.Series([], dtype="int64"),
+                     "c": pd.Series([], dtype="int64")}
+                )
+            vc = key_of(b).value_counts().iloc[:cap]
+            return pd.DataFrame(
+                {
+                    "k": vc.index.to_numpy(dtype=np.int64),
+                    "c": vc.to_numpy(dtype=np.int64),
+                }
+            )
+
+        parts = (
+            ds.map_batches(count_partial, batch_format="pandas", batch_size=65536)
+            .to_pandas()
+        )
+        if len(parts):
+            top = (
+                parts.groupby("k", as_index=False)["c"].sum()
+                .sort_values(["c", "k"], ascending=[False, True])
+                .head(hot_k)
+            )
+            hot = np.sort(top["k"].to_numpy(dtype=np.int64))
+        else:
+            hot = np.array([], dtype=np.int64)
     hot_ref = ray.put(hot)
 
     def salt_of(b: pd.DataFrame) -> pd.Series:

@@ -4383,3 +4383,59 @@ def test_dup_span_flags_cdc_alignment_invariant(ray_session, tmp_path):
     # at L=64 detection is content-gated only (49 chances at 1/8 each,
     # ~99.9% per pair); on this deterministic corpus every pair anchors
     assert n_long == 64 and n_long_det == 64
+
+
+def test_hot_salted_promotion_equality(ray_session, tmp_path):
+    """r4-verdict worklist #7: the user-salted event operators now run
+    skew-isolated (hot_salted_groupby with hot keys from a
+    column-pruned base scan). Forced plain path (hot_k=0) must be
+    BITWISE equal (integer/string outputs only — the float-across-
+    salt-widths trap does not apply) on a hostile distribution: one
+    user holding ~85% of all events."""
+    rng = np.random.default_rng(3)
+    n_hot, n_cold = 6_000, 1_000
+    user = np.concatenate(
+        [np.ones(n_hot, dtype=np.int64), rng.integers(2, 40, n_cold)]
+    )
+    ts0 = pd.Timestamp("2024-01-01").value // 1000
+    ts = ts0 + np.sort(rng.integers(0, 30 * 86_400_000_000, n_hot + n_cold))
+    pd.DataFrame(
+        {
+            "event_id": np.arange(n_hot + n_cold, dtype=np.int64),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "user_id": user,
+            "event_type": rng.choice(["click", "view", "purchase"], n_hot + n_cold),
+            "value": rng.integers(1, 500, n_hot + n_cold) / 100.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    from open_parse_ray.stages.relational import (
+        events_session_ids,
+        events_user_rolling,
+        user_journeys,
+    )
+
+    for op, sort_cols in (
+        (events_user_rolling, ["event_id"]),
+        (events_session_ids, ["event_id"]),
+        (user_journeys, ["user_id"]),
+    ):
+        hot = (
+            _df(op(str(tmp_path), hot_k=8))
+            .sort_values(sort_cols)
+            .reset_index(drop=True)
+        )
+        plain = (
+            _df(op(str(tmp_path), hot_k=0))
+            .sort_values(sort_cols)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            hot[sorted(hot.columns)], plain[sorted(plain.columns)]
+        )
+
+    from open_parse_ray.stages.dedup import hot_keys_for_table
+
+    hk = hot_keys_for_table(str(tmp_path), "events", "user_id", 8)
+    assert 1 in hk.tolist()  # the 85% user is identified as hot
