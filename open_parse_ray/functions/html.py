@@ -103,6 +103,9 @@ _DEFAULT_SIZE = 12.0
 # separators is skipped at the call site)
 _NL_SPLIT = re.compile(r"(\n)").split
 _SP_SPLIT = re.compile(r"( )").split
+# whitespace other than the two split characters — the only kind that can
+# remain EMBEDDED in a word after the "\n" and " " splits
+_ODD_WS_SEARCH = re.compile(r"[^\S \n]").search
 
 _FONT_STYLE_RE = re.compile(r"font-size\s*:\s*(\d+(?:\.\d+)?)px", re.IGNORECASE)
 _BOLD_STYLE_RE = re.compile(r"font-weight\s*:\s*(bold|[7-9]00)", re.IGNORECASE)
@@ -190,8 +193,8 @@ class _Extractor(HTMLParser):
         if self._drop_depth:
             self._drop_depth += 1
             return
-        attr_text = self._attrs_text(attrs)
-        if tag in _DROP_TAGS or _BOILERPLATE_RE.search(attr_text):
+        attr_text = self._attrs_text(attrs) if attrs else ""
+        if tag in _DROP_TAGS or (attr_text and _BOILERPLATE_RE.search(attr_text)):
             self._drop_depth = 1
             return
 
@@ -219,7 +222,7 @@ class _Extractor(HTMLParser):
                 self.blocks.append(blk)
             return
 
-        style_attr = dict(attrs).get("style", "") or ""
+        style_attr = (dict(attrs).get("style", "") or "") if attrs else ""
         bold, italic, size = self._style[-1]
         if tag in ("b", "strong"):
             bold = True
@@ -228,11 +231,12 @@ class _Extractor(HTMLParser):
         if tag in _HEADING_SIZES:
             size = _HEADING_SIZES[tag]
             bold = True
-        m = _FONT_STYLE_RE.search(style_attr)
-        if m:
-            size = float(m.group(1))
-        if _BOLD_STYLE_RE.search(style_attr):
-            bold = True
+        if style_attr:
+            m = _FONT_STYLE_RE.search(style_attr)
+            if m:
+                size = float(m.group(1))
+            if _BOLD_STYLE_RE.search(style_attr):
+                bold = True
         self._style.append((bold, italic, size))
 
         if tag == "table":
@@ -249,12 +253,17 @@ class _Extractor(HTMLParser):
             return
 
         placement = None
-        if tag == "header" or _HEADER_RE.search(attr_text):
+        if attr_text:
+            if tag == "header" or _HEADER_RE.search(attr_text):
+                placement = "top"
+            elif tag == "footer" or _FOOTER_RE.search(attr_text):
+                placement = "bottom"
+            elif _FULLPAGE_RE.search(attr_text):
+                placement = "full"
+        elif tag == "header":
             placement = "top"
-        elif tag == "footer" or _FOOTER_RE.search(attr_text):
+        elif tag == "footer":
             placement = "bottom"
-        elif _FULLPAGE_RE.search(attr_text):
-            placement = "full"
 
         if tag in ("ul", "ol"):
             self._flush_block()
@@ -392,53 +401,92 @@ class _Layout:
         lines: List[tuple] = []
         cur: List[Tuple[str, str, float, float]] = []  # (text, font, size, width)
         cur_w = 0.0
+        # cur_dirty: some word in cur MAY carry embedded non-space
+        # whitespace (set per run, conservatively). Words come from "\n"
+        # then " " splits, so only other whitespace (\t, \r, …) can be
+        # embedded; one search per RUN replaces one per word in the flush.
+        cur_dirty = False
 
         def flush_line():
-            nonlocal cur, cur_w
+            nonlocal cur, cur_w, cur_dirty
             if cur:
-                # widths were computed per word at append time; summing the
-                # stored values left-to-right is bit-identical to a fresh
-                # left-to-right sum of the same expressions
-                width = sum([c[3] for c in cur])
-                # uniform-style detection for the span fast path: one
-                # (font, size) across the line and no item with embedded
-                # non-space whitespace (a " " item is fine)
+                # One pass computes all three derived values.
+                #  - width: widths were computed per word at append time;
+                #    accumulating the stored values left-to-right is
+                #    bit-identical to a fresh left-to-right sum of the same
+                #    expressions (and to sum(), which also folds 0+c0+c1+…)
+                #  - msize: cummax with > keeps the first occurrence on
+                #    ties, same as max()
+                #  - uni: uniform-style detection for the span fast path —
+                #    one (font, size) across the line and no item with
+                #    embedded non-space whitespace (a " " item is fine)
                 f0, s0 = cur[0][1], cur[0][2]
-                uni = (f0, s0)
-                for c in cur:
-                    t = c[0]
-                    if c[1] is not f0 and c[1] != f0 or c[2] != s0:
-                        uni = None
-                        break
-                    if t != " " and _WS_SEARCH(t) is not None:
-                        uni = None
-                        break
-                lines.append((cur, width, max([c[2] for c in cur]), uni))
+                width = 0.0
+                msize = s0
+                uni_ok = True
+                if cur_dirty:
+                    for c in cur:
+                        width += c[3]
+                        cs = c[2]
+                        if cs > msize:
+                            msize = cs
+                        if uni_ok:
+                            if c[1] is not f0 and c[1] != f0 or cs != s0:
+                                uni_ok = False
+                            else:
+                                t = c[0]
+                                if t != " " and _WS_SEARCH(t) is not None:
+                                    uni_ok = False
+                else:
+                    # no word can trip the whitespace test — the per-word
+                    # check is provably True, so only styles matter
+                    for c in cur:
+                        width += c[3]
+                        cs = c[2]
+                        if cs > msize:
+                            msize = cs
+                        if uni_ok and (c[1] is not f0 and c[1] != f0 or cs != s0):
+                            uni_ok = False
+                lines.append((cur, width, msize, (f0, s0) if uni_ok else None))
             cur = []
             cur_w = 0.0
+            cur_dirty = False
 
+        max_width = self.max_width
         for text, bold, italic, size in runs:
             font = _fontname(bold, italic)
             cw = _char_width(size)
+            run_dirty = _ODD_WS_SEARCH(text) is not None
             pieces = _NL_SPLIT(text) if "\n" in text else (text,)
             for piece in pieces:
                 if piece == "\n":
                     flush_line()
                     continue
                 words = _SP_SPLIT(piece) if " " in piece else (piece,)
+                # branch-split form of the original per-word body: the
+                # " " item can never trigger the overflow check, and a
+                # word item never hits the leading-space skip (it either
+                # follows a flush — cur empty, check skipped via `and
+                # cur` — or appends unconditionally, as before)
                 for word in words:
-                    if not word:
+                    if word == " ":
+                        if not cur:
+                            continue  # no leading spaces on wrapped lines
+                        cur.append((word, font, size, cw))
+                        cur_w += cw
+                    elif word:
+                        w = len(word) * cw
+                        if cur and cur_w + w > max_width:
+                            # drop a trailing space before wrapping
+                            while cur and cur[-1][0] == " ":
+                                cur.pop()
+                            flush_line()
+                        cur.append((word, font, size, w))
+                        cur_w += w
+                    else:
                         continue
-                    w = len(word) * cw
-                    if word != " " and cur_w + w > self.max_width and cur:
-                        # drop a trailing space before wrapping
-                        while cur and cur[-1][0] == " ":
-                            cur.pop()
-                        flush_line()
-                    if word == " " and not cur:
-                        continue  # no leading spaces on wrapped lines
-                    cur.append((word, font, size, w))
-                    cur_w += w
+                    if run_dirty:
+                        cur_dirty = True
         flush_line()
         return lines
 

@@ -33,12 +33,24 @@ _MD_CLEANUP = [
 ]
 
 
+# one search that is non-None whenever ANY of the five cleanup patterns
+# could match: a marker char adjacent to whitespace covers patterns 1-4
+# (each requires some [*_] touching \s), and the four literal doubled-marker
+# juxtapositions cover pattern 5. False positives just run the (no-op) subs.
+_MD_ANY_SEARCH = re.compile(
+    r"[*_]\s|\s[*_]|\*\*\*\*|\*\*__|__\*\*|____"
+).search
+
+
 def clean_markdown_formatting(text: str) -> str:
     """Fix markdown markers that surround whitespace (schemas.py:160-187).
 
     Every cleanup pattern requires a ``*`` or ``_`` marker; plain lines
-    (the overwhelming majority) skip all five regex passes."""
+    (the overwhelming majority) skip all five regex passes, and marker
+    lines with no whitespace-adjacent marker skip them after one search."""
     if "*" not in text and "_" not in text:
+        return text
+    if _MD_ANY_SEARCH(text) is None:
         return text
     for pattern, replacement in _MD_CLEANUP:
         text = pattern.sub(replacement, text)

@@ -55,10 +55,11 @@ def num_tokens(string: Optional[str]) -> int:
         return 0
     n = _COUNT_CACHE.get(string)
     if n is None:
-        n = 0
-        for m in _TOKEN_RE.finditer(string):
-            length = m.end() - m.start()
-            n += 1 + (length - 1) // _LONG_RUN
+        toks = _TOKEN_RE.findall(string)
+        n = len(toks)
+        for t in toks:
+            if len(t) > _LONG_RUN:
+                n += (len(t) - 1) // _LONG_RUN
         if len(_COUNT_CACHE) >= _COUNT_CACHE_CAP:
             _COUNT_CACHE.clear()
         _COUNT_CACHE[string] = n
