@@ -676,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merged_run_range_docs": _q_merged_run_range_docs,
         "lsm_merged_range_docs": _q_lsm_merged_range_docs,
         "dup_span_flags_cdc": dedup.dup_span_flags_cdc,
+        "dup_span_flags_exact": dedup.dup_span_flags_exact,
     }
 
 
@@ -2416,6 +2417,7 @@ def oracle_sql() -> dict[str, str]:
         "merged_run_range_docs": _MERGED_RUN_SQL,
         "lsm_merged_range_docs": _LSM_MERGED_SQL,
         "dup_span_flags_cdc": dedup.DUP_SPAN_FLAGS_CDC_SQL,
+        "dup_span_flags_exact": dedup.DUP_SPAN_FLAGS_EXACT_SQL,
         # the compaction job's output graded against the same closed-form
         # merge the IVM view uses (job == view == SQL, three-way pin)
         "compacted_corpus_stats": """

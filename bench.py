@@ -294,6 +294,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "merged_run_range_docs",
         "lsm_merged_range_docs",
         "dup_span_flags_cdc",
+        "dup_span_flags_exact",
     ]
 
     timings: dict[str, float] = {}

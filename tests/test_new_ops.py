@@ -4385,6 +4385,35 @@ def test_dup_span_flags_cdc_alignment_invariant(ray_session, tmp_path):
     assert n_long == 64 and n_long_det == 64
 
 
+def test_dup_span_flags_exact_full_fidelity(ray_session, tmp_path):
+    """The stride-1 variant closes the family: a planted pair is
+    detected iff L >= window — at EVERY alignment combo, with the dup
+    window count pinned exactly at L-15 per side (no probabilistic
+    residue, unlike CDC) — and the bloom prefilter (default 2^22 bits
+    AND a hostile 4096-bit stress bitmap full of collisions) returns a
+    frame IDENTICAL to bloom_m=0 (the no-false-negative argument)."""
+    from open_parse_ray.stages.dedup import dup_span_flags_exact
+
+    d, meta = _planted_span_corpus(tmp_path)
+    base = (
+        _df(dup_span_flags_exact(d, bloom_m=0))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    det = base.set_index("doc_id")
+    for pid, L, aA, aB, _run in meta:
+        expect = L - 15 if L >= 16 else 0
+        assert int(det.loc[2 * pid, "n_dup_windows"]) == expect, (pid, L, aA, aB)
+        assert int(det.loc[2 * pid + 1, "n_dup_windows"]) == expect, (pid, L, aA, aB)
+    for m in (1 << 22, 4096):
+        got = (
+            _df(dup_span_flags_exact(d, bloom_m=m))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, base)
+
+
 def test_hot_salted_promotion_equality(ray_session, tmp_path):
     """r4-verdict worklist #7: the user-salted event operators now run
     skew-isolated (hot_salted_groupby with hot keys from a

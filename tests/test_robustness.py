@@ -172,6 +172,7 @@ def test_new_queries_block_structure_invariance(ray_session):
         (relational.events_asof_prev_click, ["event_id"]),
         (dedup.decontamination_flags, ["doc_id"]),
         (dedup.dup_span_flags, ["doc_id"]),
+        (dedup.dup_span_flags_exact, ["doc_id"]),
         (pack_offsets, ["doc_id"]),
     ]
 
