@@ -677,6 +677,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsm_merged_range_docs": _q_lsm_merged_range_docs,
         "dup_span_flags_cdc": dedup.dup_span_flags_cdc,
         "dup_span_flags_exact": dedup.dup_span_flags_exact,
+        # full-fidelity excision: stride-1 through the SAME window
+        # hashing as dup_span_flags (kernel-identity invariant) — any
+        # shared run >= 16 words is excised in full at any alignment;
+        # pytest-pinned (closed-form planted-corpus gate), no SQL
+        # oracle (windowed rewriting, like dup_span_excise)
+        "dup_span_excise_exact": lambda sf_dir: dedup.dup_span_excise(
+            sf_dir, stride=1
+        ),
     }
 
 

@@ -295,6 +295,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "lsm_merged_range_docs",
         "dup_span_flags_cdc",
         "dup_span_flags_exact",
+        "dup_span_excise_exact",
     ]
 
     timings: dict[str, float] = {}

@@ -4414,6 +4414,47 @@ def test_dup_span_flags_exact_full_fidelity(ray_session, tmp_path):
         pd.testing.assert_frame_equal(got, base)
 
 
+def test_dup_span_excise_exact_closed_form(ray_session, tmp_path):
+    """stride=1 excision on the planted corpus has a CLOSED-FORM answer:
+    for L >= 16 the dup windows tile the whole run ([a, a+L) is cut
+    exactly — every position of the run and nothing else), so the
+    rebuilt text is the unique fillers and n_removed_words == L; for
+    L < 16 nothing is cut. Pins full-fidelity excision at every
+    alignment without a reference implementation."""
+    import hashlib as _hl
+
+    from open_parse_ray.stages.dedup import dup_span_excise
+
+    d, meta = _planted_span_corpus(tmp_path)
+    out = (
+        _df(dup_span_excise(d, stride=1))
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for pid, L, aA, aB, _run in meta:
+        for side, a in (("A", aA), ("B", aB)):
+            did = 2 * pid + (0 if side == "A" else 1)
+            row = out.loc[did]
+            n_words = a + L + 24
+            assert int(row["n_words"]) == n_words
+            if L >= 16:
+                kept = [f"f{did}p{j}" for j in range(a)] + [
+                    f"f{did}s{j}" for j in range(24)
+                ]
+                assert int(row["n_removed_words"]) == L, (pid, L, a)
+            else:
+                kept = (
+                    [f"f{did}p{j}" for j in range(a)]
+                    + [f"r{pid}w{k}" for k in range(L)]
+                    + [f"f{did}s{j}" for j in range(24)]
+                )
+                assert int(row["n_removed_words"]) == 0, (pid, L, a)
+            assert (
+                row["text_md5"]
+                == _hl.md5(" ".join(kept).encode()).hexdigest()
+            ), (pid, L, a)
+
+
 def test_hot_salted_promotion_equality(ray_session, tmp_path):
     """r4-verdict worklist #7: the user-salted event operators now run
     skew-isolated (hot_salted_groupby with hot keys from a
